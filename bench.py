@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a full-result count (no collect of payload;
+the driver measures plan+execute wall time). A warmup query absorbs
+JVM/codegen startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from bigdataflink_spark import get_spark
+from bigdataflink_spark.plans.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family; the quadratic exact-verify
+# variants (q23/q25) are correctness tools, not throughput paths, and
+# are excluded — their scalable twins (q21 LSH, q26 IVF) are included.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_region",
+    "q03_top_customers",
+    "q04_priority_semi_join",
+    "q06_ri_check",
+    "q08_date_parts",
+    "q10_window_rank",
+    "q11_json_extract",
+    "q14_lww_dedup",
+    "q15_tumbling_window",
+    "q17_session_window",
+    "q20_dedup_exact",
+    "q21_minhash_lsh",
+    "q22_simhash",
+    "q24_embedding_topk",
+    "q26_ivf_topk",
+    "q30_text_stats",
+    "q33_fingerprint",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["q02_revenue_by_region"](spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Column-expression cleanse/coercion library (SURVEY.md §2.2, §2.8).
+
+Reproduces the reference's per-field coercion semantics bit-exactly,
+as pure Catalyst ``Column`` expressions (JVM-side, whole-stage codegen
+— never Python UDFs):
+
+* ``to_int_safe``   — reference ``_to_int`` (`int(float(x))`:
+  truncates decimals, None/"" → NULL, parse failure → NULL);
+  /root/reference/flink/stream_to_star.py:61-67.
+* ``to_float_safe`` — reference ``_to_float`` (`float(x)`, NULL on
+  failure); stream_to_star.py:70-76.
+* ``parse_date_multi`` — reference ``_parse_date`` cascade
+  %m/%d/%Y → %Y-%m-%d → %d.%m.%Y, NULL on total failure;
+  stream_to_star.py:50-58.
+* ``clean_text``    — strip + empty→NULL; stream_to_star.py:104-109.
+* ``concat_name``   — "first last" stripped, empty→NULL;
+  stream_to_star.py:104-106,132-134.
+* ``coalesce_first`` — first non-null across candidate source column
+  names; stream_to_star.py:100,128,154,248.
+* ``default_zero``  — fact-measure default (qty or 0);
+  stream_to_star.py:252-253.
+* ``date_parts``    — y/m/d extraction; stream_to_star.py:243.
+* ``to_json_row`` / ``from_json_map`` — producer/consumer JSON
+  round-trip; csv_to_kafka.py:19, stream_to_star.py:81.
+
+All functions accept either a column name or a ``Column``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType, StructType
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def to_int_safe(c: str | Column) -> Column:
+    """``int(float(x))`` semantics: "4.9" → 4, "" → NULL, "abc" → NULL.
+
+    try_cast to double absorbs parse failures as NULL (matching the
+    bare ``except: return None``); floor reproduces Python int()'s
+    truncation toward zero for the non-negative ids in scope — for
+    full parity with negatives we truncate toward zero explicitly.
+    """
+    d = _col(c).try_cast("double")
+    truncated = F.when(d < 0, F.ceil(d)).otherwise(F.floor(d))
+    return truncated.cast("long")
+
+
+def to_float_safe(c: str | Column) -> Column:
+    """``float(x)`` with NULL on failure ("" included)."""
+    return _col(c).try_cast("double")
+
+
+def parse_date_multi(c: str | Column) -> Column:
+    """Try M/d/yyyy, then yyyy-MM-dd, then d.M.yyyy; NULL if none parse."""
+    col = _col(c)
+    return F.coalesce(
+        F.try_to_date(col, "M/d/yyyy"),
+        F.try_to_date(col, "yyyy-MM-dd"),
+        F.try_to_date(col, "d.M.yyyy"),
+    )
+
+
+def clean_text(c: str | Column) -> Column:
+    """strip(); empty string → NULL."""
+    return F.nullif(F.trim(_col(c)), F.lit(""))
+
+
+def concat_name(first: str | Column, last: str | Column) -> Column:
+    """``f"{first} {last}".strip() or None`` — NULL-safe concat.
+
+    concat_ws skips NULL inputs (like the reference's ``or ""``
+    fallback), trim collapses the lone-separator case, empty → NULL.
+    """
+    return clean_text(F.concat_ws(" ", _col(first), _col(last)))
+
+
+def coalesce_first(*candidates: str | Column) -> Column:
+    """First non-null among candidate source columns (field probing)."""
+    return F.coalesce(*[_col(c) for c in candidates])
+
+
+def default_zero(c: str | Column) -> Column:
+    """NULL → 0 measure default."""
+    return F.coalesce(_col(c), F.lit(0))
+
+
+def date_parts(c: str | Column) -> list[Column]:
+    """[year, month, day] of a date column."""
+    col = _col(c)
+    return [
+        F.year(col).alias("year"),
+        F.month(col).alias("month"),
+        F.dayofmonth(col).alias("day"),
+    ]
+
+
+def to_json_row(*cols: str) -> Column:
+    """Serialize a whole row (or chosen columns) to a JSON string."""
+    return F.to_json(F.struct(*cols)) if cols else F.to_json(F.struct("*"))
+
+
+def from_json_map(c: str | Column, schema: StructType | None = None) -> Column:
+    """JSON string → typed struct (or string map when schema unknown)."""
+    target = schema if schema is not None else MapType(StringType(), StringType())
+    return F.from_json(_col(c), target)

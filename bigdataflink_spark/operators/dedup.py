@@ -1,0 +1,187 @@
+"""Deduplication operators (extension suite — exact, LWW, MinHash+LSH,
+SimHash, n-gram Jaccard) over the ``documents`` table.
+
+Scale design notes (the point of each variant):
+
+* exact        — one shuffle on the hash; the cheapest pass, run first.
+* LWW          — keyed upsert semantics (the reference's ON CONFLICT
+                 DO UPDATE, stream_to_star.py:116-121) as a ranking
+                 window; shuffles once on the key.
+* MinHash+LSH  — near-dup at O(n·shingles) instead of O(n²): the
+                 signature pass is a single groupBy(doc) computing P
+                 min-aggregates in one shot (no P-way row blowup);
+                 the LSH band join only pairs up docs sharing a band
+                 signature, so the candidate set — not the corpus —
+                 is quadratic. This is the 100 TB path.
+* SimHash      — per-doc 32-bit signature; near-dups collide exactly
+                 or within small Hamming distance; groupBy signature.
+* n-gram Jaccard — exact verification, applied only to LSH candidates
+                 (never all pairs) — keeps the exact-but-quadratic
+                 step proportional to true duplicates.
+
+Hashes go through operators/hashing.md5_int so the DuckDB oracle can
+reproduce every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdataflink_spark.operators.hashing import md5_int
+from bigdataflink_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
+    """Keep one row per distinct value-tuple: lowest order_col wins."""
+    w = Window.partitionBy(*cols).orderBy(order_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def lww_dedup(df: DataFrame, key_cols: list[str], order_cols: str | list[str]) -> DataFrame:
+    """Last-write-wins: highest order_cols per key (reference upsert)."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>).
+
+    Docs shorter than n tokens yield an empty array — callers filter.
+    Spark arrays are 0-indexed (DuckDB's are 1-indexed; the oracle SQL
+    accounts for that).
+    """
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)]))
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 16
+) -> DataFrame:
+    """(id, mh0..mh{P-1}): MinHash signature per document.
+
+    One explode of distinct shingles, then P min-aggregates in a
+    single groupBy pass — the signature table is P+1 columns × n_docs
+    rows regardless of corpus size.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    aggs = [
+        F.min(md5_int(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Docs are exploded to `bands` rows keyed by (band index, band
+    signature); the self-join on that key touches only same-bucket
+    docs. Band signature = comma-joined row hashes.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = [
+        F.concat_ws(
+            ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), F.posexplode(F.array(*sigs)).alias("band", "sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps >= threshold.
+
+    Joined per-pair on the (small) candidate set, so the quadratic
+    exact check never touches non-candidate rows.
+    """
+    sets_ = docs.select(F.col(id_col), shingles(text_col, ngram).alias("sh"))
+    out = (
+        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash→LSH→exact-verify near-dup pipeline."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(cands, docs, id_col, text_col, threshold)
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(id, simhash): bitwise-majority signature over token hashes.
+
+    Each distinct token votes +1/-1 per bit of its 32-bit hash; the
+    signature's bit i is 1 iff the summed vote is positive. Explodes
+    tokens × bits — at scale, replace the bit explode with 32 masked
+    conditional aggregates in one pass (same trick as MinHash); kept
+    explicit here for clarity and oracle symmetry.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", md5_int(F.col("tok"), bits=32))
+    votes = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).withColumn(
+        # shiftright-by-column isn't exposed in the PySpark helper; the
+        # SQL form takes arbitrary expressions
+        "vote",
+        F.when(F.expr("(shiftright(h, bit) & 1)") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        votes.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("shiftleft(bitval, bit)")).alias("simhash"))
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over an embedding column (array<float>).
+
+Variants:
+
+* ``cosine_topk_bruteforce`` — exact top-k; the correctness baseline.
+  One broadcast of the (small) query set against the corpus: the
+  corpus never shuffles, scoring is a JVM-side fold over the array.
+* ``ivf_topk`` — the scale path: coarse-quantize the corpus into
+  cells (here: per-`label` centroids, i.e. a pre-computed IVF list),
+  route each query to its nearest centroid, and score only that cell.
+  At 1000 executors this turns an all-pairs scan into
+  O(n_cells + cell_size·k) per query; cells are the partition key, so
+  scoring is shuffle-free after one repartition.
+* ``cosine_neardup_pairs`` — embedding near-duplicate detection
+  (threshold, id_a < id_b).
+
+Efficiency: norms are computed ONCE per vector on each join side
+(never per pair); the per-pair work is a single dot-product fold.
+
+Determinism: dot products are left-to-right folds over the array in
+both Spark (``aggregate``) and the DuckDB oracle
+(``list_sum(list_transform(...))``), on doubles cast from identical
+floats — bit-identical, then rounded for output. Ranking ties broken
+by neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """One-shot cosine (norms recomputed — prefer the precomputed-norm
+    join pattern below for anything bigger than a routing table)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _sided(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
+    """Project (id, vec, norm) with side-prefixed names; norm computed
+    once per vector, before any join multiplies the row out."""
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.col(vec_col).alias(f"{side}_vec"),
+        norm(F.col(vec_col)).alias(f"{side}_norm"),
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Output: query_id, neighbor_id, cos (rounded 6dp), rank 1..k.
+    Queries are broadcast (small by construction); self-matches
+    excluded.
+    """
+    q = _sided(queries, id_col, vec_col, "q")
+    c = _sided(corpus, id_col, vec_col, "c")
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
+        .select(
+            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-cell centroid vectors: (label, centroid array<double>).
+
+    posexplode → avg per (cell, position) → re-assemble ordered array.
+    Components rounded so downstream scoring is oracle-reproducible.
+    At extreme scale, replace with a treeAggregate-style partial
+    vector sum per partition; semantics identical.
+    """
+    exploded = corpus.select(
+        F.col(label_col), F.posexplode(vec_col).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    per_pos = exploded.groupBy(label_col, "pos").agg(F.round(F.avg("v"), round_dp).alias("c"))
+    return (
+        per_pos.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pairs"))
+        .select(label_col, F.transform("pairs", lambda p: p["c"]).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: route each query to its nearest cell centroid,
+    then exact top-k within that cell only.
+
+    Output: query_id, probe_label, neighbor_id, cos, rank.
+    """
+    cents = label_centroids(corpus, label_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # route: nearest centroid per query (centroid table is tiny -> broadcast)
+    routed = (
+        q.join(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc(label_col))
+            ),
+        )
+        .filter(F.col("crank") == 1)
+        .select("query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"),
+                F.col(label_col).alias("probe_label"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        F.col(label_col).alias("probe_label"),
+    )
+    scored = (
+        c.join(F.broadcast(routed), "probe_label")
+        .filter(F.col("c_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
+        .select("query_id", "probe_label", F.col("c_id").alias("neighbor_id"), "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (id_a < id_b).
+
+    All-pairs here (corpus joined to itself) — at 100 TB gate this
+    behind LSH or IVF cells exactly like minhash_dedup_pairs; the
+    scoring expression is shared.
+    """
+    a = _sided(corpus, id_col, vec_col, "a")
+    b = _sided(corpus, id_col, vec_col, "b")
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 6
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "cos")
+    )

@@ -1,0 +1,404 @@
+"""DuckDB oracle SQL — one ANSI-SQL statement per entry in
+plans/queries.py, runnable on the driver's pre-registered views
+(region nation customer supplier part orders lineitem events
+documents embeddings).
+
+Every statement mirrors its Spark twin's value conventions (see
+plans/queries.py header): decimal accumulation for money, epoch
+micros for time, BIGINT casts where DuckDB would widen to HUGEINT,
+identical rounding, identical tiebreaks. Hashes are md5-derived
+(operators/hashing.py) so signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_CHARGE = f"({_DISC_PRICE}) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
+
+_MONEY = "ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE), 2)"
+
+
+def _money(c: str) -> str:
+    return _MONEY.format(c=c)
+
+
+# ---- shared text/similarity fragments -------------------------------
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+# word 3-gram shingles, distinct; DuckDB lists are 1-indexed
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        FOR i IN range(1, len(tk) - 1)]) AS sh
+  FROM toks WHERE len(tk) >= 3
+)"""
+
+
+def _md5_int(expr: str, hex_digits: int = 15) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, {hex_digits}) AS BIGINT)"
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    mins = ",\n         ".join(
+        "MIN(" + _md5_int(f"'{p}:' || s") + f") AS mh{p}" for p in range(num_hashes)
+    )
+    rows = num_hashes // bands
+    band_cases = " ".join(
+        f"WHEN {b} THEN concat_ws(',', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b.band, CASE b.band {band_cases} END AS bsig
+  FROM sig, (VALUES (0),(1),(2),(3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS common,
+         len(x.sh) AS la, len(y.sh) AS lb
+  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+)
+SELECT id_a, id_b, ROUND(common / (la + lb - common), 6) AS jaccard
+FROM ver WHERE ROUND(common / (la + lb - common), 6) >= {threshold}
+"""
+
+
+# dot/cosine over FLOAT[] in double precision, left-to-right fold
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       {_money('l_quantity')} AS sum_qty,
+       {_money('l_extendedprice')} AS sum_base_price,
+       ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(SUM({_CHARGE}) AS DOUBLE), 2) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q02_revenue_by_region": f"""
+SELECT r_name,
+       year(CAST(o_orderdate AS DATE)) AS o_year,
+       ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, o_year
+""",
+    "q03_top_customers": """
+SELECT c_custkey, c_name,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, c_custkey
+LIMIT 10
+""",
+    "q04_priority_semi_join": """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "q05_customers_without_orders": """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+    "q06_ri_check": """
+SELECT CAST(SUM(CASE WHEN o.o_orderkey  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_orders,
+       CAST(SUM(CASE WHEN p.p_partkey   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_part,
+       CAST(SUM(CASE WHEN s.s_suppkey   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_supplier,
+       CAST(SUM(CASE WHEN c.c_custkey   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_customer,
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_nation,
+       CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_region
+FROM lineitem l
+LEFT JOIN orders   o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN part     p ON l.l_partkey  = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+LEFT JOIN customer c ON o.o_custkey  = c.c_custkey
+LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region   r ON n.n_regionkey = r.r_regionkey
+""",
+    "q07_distinct_counts": """
+SELECT COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_orderkey) AS n_distinct_keys,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+""",
+    "q08_date_parts": f"""
+SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       month(CAST(o_orderdate AS DATE)) AS o_month,
+       COUNT(*) AS n,
+       {_money('o_totalprice')} AS revenue
+FROM orders
+GROUP BY o_year, o_month
+""",
+    "q09_union_slices": """
+SELECT o_orderstatus, COUNT(*) AS n
+FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT * FROM orders WHERE o_totalprice > 100000.0)
+GROUP BY o_orderstatus
+""",
+    "q10_window_rank": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+""",
+    "q11_json_extract": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    "q12_string_cleanse": """
+SELECT c_custkey,
+       nullif(trim(c_name), '') AS name,
+       coalesce(nullif(trim(c_mktsegment), ''), 'UNKNOWN') AS segment,
+       nullif(trim(concat_ws(' ', c_name, c_mktsegment)), '') AS name_seg
+FROM customer
+""",
+    "q13_coercions": """
+WITH fixture(idx, i, f, d, s) AS (VALUES
+  (1, '4.0',  '3.5', '5/14/2021',  '  x  '),
+  (2, '4.9',  '',    '2021-05-14', '   '),
+  (3, '-2.7', 'bad', '14.05.2021', ''),
+  (4, 'abc',  '1e3', '31/12/2021', NULL),
+  (5, NULL,   NULL,  NULL,         'y'))
+SELECT idx,
+       CAST(CASE WHEN TRY_CAST(i AS DOUBLE) < 0 THEN ceil(TRY_CAST(i AS DOUBLE))
+                 ELSE floor(TRY_CAST(i AS DOUBLE)) END AS BIGINT) AS i_val,
+       TRY_CAST(f AS DOUBLE) AS f_val,
+       COALESCE(CAST(try_strptime(d, '%-m/%-d/%Y') AS DATE),
+                CAST(try_strptime(d, '%Y-%m-%d') AS DATE),
+                CAST(try_strptime(d, '%-d.%-m.%Y') AS DATE)) AS d_val,
+       nullif(trim(s), '') AS s_val
+FROM fixture
+""",
+    "q14_lww_dedup": """
+SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    "q15_tumbling_window": f"""
+SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS win_start_us,
+       event_type,
+       COUNT(*) AS n,
+       {_money('value')} AS sum_value
+FROM events
+GROUP BY win_start_us, event_type
+""",
+    "q16_sliding_window": f"""
+WITH x AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, value FROM events),
+w AS (SELECT epoch_us(b) AS win_start_us, value FROM x
+      UNION ALL
+      SELECT epoch_us(b - INTERVAL '5 minutes') AS win_start_us, value FROM x)
+SELECT win_start_us, COUNT(*) AS n, {_money('value')} AS sum_value
+FROM w GROUP BY win_start_us
+""",
+    "q17_session_window": f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n, {_money('value')} AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+    "q18_rollup": f"""
+SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       month(CAST(o_orderdate AS DATE)) AS o_month,
+       COUNT(*) AS n,
+       {_money('o_totalprice')} AS revenue,
+       CAST(GROUPING(year(CAST(o_orderdate AS DATE))) AS INT) AS g_year,
+       CAST(GROUPING(month(CAST(o_orderdate AS DATE))) AS INT) AS g_month
+FROM orders
+GROUP BY ROLLUP(o_year, o_month)
+""",
+    # q19_approx_distinct: intentionally no oracle (HLL sketches are
+    # engine-specific); the driver records a rows-only check.
+    "q20_dedup_exact": """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+FROM documents GROUP BY source
+""",
+    "q21_minhash_lsh": _minhash_sql(16, 4, 0.8),
+    "q22_simhash": f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+h AS (SELECT doc_id, {_md5_int('tok', 8)} AS h FROM tok),
+votes AS (
+  SELECT doc_id, bits.bit,
+         SUM(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(0, 32)) AS bit) bits
+  GROUP BY doc_id, bits.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+    "q23_token_jaccard": f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) AS common,
+         len(a.tk) AS la, len(b.tk) AS lb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(common / (la + lb - common), 6) AS jaccard
+FROM p WHERE ROUND(common / (la + lb - common), 6) >= 0.9
+""",
+    "q24_embedding_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({_cos('qv', 'cv')}, 6) AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+""",
+    "q25_embedding_neardup": f"""
+WITH a AS (SELECT vec_id, embedding FROM embeddings)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       ROUND({_cos('x.embedding', 'y.embedding')}, 6) AS cos
+FROM a x JOIN a y ON x.vec_id < y.vec_id
+WHERE ROUND({_cos('x.embedding', 'y.embedding')}, 6) >= 0.4
+""",
+    "q26_ivf_topk": f"""
+WITH ex AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings),
+cent AS (SELECT label, pos, ROUND(AVG(v), 6) AS c FROM ex GROUP BY label, pos),
+carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+routed AS (
+  SELECT query_id, qv, probe_label FROM (
+    SELECT q.query_id, q.qv, carr.label AS probe_label,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({_cos('q.qv', 'carr.centroid')}, 6) DESC,
+                                       carr.label) AS crank
+    FROM q, carr)
+  WHERE crank = 1
+),
+scored AS (
+  SELECT r.query_id, r.probe_label, e.vec_id AS neighbor_id,
+         ROUND({_cos('r.qv', 'e.embedding')}, 6) AS cos
+  FROM routed r JOIN embeddings e
+    ON e.label = r.probe_label AND e.vec_id <> r.query_id
+)
+SELECT query_id, probe_label, neighbor_id, cos,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""",
+    "q30_text_stats": f"""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stop_hits,
+         ROUND(
+           LEAST(len(tk) / 200.0, 1.0) * 0.4
+           + (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) * 0.3
+           + LEAST((CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk)) * 10.0, 1.0) * 0.3,
+           6) AS q
+  FROM (SELECT lang, source, {_TOKS} AS tk FROM documents)
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS tok_per_doc,
+       ROUND(CAST(SUM(stop_hits) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS stop_ratio,
+       ROUND(SUM(q) / COUNT(*), 4) AS avg_quality
+FROM per_doc GROUP BY lang, source
+""",
+    "q31_lang_id": f"""
+WITH scored AS (
+  SELECT lang,
+         CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+           / len(tk) AS r
+  FROM (SELECT lang, {_TOKS} AS tk FROM documents)
+),
+pred AS (SELECT lang,
+                CASE WHEN r >= 0.08 THEN 'en'
+                     WHEN r >= 0.04 THEN 'und'
+                     ELSE 'other' END AS pred_lang
+         FROM scored)
+SELECT pred_lang, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS matches
+FROM pred GROUP BY pred_lang
+""",
+    "q32_token_count": """
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))
+                + len(regexp_extract_all(lower(text), '[0-9]+'))) AS BIGINT) AS sum_tokens,
+       COUNT(*) AS n
+FROM documents GROUP BY source
+""",
+    "q33_fingerprint": """
+SELECT source,
+       COUNT(DISTINCT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))) AS n_unique,
+       COUNT(*) AS n
+FROM documents GROUP BY source
+""",
+    "q34_multimodal_bytes": """
+SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+       COUNT(*) AS n,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+       COUNT(DISTINCT md5(text)) AS n_unique
+FROM documents GROUP BY modality
+""",
+}

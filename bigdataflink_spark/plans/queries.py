@@ -1,0 +1,500 @@
+"""Declared query suite (SURVEY.md §7 step 4) — one entry per
+operator-inventory row from SURVEY.md §2 plus the extension operators.
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose
+column names and value representations EXACTLY match the paired DuckDB
+SQL in plans/oracles.py. Conventions that make the cross-engine hash
+deterministic:
+
+* Money/measure sums accumulate in DECIMAL (exact), emitted as DOUBLE
+  rounded to 2dp; averages are decimal-sum / count, rounded 4dp.
+* Ratios divide integer totals (exact), rounded 6dp.
+* Timestamps are emitted as epoch microseconds (BIGINT) — timezone
+  can't leak in.
+* Ranks/window indexes cast to BIGINT (DuckDB row_number is BIGINT).
+* Ordering-sensitive outputs (top-k) sort on the exact pre-round
+  values with an id tiebreak.
+* Session timezone forced to UTC so year()/to_date() on timestamps
+  agree with DuckDB's naive timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdataflink_spark.functions import cleanse as C
+from bigdataflink_spark.operators import dedup, similarity, text, windows
+from bigdataflink_spark.operators.multimodal import synthetic_media
+from bigdataflink_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, name, sf_dir)
+
+
+def _money(col) -> F.Column:
+    """Deterministic 2dp money sum (exact decimal accumulate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,2)")).cast("double"), 2)
+
+
+# l_extendedprice * (1 - l_discount) [* (1 + l_tax)] in exact decimal;
+# widths chosen so Spark and DuckDB both stay inside decimal128.
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_CHARGE = f"({_DISC_PRICE}) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
+
+
+# --------------------------------------------------------------------
+# Core relational suite (SURVEY §2.1-§2.8 parity)
+# --------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+filter+hash-agg (A1/A3, P6, pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money("l_quantity").alias("sum_qty"),
+            _money("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(F.expr(_DISC_PRICE)).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.expr(_CHARGE)).cast("double"), 2).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("l_quantity"),
+                4,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count("l_extendedprice"),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count("l_discount"),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 5-way star join + agg (J1): revenue by region/year.
+
+    Plan shape at scale: lineitem (fact, huge) never moves — orders
+    shuffles once on orderkey; customer/nation/region broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            F.round(F.sum(F.expr(_DISC_PRICE)).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit/top-k (§2.6): top-10 customers by order revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rev = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(rev.alias("_rev"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(10)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
+def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (§2.3): orders with any late-shipped lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (§2.3): customers that never ordered."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q06_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way LEFT JOIN referential-integrity check (J2/A3) — the
+    reference's verification query (README.md:202-216) on testdata;
+    every missing_* must be 0."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey, "left")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+    )
+
+    def miss(col: str, alias: str):
+        return F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(alias)
+
+    return joined.agg(
+        miss("o_orderkey", "missing_orders"),
+        miss("p_partkey", "missing_part"),
+        miss("s_suppkey", "missing_supplier"),
+        miss("c_custkey", "missing_customer"),
+        miss("n_nationkey", "missing_nation"),
+        miss("r_regionkey", "missing_region"),
+    )
+
+
+def q07_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT + COUNT(DISTINCT) uniqueness invariant (A1/A2)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_distinct_keys"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def q08_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day extraction + group (F8)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.groupBy(
+            F.year(d).alias("o_year"), F.month(d).alias("o_month")
+        )
+        .agg(F.count("*").alias("n"), _money("o_totalprice").alias("revenue"))
+    )
+
+
+def q09_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered slices (§2.7) — overlap preserved."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F")
+    b = orders.filter(F.col("o_totalprice") > 100000.0)
+    return a.unionByName(b).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (§2.5): top-3 orders per customer by price."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON deserialize (F10) on events.props."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+def q12_string_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim/nullif/concat_ws/coalesce cleanse chain (F1-F4, P4-P5)."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        C.clean_text("c_name").alias("name"),
+        F.coalesce(C.clean_text("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        C.concat_name("c_name", "c_mktsegment").alias("name_seg"),
+    )
+
+
+def q13_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference coercion semantics fixture (P8/P9, F5-F7) —
+    FIXTURES.md §3 edge cases, bit-exact vs the oracle."""
+    rows = [
+        (1, "4.0", "3.5", "5/14/2021", "  x  "),
+        (2, "4.9", "", "2021-05-14", "   "),
+        (3, "-2.7", "bad", "14.05.2021", ""),
+        (4, "abc", "1e3", "31/12/2021", None),
+        (5, None, None, None, "y"),
+    ]
+    df = spark.createDataFrame(rows, "idx int, i string, f string, d string, s string")
+    return df.select(
+        "idx",
+        C.to_int_safe("i").alias("i_val"),
+        C.to_float_safe("f").alias("f_val"),
+        C.parse_date_multi("d").alias("d_val"),
+        C.clean_text("s").alias("s_val"),
+    )
+
+
+def q14_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins keyed upsert (A4) — the reference's ON CONFLICT
+    DO UPDATE semantics: latest event per user wins."""
+    events = _t(spark, sf_dir, "events")
+    latest = dedup.lww_dedup(events, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def q15_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (T2 extension)."""
+    return windows.tumbling(_t(spark, sf_dir, "events"), "10 minutes")
+
+
+def q16_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding window (T2 extension)."""
+    return windows.sliding(_t(spark, sf_dir, "events"), "10 minutes", "5 minutes")
+
+
+def q17_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session window per user (T2 extension)."""
+    return windows.session(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with GROUPING() disambiguation."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.select(F.year(d).alias("o_year"), F.month(d).alias("o_month"), "o_totalprice")
+        .rollup("o_year", "o_month")
+        .agg(
+            F.count("*").alias("n"),
+            _money("o_totalprice").alias("revenue"),
+            F.grouping("o_year").cast("int").alias("g_year"),
+            F.grouping("o_month").cast("int").alias("g_month"),
+        )
+    )
+
+
+def q19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — scale-out variant of A2. No
+    oracle (sketch values are engine-specific); driver rows-only."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------
+# Extension: dedup family over documents
+# --------------------------------------------------------------------
+
+
+def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup stats: hash-group on md5(text) per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) + exact-Jaccard verify >= 0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.8)
+
+
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+def q23_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-token Jaccard pairs >= 0.9 (all-pairs variant;
+    the LSH-prefiltered version is q21 — this is the oracle-simple
+    exact form)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.array_distinct(text.tokens("text")).alias("tk")
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tb"))
+    common = F.size(F.array_intersect("ta", "tb")).cast("double")
+    jac = F.round(common / (F.size("ta") + F.size("tb") - common), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------
+# Extension: similarity search over embeddings
+# --------------------------------------------------------------------
+
+
+def q24_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for queries vec_id < 10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+def q26_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed ANN top-5 (label cells) for queries vec_id < 10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------
+# Extension: text analysis over documents
+# --------------------------------------------------------------------
+
+
+def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): token totals + quality."""
+    docs = _t(spark, sf_dir, "documents")
+    t = text.tokens("text")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.filter(t, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("stop_hits"),
+        F.round(text.quality_score(t, F.col("n_chars")), 6).alias("q"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / F.count("*"), 4).alias("tok_per_doc"),
+        F.round(F.sum("stop_hits").cast("double") / F.sum("n_tokens"), 6).alias("stop_ratio"),
+        F.round(F.sum("q") / F.count("*"), 4).alias("avg_quality"),
+    )
+
+
+def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID prediction vs labeled lang."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.lang_id(text.tokens("text"))
+    return (
+        docs.withColumn("pred_lang", pred)
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)).alias("matches"),
+        )
+    )
+
+
+def q32_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(text.token_count_regex("text")).alias("sum_tokens"),
+        F.count("*").alias("n"),
+    )
+
+
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint uniqueness per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.countDistinct(text.fingerprint("text")).alias("n_unique"),
+        F.count("*").alias("n"),
+    )
+
+
+def q34_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: opaque payload + typed metadata
+    (operators/multimodal.py); byte stats per modality."""
+    docs = _t(spark, sf_dir, "documents")
+    media = synthetic_media(spark, docs)
+    return media.groupBy("modality").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length("payload")).alias("sum_bytes"),
+        F.countDistinct(F.md5("payload")).alias("n_unique"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_region": q02_revenue_by_region,
+    "q03_top_customers": q03_top_customers,
+    "q04_priority_semi_join": q04_priority_semi_join,
+    "q05_customers_without_orders": q05_customers_without_orders,
+    "q06_ri_check": q06_ri_check,
+    "q07_distinct_counts": q07_distinct_counts,
+    "q08_date_parts": q08_date_parts,
+    "q09_union_slices": q09_union_slices,
+    "q10_window_rank": q10_window_rank,
+    "q11_json_extract": q11_json_extract,
+    "q12_string_cleanse": q12_string_cleanse,
+    "q13_coercions": q13_coercions,
+    "q14_lww_dedup": q14_lww_dedup,
+    "q15_tumbling_window": q15_tumbling_window,
+    "q16_sliding_window": q16_sliding_window,
+    "q17_session_window": q17_session_window,
+    "q18_rollup": q18_rollup,
+    "q19_approx_distinct": q19_approx_distinct,
+    "q20_dedup_exact": q20_dedup_exact,
+    "q21_minhash_lsh": q21_minhash_lsh,
+    "q22_simhash": q22_simhash,
+    "q23_token_jaccard": q23_token_jaccard,
+    "q24_embedding_topk": q24_embedding_topk,
+    "q25_embedding_neardup": q25_embedding_neardup,
+    "q26_ivf_topk": q26_ivf_topk,
+    "q30_text_stats": q30_text_stats,
+    "q31_lang_id": q31_lang_id,
+    "q32_token_count": q32_token_count,
+    "q33_fingerprint": q33_fingerprint,
+    "q34_multimodal_bytes": q34_multimodal_bytes,
+}
