@@ -1,0 +1,128 @@
+"""Streaming pipeline tests (SURVEY.md §7 step 5): stream/batch parity
+on the full reference corpus, plus watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataflink_spark.plans import build_star
+from bigdataflink_spark.sources import read_sales_csv
+from bigdataflink_spark.sources.producer import produce_jsonl
+from bigdataflink_spark.sources.tables import load_table
+from bigdataflink_spark.streaming import run_stream_to_star
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="stream_star_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_batch_parity(spark, workdir):
+    """Replaying all 10 CSVs through the file stream (1 file per
+    micro-batch, like the producer's per-file sends) must yield
+    byte-identical star tables to the one-shot batch build."""
+    n = produce_jsonl(spark, f"{workdir}/landing")
+    assert n == 10000
+
+    stream_star = run_stream_to_star(
+        spark,
+        f"{workdir}/landing",
+        f"{workdir}/state",
+        f"{workdir}/ckpt",
+        max_files_per_trigger=1,
+    )
+    batch_star = build_star(read_sales_csv(spark))
+
+    for name in batch_star:
+        b = batch_star[name]
+        s = stream_star[name]
+        assert sorted(b.columns) == sorted(s.columns), name
+        brows = {tuple(r) for r in b.select(*sorted(b.columns)).collect()}
+        srows = {tuple(r) for r in s.select(*sorted(b.columns)).collect()}
+        assert brows == srows, f"{name}: stream/batch rows differ"
+
+
+def test_streaming_windowed_agg_matches_batch(spark, workdir):
+    """Watermarked tumbling window over a streamed copy of events ==
+    batch window aggregation (availableNow replay)."""
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    src = f"{workdir}/events_parquet"
+    events.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt_win")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.win_start_us, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    expected = {
+        (r.win_start_us, r.event_type): r.n
+        for r in (
+            events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "n")
+        ).collect()
+    }
+    # watermark may hold back the final (open) windows in append mode;
+    # everything emitted must match, and coverage must be near-total
+    assert got
+    for k, v in got.items():
+        assert expected.get(k) == v
+    assert len(got) >= len(expected) - 5
+
+
+def test_error_side_channel(spark, workdir):
+    """P10: malformed JSON lands in the errors stream; good rows parse."""
+    from bigdataflink_spark.streaming import read_sales_stream
+
+    src = f"{workdir}/bad_landing"
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/part-0.txt", "w") as f:
+        f.write('{"id": "1", "sale_quantity": "2", "arrival_seq": 1}\n')
+        f.write("this is not json\n")
+        f.write('{"id": "7", "arrival_seq": 2}\n')
+
+    records, errors = read_sales_stream(spark, src)
+    rq = (
+        records.writeStream.format("memory").queryName("rec_t")
+        .option("checkpointLocation", f"{workdir}/ckpt_rec")
+        .trigger(availableNow=True).start()
+    )
+    eq = (
+        errors.writeStream.format("memory").queryName("err_t")
+        .option("checkpointLocation", f"{workdir}/ckpt_err")
+        .trigger(availableNow=True).start()
+    )
+    rq.awaitTermination()
+    eq.awaitTermination()
+    recs = spark.sql("SELECT id FROM rec_t").collect()
+    errs = spark.sql("SELECT * FROM err_t").collect()
+    assert sorted(r.id for r in recs) == ["1", "7"]
+    assert len(errs) == 1 and errs[0].status.startswith("error:")
