@@ -47,14 +47,16 @@ def lww_dedup(df: DataFrame, key_cols: list[str], order_cols: str | list[str]) -
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>).
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column. Always pass a real column, not the tokens() expression —
+    inlining the split() into every lambda element makes the shingle
+    build O(tokens²) per document.
 
     Docs shorter than n tokens yield an empty array — callers filter.
     Spark arrays are 0-indexed (DuckDB's are 1-indexed; the oracle SQL
     accounts for that).
     """
-    t = tokens(text_col)
     idx = F.sequence(F.lit(0), F.size(t) - n)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)]))
     return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
@@ -62,18 +64,46 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
     )
 
 
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh): distinct n-gram shingle set per document; tokens
+    materialized once per row before the n-gram transform."""
+    return docs.select(F.col(id_col), tokens(text_col).alias("_tk")).select(
+        F.col(id_col), shingles_from_tokens(F.col("_tk"), n).alias("sh")
+    )
+
+
+# Kirsch-Mitzenmacher double hashing: one base hash per shingle, P
+# derived hashes h_p = (h1 + p*h2) mod M. h1/h2 are 30-bit halves of
+# the 60-bit md5 base, so h1 + 15*h2 < 2^34 — exact in both engines'
+# int64, no overflow, no extra md5 calls. M = 2^31-1 (Mersenne prime).
+_KM_MOD = 2_147_483_647
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 16
 ) -> DataFrame:
     """(id, mh0..mh{P-1}): MinHash signature per document.
 
-    One explode of distinct shingles, then P min-aggregates in a
-    single groupBy pass — the signature table is P+1 columns × n_docs
-    rows regardless of corpus size.
+    One explode of distinct shingles, ONE md5 per shingle, then P
+    cheap min-aggregates in a single groupBy pass — the signature
+    table is P+1 columns × n_docs rows regardless of corpus size.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a
+    # plain explode into a pre-filter that re-inlines (and re-computes)
+    # the whole shingle expression per row — ~10x slower. The outer
+    # variant skips the inferred filter; drop its empty-array null row.
+    sh = (
+        shingle_sets(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .select(F.col(id_col), md5_int(F.col("shingle")).alias("h"))
+    )
+    h1 = F.shiftright(F.col("h"), 30)
+    h2 = F.col("h").bitwiseAND(F.lit((1 << 30) - 1))
     aggs = [
-        F.min(md5_int(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh{p}")
+        F.min((h1 + F.lit(p) * h2) % F.lit(_KM_MOD)).alias(f"mh{p}")
         for p in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -123,7 +153,7 @@ def jaccard_verify(
     Joined per-pair on the (small) candidate set, so the quadratic
     exact check never touches non-candidate rows.
     """
-    sets_ = docs.select(F.col(id_col), shingles(text_col, ngram).alias("sh"))
+    sets_ = shingle_sets(docs, id_col, text_col, ngram)
     out = (
         pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -165,9 +195,11 @@ def simhash(
     conditional aggregates in one pass (same trick as MinHash); kept
     explicit here for clarity and oracle symmetry.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("h", md5_int(F.col("tok"), bits=32))
+    toks = (
+        docs.select(F.col(id_col), F.explode_outer(F.array_distinct(tokens(text_col))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .withColumn("h", md5_int(F.col("tok"), bits=32))
+    )
     votes = toks.select(
         id_col,
         "h",

@@ -45,8 +45,11 @@ def _md5_int(expr: str, hex_digits: int = 15) -> str:
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    # Kirsch-Mitzenmacher derived hashes from one md5 base (mirror of
+    # operators/dedup.minhash_signatures): h_p = (h1 + p*h2) % (2^31-1)
     mins = ",\n         ".join(
-        "MIN(" + _md5_int(f"'{p}:' || s") + f") AS mh{p}" for p in range(num_hashes)
+        f"MIN(((h >> 30) + {p} * (h & 1073741823)) % 2147483647) AS mh{p}"
+        for p in range(num_hashes)
     )
     rows = num_hashes // bands
     band_cases = " ".join(
@@ -57,7 +60,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -
     )
     return f"""
 WITH {_SHINGLES_CTE},
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+ex AS (SELECT doc_id, {_md5_int('unnest(sh)')} AS h FROM sh),
 sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
 banded AS (
   SELECT doc_id, b.band, CASE b.band {band_cases} END AS bsig
