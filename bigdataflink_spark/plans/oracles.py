@@ -267,6 +267,28 @@ SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
 FROM orders
 GROUP BY ROLLUP(o_year, o_month)
 """,
+    "q35_cube": f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {_money('o_totalprice')} AS revenue,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    "q36_percentiles": """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    "q37_setops": """
+WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT (SELECT COUNT(*) FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)) AS n_both,
+       (SELECT COUNT(*) FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)) AS n_only_f
+""",
     # q19_approx_distinct: intentionally no oracle (HLL sketches are
     # engine-specific); the driver records a rows-only check.
     "q20_dedup_exact": """

@@ -313,6 +313,47 @@ def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            _money("o_totalprice").alias("revenue"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+def q36_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per priority.
+
+    ``percentile`` is the exact sort-based aggregate;
+    ``approx_percentile`` (t-digest) is the sketch variant for the
+    100 TB path — same call shape, no oracle.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def q37_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (§2.7 beyond the implicit UNION ALL):
+    customers appearing in both status-F and status-O orders, and
+    F-only customers."""
+    orders = _t(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_cust.intersect(o_cust).agg(F.count("*").alias("n_both"))
+    only_f = f_cust.subtract(o_cust).agg(F.count("*").alias("n_only_f"))
+    return both.crossJoin(only_f)
+
+
 def q19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) — scale-out variant of A2. No
     oracle (sketch values are engine-specific); driver rows-only."""
@@ -497,4 +538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_token_count": q32_token_count,
     "q33_fingerprint": q33_fingerprint,
     "q34_multimodal_bytes": q34_multimodal_bytes,
+    "q35_cube": q35_cube,
+    "q36_percentiles": q36_percentiles,
+    "q37_setops": q37_setops,
 }

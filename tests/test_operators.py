@@ -1,0 +1,105 @@
+"""Operator-level tests: multimodal Arrow plumbing and the custom
+stateful streaming operator."""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataflink_spark.operators import multimodal
+from bigdataflink_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    return multimodal.synthetic_media(spark, docs)
+
+
+def test_extract_features_shapes(spark, media):
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    for r in rows[:10]:
+        assert len(r.feature) == 8
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+        assert r.n_bytes > 0
+
+
+def test_extract_features_deterministic(spark, media):
+    one = media.filter(F.col("media_id") == 1).collect()[0]
+    expected = [b / 255.0 for b in hashlib.sha256(bytes(one.payload)).digest()[:8]]
+    got = (
+        multimodal.extract_features(media.filter(F.col("media_id") == 1))
+        .collect()[0]
+        .feature
+    )
+    assert [round(v, 6) for v in got] == [round(v, 6) for v in expected]
+
+
+def test_sample_frames_fanout(spark, media):
+    videos = media.filter(F.col("modality") == "video")
+    frames = multimodal.sample_frames(videos, every_ms=10000)
+    per_media = {
+        r.media_id: r.n
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    durations = {r.media_id: r.duration_ms for r in videos.collect()}
+    assert per_media
+    for mid, n in per_media.items():
+        assert n == max(1, durations[mid] // 10000)
+
+
+def test_resize_is_explicit_stub(spark, media):
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 32, 32)
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState running totals == batch groupBy at end
+    of an availableNow replay (update mode, last emit per key wins)."""
+    from bigdataflink_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    d = tempfile.mkdtemp(prefix="stateful_")
+    try:
+        events.write.mode("overwrite").parquet(f"{d}/src")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("totals")
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # last update per user is the final state
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 2))
+            for r in spark.sql(
+                """SELECT user_id, n_events, total_value FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY n_events DESC) rn
+                     FROM totals) WHERE rn = 1"""
+            ).collect()
+        }
+        expected = {
+            r.user_id: (r.n, round(r.s, 2))
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
