@@ -44,6 +44,9 @@ HEADLINE = [
     "q26_ivf_topk",
     "q30_text_stats",
     "q33_fingerprint",
+    "q38_asof_join",
+    "q39_range_join",
+    "q42_salted_join",
 ]
 
 

@@ -426,4 +426,57 @@ SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
        COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY modality
 """,
+    "q38_asof_join": """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(value) AS last_click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+       c.last_click_value
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "q39_range_join": f"""
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 100.0), ('mid', 100.0, 250.0), ('high', 250.0, 500.0)
+)
+SELECT tier, COUNT(*) AS n, {_money('value')} AS sum_value
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier
+""",
+    "q40_pivot": """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE), 2) AS "1-URGENT",
+       ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE), 2) AS "2-HIGH",
+       ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE), 2) AS "3-MEDIUM",
+       ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE), 2) AS "4-NOT SPECIFIED",
+       ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE), 2) AS "5-LOW"
+FROM orders GROUP BY o_year
+""",
+    "q41_sampled_agg": f"""
+SELECT o_orderpriority, COUNT(*) AS n, {_money('o_totalprice')} AS revenue
+FROM orders
+WHERE {_md5_int("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
+GROUP BY o_orderpriority
+""",
+    "q42_salted_join": f"""
+SELECT c_mktsegment, COUNT(*) AS n, {_money('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "q43_above_nation_avg": """
+WITH s AS (
+  SELECT c_nationkey, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS ssum,
+         COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_nationkey, COUNT(*) AS n_above
+FROM customer c JOIN s USING (c_nationkey)
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > ssum
+GROUP BY c.c_nationkey
+""",
 }

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdataflink_spark.functions import cleanse as C
-from bigdataflink_spark.operators import dedup, similarity, text, windows
+from bigdataflink_spark.operators import dedup, joins, similarity, text, windows
+from bigdataflink_spark.operators.hashing import md5_int
 from bigdataflink_spark.operators.multimodal import synthetic_media
 from bigdataflink_spark.sources.tables import load_table
 
@@ -506,6 +507,105 @@ def q34_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of LEFT join (extension §2.3): each purchase picks
+    up the latest click value at-or-before it for the same user.
+    operators/joins.asof_join — union+window, ONE shuffle on user_id
+    (vs the nested-loop theta-join Spark would otherwise plan)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    res = joins.asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["last_click_value"]
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "last_click_value",
+    )
+
+
+_TIERS = [("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 500.0)]
+
+
+def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join (extension §2.3): events joined to the value
+    tier containing them, via interval bucketing so it plans as an
+    equi-join (operators/joins.bucketed_range_join)."""
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    j = joins.bucketed_range_join(ev, tiers, "value", bucket_width=50.0)
+    return j.groupBy("tier").agg(
+        F.count("*").alias("n"), _money("value").alias("sum_value")
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q40_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (extension §2.4): yearly revenue by order priority, one
+    column per priority. Explicit pivot values keep the plan a single
+    hash aggregate (no extra distinct-values job)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(_money("o_totalprice"))
+    )
+
+
+def q41_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% hash-sample then aggregate (TABLESAMPLE
+    analog): the md5-derived bucket of o_orderkey reproduces the exact
+    same sample in both engines — unlike TABLESAMPLE, which is
+    engine-private randomness."""
+    orders = _t(spark, sf_dir, "orders")
+    samp = orders.filter(
+        F.pmod(md5_int(F.col("o_orderkey").cast("string")), F.lit(20)) == 0
+    )
+    return samp.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), _money("o_totalprice").alias("revenue")
+    )
+
+
+def q42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-controlled equi-join (operators/joins.salted_join): orders
+    ⋈ customer spread over 8 salt sub-keys; row-identical to the plain
+    join, which is exactly what the oracle runs."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    j = joins.salted_join(orders, cust, "o_custkey", salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), _money("o_totalprice").alias("revenue")
+    )
+
+
+def q43_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery pattern (extension §2.4): customers
+    whose balance strictly exceeds their nation's average. The
+    boundary comparison runs in exact decimal (balance * n > sum) so
+    both engines agree bit-for-bit."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    return (
+        c.withColumn("__sum", F.sum(dec).over(w))
+        .withColumn("__n", F.count("*").over(w))
+        .filter(dec * F.col("__n") > F.col("__sum"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -541,4 +641,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_cube": q35_cube,
     "q36_percentiles": q36_percentiles,
     "q37_setops": q37_setops,
+    "q38_asof_join": q38_asof_join,
+    "q39_range_join": q39_range_join,
+    "q40_pivot": q40_pivot,
+    "q41_sampled_agg": q41_sampled_agg,
+    "q42_salted_join": q42_salted_join,
+    "q43_above_nation_avg": q43_above_nation_avg,
 }
