@@ -541,7 +541,10 @@ def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier containing them, via interval bucketing so it plans as an
     equi-join (operators/joins.bucketed_range_join)."""
     ev = _t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    # VALUES → LocalRelation (stays JVM-side; createDataFrame would
+    # plan a Python-RDD scan and pay a gateway round-trip per run)
+    rows = ", ".join(f"('{t}', {lo}D, {hi}D)" for t, lo, hi in _TIERS)
+    tiers = spark.sql(f"SELECT * FROM VALUES {rows} AS t(tier, lo, hi)")
     j = joins.bucketed_range_join(ev, tiers, "value", bucket_width=50.0)
     return j.groupBy("tier").agg(
         F.count("*").alias("n"), _money("value").alias("sum_value")

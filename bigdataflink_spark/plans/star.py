@@ -251,3 +251,35 @@ def build_star(raw: DataFrame) -> dict[str, DataFrame]:
     tables: dict[str, DataFrame] = dict(dims)
     tables["fact_sales"] = build_fact(cleansed, dims)
     return tables
+
+
+def persist_star(star: dict[str, DataFrame], out_dir: str) -> None:
+    """Write the warehouse to parquet: dims plain, the fact Hive-
+    partitioned by sale year/month.
+
+    Directory-level partition pruning is the Spark analog of the
+    reference's three fact B-tree indexes
+    (postgres/00_ddl_dw.sql:68-70): a date-ranged scan touches only
+    the matching ``year=/month=`` directories, and parquet min/max
+    stats prune inside them. At 100 TB the fact is additionally
+    bucketed on the hot FK (``saveAsTable`` + ``bucketBy``) so
+    fact⋈dim repartitions nothing; partitioning alone already keeps
+    date-sliced scans proportional to the slice.
+    """
+    fact = star["fact_sales"]
+    dd = star["dim_date"].select("date_key", "year", "month")
+    fact_p = fact.join(F.broadcast(dd), on="date_key", how="left").withColumn(
+        "year", F.coalesce(F.col("year"), F.lit(-1))
+    ).withColumn("month", F.coalesce(F.col("month"), F.lit(-1)))
+    fact_p.write.mode("overwrite").partitionBy("year", "month").parquet(
+        f"{out_dir}/fact_sales"
+    )
+    for name, df in star.items():
+        if name != "fact_sales":
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+
+
+def load_star(spark, out_dir: str) -> dict[str, DataFrame]:
+    """Read a persisted warehouse back (partition columns included)."""
+    names = list(DIM_SPECS) + ["fact_sales"]
+    return {n: spark.read.parquet(f"{out_dir}/{n}") for n in names}

@@ -91,3 +91,35 @@ def test_surrogate_keys_dense_and_deterministic(star):
         for r in dim.select("customer_key", "source_customer_id").collect()
     }
     assert rows1 == rows2
+
+
+def test_persist_star_partition_pruning(star, spark, tmp_path):
+    """persist_star writes the fact Hive-partitioned by year/month;
+    a month-sliced read must (a) round-trip counts and (b) prune at
+    the directory level (PartitionFilters in the scan, one input
+    partition directory)."""
+    from bigdataflink_spark.plans.star import load_star, persist_star
+
+    out = str(tmp_path / "dw")
+    persist_star(star, out)
+    back = load_star(spark, out)
+    assert {n: df.count() for n, df in back.items()} == GOLDEN_COUNTS
+
+    fact = back["fact_sales"]
+    sliced = fact.filter((F.col("year") == 2021) & (F.col("month") == 3))
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the slice only reads files under year=2021/month=3
+    files = {
+        r[0]
+        for r in sliced.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all("year=2021/month=3" in f for f in files)
+    # and the slice agrees with the unpartitioned star via dim_date
+    dd = star["dim_date"].filter((F.col("year") == 2021) & (F.col("month") == 3))
+    expected = (
+        star["fact_sales"]
+        .join(dd.select("date_key"), "date_key", "inner")
+        .count()
+    )
+    assert sliced.count() == expected
