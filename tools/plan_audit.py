@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: physical-plan evidence for every headline
+query (scan pruning, join strategies, exchange count) plus the
+at-scale rationale. Run from the repo root:
+
+    python tools/plan_audit.py          # writes PLANS.md at sf0.01
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from bigdataflink_spark import get_spark  # noqa: E402
+from bigdataflink_spark.plans.queries import QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# Why each plan is the one we want at 1000 executors / 100 TB.
+NOTES = {
+    "q01_pricing_summary": "Single scan → partial+final hash agg; one exchange on the 4-value group key. Decimal sums stay in codegen.",
+    "q02_revenue_by_region": "Flagship star join: fact scans 3 of 11 columns and NEVER shuffles — all four dims broadcast; the only exchange is the final 2-key agg.",
+    "q03_top_customers": "Agg before sort; global top-k via TakeOrderedAndProject (no full sort shuffle).",
+    "q04_priority_semi_join": "LeftSemi broadcast — probe side streams, no dedup materialization.",
+    "q06_ri_check": "Six broadcast left joins + one conditional-agg pass; fact side single scan, zero fact shuffles.",
+    "q08_date_parts": "year/month computed in the scan projection; one exchange for the agg.",
+    "q10_window_rank": "One shuffle on o_custkey for the ranking window; rank<=3 filters before any further op.",
+    "q11_json_extract": "from_json in the scan stage; no shuffle until the agg.",
+    "q14_lww_dedup": "Keyed LWW = one shuffle on the natural key, row_number, filter — the upsert semantics with exactly one exchange.",
+    "q15_tumbling_window": "window() desugars to a bucket expression → plain hash agg; one exchange.",
+    "q17_session_window": "session_window needs a per-key sort; one shuffle on user_id.",
+    "q20_dedup_exact": "Hash-groupBy dedup: one shuffle on the content hash.",
+    "q21_minhash_lsh": "Signatures: one groupBy(doc) with P min-aggs (no P-way blowup). LSH: shuffle on band signature pairs only bucket-mates — candidate set, not corpus, is quadratic.",
+    "q22_simhash": "Per-doc signature then groupBy signature: two narrow projections + one exchange.",
+    "q24_embedding_topk": "Queries broadcast against the corpus; corpus never shuffles; per-pair work is one JVM fold (zip_with + aggregate).",
+    "q26_ivf_topk": "Centroid build is a posexplode agg (bounded by cells×dims); probe routes to ONE cell → scoring join keys on cell id, shuffle ∝ corpus, not corpus².",
+    "q30_text_stats": "Pure per-row expressions in the scan stage; one exchange for the source-level agg.",
+    "q33_fingerprint": "Normalization + md5 in scan stage; countDistinct partials map-side.",
+    "q38_asof_join": "Union+window as-of: ONE shuffle on user_id (sort-merge-join cost); the naive theta formulation would be a nested-loop O(n·m).",
+    "q39_range_join": "Interval bucketing turns the band join into a broadcast HASH join on bucket + residual filter; tier table is a JVM LocalRelation.",
+    "q42_salted_join": "Salt spreads each hot key over 8 reducers; build side replicates ×8 (bounded), probe computes its salt in the scan stage.",
+}
+
+# Queries where a BroadcastNestedLoopJoin is the intended shape, with
+# the justification rendered instead of a warning.
+EXPECTED_BNLJ = {
+    "q24_embedding_topk": "BNLJ is the semantics here: brute-force = score EVERY (query, corpus) pair; the broadcast side is the small query set, the corpus streams. The scale path is q26.",
+    "q26_ivf_topk": "the BNLJ is only the query→centroid routing table (|queries| × |cells|, both tiny); the corpus-sized scoring join is the cell-keyed BroadcastHashJoin.",
+}
+
+
+def audit(name: str, plan: str) -> list[str]:  # noqa: C901
+    lines = []
+    scans = re.findall(r"\(\d+\) Scan parquet.*?(?=\n\n)", plan, re.S)
+    for s in scans:
+        loc = re.search(r"file:[^\]\s]*/(\w+\.parquet)", s)
+        rs = re.search(r"ReadSchema: struct<([^\n]*)", s)
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", s)
+        ncols = len(rs.group(1).split(",")) if rs and rs.group(1) else 0
+        lines.append(
+            f"  - scan `{loc.group(1) if loc else '?'}`: {ncols} cols read"
+            + (f", pushed: `{pf.group(1)}`" if pf and pf.group(1) else "")
+        )
+    joins = re.findall(r"(BroadcastHashJoin \w+|SortMergeJoin \w+|BroadcastNestedLoopJoin \w+|ShuffledHashJoin \w+)", plan)
+    if joins:
+        from collections import Counter
+
+        jc = Counter(joins)
+        lines.append("  - joins: " + ", ".join(f"{k} ×{v}" for k, v in sorted(jc.items())))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    n_bc = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    lines.append(f"  - exchanges: {n_ex} shuffle, {n_bc} broadcast")
+    if "BroadcastNestedLoopJoin" in plan:
+        if name in EXPECTED_BNLJ:
+            lines.append(f"  - nested loop (intended): {EXPECTED_BNLJ[name]}")
+        else:
+            lines.append("  - ⚠ UNEXPECTED nested-loop join — fix or justify")
+    return lines
+
+
+def main() -> None:
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# PLANS — physical-plan audit of the headline suite",
+        "",
+        f"Generated by `tools/plan_audit.py` at sf0.01 ({SF_DIR}),",
+        "`spark.sql.shuffle.partitions=32`, AQE on. For each query:",
+        "what the scan actually reads (column pruning + pushed filters),",
+        "the join strategies Catalyst picked, the exchange count, and",
+        "why that shape survives a 100 TB / 1000-executor scale-up.",
+        "",
+    ]
+    for name in sorted(NOTES):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # executedPlan before collect is the initial AQE plan; fall back
+        # to explain string for the full formatted detail
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        out.append(f"## {name}")
+        out.append("")
+        out.append(NOTES[name])
+        out.append("")
+        out.extend(audit(name, plan))
+        out.append("")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
