@@ -47,6 +47,7 @@ HEADLINE = [
     "q38_asof_join",
     "q39_range_join",
     "q42_salted_join",
+    "q44_corpus_pipeline",
 ]
 
 

@@ -468,6 +468,35 @@ SELECT c_mktsegment, COUNT(*) AS n, {_money('o_totalprice')} AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
+    "q44_corpus_pipeline": f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS tk FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         ROUND(
+           LEAST(len(tk) / 200.0, 1.0) * 0.4
+           + (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) * 0.3
+           + LEAST((CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk)) * 10.0, 1.0) * 0.3,
+           6) AS q,
+         CASE WHEN CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk) >= 0.08 THEN 'en'
+              WHEN CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk) >= 0.04 THEN 'und'
+              ELSE 'other' END AS pred_lang,
+         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+         CAST(len(tk) AS BIGINT) AS n_tokens
+  FROM t
+),
+filt AS (SELECT * FROM scored WHERE q >= 0.45 AND pred_lang = 'en'),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM filt
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(q) / COUNT(*), 4) AS avg_quality
+FROM kept WHERE rn = 1 GROUP BY source
+""",
+    "q45_having": f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {_money('o_totalprice')} AS revenue
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+""",
     "q43_above_nation_avg": """
 WITH s AS (
   SELECT c_nationkey, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS ssum,

@@ -609,6 +609,41 @@ def q43_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pass, end-to-end in ONE plan: quality
+    scoring → language filter → exact near-dup removal (fingerprint,
+    lowest doc_id wins) → per-source corpus stats. Composes the
+    operators behind q30/q31/q33; every stage stays in codegen until
+    the single fingerprint shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = text.tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(text.quality_score(t, F.col("n_chars")), 6).alias("q"),
+        text.lang_id(t).alias("pred_lang"),
+        text.fingerprint("text").alias("fp"),
+        F.size(t).cast("long").alias("n_tokens"),
+    ).filter((F.col("q") >= 0.45) & (F.col("pred_lang") == "en"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.sum("q") / F.count("*"), 4).alias("avg_quality"),
+    )
+
+
+def q45_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING): repeat customers only."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), _money("o_totalprice").alias("revenue"))
+        .filter(F.col("n_orders") >= 20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -650,4 +685,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_sampled_agg": q41_sampled_agg,
     "q42_salted_join": q42_salted_join,
     "q43_above_nation_avg": q43_above_nation_avg,
+    "q44_corpus_pipeline": q44_corpus_pipeline,
+    "q45_having": q45_having,
 }
