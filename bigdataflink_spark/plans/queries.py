@@ -446,13 +446,15 @@ def q26_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stats per (lang, source): token totals + quality."""
     docs = _t(spark, sf_dir, "documents")
-    t = text.tokens("text")
-    per_doc = docs.select(
+    # tokenize once (see q44 note: HOF lambdas defeat codegen CSE)
+    toked = docs.select("lang", "source", "n_chars", text.tokens("text").alias("tk"))
+    tk = F.col("tk")
+    per_doc = toked.select(
         "lang",
         "source",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.size(F.filter(t, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("stop_hits"),
-        F.round(text.quality_score(t, F.col("n_chars")), 6).alias("q"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(F.filter(tk, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("stop_hits"),
+        F.round(text.quality_score(tk, F.col("n_chars")), 6).alias("q"),
     )
     return per_doc.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
@@ -466,9 +468,10 @@ def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID prediction vs labeled lang."""
     docs = _t(spark, sf_dir, "documents")
-    pred = text.lang_id(text.tokens("text"))
+    toked = docs.select("lang", text.tokens("text").alias("tk"))
+    pred = text.lang_id(F.col("tk"))
     return (
-        docs.withColumn("pred_lang", pred)
+        toked.withColumn("pred_lang", pred)
         .groupBy("pred_lang")
         .agg(
             F.count("*").alias("n"),
@@ -616,14 +619,22 @@ def q44_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators behind q30/q31/q33; every stage stays in codegen until
     the single fingerprint shuffle."""
     docs = _t(spark, sf_dir, "documents")
-    t = text.tokens("text")
-    scored = docs.select(
+    # tokenize ONCE in its own projection: the higher-order filter()
+    # lambdas downstream defeat codegen subexpression elimination, so
+    # inlining tokens() everywhere re-splits the text ~4× (measured
+    # ~30% slower); CollapseProject keeps this split materialized
+    # because the alias is multiply-referenced and non-cheap.
+    toked = docs.select(
+        "doc_id", "source", "text", "n_chars", text.tokens("text").alias("tk")
+    )
+    tk = F.col("tk")
+    scored = toked.select(
         "doc_id",
         "source",
-        F.round(text.quality_score(t, F.col("n_chars")), 6).alias("q"),
-        text.lang_id(t).alias("pred_lang"),
+        F.round(text.quality_score(tk, F.col("n_chars")), 6).alias("q"),
+        text.lang_id(tk).alias("pred_lang"),
         text.fingerprint("text").alias("fp"),
-        F.size(t).cast("long").alias("n_tokens"),
+        F.size(tk).cast("long").alias("n_tokens"),
     ).filter((F.col("q") >= 0.45) & (F.col("pred_lang") == "en"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     kept = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)

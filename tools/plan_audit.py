@@ -41,6 +41,7 @@ NOTES = {
     "q38_asof_join": "Union+window as-of: ONE shuffle on user_id (sort-merge-join cost); the naive theta formulation would be a nested-loop O(n·m).",
     "q39_range_join": "Interval bucketing turns the band join into a broadcast HASH join on bucket + residual filter; tier table is a JVM LocalRelation.",
     "q42_salted_join": "Salt spreads each hot key over 8 reducers; build side replicates ×8 (bounded), probe computes its salt in the scan stage.",
+    "q44_corpus_pipeline": "Whole corpus pass in one plan: score+filter in the scan stage, ONE shuffle on fingerprint for dedup, one for the final agg. Nothing leaves the JVM.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
