@@ -493,6 +493,25 @@ SELECT source, COUNT(*) AS n_docs,
        ROUND(SUM(q) / COUNT(*), 4) AS avg_quality
 FROM kept WHERE rn = 1 GROUP BY source
 """,
+    "q46_tfidf_topk": f"""
+WITH t AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM t GROUP BY source, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, term, tf,
+         ROUND(tf * (CAST(n_docs AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT source, term, tf, CAST(score AS DOUBLE) AS score, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 5
+""",
     "q45_having": f"""
 SELECT o_custkey, COUNT(*) AS n_orders, {_money('o_totalprice')} AS revenue
 FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20

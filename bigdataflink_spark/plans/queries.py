@@ -645,6 +645,39 @@ def q44_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term scoring (SURVEY §7 step 6: tf via explode+agg): top-5
+    rarity-weighted terms per source. idf uses the exact rational
+    n_docs/df instead of log(n_docs/df) — IEEE division is identical
+    across engines, libm's ln() is not guaranteed to the last ulp."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", "source", F.explode(text.tokens("text")).alias("term")
+    )
+    tf = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        terms.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", "score", "rn")
+    )
+
+
 def q45_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation predicate (HAVING): repeat customers only."""
     orders = _t(spark, sf_dir, "orders")
@@ -698,4 +731,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_above_nation_avg": q43_above_nation_avg,
     "q44_corpus_pipeline": q44_corpus_pipeline,
     "q45_having": q45_having,
+    "q46_tfidf_topk": q46_tfidf_topk,
 }
