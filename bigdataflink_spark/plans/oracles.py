@@ -493,6 +493,17 @@ SELECT source, COUNT(*) AS n_docs,
        ROUND(SUM(q) / COUNT(*), 4) AS avg_quality
 FROM kept WHERE rn = 1 GROUP BY source
 """,
+    "q47_part_supplier_revenue": f"""
+SELECT p_brand, n_name AS supp_nation,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type LIKE 'MED%'
+GROUP BY p_brand, supp_nation
+""",
     "q46_tfidf_topk": f"""
 WITH t AS (
   SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents

@@ -645,6 +645,29 @@ def q44_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way fact⋈part⋈supplier rollup by brand × supplier
+    nation: exercises the two star arms untouched elsewhere (both
+    broadcast; the fact side still never shuffles) with a LIKE
+    predicate pushed to the part scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type").like("MED%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.expr(_DISC_PRICE)).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 def q46_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term scoring (SURVEY §7 step 6: tf via explode+agg): top-5
     rarity-weighted terms per source. idf uses the exact rational
@@ -732,4 +755,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_corpus_pipeline": q44_corpus_pipeline,
     "q45_having": q45_having,
     "q46_tfidf_topk": q46_tfidf_topk,
+    "q47_part_supplier_revenue": q47_part_supplier_revenue,
 }
