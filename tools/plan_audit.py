@@ -42,6 +42,8 @@ NOTES = {
     "q39_range_join": "Interval bucketing turns the band join into a broadcast HASH join on bucket + residual filter; tier table is a JVM LocalRelation.",
     "q42_salted_join": "Salt spreads each hot key over 8 reducers; build side replicates ×8 (bounded), probe computes its salt in the scan stage.",
     "q44_corpus_pipeline": "Whole corpus pass in one plan: score+filter in the scan stage, ONE shuffle on fingerprint for dedup, one for the final agg. Nothing leaves the JVM.",
+    "q46_tfidf_topk": "explode→tf/df aggs reuse the same term shuffle; the doc-count scalar broadcasts; top-k per source is one window over the already-partitioned agg.",
+    "q47_part_supplier_revenue": "LIKE 'MED%' pushes to the part scan as StringStartsWith; part/supplier/nation broadcast — the fact side never shuffles.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
