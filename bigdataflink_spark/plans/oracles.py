@@ -493,6 +493,48 @@ SELECT source, COUNT(*) AS n_docs,
        ROUND(SUM(q) / COUNT(*), 4) AS avg_quality
 FROM kept WHERE rn = 1 GROUP BY source
 """,
+    "q48_sessionize": """
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+f AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS flag
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+FROM s GROUP BY user_id, session_id
+""",
+    "q49_embedding_lsh_neardup": f"""
+WITH bits AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS b,
+         embedding,
+         sqrt({_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, band.band,
+         list_aggregate(b[band.band*4+1:band.band*4+4], 'string_agg', '') AS bsig
+  FROM bits, (VALUES (0),(1),(2),(3)) AS band(band)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND({_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos
+  FROM cand JOIN bits a ON a.vec_id = id_a JOIN bits b ON b.vec_id = id_b
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4
+""",
     "q47_part_supplier_revenue": f"""
 SELECT p_brand, n_name AS supp_nation,
        COUNT(*) AS n_items,

@@ -645,6 +645,41 @@ def q44_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with assigned session IDs (lag + cumulative
+    sum over one per-user window): unlike q17's aggregated session
+    windows, this returns one row per session with its ordinal id —
+    the composition pattern for funnel/journey analytics."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 1800 * 1_000_000
+    withts = ev.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    flagged = withts.withColumn(
+        "flag",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("flag").over(wrun).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+def q49_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of q25: sign-LSH bucketing cuts the candidate
+    set ~4× before exact cosine (operators/similarity.
+    sign_lsh_neardup_pairs); same output schema as the brute-force
+    all-pairs version."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.sign_lsh_neardup_pairs(emb, threshold=0.4)
+
+
 def q47_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way fact⋈part⋈supplier rollup by brand × supplier
     nation: exercises the two star arms untouched elsewhere (both
@@ -756,4 +791,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_having": q45_having,
     "q46_tfidf_topk": q46_tfidf_topk,
     "q47_part_supplier_revenue": q47_part_supplier_revenue,
+    "q48_sessionize": q48_sessionize,
+    "q49_embedding_lsh_neardup": q49_embedding_lsh_neardup,
 }

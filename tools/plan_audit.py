@@ -43,6 +43,8 @@ NOTES = {
     "q42_salted_join": "Salt spreads each hot key over 8 reducers; build side replicates ×8 (bounded), probe computes its salt in the scan stage.",
     "q44_corpus_pipeline": "Whole corpus pass in one plan: score+filter in the scan stage, ONE shuffle on fingerprint for dedup, one for the final agg. Nothing leaves the JVM.",
     "q46_tfidf_topk": "explode→tf/df aggs reuse the same term shuffle; the doc-count scalar broadcasts; top-k per source is one window over the already-partitioned agg.",
+    "q48_sessionize": "lag + running-sum share ONE per-user window sort; the session agg groups on the same keys — a single shuffle end-to-end.",
+    "q49_embedding_lsh_neardup": "band self-join keys on (band, bsig) — candidates, not the corpus, are quadratic; exact cosine only on the ~23% surviving pairs.",
     "q47_part_supplier_revenue": "LIKE 'MED%' pushes to the part scan as StringStartsWith; part/supplier/nation broadcast — the fact side never shuffles.",
 }
 
