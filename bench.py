@@ -48,6 +48,8 @@ HEADLINE = [
     "q39_range_join",
     "q42_salted_join",
     "q44_corpus_pipeline",
+    "q48_sessionize",
+    "q49_embedding_lsh_neardup",
 ]
 
 
