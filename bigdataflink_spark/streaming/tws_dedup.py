@@ -1,0 +1,82 @@
+"""TTL-bounded streaming dedup on the transformWithState API
+(SURVEY.md §2.9 T3 [extension], modern-API variant).
+
+Three ways this engine expresses the reference's keyed
+effectively-once semantics (flink/stream_to_star.py:116-121 +
+Postgres unique indexes), in increasing control:
+
+1. ``streaming/dedup.py`` — ``dropDuplicatesWithinWatermark``
+   (declarative, watermark-bounded state).
+2. ``streaming/stateful.py`` — ``applyInPandasWithState`` keyed
+   accumulators (arbitrary state, classic API).
+3. this module — ``transformWithStateInPandas`` (Spark 4 stateful
+   v2): per-key ValueState with a NATIVE TTL, so "have I seen this
+   key" markers expire inside the state store without watermark
+   plumbing or timer bookkeeping — exactly the shape of a billions-
+   of-keys dedup at 100 TB, where unbounded seen-sets are the
+   thing that kills jobs.
+
+First occurrence of each key is emitted; repeats within the TTL are
+dropped; after the TTL the key's marker expires and the next
+occurrence is treated as new (at-least-once redelivery horizon, the
+same contract Kafka consumers actually need).
+
+Runtime requirements (gated in tests): the RocksDB state store
+provider (``spark.sql.streaming.stateStore.providerClass``) and the
+``protobuf`` package for the TWS Python worker's state-server
+protocol — this container ships neither wired up, so the test
+importorskips; the operator itself is plain public API.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class TTLFirstSeenDedup(StatefulProcessor):
+    """Emit the first row per key; drop repeats until the TTL lapses."""
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen", "n BIGINT", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        n = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            if n == 0 and len(pdf) > 0:
+                yield pdf.head(1)
+            n += len(pdf)
+        self._seen.update((n,))
+
+    def close(self) -> None:
+        pass
+
+
+def ttl_dedup(
+    stream: DataFrame,
+    key: str,
+    output_schema: str,
+    ttl_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """First-write-wins streaming dedup with TTL-expiring key state.
+
+    ``output_schema`` must be the DDL of the input row shape (TWS
+    requires an explicit output schema).
+    """
+    return stream.groupBy(key).transformWithStateInPandas(
+        TTLFirstSeenDedup(ttl_ms),
+        output_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )

@@ -150,3 +150,41 @@ def test_streaming_dedup_within_watermark(spark, workdir):
     out = spark.table("dedup_sink")
     assert out.count() == 200
     assert out.select("event_id").distinct().count() == 200
+
+
+def test_tws_ttl_dedup(spark, workdir):
+    """transformWithState TTL dedup: duplicated events collapse to one
+    row per event_id (first occurrence wins) with TTL-expiring state."""
+    from bigdataflink_spark.streaming.tws_dedup import ttl_dedup
+
+    # the TWS Python worker speaks a protobuf state-server protocol;
+    # skip when protobuf isn't installed (this container lacks it)
+    pytest.importorskip("google.protobuf")
+    # transformWithState needs the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").limit(150)
+    flat = ev.select("event_id", "user_id", F.col("value"))
+    flat.unionByName(flat).write.mode("overwrite").parquet(f"{workdir}/tws_in")
+
+    stream = spark.readStream.schema(flat.schema).parquet(f"{workdir}/tws_in")
+    deduped = ttl_dedup(
+        stream,
+        "event_id",
+        "event_id BIGINT, user_id BIGINT, value DOUBLE",
+        ttl_ms=3_600_000,
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("tws_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/tws_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("tws_sink")
+    assert out.count() == 150
+    assert out.select("event_id").distinct().count() == 150
