@@ -188,3 +188,35 @@ def test_tws_ttl_dedup(spark, workdir):
     out = spark.table("tws_sink")
     assert out.count() == 150
     assert out.select("event_id").distinct().count() == 150
+
+
+def test_stream_static_enrichment_join(spark, workdir):
+    """Stream-static join (SURVEY J1, streaming flavor): a streaming
+    events feed enriched against a static dimension; the static side
+    broadcasts per micro-batch, the stream side never shuffles."""
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").limit(300)
+    ev.write.mode("overwrite").parquet(f"{workdir}/enrich_in")
+
+    # static "user dim": derived deterministic attributes per user
+    user_dim = (
+        ev.select("user_id").distinct().withColumn("tier", F.pmod("user_id", F.lit(3)))
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(f"{workdir}/enrich_in")
+    enriched = stream.join(F.broadcast(user_dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/enrich_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("enrich_sink")
+    assert out.count() == 300
+    assert out.filter(F.col("tier").isNull()).count() == 0
+    # parity with the batch join
+    batch = ev.join(user_dim, "user_id", "left")
+    assert sorted(r.event_id for r in out.select("event_id").collect()) == sorted(
+        r.event_id for r in batch.select("event_id").collect()
+    )
