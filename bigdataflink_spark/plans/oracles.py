@@ -493,6 +493,31 @@ SELECT source, COUNT(*) AS n_docs,
        ROUND(SUM(q) / COUNT(*), 4) AS avg_quality
 FROM kept WHERE rn = 1 GROUP BY source
 """,
+    "q50_string_funcs": """
+SELECT upper(substring(c_name, 1, 3)) AS prefix,
+       replace(lower(c_mktsegment), ' ', '_') AS seg,
+       COUNT(*) AS n,
+       CAST(SUM(length(c_name)) AS BIGINT) AS sum_len,
+       CAST(SUM(CASE WHEN c_name LIKE '%5%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_5
+FROM customer
+GROUP BY prefix, seg
+""",
+    "q51_running_total": """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         year(CAST(o_orderdate AS DATE)) AS o_year,
+         month(CAST(o_orderdate AS DATE)) AS o_month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev
+  FROM orders GROUP BY o_orderpriority, o_year, o_month
+)
+SELECT o_orderpriority, o_year, o_month,
+       ROUND(CAST(_rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(_rev) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_year, o_month
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+         AS running_revenue
+FROM monthly
+""",
     "q48_sessionize": """
 WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
 f AS (

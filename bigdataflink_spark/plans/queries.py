@@ -746,6 +746,52 @@ def q45_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery beyond the reference's trim/concat
+    (§2.8 extension): substring, upper/lower, replace, length,
+    LIKE-derived flags — grouped to keep output small."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.upper(F.substring("c_name", 1, 3)).alias("prefix"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.when(F.col("c_name").like("%5%"), 1).otherwise(0).alias("has5"),
+            F.replace(F.lower("c_mktsegment"), F.lit(" "), F.lit("_")).alias("seg"),
+        )
+        .groupBy("prefix", "seg")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("name_len").alias("sum_len"),
+            F.sum("has5").cast("long").alias("n_with_5"),
+        )
+    )
+
+
+def q51_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-frame window (ROWS UNBOUNDED PRECEDING): monthly
+    revenue and its running total per order priority, in exact
+    decimal so the cumulative sums agree cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.year(d).alias("o_year"),
+        F.month(d).alias("o_month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_year", "o_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "o_orderpriority",
+        "o_year",
+        "o_month",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("_rev").over(w).cast("double"), 2).alias("running_revenue"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -793,4 +839,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_part_supplier_revenue": q47_part_supplier_revenue,
     "q48_sessionize": q48_sessionize,
     "q49_embedding_lsh_neardup": q49_embedding_lsh_neardup,
+    "q50_string_funcs": q50_string_funcs,
+    "q51_running_total": q51_running_total,
 }
