@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdataflink_spark.operators.hashing import md5_int
 
 # Tiny deterministic stopword list shared with the oracle SQL.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")

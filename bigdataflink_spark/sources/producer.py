@@ -17,9 +17,8 @@ matter how files map to micro-batches.
 
 from __future__ import annotations
 
-import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from bigdataflink_spark.sources.csv_sales import read_sales_csv, SALES_CSV_GLOB

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from bigdataflink_spark.operators.dedup import lww_dedup
-from bigdataflink_spark.plans.star import DIM_SPECS, build_dims, build_fact, cleanse_sales
+from bigdataflink_spark.plans.star import DIM_SPECS, build_fact, cleanse_sales
 
 # The 50 reference CSV columns (FIXTURES.md §1) + arrival_seq. All
 # strings on the wire — typing is the cleanse layer's job.
