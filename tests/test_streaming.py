@@ -220,3 +220,31 @@ def test_stream_static_enrichment_join(spark, workdir):
     assert sorted(r.event_id for r in out.select("event_id").collect()) == sorted(
         r.event_id for r in batch.select("event_id").collect()
     )
+
+
+def test_continuous_rollup_matches_batch(spark, workdir):
+    """Hypertable-style continuous rollup: incremental per-batch
+    partial aggregates, merged on read, must equal the one-shot batch
+    tumbling window bit-for-bit (decimal partials, round-at-the-end)."""
+    from bigdataflink_spark.operators.windows import tumbling
+    from bigdataflink_spark.streaming.rollup import run_continuous_rollup
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    src = f"{workdir}/rollup_events"
+    events.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rolled = run_continuous_rollup(
+        spark, stream, f"{workdir}/rollup_parts", f"{workdir}/rollup_ckpt"
+    )
+    batch = tumbling(events, "10 minutes")
+
+    cols = sorted(batch.columns)
+    assert sorted(rolled.columns) == cols
+    a = sorted(map(tuple, rolled.select(*cols).collect()))
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    assert a == b
