@@ -65,6 +65,31 @@ def read_rollup(spark: SparkSession, parts_dir: str) -> DataFrame:
     )
 
 
+def compact_rollup(spark: SparkSession, parts_dir: str) -> None:
+    """Fold all parts into a single pre-aggregated part.
+
+    Run while the stream is stopped (between availableNow runs /
+    during maintenance): replaces N per-batch partials with one
+    merged partial under ``batch_id=-1``, keeping DECIMAL partial
+    sums so the final reader's result is unchanged. Keeps the parts
+    listing O(1) instead of O(batches) on long-running rollups.
+    """
+    import shutil
+
+    parts = spark.read.option("basePath", parts_dir).parquet(f"{parts_dir}/batch_id=*")
+    merged = parts.groupBy("win_start_us", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value_dec").alias("sum_value_dec"),
+    )
+    tmp = f"{parts_dir}.compact_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(parts_dir)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(
+        f"{parts_dir}/batch_id=-1"
+    )
+    shutil.rmtree(tmp)
+
+
 def run_continuous_rollup(
     spark: SparkSession,
     events_stream: DataFrame,

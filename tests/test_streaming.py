@@ -248,3 +248,27 @@ def test_continuous_rollup_matches_batch(spark, workdir):
     a = sorted(map(tuple, rolled.select(*cols).collect()))
     b = sorted(map(tuple, batch.select(*cols).collect()))
     assert a == b
+
+
+def test_rollup_compaction_preserves_totals(spark, workdir):
+    """Compacting the rollup parts into one pre-aggregated part must
+    not change the merged result."""
+    import os
+
+    from bigdataflink_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        run_continuous_rollup,
+    )
+
+    parts_dir = f"{workdir}/rollup_parts"
+    if not os.path.exists(parts_dir):  # self-sufficient when run alone
+        events = load_table(spark, "events", "/root/testdata/sf0.001")
+        src = f"{workdir}/rollup_events"
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        run_continuous_rollup(spark, stream, parts_dir, f"{workdir}/rollup_ckpt")
+    before = sorted(map(tuple, read_rollup(spark, parts_dir).collect()))
+    compact_rollup(spark, parts_dir)
+    after = sorted(map(tuple, read_rollup(spark, parts_dir).collect()))
+    assert before == after
