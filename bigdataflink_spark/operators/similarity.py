@@ -123,11 +123,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: route each query to its nearest cell centroid,
-    then exact top-k within that cell only.
+    """IVF-style ANN: route each query to its ``nprobe`` nearest cell
+    centroids, then exact top-k within those cells only.
 
-    Output: query_id, probe_label, neighbor_id, cos, rank.
+    ``nprobe`` is the standard recall/cost dial: 1 scans a single
+    cell; n_cells degenerates to exact brute force (asserted in
+    tests — the ANN result converges to the exact one as probes
+    grow). Output: query_id, probe_label, neighbor_id, cos, rank.
     """
     cents = label_centroids(corpus, label_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -141,7 +145,7 @@ def ivf_topk(
                 Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc(label_col))
             ),
         )
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= nprobe)
         .select("query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"),
                 F.col(label_col).alias("probe_label"))
     )

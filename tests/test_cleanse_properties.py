@@ -114,3 +114,38 @@ def test_parse_date_property(spark, values):
     expected = [ref_parse_date(v) for v in values]
     for g, e, v in zip(got, expected, values):
         assert g == e, f"parse_date({v!r}) = {g}, reference = {e}"
+
+
+# ---- LWW dedup property: Spark window == sequential upsert replay ---
+
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 8),          # key (small domain → collisions)
+        st.integers(0, 10**6),      # arrival_seq (may collide too)
+        st.text(max_size=5),        # payload
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_ROWS)
+def test_lww_dedup_property(spark, rows):
+    """lww_dedup must pick, per key, the payload of the max
+    (arrival_seq, payload) row — the deterministic tiebreak the
+    reference's sequential ON CONFLICT upsert produces when replayed
+    in arrival order (seq collisions broken by payload to keep the
+    property well-defined)."""
+    from bigdataflink_spark.operators.dedup import lww_dedup
+
+    df = spark.createDataFrame(rows, "k int, seq long, v string")
+    got = {
+        r.k: (r.seq, r.v)
+        for r in lww_dedup(df, ["k"], ["seq", "v"]).collect()
+    }
+    expected = {}
+    for k, seq, v in rows:
+        if k not in expected or (seq, v) > expected[k]:
+            expected[k] = (seq, v)
+    assert got == expected

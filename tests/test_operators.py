@@ -103,3 +103,35 @@ def test_stateful_running_totals(spark):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe = n_cells turns IVF into exact search: results must
+    equal the brute-force top-k on (query, neighbor, cos, rank)."""
+    from pyspark.sql import functions as F
+
+    from bigdataflink_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 5)
+    n_cells = emb.select("label").distinct().count()
+    ivf = similarity.ivf_topk(emb, queries, k=5, nprobe=n_cells)
+    brute = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    a = sorted(map(tuple, ivf.select(*cols).collect()))
+    b = sorted(map(tuple, brute.select(*cols).collect()))
+    assert a == b
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """Format breadth: a table round-trips through ORC (Spark's other
+    native columnar format) value-identically."""
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == orders.schema
+    cols = sorted(orders.columns)
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, orders.select(*cols).collect())
+    )
