@@ -594,6 +594,123 @@ FROM r WHERE rn <= 5
 SELECT o_custkey, COUNT(*) AS n_orders, {_money('o_totalprice')} AS revenue
 FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
 """,
+    "q52_forecast_revenue": """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24
+""",
+    "q53_customer_distribution": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+""",
+    "q54_promo_revenue": f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                                   ELSE CAST(0 AS DECIMAL(19,6)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE}) AS DOUBLE), 6) AS promo_pct,
+       CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+    "q55_returned_items": f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY SUM({_DISC_PRICE}) DESC, c_custkey
+LIMIT 20
+""",
+    "q56_nation_volume": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(CAST(l_shipdate AS DATE)) AS l_year,
+       CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    "q57_window_battery": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       first_value(o_totalprice) OVER w AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "q58_array_funcs": """
+WITH per_row AS (
+  SELECT label,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+               + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE), 6) AS head_sum,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n, MAX(dim) AS dim,
+       ROUND(CAST(SUM(CAST(head_sum AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_head,
+       MAX(mx) AS max_val,
+       MIN(mn) AS min_val
+FROM per_row GROUP BY label
+""",
+    "q59_argmax": """
+WITH r AS (
+  SELECT c_nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+  FROM customer
+)
+SELECT c_nationkey,
+       MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest,
+       MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest,
+       COUNT(*) AS n
+FROM r GROUP BY c_nationkey
+""",
+    "q60_disjunctive_filter": f"""
+SELECT CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'PROMO' AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_type = 'ECONOMY' AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#1' AND l_quantity >= 30)
+""",
+    "q61_sales_opportunity": f"""
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS psum, COUNT(*) AS pn
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT right(c_name, 1) AS cust_group,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+       {_money('c_acctbal')} AS total_bal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pn > psum
+GROUP BY cust_group
+""",
     "q43_above_nation_avg": """
 WITH s AS (
   SELECT c_nationkey, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS ssum,

@@ -792,6 +792,238 @@ def q51_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg over the fact table with a
+    tight conjunctive predicate — everything (three range filters, the
+    column pruning to 3 cols) must reach the parquet scan. Zero
+    shuffles: partial aggs combine map-side into one scalar row."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q53_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + double aggregation — orders
+    per customer, then customers per order-count (the classic
+    distribution-of-counts query; COUNT over a nullable join side)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q54_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio — share of one
+    month's revenue from PROMO parts. Part broadcasts; the two sums
+    come out of ONE pass (CASE inside the agg, not two scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.expr(_DISC_PRICE)
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    j = month.join(F.broadcast(part), month.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(19,6)"))).cast("double")
+            / F.sum(disc).cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.round(F.sum(disc), 2).cast("double").alias("total_revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+def q55_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in a quarter — fact⋈orders shuffle join plus two broadcast
+    dims, ranked on the exact decimal sum before rounding."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.expr(_DISC_PRICE)).alias("_rev"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+def q56_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between nation pairs — the same
+    dimension table joined TWICE under different roles (supplier
+    nation vs customer nation), revenue by pair and ship-year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.expr(_DISC_PRICE)), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q57_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window battery beyond q10's row_number (§2.5
+    extension): lag, lead, ntile, first_value over one per-customer
+    ordering — all four share a single Window spec, so the plan sorts
+    each partition exactly once."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+def q58_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over the embedding column (§2.8
+    extension): element access, size, array_max/min — reduced per
+    label. Per-row results round to 6dp BEFORE the decimal sum so the
+    cross-row accumulation is order-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    head_sum = F.round(
+        e[0].cast("double") + e[1].cast("double")
+        + e[2].cast("double") + e[3].cast("double"),
+        6,
+    )
+    per_row = emb.select(
+        "label",
+        F.size(e).cast("long").alias("dim"),
+        head_sum.alias("head_sum"),
+        F.array_max(e).cast("double").alias("mx"),
+        F.array_min(e).cast("double").alias("mn"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.max("dim").alias("dim"),
+        F.round(F.sum(F.col("head_sum").cast("decimal(18,6)")).cast("double"), 6).alias("sum_head"),
+        F.max("mx").alias("max_val"),
+        F.min("mn").alias("min_val"),
+    )
+
+
+def q59_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by arg-max aggregates (A4's per-key winner semantics
+    as a single agg, no window): richest and poorest customer name per
+    nation. The ordering key is a (balance, custkey) struct so ties
+    break identically in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.count("*").alias("n"),
+    )
+
+
+def q60_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join — revenue
+    from three disjoint (type/brand × quantity-band) channels. The
+    common l_quantity bound is still pushdown-able; the residual OR
+    evaluates post-join against the broadcast part side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_type") == "PROMO") & (q >= 1) & (q <= 11))
+        | ((F.col("p_type") == "ECONOMY") & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#1") & (q >= 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.expr(_DISC_PRICE)), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+def q61_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-aggregate comparison + existence probe —
+    customers with above-average positive balance, bucketed by the
+    last digit of their name, with a count of those who never ordered
+    (the broadcast scalar stats replace Q22's scalar subquery; the
+    distinct-custkey left join replaces NOT EXISTS). The average
+    compares multiplied-through in exact decimal (bal*n_pos > sum_pos)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec).alias("_psum"), F.count("*").alias("_pn")
+    )
+    has_orders = orders.select(F.col("o_custkey").alias("_ok")).distinct()
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(dec * F.col("_pn") > F.col("_psum"))
+        .join(has_orders, customer.c_custkey == F.col("_ok"), "left")
+        .groupBy(F.expr("right(c_name, 1)").alias("cust_group"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_ok").isNull(), 1).otherwise(0)).alias("n_no_orders"),
+            _money("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -841,4 +1073,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_embedding_lsh_neardup": q49_embedding_lsh_neardup,
     "q50_string_funcs": q50_string_funcs,
     "q51_running_total": q51_running_total,
+    "q52_forecast_revenue": q52_forecast_revenue,
+    "q53_customer_distribution": q53_customer_distribution,
+    "q54_promo_revenue": q54_promo_revenue,
+    "q55_returned_items": q55_returned_items,
+    "q56_nation_volume": q56_nation_volume,
+    "q57_window_battery": q57_window_battery,
+    "q58_array_funcs": q58_array_funcs,
+    "q59_argmax": q59_argmax,
+    "q60_disjunctive_filter": q60_disjunctive_filter,
+    "q61_sales_opportunity": q61_sales_opportunity,
 }
