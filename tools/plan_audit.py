@@ -46,6 +46,16 @@ NOTES = {
     "q48_sessionize": "lag + running-sum share ONE per-user window sort; the session agg groups on the same keys — a single shuffle end-to-end.",
     "q49_embedding_lsh_neardup": "band self-join keys on (band, bsig) — candidates, not the corpus, are quadratic; exact cosine only on the ~23% surviving pairs.",
     "q47_part_supplier_revenue": "LIKE 'MED%' pushes to the part scan as StringStartsWith; part/supplier/nation broadcast — the fact side never shuffles.",
+    "q52_forecast_revenue": "TPC-H Q6 shape: all three range predicates push to the parquet scan (row-group min/max pruning kills most of 100 TB before decode); 3-col ReadSchema; map-side partials collapse to one scalar row.",
+    "q53_customer_distribution": "LEFT join keeps every customer; orders aggregates per custkey, then the second agg groups ~50 distinct counts — the distribution agg is effectively free after the join shuffle.",
+    "q54_promo_revenue": "One month's fact slice (pushed date range) joins broadcast part; both CASE sums come out of a single agg pass — no second scan for the denominator.",
+    "q55_returned_items": "returnflag and the order-date range both push to their scans; fact⋈orders is the one shuffle; customer/nation broadcast; top-20 via TakeOrderedAndProject on the exact decimal sum, no global sort.",
+    "q56_nation_volume": "The SAME dim broadcasts twice under two roles (supplier nation / customer nation) — role-playing dimensions cost two tiny broadcasts, never a self-join shuffle; fact⋈orders remains the only exchange.",
+    "q57_window_battery": "lag/lead/ntile/first share ONE Window spec → a single shuffle+sort on o_custkey feeds all four functions in one Window node.",
+    "q58_array_funcs": "Element access, size, array_max/min are all per-row JVM expressions in the scan stage; the only exchange is the 10-group label agg.",
+    "q59_argmax": "max_by/min_by are single-pass aggregates with map-side partials — the per-key winner without a window sort (the oracle needs two row_number windows for the same answer).",
+    "q60_disjunctive_filter": "The OR-of-ANDs references both join sides, so it evaluates as a post-join filter against broadcast part; the fact scan still prunes to 4 columns and never shuffles.",
+    "q61_sales_opportunity": "The positive-balance stats collapse to ONE row and broadcast (scalar-subquery pattern); the distinct order-custkey probe shuffles once; balance×n > sum comparison stays in exact decimal in the scan stage.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -53,6 +63,8 @@ NOTES = {
 EXPECTED_BNLJ = {
     "q24_embedding_topk": "BNLJ is the semantics here: brute-force = score EVERY (query, corpus) pair; the broadcast side is the small query set, the corpus streams. The scale path is q26.",
     "q26_ivf_topk": "the BNLJ is only the query→centroid routing table (|queries| × |cells|, both tiny); the corpus-sized scoring join is the cell-keyed BroadcastHashJoin.",
+    "q61_sales_opportunity": "the BNLJ is the 1-row scalar-stats broadcast (the Q22 scalar subquery); every probe row pairs with exactly one build row.",
+    "q46_tfidf_topk": "the BNLJ is the 1-row corpus-size broadcast (n_docs scalar) joined onto every (source, term) — a scalar fan-out, not a quadratic pairing.",
 }
 
 
