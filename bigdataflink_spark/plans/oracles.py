@@ -711,6 +711,49 @@ FROM customer, stats
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pn > psum
 GROUP BY cust_group
 """,
+    "q62_large_orders": """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem GROUP BY l_orderkey HAVING sq > 250) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "q63_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+),
+m AS (SELECT MAX(r) AS mr FROM rev)
+SELECT s_suppkey, s_name, CAST(ROUND(r, 2) AS DOUBLE) AS total_rev
+FROM rev, m
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = mr
+""",
+    "q64_market_share": f"""
+SELECT year(CAST(l_shipdate AS DATE)) AS l_year,
+       ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_9' THEN {_DISC_PRICE}
+                           ELSE CAST(0 AS DECIMAL(19,6)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE}) AS DOUBLE), 6) AS mkt_share,
+       CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY l_year
+""",
+    "q65_grouping_sets": f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {_money('o_totalprice')} AS revenue,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
     "q43_above_nation_avg": """
 WITH s AS (
   SELECT c_nationkey, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS ssum,

@@ -1024,6 +1024,108 @@ def q61_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-subquery semi join — orders whose
+    total line quantity exceeds 250, joined back to order/customer
+    detail. The HAVING-filtered agg keys on l_orderkey, so the join
+    back to orders reuses the same partitioning (no second fact
+    shuffle); quantity sums are integral, hence exact in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q63_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate selection — the supplier(s)
+    with the highest revenue in one quarter. The global max is a
+    window over the ALREADY-AGGREGATED per-supplier result (one row
+    per supplier), not a second agg over the fact — a naive
+    `rev.agg(max)` + join would recompute the whole lineage and scan
+    the fact table twice. The winner filter compares the EXACT decimal
+    sums (no round-trip through double), so ties and the boundary are
+    bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(F.expr(_DISC_PRICE)).alias("_rev"))
+    w = Window.partitionBy(F.lit(1))
+    return (
+        rev.withColumn("_mx", F.max("_rev").over(w))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+def q64_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market-share ratio per year — NATION_9's share
+    of shipped revenue. Numerator and denominator come out of ONE agg
+    pass (CASE inside sum); the share divides the two decimal sums in
+    double only at the very end."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    disc = F.expr(_DISC_PRICE)
+    j = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy(F.year(F.to_date("l_shipdate")).alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_9", disc).otherwise(F.lit(0).cast("decimal(19,6)"))).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(disc), 2).cast("double").alias("total_revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completing the q18 rollup / q35 cube
+    family): per-status totals, per-priority totals, and the grand
+    total in one pass — the Spark 4 DataFrame groupingSets API."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _money("o_totalprice").alias("revenue"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -1083,4 +1185,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_argmax": q59_argmax,
     "q60_disjunctive_filter": q60_disjunctive_filter,
     "q61_sales_opportunity": q61_sales_opportunity,
+    "q62_large_orders": q62_large_orders,
+    "q63_top_supplier": q63_top_supplier,
+    "q64_market_share": q64_market_share,
+    "q65_grouping_sets": q65_grouping_sets,
 }

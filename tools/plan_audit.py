@@ -56,6 +56,10 @@ NOTES = {
     "q59_argmax": "max_by/min_by are single-pass aggregates with map-side partials — the per-key winner without a window sort (the oracle needs two row_number windows for the same answer).",
     "q60_disjunctive_filter": "The OR-of-ANDs references both join sides, so it evaluates as a post-join filter against broadcast part; the fact scan still prunes to 4 columns and never shuffles.",
     "q61_sales_opportunity": "The positive-balance stats collapse to ONE row and broadcast (scalar-subquery pattern); the distinct order-custkey probe shuffles once; balance×n > sum comparison stays in exact decimal in the scan stage.",
+    "q62_large_orders": "The HAVING-filtered agg keys on l_orderkey; its output is tiny (sum>250 survivors) so the join back to orders broadcasts the SURVIVORS, not the fact — at 100 TB the quantity agg is the only fact shuffle.",
+    "q63_top_supplier": "Quarter filter pushes to the scan; ONE fact scan + one supplier-key shuffle; the global MAX is a window over the tiny per-supplier agg (naive agg+join would scan the fact twice); winner filter compares exact decimals.",
+    "q64_market_share": "supplier/nation broadcast; numerator and denominator share ONE agg pass (CASE inside sum) — no second scan, one exchange on ship-year.",
+    "q65_grouping_sets": "Expand writes one row per grouping set (×3) BEFORE the single hash agg — same plan family as rollup/cube, still exactly one exchange.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
