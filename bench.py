@@ -49,6 +49,13 @@ HEADLINE = [
     "q44_corpus_pipeline",
     "q48_sessionize",
     "q49_embedding_lsh_neardup",
+    # TPC-H-shaped batch (added with the q52+ suite; totals before/after
+    # that commit differ by these five entries — compare per-query)
+    "q52_forecast_revenue",
+    "q55_returned_items",
+    "q56_nation_volume",
+    "q57_window_battery",
+    "q62_large_orders",
 ]
 
 
