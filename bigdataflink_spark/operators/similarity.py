@@ -279,3 +279,73 @@ def sign_lsh_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy twin of ``cosine_topk_bruteforce``: the vectorized
+    Pandas-UDF scale path. The (small) query set is collected once and
+    closed over; each Arrow batch of the corpus scores against ALL
+    queries with numpy — per batch, one O(batch × dims × n_queries)
+    array pass instead of a per-pair expression tree. The corpus never
+    shuffles until the final per-query top-k window.
+
+    Bit-parity with the JVM fold (and thus the q24 DuckDB oracle) is
+    preserved by accumulating the dot product and squared norms
+    LEFT-TO-RIGHT over dimensions (vectorized across rows) — IEEE adds
+    in the same order as ``F.aggregate``'s fold — and by leaving the
+    6dp rounding and ranking to the same Spark expressions the
+    brute-force variant uses.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = [int(r[0]) for r in q_rows]
+    qmat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+
+    def _seq_sq_norm(mat: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0])
+        for d in range(mat.shape[1]):
+            acc = acc + mat[:, d] * mat[:, d]
+        return np.sqrt(acc)
+
+    q_norm = _seq_sq_norm(qmat)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            dots = np.zeros((cmat.shape[0], qmat.shape[0]))
+            cn = np.zeros(cmat.shape[0])
+            for d in range(cmat.shape[1]):
+                col = cmat[:, d]
+                cn = cn + col * col
+                dots = dots + col[:, None] * qmat[None, :, d]
+            cos = dots / (q_norm[None, :] * np.sqrt(cn)[:, None])
+            nids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qids):
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": nids, "cos": cos[:, j]}
+                )
+
+    scored = corpus.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cos double"
+    )
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cos", F.round("cos", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

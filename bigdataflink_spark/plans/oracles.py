@@ -711,6 +711,19 @@ FROM customer, stats
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pn > psum
 GROUP BY cust_group
 """,
+    "q66_embedding_topk_pandas": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({_cos('qv', 'cv')}, 6) AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+""",
     "q62_large_orders": """
 SELECT c_custkey, c_name, o_orderkey, o_totalprice,
        CAST(sq AS DOUBLE) AS sum_qty

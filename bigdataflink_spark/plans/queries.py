@@ -1024,6 +1024,16 @@ def q61_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Pandas-UDF twin of q24: per-Arrow-batch numpy
+    scoring (mapInPandas) with left-to-right dim accumulation for
+    bit-parity — same oracle as q24 proves the two paths agree."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk_pandas(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q62_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: aggregate-subquery semi join — orders whose
     total line quantity exceeds 250, joined back to order/customer
@@ -1189,4 +1199,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_top_supplier": q63_top_supplier,
     "q64_market_share": q64_market_share,
     "q65_grouping_sets": q65_grouping_sets,
+    "q66_embedding_topk_pandas": q66_embedding_topk_pandas,
 }

@@ -123,6 +123,24 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     assert a == b
 
 
+def test_pandas_cosine_equals_jvm_fold(spark):
+    """The Arrow/numpy mapInPandas scorer must reproduce the JVM
+    zip_with/aggregate fold BIT-FOR-BIT (left-to-right dim
+    accumulation), including rounding and rank tiebreaks."""
+    from pyspark.sql import functions as F
+
+    from bigdataflink_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 5)
+    pand = similarity.cosine_topk_pandas(emb, queries, k=5)
+    brute = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    a = sorted(map(tuple, pand.select(*cols).collect()))
+    b = sorted(map(tuple, brute.select(*cols).collect()))
+    assert a == b
+
+
 def test_orc_round_trip(spark, tmp_path):
     """Format breadth: a table round-trips through ORC (Spark's other
     native columnar format) value-identically."""

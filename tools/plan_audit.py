@@ -60,6 +60,7 @@ NOTES = {
     "q63_top_supplier": "Quarter filter pushes to the scan; ONE fact scan + one supplier-key shuffle; the global MAX is a window over the tiny per-supplier agg (naive agg+join would scan the fact twice); winner filter compares exact decimals.",
     "q64_market_share": "supplier/nation broadcast; numerator and denominator share ONE agg pass (CASE inside sum) — no second scan, one exchange on ship-year.",
     "q65_grouping_sets": "Expand writes one row per grouping set (×3) BEFORE the single hash agg — same plan family as rollup/cube, still exactly one exchange.",
+    "q66_embedding_topk_pandas": "mapInPandas streams corpus partitions through Arrow into per-batch numpy scoring (no per-row pickling, no corpus shuffle); only the per-query top-k window exchanges — the Python stage replaces q24's per-pair fold with one GEMM-shaped pass per batch.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
