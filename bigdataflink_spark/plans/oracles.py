@@ -724,6 +724,31 @@ r AS (SELECT query_id, neighbor_id, cos,
       FROM scored)
 SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
 """,
+    "q67_shipping_priority": f"""
+SELECT o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority,
+       CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM({_DISC_PRICE}) DESC, o_orderkey
+LIMIT 10
+""",
+    "q68_late_shipment_ratio": """
+SELECT year(CAST(l_shipdate AS DATE)) AS l_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_year
+""",
     "q62_large_orders": """
 SELECT c_custkey, c_name, o_orderkey, o_totalprice,
        CAST(sq AS DOUBLE) AS sum_qty

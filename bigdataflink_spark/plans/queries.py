@@ -1024,6 +1024,54 @@ def q61_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue orders not yet shipped
+    by a cutoff — cross-filtered dates (orders before, lineitems
+    after), BUILDING segment, ranked on the exact decimal sum."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(_DISC_PRICE)).alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the
+            # LTZ cast is shift-free and matches DuckDB's epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q68_late_shipment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-group counts of high- vs low-priority
+    orders among late shipments (l_shipdate > o_orderdate + 30 days)
+    — the CASE-bucketed double count in one agg pass, grouped by
+    ship-year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy(F.year(F.to_date("l_shipdate")).alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
 def q66_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized Pandas-UDF twin of q24: per-Arrow-batch numpy
     scoring (mapInPandas) with left-to-right dim accumulation for
@@ -1200,4 +1248,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_market_share": q64_market_share,
     "q65_grouping_sets": q65_grouping_sets,
     "q66_embedding_topk_pandas": q66_embedding_topk_pandas,
+    "q67_shipping_priority": q67_shipping_priority,
+    "q68_late_shipment_ratio": q68_late_shipment_ratio,
 }

@@ -61,6 +61,12 @@ PROBE = [
     "q39_range_join",
     "q44_corpus_pipeline",
     "q46_tfidf_topk",
+    "q52_forecast_revenue",
+    "q55_returned_items",
+    "q56_nation_volume",
+    "q57_window_battery",
+    "q62_large_orders",
+    "q66_embedding_topk_pandas",
 ]
 
 
