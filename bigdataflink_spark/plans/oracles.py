@@ -140,7 +140,9 @@ GROUP BY o_orderpriority
     "q05_customers_without_orders": """
 SELECT c_mktsegment, COUNT(*) AS n
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """,
     "q06_ri_check": """

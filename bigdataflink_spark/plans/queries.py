@@ -146,11 +146,17 @@ def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (§2.3): customers that never ordered."""
+    """LEFT ANTI join (§2.3): customers with no URGENT order. (The
+    unfiltered 'never ordered' form matches on 0=0 rows at sf>=0.01 —
+    every customer has orders — which proves nothing; the filtered
+    build side keeps the anti-join shape AND a non-trivial result at
+    every SF.)"""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
     )
