@@ -272,3 +272,71 @@ def test_rollup_compaction_preserves_totals(spark, workdir):
     compact_rollup(spark, parts_dir)
     after = sorted(map(tuple, read_rollup(spark, parts_dir).collect()))
     assert before == after
+
+
+def test_late_data_dropped_past_watermark(spark, workdir):
+    """T4 (extension): with a 30-minute watermark, an event arriving
+    after the watermark has passed its window is DROPPED — the
+    already-emitted window result does not change and the late row
+    contributes nowhere. Two availableNow runs share one checkpoint,
+    so run 2 restores the watermark (11:30) persisted by run 1 —
+    exactly the restart-safe semantics a 100 TB deployment relies on.
+    (The reference accepts all late rows because it has no event-time
+    semantics at all; dropping is the bounded-state trade the
+    watermark buys.)"""
+    src = f"{workdir}/late_src"
+    ckpt = f"{workdir}/ckpt_late"
+    out = f"{workdir}/late_out"
+    schema = "ts timestamp, v long"
+
+    def write_batch(rows, mode):
+        df = spark.createDataFrame(rows, "ts_s string, v long").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        )
+        df.coalesce(1).write.mode(mode).parquet(src)
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+            .select(F.unix_micros("w.start").alias("win_us"), "n", "sum_v")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: three rows in the 10:00 window + one at 12:00 that
+    # advances the persisted watermark to 11:30, sealing that window
+    write_batch(
+        [("2024-01-01 10:01:00", 1), ("2024-01-01 10:04:00", 2),
+         ("2024-01-01 10:09:00", 3), ("2024-01-01 12:00:00", 4)],
+        "overwrite",
+    )
+    run_stream()
+    sealed = {r.win_us: (r.n, r.sum_v) for r in spark.read.parquet(out).collect()}
+
+    # run 2: one LATE row (10:05 < restored watermark 11:30) and one
+    # on-time row
+    write_batch(
+        [("2024-01-01 10:05:00", 99), ("2024-01-01 12:01:00", 5)],
+        "append",
+    )
+    run_stream()
+    rows = {r.win_us: (r.n, r.sum_v) for r in spark.read.parquet(out).collect()}
+
+    win_10 = int(
+        spark.sql("SELECT unix_micros(TIMESTAMP '2024-01-01 10:00:00')").collect()[0][0]
+    )
+    # run 1 emitted the sealed 10:00 window with ONLY its own rows
+    assert sealed[win_10] == (3, 6), sealed
+    # run 2 neither re-emitted that window nor let v=99 in anywhere
+    assert rows[win_10] == (3, 6), rows
+    assert not any(sum_v >= 99 for _, sum_v in rows.values()), rows
