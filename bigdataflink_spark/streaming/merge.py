@@ -1,0 +1,71 @@
+"""Bucketed MERGE-on-key state store (plain-parquet approximation of
+Delta/Iceberg ``MERGE INTO``).
+
+``streaming/pipeline.py::_merge_lww`` rewrites the WHOLE state table
+per micro-batch — correct, but O(state) write amplification: at 100 TB
+a 1k-row batch would rewrite the full fact table. This module keeps
+the same last-write-wins semantics (reference: ``ON CONFLICT … DO
+UPDATE``, flink/stream_to_star.py:116-121) with O(dirty buckets)
+amplification instead:
+
+* state lives partitioned by ``_bucket = pmod(hash(key), N)``;
+* a micro-batch only touches the buckets its keys hash into —
+  existing rows of those buckets are read (partition-pruned scan),
+  unioned with the batch, LWW-reduced, and written back via DYNAMIC
+  partition overwrite, which replaces only the dirty partitions;
+* clean buckets are never read, never rewritten — their files are
+  bit-identical afterwards (asserted in tests via mtime).
+
+Idempotency is unchanged: per-key ``arrival_seq`` travels in state, so
+a replayed batch converges to the same winners (SURVEY.md §2.9 T3).
+Scaling N: buckets play the role of Delta's file-level pruning; pick
+N ~ state_size / target_file_size. A real lakehouse MERGE only
+improves constants (file-level instead of bucket-level pruning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataflink_spark.operators.dedup import lww_dedup
+
+BUCKET_COL = "_bucket"
+
+
+def merge_lww_bucketed(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    key: str,
+    seq_col: str = "arrival_seq",
+    num_buckets: int = 32,
+) -> None:
+    """Upsert ``incoming`` into the bucketed LWW state at ``path``.
+
+    Only the buckets containing incoming keys are read and rewritten.
+    """
+    inc = incoming.withColumn(BUCKET_COL, F.pmod(F.hash(F.col(key)), F.lit(num_buckets)))
+    if os.path.exists(path):
+        dirty = [r[0] for r in inc.select(BUCKET_COL).distinct().collect()]
+        existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(dirty))
+        merged = existing.unionByName(inc)
+    else:
+        merged = inc
+    winners = lww_dedup(merged, [key], seq_col)
+    # cut lineage to the files being overwritten (read-then-overwrite
+    # of the same path is otherwise undefined)
+    winners = winners.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        winners.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame:
+    """Current state without the bucketing column."""
+    return spark.read.parquet(path).drop(BUCKET_COL)

@@ -340,3 +340,72 @@ def test_late_data_dropped_past_watermark(spark, workdir):
     # run 2 neither re-emitted that window nor let v=99 in anywhere
     assert rows[win_10] == (3, 6), rows
     assert not any(sum_v >= 99 for _, sum_v in rows.values()), rows
+
+
+def test_bucketed_merge_matches_full_rewrite(spark, workdir):
+    """MERGE-on-key via dynamic partition overwrite: applying
+    overlapping batches through the bucketed store must equal a
+    one-shot LWW over the concatenation, AND leave clean buckets'
+    files byte-identical (O(dirty) write amplification, not
+    O(state))."""
+    import hashlib
+    import os
+
+    from bigdataflink_spark.operators.dedup import lww_dedup
+    from bigdataflink_spark.streaming.merge import (
+        BUCKET_COL,
+        merge_lww_bucketed,
+        read_state,
+    )
+
+    path = f"{workdir}/bucketed_state"
+    schema = "k long, payload string, arrival_seq long"
+    batches = [
+        [(k, f"b0_{k}", k) for k in range(0, 200)],
+        [(k, f"b1_{k}", 1000 + k) for k in range(100, 300)],
+        # batch 2 touches just two keys -> at most two dirty buckets
+        [(5, "b2_5", 2005), (105, "b2_105", 2105)],
+    ]
+
+    def snapshot():
+        out = {}
+        for dp, _, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    full = os.path.join(dp, f)
+                    out[os.path.relpath(full, path)] = hashlib.md5(
+                        open(full, "rb").read()
+                    ).hexdigest()
+        return out
+
+    for i, rows in enumerate(batches):
+        if i == 2:
+            before = snapshot()
+        merge_lww_bucketed(
+            spark, spark.createDataFrame(rows, schema), path, "k", num_buckets=8
+        )
+
+    got = sorted(tuple(r) for r in read_state(spark, path).collect())
+    everything = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    expected = sorted(
+        tuple(r) for r in lww_dedup(everything, ["k"], "arrival_seq").collect()
+    )
+    assert got == expected
+
+    dirty = {
+        r[0]
+        for r in spark.createDataFrame(batches[2], schema)
+        .select(F.pmod(F.hash("k"), F.lit(8)))
+        .distinct()
+        .collect()
+    }
+    assert len(dirty) <= 2
+    after = snapshot()
+    clean_checked = 0
+    for rel, digest in before.items():
+        bucket = int(rel.split(f"{BUCKET_COL}=")[1].split(os.sep)[0])
+        if bucket in dirty:
+            continue
+        assert after.get(rel) == digest, rel  # clean bucket untouched
+        clean_checked += 1
+    assert clean_checked > 0
