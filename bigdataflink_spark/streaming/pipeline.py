@@ -16,10 +16,13 @@ instead of 7 SQL round-trips per record:
    `ON CONFLICT DO UPDATE` with arrival order as the version),
 3. rewrite dims + fact with deterministic surrogate keys.
 
-State lives in a plain parquet directory per table. On Delta/Iceberg
-the rewrite becomes a real ``MERGE INTO`` (no full rewrite); at
-100 TB the fact table rewrite is replaced by MERGE-on-key or an
-append+compact log — the per-batch logic (steps 1-2) is unchanged.
+State lives in a bucketed parquet directory per table
+(``streaming/merge.py``): partitioned on ``pmod(hash(key), N)``, a
+micro-batch reads and rewrites ONLY the buckets its keys hash into
+(dynamic partition overwrite) — O(dirty buckets) write amplification,
+the plain-parquet analog of a Delta/Iceberg ``MERGE INTO``. On a real
+lakehouse the same per-batch logic (steps 1-2) drives file-level
+instead of bucket-level pruning.
 Because the upsert is idempotent by (key, arrival_seq), checkpointed
 replays after failure converge to the same state — the same
 at-least-once → effectively-exactly-once argument the reference gets
@@ -103,14 +106,9 @@ def read_sales_stream(spark: SparkSession, jsonl_dir: str, max_files_per_trigger
     return records, errors
 
 
-def _merge_lww(spark: SparkSession, incoming: DataFrame, path: str, key: str) -> DataFrame:
-    """Cross-batch upsert: existing state ∪ batch winners → LWW rewrite."""
-    if os.path.exists(path):
-        existing = spark.read.parquet(path)
-        merged = existing.unionByName(incoming)
-    else:
-        merged = incoming
-    return lww_dedup(merged, [key], "arrival_seq")
+# Buckets per state table: star-scale states are small; at 100 TB
+# raise toward state_size / target_file_size (see streaming/merge.py).
+STATE_BUCKETS = 16
 
 
 def upsert_star_batch(batch: DataFrame, batch_id: int, state_dir: str) -> None:
@@ -144,13 +142,13 @@ def upsert_star_batch(batch: DataFrame, batch_id: int, state_dir: str) -> None:
             "dim_supplier": ("supplier_name", ["supplier_country", "supplier_email"]),
             "dim_date": ("sale_date", []),
         }
+        from bigdataflink_spark.streaming.merge import merge_lww_bucketed
+
         for name, (key, attrs) in dim_projection.items():
             inc = cleansed.select("arrival_seq", key, *attrs).filter(F.col(key).isNotNull())
             inc = lww_dedup(inc, [key], "arrival_seq")
             path = os.path.join(state_dir, f"state_{name}")
-            merged = _merge_lww(spark, inc, path, key)
-            merged.write.mode("overwrite").parquet(path + ".tmp")
-            spark.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
+            merge_lww_bucketed(spark, inc, path, key, num_buckets=STATE_BUCKETS)
 
         # --- fact rows ----------------------------------------------
         fact_cols = [
@@ -161,9 +159,9 @@ def upsert_star_batch(batch: DataFrame, batch_id: int, state_dir: str) -> None:
         inc = cleansed.select(*fact_cols).filter(F.col("source_sale_id").isNotNull())
         inc = lww_dedup(inc, ["source_sale_id"], "arrival_seq")
         path = os.path.join(state_dir, "state_fact")
-        merged = _merge_lww(spark, inc, path, "source_sale_id")
-        merged.write.mode("overwrite").parquet(path + ".tmp")
-        spark.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
+        merge_lww_bucketed(
+            spark, inc, path, "source_sale_id", num_buckets=STATE_BUCKETS
+        )
     finally:
         cleansed.unpersist()
 
@@ -188,9 +186,11 @@ def finalize_star(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
         "dim_supplier": {"supplier_country": "country", "supplier_email": "email"},
         "dim_date": {},
     }
+    from bigdataflink_spark.streaming.merge import read_state
+
     dims: dict[str, DataFrame] = {}
     for name, (key, _) in DIM_SPECS.items():
-        df = spark.read.parquet(os.path.join(state_dir, f"state_{name}")).drop("arrival_seq")
+        df = read_state(spark, os.path.join(state_dir, f"state_{name}")).drop("arrival_seq")
         for old, new in rename[name].items():
             df = df.withColumnRenamed(old, new)
         if name == "dim_date":
@@ -204,7 +204,7 @@ def finalize_star(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
         w = Window.orderBy(natural_key)
         dims[name] = df.withColumn(DIM_KEYS[name], F.row_number().over(w).cast("long"))
 
-    fact_state = spark.read.parquet(os.path.join(state_dir, "state_fact"))
+    fact_state = read_state(spark, os.path.join(state_dir, "state_fact"))
     tables = dict(dims)
     tables["fact_sales"] = build_fact(fact_state, dims)
     return tables
