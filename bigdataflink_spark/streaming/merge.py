@@ -1,12 +1,13 @@
 """Bucketed MERGE-on-key state store (plain-parquet approximation of
 Delta/Iceberg ``MERGE INTO``).
 
-``streaming/pipeline.py::_merge_lww`` rewrites the WHOLE state table
-per micro-batch — correct, but O(state) write amplification: at 100 TB
-a 1k-row batch would rewrite the full fact table. This module keeps
-the same last-write-wins semantics (reference: ``ON CONFLICT … DO
-UPDATE``, flink/stream_to_star.py:116-121) with O(dirty buckets)
-amplification instead:
+A naive state sink rewrites the WHOLE state table per micro-batch
+(the pipeline's original design) — correct, but O(state) write
+amplification: at 100 TB a 1k-row batch would rewrite the full fact
+table. This module keeps the same last-write-wins semantics
+(reference: ``ON CONFLICT … DO UPDATE``, flink/stream_to_star.py:
+116-121) with O(dirty buckets) amplification instead — it IS the
+pipeline's state sink (streaming/pipeline.py::upsert_star_batch):
 
 * state lives partitioned by ``_bucket = pmod(hash(key), N)``;
 * a micro-batch only touches the buckets its keys hash into —
