@@ -726,6 +726,17 @@ r AS (SELECT query_id, neighbor_id, cos,
       FROM scored)
 SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
 """,
+    "q69_small_quantity_revenue": f"""
+WITH pp AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+         COUNT(*) AS qn
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_money('l_extendedprice')} AS revenue, COUNT(*) AS n
+FROM lineitem JOIN pp ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * qn * 5 < qsum
+""",
     "q67_shipping_priority": f"""
 SELECT o_orderkey,
        epoch_us(o_orderdate) AS o_orderdate_us,

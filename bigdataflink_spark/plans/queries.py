@@ -1078,6 +1078,28 @@ def q68_late_shipment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate filter — revenue from
+    lineitems whose quantity is below 20% of their part's average
+    quantity. The per-part averages aggregate once and broadcast back
+    onto the fact (the correlated subquery decorrelated by hand); the
+    threshold compares multiplied-through in exact decimal
+    (5·qty·n < sum ⟺ qty < 0.2·avg, all positive)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qdec).alias("_qsum"), F.count("*").alias("_qn")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("_pk"))
+        .filter(qdec * F.col("_qn") * 5 < F.col("_qsum"))
+        .agg(
+            _money("l_extendedprice").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q66_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized Pandas-UDF twin of q24: per-Arrow-batch numpy
     scoring (mapInPandas) with left-to-right dim accumulation for
@@ -1256,4 +1278,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_embedding_topk_pandas": q66_embedding_topk_pandas,
     "q67_shipping_priority": q67_shipping_priority,
     "q68_late_shipment_ratio": q68_late_shipment_ratio,
+    "q69_small_quantity_revenue": q69_small_quantity_revenue,
 }
