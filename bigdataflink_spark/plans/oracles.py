@@ -726,6 +726,13 @@ r AS (SELECT query_id, neighbor_id, cos,
       FROM scored)
 SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
 """,
+    "q70_filtered_distinct": """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS n_f_customers,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
     "q69_small_quantity_revenue": f"""
 WITH pp AS (
   SELECT l_partkey AS pk,

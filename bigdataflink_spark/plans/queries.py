@@ -1078,6 +1078,22 @@ def q68_late_shipment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_filtered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered distinct-count aggregation (extension §2.4): per
+    priority, distinct ordering customers overall vs among F-status
+    orders only — COUNT(DISTINCT CASE WHEN …) planned as Spark's
+    expand-based multi-distinct in ONE pass (no self-join, no second
+    scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("n_f_customers"),
+        F.count("*").alias("n"),
+    )
+
+
 def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate filter — revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -1279,4 +1295,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_shipping_priority": q67_shipping_priority,
     "q68_late_shipment_ratio": q68_late_shipment_ratio,
     "q69_small_quantity_revenue": q69_small_quantity_revenue,
+    "q70_filtered_distinct": q70_filtered_distinct,
 }

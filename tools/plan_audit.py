@@ -64,6 +64,7 @@ NOTES = {
     "q67_shipping_priority": "Both date cutoffs push to their scans (complementary ranges prune most row groups on either side); segment filter prunes the broadcast build; top-10 via TakeOrderedAndProject after the group agg.",
     "q68_late_shipment_ratio": "The late predicate compares columns across sides so it evaluates post-join, but both scans still prune columns; high/low counts come from ONE CASE agg pass on ship-year.",
     "q69_small_quantity_revenue": "Hand-decorrelated Q17: per-part averages aggregate once (partial map-side) and broadcast back onto the fact — the fact never shuffles; the threshold compares in exact decimal, multiplied through.",
+    "q70_filtered_distinct": "Two DISTINCT aggregates + a plain count in ONE pass: Catalyst's Expand-based multi-distinct rewrite — no self-join, no second scan; one exchange on the 5-value group key.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
