@@ -28,6 +28,9 @@ All functions accept either a column name or a ``Column``.
 
 from __future__ import annotations
 
+import unicodedata as _ud
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import MapType, StringType, StructType
@@ -37,15 +40,62 @@ def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+@lru_cache(maxsize=1)
+def _py_float_charmaps() -> tuple[str, str, str]:
+    """Character maps reproducing CPython's float() pre-parse transform.
+
+    CPython (PyFloat_FromString) first maps every Unicode decimal digit
+    (category Nd) to its ASCII digit and every *non-ASCII* whitespace
+    char to ' ', then strips ASCII whitespace [\\t\\n\\v\\f\\r ] only —
+    so '\\x1c'-'\\x1f' (isspace() but ASCII) still make float() raise.
+    Returns (nd_from, nd_to, ws) for two F.translate passes.
+    """
+    nd_from: list[str] = []
+    nd_to: list[str] = []
+    ws: list[str] = ["\t", "\n", "\x0b", "\x0c", "\r"]
+    for cp in range(0x110000):
+        ch = chr(cp)
+        if _ud.category(ch) == "Nd":
+            nd_from.append(ch)
+            nd_to.append(str(_ud.decimal(ch)))
+        elif cp > 0x7F and ch.isspace():
+            ws.append(ch)
+    return "".join(nd_from), "".join(nd_to), "".join(ws)
+
+
+# Exact CPython float() grammar (post-transform): optional sign, then
+# inf/infinity/nan (case-insensitive) or a decimal literal where '_' may
+# only sit between digits; exponent applies to decimals only.
+_PY_FLOAT_RE = (
+    r"^[+-]?((?i:inf(inity)?|nan)"
+    r"|((\d(_?\d)*)?\.\d(_?\d)*|\d(_?\d)*\.?)([eE][+-]?\d(_?\d)*)?)$"
+)
+
+
+def _py_float_literal(c: str | Column) -> Column:
+    """Normalize a string to a Spark-castable float literal, NULL when
+    CPython ``float()`` would raise.
+
+    Spark's bare cast is far laxer than Python's float(): it trims ALL
+    chars <= 0x20 (Python rejects '0\\x1f'), accepts Java-isms like
+    '1d' / hex floats, but misses Unicode digits ('١٢٣'), non-ASCII
+    spaces ('1\\xa0') and underscores ('1_0') that Python accepts. So:
+    translate digits/spaces the way CPython does, trim, validate against
+    the exact Python grammar, and drop the digit-group underscores.
+    """
+    nd_from, nd_to, ws = _py_float_charmaps()
+    s = F.translate(F.translate(_col(c), nd_from, nd_to), ws, " " * len(ws))
+    s = F.trim(s)
+    return F.when(s.rlike(_PY_FLOAT_RE), F.regexp_replace(s, "_", ""))
+
+
 def to_int_safe(c: str | Column) -> Column:
     """``int(float(x))`` semantics: "4.9" → 4, "" → NULL, "abc" → NULL.
 
-    try_cast to double absorbs parse failures as NULL (matching the
-    bare ``except: return None``); floor reproduces Python int()'s
-    truncation toward zero for the non-negative ids in scope — for
-    full parity with negatives we truncate toward zero explicitly.
+    Parses with float()-parity (see _py_float_literal); floor/ceil
+    reproduces Python int()'s truncation toward zero.
     """
-    d = _col(c).try_cast("double")
+    d = to_float_safe(c)
     # "nan"/"inf" parse as doubles, but the reference's int() raises on
     # non-finite values → NULL. Spark's non-ANSI cast would instead
     # yield 0 / Long.MaxValue — null them out explicitly.
@@ -57,8 +107,10 @@ def to_int_safe(c: str | Column) -> Column:
 
 
 def to_float_safe(c: str | Column) -> Column:
-    """``float(x)`` with NULL on failure ("" included)."""
-    return _col(c).try_cast("double")
+    """``float(x)`` with NULL on failure ("" included) — bit-parity with
+    the reference's bare ``float(x)`` (stream_to_star.py:70-76), i.e.
+    CPython semantics, not Spark cast semantics."""
+    return _py_float_literal(c).try_cast("double")
 
 
 def parse_date_multi(c: str | Column) -> Column:

@@ -61,6 +61,15 @@ _NUMERICISH = st.one_of(
         allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
     ).map(repr),
     st.sampled_from(["4.0", "4.9", "-4.9", "0", "-0", " 7 ", "1e3", "abc", "1,5", "nan"]),
+    # divergence pins: Spark cast vs CPython float() (VERDICT r1 #1)
+    st.sampled_from([
+        "0\x1f", "0\x1c", "1\x00",      # ctrl chars: Spark trims, Python raises
+        "1\xa0", "　 7 ", " +1 ",   # non-ASCII space: Python maps to ' '
+        "1_0", "1_0.5_5e1_0", "1__0", "_1", "1_",  # PEP 515 underscores
+        "١٢٣", "𝟓", "²",                # Unicode Nd digits vs non-decimal digit
+        "1d", "1f", "0x1p1",            # Java-isms Spark's cast accepts
+        "5.", ".5", ".", "+.", "Infinity", "-inf", "1\t",
+    ]),
     st.text(max_size=12),
 )
 
