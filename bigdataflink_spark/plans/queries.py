@@ -93,7 +93,10 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship 5-way star join + agg (J1): revenue by region/year.
 
     Plan shape at scale: lineitem (fact, huge) never moves — orders
-    shuffles once on orderkey; customer/nation/region broadcast.
+    shuffles once on orderkey; nation/region are bounded (25/5 rows)
+    and hinted broadcast. customer GROWS with SF, so it carries no
+    hint: AQE auto-broadcasts it at small SF and falls back to a
+    shuffle join at 100× where a forced build side would OOM.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -102,7 +105,7 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", F.year(F.to_date("o_orderdate")).alias("o_year"))
@@ -119,7 +122,7 @@ def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     rev = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(rev.alias("_rev"), F.count("*").alias("n_orders"))
         .orderBy(F.desc("_rev"), F.asc("c_custkey"))
@@ -175,9 +178,9 @@ def q06_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey, "left")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(part, li.l_partkey == part.p_partkey, "left")
+        .join(supplier, li.l_suppkey == supplier.s_suppkey, "left")
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
     )
@@ -688,16 +691,17 @@ def q49_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q47_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way fact⋈part⋈supplier rollup by brand × supplier
-    nation: exercises the two star arms untouched elsewhere (both
-    broadcast; the fact side still never shuffles) with a LIKE
-    predicate pushed to the part scan."""
+    nation: exercises the two star arms untouched elsewhere with a
+    LIKE predicate pushed to the part scan. part/supplier scale with
+    SF → no broadcast hint (AQE decides); only bounded nation is
+    hinted."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type").like("MED%"))
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
         .agg(
@@ -839,8 +843,9 @@ def q53_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q54_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregation ratio — share of one
-    month's revenue from PROMO parts. Part broadcasts; the two sums
-    come out of ONE pass (CASE inside the agg, not two scans)."""
+    month's revenue from PROMO parts. The two sums come out of ONE
+    pass (CASE inside the agg, not two scans); part is unhinted —
+    it scales with SF, so AQE sizes the join at runtime."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     disc = F.expr(_DISC_PRICE)
@@ -848,7 +853,7 @@ def q54_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    j = month.join(F.broadcast(part), month.l_partkey == part.p_partkey)
+    j = month.join(part, month.l_partkey == part.p_partkey)
     return j.agg(
         F.round(
             F.lit(100.0)
@@ -863,8 +868,9 @@ def q54_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q55_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by lost revenue on returned
-    items in a quarter — fact⋈orders shuffle join plus two broadcast
-    dims, ranked on the exact decimal sum before rounding."""
+    items in a quarter — fact⋈orders shuffle join plus a hinted
+    broadcast of bounded nation (customer is SF-scaling → AQE
+    decides), ranked on the exact decimal sum before rounding."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -874,7 +880,7 @@ def q55_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(F.expr(_DISC_PRICE)).alias("_rev"), F.count("*").alias("n_items"))
@@ -906,10 +912,10 @@ def q56_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .groupBy(
             "supp_nation",
@@ -987,10 +993,11 @@ def q60_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs predicate across the join — revenue
     from three disjoint (type/brand × quantity-band) channels. The
     common l_quantity bound is still pushdown-able; the residual OR
-    evaluates post-join against the broadcast part side."""
+    evaluates post-join against the part side (unhinted — AQE
+    broadcasts at small SF, shuffles on partkey at 100×)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_type") == "PROMO") & (q >= 1) & (q <= 11))
@@ -1042,7 +1049,7 @@ def q67_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.expr(_DISC_PRICE)).alias("_rev"))
         .orderBy(F.desc("_rev"), F.asc("o_orderkey"))
@@ -1097,8 +1104,10 @@ def q70_filtered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate filter — revenue from
     lineitems whose quantity is below 20% of their part's average
-    quantity. The per-part averages aggregate once and broadcast back
-    onto the fact (the correlated subquery decorrelated by hand); the
+    quantity. The per-part averages aggregate once and join back onto
+    the fact (the correlated subquery decorrelated by hand; the
+    aggregate scales with |part| so it carries NO broadcast hint —
+    at 100× both sides shuffle on partkey, co-partitioned); the
     threshold compares multiplied-through in exact decimal
     (5·qty·n < sum ⟺ qty < 0.2·avg, all positive)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1107,7 +1116,7 @@ def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qdec).alias("_qsum"), F.count("*").alias("_qn")
     )
     return (
-        li.join(F.broadcast(per_part), li.l_partkey == F.col("_pk"))
+        li.join(per_part, li.l_partkey == F.col("_pk"))
         .filter(qdec * F.col("_qn") * 5 < F.col("_qsum"))
         .agg(
             _money("l_extendedprice").alias("revenue"),
@@ -1142,7 +1151,7 @@ def q62_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1172,7 +1181,7 @@ def q63_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("_mx", F.max("_rev").over(w))
         .filter(F.col("_rev") == F.col("_mx"))
-        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1191,7 +1200,7 @@ def q64_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     disc = F.expr(_DISC_PRICE)
     j = (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
     )
     return (

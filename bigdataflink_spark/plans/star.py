@@ -7,7 +7,7 @@ plan. Where the reference does 7 per-row SQL round-trips per message
 declarative pass:
 
     raw strings → cleanse projection → per-dim last-write-wins dedup
-    → deterministic surrogate keys → fact left-joins dims (broadcast)
+    → deterministic surrogate keys → fact left-joins dims
 
 Semantics ported:
 
@@ -20,15 +20,18 @@ Semantics ported:
   ``row_number()`` over natural-key order. Deterministic across
   partitions and runs — ``monotonically_increasing_id`` is neither.
 * FK resolution via upsert RETURNING (stream_to_star.py:121-125) →
-  broadcast left equi-joins on natural keys.
+  left equi-joins on natural keys (AQE-sized: broadcast while the
+  dim fits, shuffle-hash beyond).
 
 Scale notes: each dim dedup is one shuffle on its natural key — the
 minimum possible. Surrogate-key assignment via a global-order
 row_number is a single-partition sort of the *deduped dim* (small by
 definition: dims are bounded by key cardinality, not fact volume); at
 extreme dim cardinality swap in zipWithIndex-style two-phase
-numbering. The fact build broadcasts all six dims, so the 100-TB fact
-side never shuffles.
+numbering. The fact build joins all six dims unhinted: AQE
+broadcasts each dim while it fits (keeping the 100-TB fact side
+shuffle-free), and degrades to a shuffle join per oversized dim
+instead of OOMing the executors on a forced build side.
 """
 
 from __future__ import annotations
@@ -195,7 +198,13 @@ def build_dims(cleansed: DataFrame) -> dict[str, DataFrame]:
 
 
 def build_fact(cleansed: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
-    """fact_sales: LWW on source_sale_id, then broadcast-join dim keys.
+    """fact_sales: LWW on source_sale_id, then join in the dim keys.
+
+    The dims derive from the same sales feed, so they scale with the
+    data — no forced broadcast: AQE broadcasts them while they fit
+    (every micro-batch, and small backfills) and shuffles on the
+    natural key at 100-TB backfill scale where a forced build side
+    would OOM the executors.
 
     LEFT joins — a fact row with an unresolvable dim keeps a NULL FK
     (the reference leaves the fact column NULL too when the dim id is
@@ -226,7 +235,7 @@ def build_fact(cleansed: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
     }
     for dim_name, nk in join_on.items():
         key_col = DIM_KEYS[dim_name]
-        dim_side = F.broadcast(dims[dim_name].select(nk, key_col))
+        dim_side = dims[dim_name].select(nk, key_col)
         fact = fact.join(dim_side, on=nk, how="left")
 
     w = Window.orderBy("source_sale_id")

@@ -21,10 +21,10 @@ SF_DIR = "/root/testdata/sf0.01"
 # Why each plan is the one we want at 1000 executors / 100 TB.
 NOTES = {
     "q01_pricing_summary": "Single scan → partial+final hash agg; one exchange on the 4-value group key. Decimal sums stay in codegen.",
-    "q02_revenue_by_region": "Flagship star join: fact scans 3 of 11 columns and NEVER shuffles — all four dims broadcast; the only exchange is the final 2-key agg.",
+    "q02_revenue_by_region": "Flagship star join: fact scans 3 of 11 columns and never shuffles at this SF — nation/region hinted broadcast, customer unhinted (AQE broadcasts it here, degrades to a shuffle join at 100× instead of OOMing a forced build side); the only guaranteed exchange is the final 2-key agg.",
     "q03_top_customers": "Agg before sort; global top-k via TakeOrderedAndProject (no full sort shuffle).",
     "q04_priority_semi_join": "LeftSemi broadcast — probe side streams, no dedup materialization.",
-    "q06_ri_check": "Six broadcast left joins + one conditional-agg pass; fact side single scan, zero fact shuffles.",
+    "q06_ri_check": "Six left joins + one conditional-agg pass; bounded nation/region hinted, SF-scaling part/supplier/customer AQE-sized (broadcast here, shuffle at 100×); fact side single scan.",
     "q08_date_parts": "year/month computed in the scan projection; one exchange for the agg.",
     "q10_window_rank": "One shuffle on o_custkey for the ranking window; rank<=3 filters before any further op.",
     "q11_json_extract": "from_json in the scan stage; no shuffle until the agg.",
@@ -45,25 +45,25 @@ NOTES = {
     "q46_tfidf_topk": "explode→tf/df aggs reuse the same term shuffle; the doc-count scalar broadcasts; top-k per source is one window over the already-partitioned agg.",
     "q48_sessionize": "lag + running-sum share ONE per-user window sort; the session agg groups on the same keys — a single shuffle end-to-end.",
     "q49_embedding_lsh_neardup": "band self-join keys on (band, bsig) — candidates, not the corpus, are quadratic; exact cosine only on the ~23% surviving pairs.",
-    "q47_part_supplier_revenue": "LIKE 'MED%' pushes to the part scan as StringStartsWith; part/supplier/nation broadcast — the fact side never shuffles.",
+    "q47_part_supplier_revenue": "LIKE 'MED%' pushes to the part scan as StringStartsWith; nation hinted, part/supplier AQE-sized — the fact side stays shuffle-free while they fit.",
     "q52_forecast_revenue": "TPC-H Q6 shape: all three range predicates push to the parquet scan (row-group min/max pruning kills most of 100 TB before decode); 3-col ReadSchema; map-side partials collapse to one scalar row.",
     "q53_customer_distribution": "LEFT join keeps every customer; orders aggregates per custkey, then the second agg groups ~50 distinct counts — the distribution agg is effectively free after the join shuffle.",
-    "q54_promo_revenue": "One month's fact slice (pushed date range) joins broadcast part; both CASE sums come out of a single agg pass — no second scan for the denominator.",
-    "q55_returned_items": "returnflag and the order-date range both push to their scans; fact⋈orders is the one shuffle; customer/nation broadcast; top-20 via TakeOrderedAndProject on the exact decimal sum, no global sort.",
-    "q56_nation_volume": "The SAME dim broadcasts twice under two roles (supplier nation / customer nation) — role-playing dimensions cost two tiny broadcasts, never a self-join shuffle; fact⋈orders remains the only exchange.",
+    "q54_promo_revenue": "One month's fact slice (pushed date range) joins part AQE-sized; both CASE sums come out of a single agg pass — no second scan for the denominator.",
+    "q55_returned_items": "returnflag and the order-date range both push to their scans; fact⋈orders is the one shuffle; nation hinted, customer AQE-sized; top-20 via TakeOrderedAndProject on the exact decimal sum, no global sort.",
+    "q56_nation_volume": "The SAME dim broadcasts twice under two roles (supplier nation / customer nation) — role-playing dimensions cost two tiny broadcasts, never a self-join shuffle; supplier/customer are unhinted (AQE-sized); fact⋈orders remains the only guaranteed exchange.",
     "q57_window_battery": "lag/lead/ntile/first share ONE Window spec → a single shuffle+sort on o_custkey feeds all four functions in one Window node.",
     "q58_array_funcs": "Element access, size, array_max/min are all per-row JVM expressions in the scan stage; the only exchange is the 10-group label agg.",
     "q59_argmax": "max_by/min_by are single-pass aggregates with map-side partials — the per-key winner without a window sort (the oracle needs two row_number windows for the same answer).",
-    "q60_disjunctive_filter": "The OR-of-ANDs references both join sides, so it evaluates as a post-join filter against broadcast part; the fact scan still prunes to 4 columns and never shuffles.",
+    "q60_disjunctive_filter": "The OR-of-ANDs references both join sides, so it evaluates as a post-join filter against part (AQE-sized); the fact scan still prunes to 4 columns and never shuffles.",
     "q61_sales_opportunity": "The positive-balance stats collapse to ONE row and broadcast (scalar-subquery pattern); the distinct order-custkey probe shuffles once; balance×n > sum comparison stays in exact decimal in the scan stage.",
     "q62_large_orders": "The HAVING-filtered agg keys on l_orderkey; its output is tiny (sum>250 survivors) so the join back to orders broadcasts the SURVIVORS, not the fact — at 100 TB the quantity agg is the only fact shuffle.",
     "q63_top_supplier": "Quarter filter pushes to the scan; ONE fact scan + one supplier-key shuffle; the global MAX is a window over the tiny per-supplier agg (naive agg+join would scan the fact twice); winner filter compares exact decimals.",
-    "q64_market_share": "supplier/nation broadcast; numerator and denominator share ONE agg pass (CASE inside sum) — no second scan, one exchange on ship-year.",
+    "q64_market_share": "nation hinted, supplier AQE-sized; numerator and denominator share ONE agg pass (CASE inside sum) — no second scan, one exchange on ship-year.",
     "q65_grouping_sets": "Expand writes one row per grouping set (×3) BEFORE the single hash agg — same plan family as rollup/cube, still exactly one exchange.",
     "q66_embedding_topk_pandas": "mapInPandas streams corpus partitions through Arrow into per-batch numpy scoring (no per-row pickling, no corpus shuffle); only the per-query top-k window exchanges — the Python stage replaces q24's per-pair fold with one GEMM-shaped pass per batch.",
-    "q67_shipping_priority": "Both date cutoffs push to their scans (complementary ranges prune most row groups on either side); segment filter prunes the broadcast build; top-10 via TakeOrderedAndProject after the group agg.",
+    "q67_shipping_priority": "Both date cutoffs push to their scans (complementary ranges prune most row groups on either side); segment filter prunes the customer build side (AQE-sized); top-10 via TakeOrderedAndProject after the group agg.",
     "q68_late_shipment_ratio": "The late predicate compares columns across sides so it evaluates post-join, but both scans still prune columns; high/low counts come from ONE CASE agg pass on ship-year.",
-    "q69_small_quantity_revenue": "Hand-decorrelated Q17: per-part averages aggregate once (partial map-side) and broadcast back onto the fact — the fact never shuffles; the threshold compares in exact decimal, multiplied through.",
+    "q69_small_quantity_revenue": "Hand-decorrelated Q17: per-part averages aggregate once (partial map-side) and join back unhinted — AQE broadcasts while they fit, co-shuffles both sides on partkey at 100×; the threshold compares in exact decimal, multiplied through.",
     "q70_filtered_distinct": "Two DISTINCT aggregates + a plain count in ONE pass: Catalyst's Expand-based multi-distinct rewrite — no self-join, no second scan; one exchange on the 5-value group key.",
 }
 
