@@ -190,30 +190,29 @@ def simhash(
     """(id, simhash): bitwise-majority signature over token hashes.
 
     Each distinct token votes +1/-1 per bit of its 32-bit hash; the
-    signature's bit i is 1 iff the summed vote is positive. Explodes
-    tokens × bits — at scale, replace the bit explode with 32 masked
-    conditional aggregates in one pass (same trick as MinHash); kept
-    explicit here for clarity and oracle symmetry.
+    signature's bit i is 1 iff the summed vote is positive. One row
+    per distinct token through the aggregate — the per-bit votes are
+    `bits` masked conditional sums inside a SINGLE groupBy pass (the
+    same trick as the MinHash signature), not a tokens×bits explode:
+    map-side partials collapse each partition to one row per doc, so
+    the shuffle carries n_docs × (bits+1) longs regardless of corpus
+    size. The vote for bit i is 2·bit_i − 1, so
+    sum(vote) = 2·sum(bit_i) − n_tokens: one count + `bits` bit-sums.
     """
     toks = (
         docs.select(F.col(id_col), F.explode_outer(F.array_distinct(tokens(text_col))).alias("tok"))
         .filter(F.col("tok").isNotNull())
         .withColumn("h", md5_int(F.col("tok"), bits=32))
     )
-    votes = toks.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-    ).withColumn(
-        # shiftright-by-column isn't exposed in the PySpark helper; the
-        # SQL form takes arbitrary expressions
-        "vote",
-        F.when(F.expr("(shiftright(h, bit) & 1)") == 1, F.lit(1)).otherwise(F.lit(-1)),
-    )
-    return (
-        votes.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
-        .groupBy(id_col)
-        .agg(F.sum(F.expr("shiftleft(bitval, bit)")).alias("simhash"))
-    )
+    bit_sums = [
+        F.sum(F.expr(f"shiftright(h, {i}) & 1")).alias(f"_b{i}") for i in range(bits)
+    ]
+    agged = toks.groupBy(id_col).agg(F.count("*").alias("_n"), *bit_sums)
+    sig = None
+    for i in range(bits):
+        # majority: positive vote sum ⟺ 2·ones > n_tokens
+        term = F.when(F.lit(2) * F.col(f"_b{i}") > F.col("_n"), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        sig = term if sig is None else sig + term
+    return agged.select(F.col(id_col), sig.cast("long").alias("simhash"))

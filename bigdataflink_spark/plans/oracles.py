@@ -269,6 +269,17 @@ SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
 FROM orders
 GROUP BY ROLLUP(o_year, o_month)
 """,
+    # q19: the HLL estimate is engine-specific, so the oracle pins the
+    # exact distinct counts and asserts the Spark-side error bound
+    # (approx_ok) held — TRUE here, computed |approx-exact|<=5% there.
+    "q19_approx_distinct": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
     "q35_cube": f"""
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n,

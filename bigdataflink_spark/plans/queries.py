@@ -365,12 +365,28 @@ def q37_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) — scale-out variant of A2. No
-    oracle (sketch values are engine-specific); driver rows-only."""
+    """approx_count_distinct (HLL) — scale-out variant of A2, with a
+    verifiable error bound instead of a bare sketch value.
+
+    Sketch estimates are engine-specific, so the raw HLL value can't
+    hash-match a DuckDB oracle. Instead the query emits the exact
+    per-group distinct count alongside ``approx_ok`` =
+    |approx − exact| / exact ≤ 0.05 (HLL at rsd 0.01, so the 5% gate
+    is a ≥5σ margin; the estimate itself is a deterministic function
+    of the data). The oracle asserts the exact counts and
+    ``approx_ok = TRUE`` — a broken sketch now FAILS the value-hash
+    gate rather than hiding behind a rows-only check."""
     events = _t(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01).cast("double")
+                - F.count_distinct("user_id").cast("double")
+            )
+            <= F.lit(0.05) * F.count_distinct("user_id").cast("double")
+        ).alias("approx_ok"),
     )
 
 

@@ -1,11 +1,15 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
 from bigdataflink_spark import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# Override to sweep the oracle gate at another scale factor, e.g.
+#   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_queries_oracle.py
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MED = "/root/testdata/sf0.01"
 
 TABLES = (
