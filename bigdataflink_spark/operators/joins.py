@@ -129,8 +129,17 @@ def salted_join(
     sub-partitions per key: ``right`` (build side) replicates each row
     ``salt`` times, ``left`` (probe side) derives a deterministic salt
     from a hash of its full row. Row-for-row identical to
-    ``left.join(right, key, how)``.
+    ``left.join(right, key, how)`` for the supported ``how`` values.
+
+    Right/full outer (and right_semi/anti) are rejected: the build
+    side is replicated ``salt`` times, so every unmatched right row
+    would be emitted once per replica instead of once.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the replicated build side would duplicate unmatched right rows"
+        )
     salted_l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     )

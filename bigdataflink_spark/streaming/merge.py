@@ -26,7 +26,7 @@ improves constants (file-level instead of bucket-level pruning).
 
 from __future__ import annotations
 
-import os
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +34,41 @@ from pyspark.sql import functions as F
 from bigdataflink_spark.operators.dedup import lww_dedup
 
 BUCKET_COL = "_bucket"
+# Underscore prefix → ignored by Spark's parquet FileIndex, so the
+# metadata file can live inside the state directory itself.
+_META_FILE = "_bdf_state_meta.json"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for ``path`` — works on any supported
+    scheme (file://, hdfs://, s3a://…), unlike driver-local os.path."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict | None:
+    fs, _ = _fs_and_path(spark, path)
+    mpath = spark._jvm.org.apache.hadoop.fs.Path(path, _META_FILE)
+    if not fs.exists(mpath):
+        return None
+    stream = fs.open(mpath)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(raw)
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    fs, _ = _fs_and_path(spark, path)
+    mpath = spark._jvm.org.apache.hadoop.fs.Path(path, _META_FILE)
+    stream = fs.create(mpath, True)
+    try:
+        stream.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def merge_lww_bucketed(
@@ -47,9 +82,24 @@ def merge_lww_bucketed(
     """Upsert ``incoming`` into the bucketed LWW state at ``path``.
 
     Only the buckets containing incoming keys are read and rewritten.
+    State existence is probed through the Hadoop FileSystem API (a
+    driver-local os.path check is always false on HDFS/S3 → would
+    silently drop prior state). The bucket count is pinned in
+    ``_bdf_state_meta.json`` inside the state dir: merging with a
+    different ``num_buckets`` would leave stale winners in old
+    buckets, so a mismatch fails fast instead of corrupting state.
     """
     inc = incoming.withColumn(BUCKET_COL, F.pmod(F.hash(F.col(key)), F.lit(num_buckets)))
-    if os.path.exists(path):
+    fs, hpath = _fs_and_path(spark, path)
+    if fs.exists(hpath):
+        meta = _read_meta(spark, path)
+        if meta is not None and meta.get("num_buckets") != num_buckets:
+            raise ValueError(
+                f"state at {path} was bucketed with num_buckets="
+                f"{meta.get('num_buckets')}; merging with {num_buckets} "
+                "would corrupt it (same key lands in a different bucket). "
+                "Rebuild the state to rebucket."
+            )
         dirty = [r[0] for r in inc.select(BUCKET_COL).distinct().collect()]
         existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(dirty))
         merged = existing.unionByName(inc)
@@ -65,6 +115,7 @@ def merge_lww_bucketed(
         winners.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _write_meta(spark, path, {"num_buckets": num_buckets, "key": key, "seq_col": seq_col})
 
 
 def read_state(spark: SparkSession, path: str) -> DataFrame:

@@ -53,11 +53,18 @@ class TTLFirstSeenDedup(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
         n = self._seen.get()[0] if self._seen.exists() else 0
+        first_sight = n == 0
         for pdf in rows:
             if n == 0 and len(pdf) > 0:
                 yield pdf.head(1)
             n += len(pdf)
-        self._seen.update((n,))
+        # Write state only on FIRST sight: updating on every batch
+        # would reset the ValueState TTL each time the key recurs, so
+        # a steadily-trafficked key would never expire — a sliding
+        # horizon, not the fixed at-least-once redelivery horizon this
+        # operator promises.
+        if first_sight and n > 0:
+            self._seen.update((n,))
 
     def close(self) -> None:
         pass

@@ -81,3 +81,30 @@ def test_salted_join_equals_plain_join(spark):
     a = sorted(map(tuple, salted.select(*cols).collect()))
     b = sorted(map(tuple, plain.select(*cols).collect()))
     assert a == b
+
+
+def test_salted_join_rejects_right_outer(spark):
+    """The build side is replicated `salt` times, so right/full outer
+    would emit unmatched right rows once per replica — rejected."""
+    import pytest
+
+    orders = load_table(spark, "orders", SF)
+    cust = load_table(spark, "customer", SF).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            joins.salted_join(orders, cust, "o_custkey", salt=4, how=how)
+
+
+def test_salted_left_join_equals_plain_left_join(spark):
+    cust = load_table(spark, "customer", SF).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    orders = load_table(spark, "orders", SF)
+    salted = joins.salted_join(orders, cust, "o_custkey", salt=4, how="left")
+    plain = orders.join(cust, "o_custkey", "left")
+    cols = sorted(set(plain.columns))
+    a = sorted(map(tuple, salted.select(*cols).collect()))
+    b = sorted(map(tuple, plain.select(*cols).collect()))
+    assert a == b

@@ -409,3 +409,30 @@ def test_bucketed_merge_matches_full_rewrite(spark, workdir):
         assert after.get(rel) == digest, rel  # clean bucket untouched
         clean_checked += 1
     assert clean_checked > 0
+
+
+def test_bucketed_merge_rejects_bucket_count_change(spark, workdir):
+    """Re-merging with a different num_buckets would leave stale
+    winners in the old buckets — the pinned state metadata must fail
+    fast instead."""
+    import pytest
+
+    from bigdataflink_spark.streaming.merge import merge_lww_bucketed
+
+    path = f"{workdir}/bucketed_state_meta"
+    schema = "k long, payload string, arrival_seq long"
+    merge_lww_bucketed(
+        spark, spark.createDataFrame([(1, "a", 1)], schema), path, "k", num_buckets=8
+    )
+    with pytest.raises(ValueError, match="num_buckets"):
+        merge_lww_bucketed(
+            spark, spark.createDataFrame([(1, "b", 2)], schema), path, "k", num_buckets=16
+        )
+    # same bucket count still merges fine (and the meta file inside the
+    # state dir must not confuse the parquet reader)
+    merge_lww_bucketed(
+        spark, spark.createDataFrame([(1, "c", 3)], schema), path, "k", num_buckets=8
+    )
+    from bigdataflink_spark.streaming.merge import read_state
+
+    assert [tuple(r) for r in read_state(spark, path).collect()] == [(1, "c", 3)]
