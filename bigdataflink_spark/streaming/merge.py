@@ -101,7 +101,7 @@ def merge_lww_bucketed(
                 "Rebuild the state to rebucket."
             )
         dirty = [r[0] for r in inc.select(BUCKET_COL).distinct().collect()]
-        existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(dirty))
+        existing = _state_df(spark, path).filter(F.col(BUCKET_COL).isin(dirty))
         merged = existing.unionByName(inc)
     else:
         merged = inc
@@ -115,9 +115,37 @@ def merge_lww_bucketed(
         winners.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    _write_meta(spark, path, {"num_buckets": num_buckets, "key": key, "seq_col": seq_col})
+    _write_meta(
+        spark,
+        path,
+        {
+            "num_buckets": num_buckets,
+            "key": key,
+            "seq_col": seq_col,
+            # recorded so an all-empty state (a dim no record has fed
+            # yet: zero partition dirs on disk) still reads back with
+            # its schema instead of UNABLE_TO_INFER_SCHEMA
+            "schema": winners.schema.json(),
+        },
+    )
+
+
+def _state_df(spark: SparkSession, path: str) -> DataFrame:
+    """State as a DataFrame; empty-with-schema when no data files exist
+    yet (schema comes from the pinned metadata)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import StructType
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        meta = _read_meta(spark, path)
+        if meta is not None and "schema" in meta:
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def read_state(spark: SparkSession, path: str) -> DataFrame:
     """Current state without the bucketing column."""
-    return spark.read.parquet(path).drop(BUCKET_COL)
+    return _state_df(spark, path).drop(BUCKET_COL)

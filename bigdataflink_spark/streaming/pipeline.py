@@ -216,17 +216,50 @@ def run_stream_to_star(
     state_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    dead_letter_dir: str | None = None,
+    echo_status: bool = False,
 ) -> dict[str, DataFrame]:
     """End-to-end: stream the landing dir to completion (availableNow),
-    then publish the star schema. Returns the final tables."""
-    records, _errors = read_sales_stream(spark, jsonl_dir, max_files_per_trigger)
-    query = (
+    then publish the star schema. Returns the final tables.
+
+    The errors side channel is a first-class sink, mirroring the
+    reference's per-record status stream (stream_to_star.py:296-320):
+    malformed payloads land in ``dead_letter_dir`` as parquet
+    (status + raw payload) under their own checkpoint, while the main
+    pipeline keeps running. ``echo_status=True`` additionally prints
+    the error records to the console (the reference's
+    ``result.print()``). Defaults ``dead_letter_dir`` to
+    ``<state_dir>/_dead_letter``.
+    """
+    records, errors = read_sales_stream(spark, jsonl_dir, max_files_per_trigger)
+    if dead_letter_dir is None:
+        dead_letter_dir = os.path.join(state_dir, "_dead_letter")
+    queries = [
         records.writeStream.foreachBatch(
             lambda b, bid: upsert_star_batch(b, bid, state_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        .start(),
+        errors.writeStream.format("parquet")
+        .option("path", dead_letter_dir)
+        .option("checkpointLocation", dead_letter_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start(),
+    ]
+    if echo_status:
+        queries.append(
+            errors.writeStream.format("console")
+            .option("truncate", "false")
+            .option("checkpointLocation", dead_letter_dir + "_console_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in queries:
+        q.awaitTermination()
     return finalize_star(spark, state_dir)
+
+
+def read_dead_letters(spark: SparkSession, dead_letter_dir: str) -> DataFrame:
+    """The persisted error records (status, _raw)."""
+    return spark.read.parquet(dead_letter_dir)

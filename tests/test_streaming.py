@@ -436,3 +436,39 @@ def test_bucketed_merge_rejects_bucket_count_change(spark, workdir):
     from bigdataflink_spark.streaming.merge import read_state
 
     assert [tuple(r) for r in read_state(spark, path).collect()] == [(1, "c", 3)]
+
+
+def test_dead_letter_sink_persists_malformed_records(spark, workdir):
+    """A malformed payload must land in the dead-letter parquet (with
+    the raw line preserved) while the pipeline completes and builds
+    the star from the good records — the reference's error-status
+    stream as a durable sink."""
+    import json
+    import os
+
+    from bigdataflink_spark.streaming.pipeline import read_dead_letters
+
+    landing = f"{workdir}/dl_landing"
+    os.makedirs(landing)
+    good = {"id": "1", "sale_customer_id": "7", "customer_first_name": "A",
+            "customer_last_name": "B", "sale_quantity": "2",
+            "sale_total_price": "10.5", "sale_date": "5/14/2021",
+            "arrival_seq": 0}
+    bad_line = '{"id": "2", "sale_customer_id": broken'
+    with open(f"{landing}/batch0.jsonl", "w") as f:
+        f.write(json.dumps(good) + "\n" + bad_line + "\n")
+
+    tables = run_stream_to_star(
+        spark,
+        landing,
+        f"{workdir}/dl_state",
+        f"{workdir}/dl_ckpt",
+        dead_letter_dir=f"{workdir}/dl_dead",
+    )
+    # pipeline completed on the good record
+    assert tables["fact_sales"].count() == 1
+    # the malformed line is in the dead letter, raw payload intact
+    dead = read_dead_letters(spark, f"{workdir}/dl_dead").collect()
+    assert len(dead) == 1
+    assert dead[0]["status"] == "error: malformed json"
+    assert dead[0]["_raw"] == bad_line
