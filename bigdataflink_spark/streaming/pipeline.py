@@ -110,6 +110,33 @@ def read_sales_stream(spark: SparkSession, jsonl_dir: str, max_files_per_trigger
 # raise toward state_size / target_file_size (see streaming/merge.py).
 STATE_BUCKETS = 16
 
+# Per-dim (natural key, attribute columns) over the cleansed batch —
+# shared by every terminal sink (bucketed-parquet MERGE, DBAPI upsert).
+DIM_PROJECTION = {
+    "dim_customer": (
+        "source_customer_id",
+        ["customer_name", "customer_country", "customer_age", "customer_email"],
+    ),
+    "dim_seller": (
+        "source_seller_id",
+        ["seller_name", "seller_country", "seller_email"],
+    ),
+    "dim_product": (
+        "source_product_id",
+        ["product_name", "product_category", "product_price",
+         "product_rating", "product_reviews"],
+    ),
+    "dim_store": ("store_name", ["store_city", "store_country", "store_email"]),
+    "dim_supplier": ("supplier_name", ["supplier_country", "supplier_email"]),
+    "dim_date": ("sale_date", []),
+}
+
+FACT_COLS = [
+    "arrival_seq", "source_sale_id", "sale_quantity", "sale_total_price",
+    "source_customer_id", "source_seller_id", "source_product_id",
+    "store_name", "supplier_name", "sale_date",
+]
+
 
 def upsert_star_batch(batch: DataFrame, batch_id: int, state_dir: str) -> None:
     """foreachBatch body: idempotent set-based MERGE of one micro-batch.
@@ -121,42 +148,17 @@ def upsert_star_batch(batch: DataFrame, batch_id: int, state_dir: str) -> None:
     spark = batch.sparkSession
     cleansed = cleanse_sales(batch).cache()
     try:
-        from bigdataflink_spark.plans.star import DIM_KEYS
-
-        # --- dims: merge cleansed batch columns into LWW state ------
-        dim_projection = {
-            "dim_customer": (
-                "source_customer_id",
-                ["customer_name", "customer_country", "customer_age", "customer_email"],
-            ),
-            "dim_seller": (
-                "source_seller_id",
-                ["seller_name", "seller_country", "seller_email"],
-            ),
-            "dim_product": (
-                "source_product_id",
-                ["product_name", "product_category", "product_price",
-                 "product_rating", "product_reviews"],
-            ),
-            "dim_store": ("store_name", ["store_city", "store_country", "store_email"]),
-            "dim_supplier": ("supplier_name", ["supplier_country", "supplier_email"]),
-            "dim_date": ("sale_date", []),
-        }
         from bigdataflink_spark.streaming.merge import merge_lww_bucketed
 
-        for name, (key, attrs) in dim_projection.items():
+        # --- dims: merge cleansed batch columns into LWW state ------
+        for name, (key, attrs) in DIM_PROJECTION.items():
             inc = cleansed.select("arrival_seq", key, *attrs).filter(F.col(key).isNotNull())
             inc = lww_dedup(inc, [key], "arrival_seq")
             path = os.path.join(state_dir, f"state_{name}")
             merge_lww_bucketed(spark, inc, path, key, num_buckets=STATE_BUCKETS)
 
         # --- fact rows ----------------------------------------------
-        fact_cols = [
-            "arrival_seq", "source_sale_id", "sale_quantity", "sale_total_price",
-            "source_customer_id", "source_seller_id", "source_product_id",
-            "store_name", "supplier_name", "sale_date",
-        ]
-        inc = cleansed.select(*fact_cols).filter(F.col("source_sale_id").isNotNull())
+        inc = cleansed.select(*FACT_COLS).filter(F.col("source_sale_id").isNotNull())
         inc = lww_dedup(inc, ["source_sale_id"], "arrival_seq")
         path = os.path.join(state_dir, "state_fact")
         merge_lww_bucketed(
