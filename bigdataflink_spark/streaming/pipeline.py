@@ -80,6 +80,41 @@ _PARSE_SCHEMA = StructType(
 )
 
 
+def parse_sales_records(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """JSON ``value`` column → (records, errors) — the parse/split
+    stage shared by every transport (JSONL dir, Kafka).
+
+    If the input also carries an ``arrival_seq`` column, it is
+    TRANSPORT-provided order (e.g. the Kafka offset from
+    ``project_kafka_records``) and overrides any in-payload
+    arrival_seq — broker order wins over whatever the producer
+    embedded. Errors carry the raw payload (P10 side channel).
+    """
+    transport_seq = "arrival_seq" in raw.columns
+    cols = [
+        F.col("value").alias("_raw"),
+        F.from_json(
+            "value",
+            _PARSE_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r"),
+    ]
+    if transport_seq:
+        cols.append(F.col("arrival_seq").alias("_tseq"))
+    parsed = raw.select(*cols)
+    bad = F.col("r").isNull() | F.col("r._corrupt_record").isNotNull()
+    records = parsed.filter(~bad)
+    if transport_seq:
+        records = records.select("r.*", "_tseq").drop("_corrupt_record", "arrival_seq")
+        records = records.withColumnRenamed("_tseq", "arrival_seq")
+    else:
+        records = records.select("r.*").drop("_corrupt_record")
+    errors = parsed.filter(bad).select(
+        F.lit("error: malformed json").alias("status"), F.col("_raw")
+    )
+    return records, errors
+
+
 def read_sales_stream(spark: SparkSession, jsonl_dir: str, max_files_per_trigger: int = 1):
     """Streaming (parsed, errors-split) sales records from a JSONL dir.
 
@@ -90,20 +125,7 @@ def read_sales_stream(spark: SparkSession, jsonl_dir: str, max_files_per_trigger
         spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
         .text(jsonl_dir)
     )
-    parsed = raw.select(
-        F.col("value").alias("_raw"),
-        F.from_json(
-            "value",
-            _PARSE_SCHEMA,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
-        ).alias("r"),
-    )
-    bad = F.col("r").isNull() | F.col("r._corrupt_record").isNotNull()
-    records = parsed.filter(~bad).select("r.*").drop("_corrupt_record")
-    errors = parsed.filter(bad).select(
-        F.lit("error: malformed json").alias("status"), F.col("_raw")
-    )
-    return records, errors
+    return parse_sales_records(raw)
 
 
 # Buckets per state table: star-scale states are small; at 100 TB

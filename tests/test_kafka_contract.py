@@ -1,0 +1,138 @@
+"""Kafka contract test — recorded-offsets replay (no broker in this
+container, so the ``format("kafka")`` reader itself can't start; every
+line of OUR code in the Kafka path runs for real).
+
+What a broker would do is recorded as wire-format parquet chunks in
+KAFKA_WIRE_SCHEMA — the exact post-``.load()`` shape of Spark's Kafka
+source (binary value, 1 partition, monotone offsets, like the
+reference's single-partition ``sales`` topic). The chunks stream
+through the PRODUCTION projection (``project_kafka_records``: offset →
+arrival_seq), parse (``parse_sales_records``: transport seq overrides
+payload seq), and upsert (``upsert_star_batch``), then the published
+star must equal the one-shot batch star — including after a
+redelivered chunk (at-least-once replay), which the offset-ordered
+LWW must ignore.
+
+Reference behavior being pinned: consumer reads value-only JSON in
+broker order (stream_to_star.py:305-315); producer sends rows in
+sorted-glob order (csv_to_kafka.py:17-33).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataflink_spark.plans import build_star
+from bigdataflink_spark.sources import read_sales_csv
+from bigdataflink_spark.sources.kafka import KAFKA_WIRE_SCHEMA, project_kafka_records
+from bigdataflink_spark.streaming.pipeline import (
+    finalize_star,
+    parse_sales_records,
+    upsert_star_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="kafka_contract_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def wire_dir(spark, workdir):
+    """Record the corpus as Kafka wire chunks: offsets 0..n-1 in
+    producer send order, 5 chunk files ≈ 5 consumer polls."""
+    from pyspark.sql.window import Window
+
+    raw = read_sales_csv(spark)
+    w = Window.orderBy("arrival_seq")
+    wire = raw.select(
+        F.to_json(F.struct("*")).alias("_json"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+    ).select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("_json").cast("binary").alias("value"),
+        F.lit("sales").alias("topic"),
+        F.lit(0).alias("partition"),
+        "offset",
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    d = f"{workdir}/wire"
+    (
+        wire.withColumn("_chunk", (F.col("offset") / F.lit(2000)).cast("long"))
+        .repartitionByRange(5, "_chunk")
+        .sortWithinPartitions("offset")
+        .drop("_chunk")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def test_offset_becomes_arrival_seq(spark, wire_dir):
+    """The production projection maps the broker offset to
+    arrival_seq verbatim and decodes the binary payload."""
+    wire = spark.read.schema(KAFKA_WIRE_SCHEMA).parquet(wire_dir)
+    got = project_kafka_records(wire)
+    assert got.columns == ["value", "arrival_seq"]
+    stats = got.select(F.min("arrival_seq"), F.max("arrival_seq"), F.count("*")).collect()[0]
+    assert list(stats) == [0, 9999, 10000]
+    one = got.filter(F.col("arrival_seq") == 0).collect()[0]
+    assert one["value"].startswith("{")  # decoded to string
+
+
+def test_stream_via_kafka_wire_equals_batch_star(spark, workdir, wire_dir):
+    """Recorded-offsets replay through the full Kafka path ≡ one-shot
+    batch star; a redelivered chunk (at-least-once) changes nothing."""
+    state_dir = f"{workdir}/state"
+
+    wire_stream = (
+        spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wire_dir)
+    )
+    records, errors = parse_sales_records(project_kafka_records(wire_stream))
+    q = (
+        records.writeStream.foreachBatch(
+            lambda b, bid: upsert_star_batch(b, bid, state_dir)
+        )
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def table_rows(tables):
+        out = {}
+        for name, df in tables.items():
+            cols = sorted(df.columns)
+            out[name] = (cols, sorted(tuple(r) for r in df.select(*cols).collect()))
+        return out
+
+    batch = table_rows(build_star(read_sales_csv(spark)))
+    streamed = table_rows(finalize_star(spark, state_dir))
+    assert set(batch) == set(streamed)
+    for name in batch:
+        assert batch[name][0] == streamed[name][0], f"{name}: columns differ"
+        assert batch[name][1] == streamed[name][1], f"{name}: rows differ"
+
+    # ---- redelivery: the broker re-sends the first poll's records
+    # (same offsets, same payloads). Offset-ordered LWW must converge
+    # to the identical star.
+    import glob
+    import os
+
+    first_chunk = sorted(glob.glob(f"{wire_dir}/part-*.parquet"))[0]
+    redelivered = spark.read.schema(KAFKA_WIRE_SCHEMA).parquet(first_chunk)
+    rec2, _ = parse_sales_records(project_kafka_records(redelivered))
+    upsert_star_batch(rec2, batch_id=999, state_dir=state_dir)
+
+    replayed = table_rows(finalize_star(spark, state_dir))
+    for name in batch:
+        assert batch[name][1] == replayed[name][1], f"{name}: redelivery regressed state"
