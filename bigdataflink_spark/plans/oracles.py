@@ -744,6 +744,24 @@ SELECT o_orderpriority,
        COUNT(*) AS n
 FROM orders GROUP BY o_orderpriority
 """,
+    # q71: recompute the numpy codec's bytes from first principles.
+    # Source 16x12 image: byte k = (id*31 + k) % 256, k = (y*16+x)*3+c.
+    # Nearest-neighbor 7x5: src_y = y*12//5, src_x = x*16//7 (floor) —
+    # the exact index arithmetic of operators/multimodal._nn_resize.
+    "q71_multimodal_resize": """
+SELECT d.doc_id AS media_id,
+       CAST(7 AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       CAST(105 AS BIGINT) AS n_bytes,
+       SUM((d.doc_id * 31
+            + (((y.y * 12) // 5) * 16 + ((x.x * 16) // 7)) * 3
+            + c.c) % 256) AS byte_sum
+FROM documents d,
+     generate_series(0, 4) AS y(y),
+     generate_series(0, 6) AS x(x),
+     generate_series(0, 2) AS c(c)
+GROUP BY d.doc_id
+""",
     "q69_small_quantity_revenue": f"""
 WITH pp AS (
   SELECT l_partkey AS pk,

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdataflink_spark.functions import cleanse as C
-from bigdataflink_spark.operators import dedup, joins, similarity, text, windows
+from bigdataflink_spark.operators import dedup, joins, multimodal, similarity, text, windows
 from bigdataflink_spark.operators.hashing import md5_int
 from bigdataflink_spark.operators.multimodal import synthetic_media
 from bigdataflink_spark.sources.tables import load_table
@@ -1117,6 +1117,22 @@ def q70_filtered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode→resize over binary payload columns
+    (extension; operators/multimodal.py): a deterministic 16×12
+    raw-RGB image per document (payload byte k = (id·31 + k) % 256,
+    built distributed via mapInPandas), nearest-neighbor-resized to
+    7×5 by the numpy codec, then byte-exact stats of the RESIZED
+    payload. The oracle recomputes the same bytes from the generative
+    formula + the resize index arithmetic in pure SQL — so the whole
+    binary pipeline (encode → decode → resize → re-encode) is
+    value-hash-checked, not rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_rgb_media(docs, width=16, height=12)
+    resized = multimodal.resize_images(media, width=7, height=5)
+    return multimodal.media_byte_stats(resized)
+
+
 def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate filter — revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -1321,4 +1337,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_late_shipment_ratio": q68_late_shipment_ratio,
     "q69_small_quantity_revenue": q69_small_quantity_revenue,
     "q70_filtered_distinct": q70_filtered_distinct,
+    "q71_multimodal_resize": q71_multimodal_resize,
 }

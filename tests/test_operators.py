@@ -54,9 +54,71 @@ def test_sample_frames_fanout(spark, media):
         assert n == max(1, durations[mid] // 10000)
 
 
-def test_resize_is_explicit_stub(spark, media):
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, 32, 32)
+def test_resize_compressed_formats_still_raise(spark, media):
+    """Non-raw mimes need an external codec — explicit, not silent."""
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        multimodal.resize_images(media.filter(F.col("modality") == "image"), 32, 32).collect()
+
+
+def _rgb_docs(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def test_resize_raw_rgb_matches_numpy_reference(spark):
+    """The distributed resize must be byte-identical to a local numpy
+    nearest-neighbor resize of the same generative image."""
+    import numpy as np
+
+    media = multimodal.synthetic_rgb_media(_rgb_docs(spark, [3, 11]), width=16, height=12)
+    got = {
+        r.media_id: bytes(r.payload)
+        for r in multimodal.resize_images(media, width=7, height=5).collect()
+    }
+    for mid in (3, 11):
+        src = ((mid * 31 + np.arange(16 * 12 * 3)) % 256).astype(np.uint8).reshape(12, 16, 3)
+        ys, xs = (np.arange(5) * 12) // 5, (np.arange(7) * 16) // 7
+        assert got[mid] == src[np.ix_(ys, xs)].tobytes()
+
+
+def test_resize_identity_preserves_payload(spark):
+    media = multimodal.synthetic_rgb_media(_rgb_docs(spark, [5]), width=8, height=4)
+    before = bytes(media.collect()[0].payload)
+    after = multimodal.resize_images(media, width=8, height=4).collect()[0]
+    assert bytes(after.payload) == before
+
+
+def test_rgb_features_are_real_statistics(spark):
+    """Raw-RGB images get decoded per-channel statistics, not the
+    sha256 fake."""
+    import numpy as np
+
+    media = multimodal.synthetic_rgb_media(_rgb_docs(spark, [7]), width=16, height=12)
+    feat = multimodal.extract_features(media).collect()[0].feature
+    img = ((7 * 31 + np.arange(16 * 12 * 3)) % 256).astype(np.uint8).reshape(12, 16, 3)
+    assert abs(feat[0] - img[:, :, 0].mean() / 255.0) < 1e-6
+    assert abs(feat[3] - img[:, :, 0].std() / 255.0) < 1e-6
+
+
+def test_sample_frames_raw_video_exact_slices(spark):
+    """Raw-RGB video frames come back as exact byte slices of the
+    container, not hashes."""
+    import numpy as np
+
+    w, h, n_frames = 4, 2, 3
+    frame_sz = w * h * 3
+    payload = bytes(np.arange(n_frames * frame_sz, dtype=np.int64).astype(np.uint8))
+    media = spark.createDataFrame(
+        [(1, "video", payload, multimodal.RAW_RGB_VIDEO, w, h, 3000)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = sorted(
+        (r.frame_idx, bytes(r.frame_bytes))
+        for r in multimodal.sample_frames(media, every_ms=1000).collect()
+    )
+    assert len(frames) == n_frames
+    for i, (idx, fb) in enumerate(frames):
+        assert idx == i
+        assert fb == payload[i * frame_sz : (i + 1) * frame_sz]
 
 
 def test_stateful_running_totals(spark):
