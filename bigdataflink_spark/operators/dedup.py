@@ -184,6 +184,64 @@ def minhash_dedup_pairs(
     return jaccard_verify(cands, docs, id_col, text_col, threshold)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
+    (id, cluster_rep, keep) where cluster_rep is the minimum id in the
+    pair-connected component and ``keep`` marks the canonical doc —
+    ``filter(keep)`` IS the deduped corpus. This is the step that
+    turns q21/q49-style pair lists into an actual dedup.
+
+    Min-label propagation: every iteration each node adopts the
+    smallest label among itself and its neighbors — one keyed shuffle
+    per iteration, converging in O(component diameter) rounds
+    (near-dup clusters are dense and shallow, so typically 2-4).
+    Lineage is cut per round (localCheckpoint) so the plan doesn't
+    grow with iterations. At extreme scale swap in the alternating
+    large-/small-star CC algorithm (same fixpoint, fewer rounds on
+    high-diameter graphs); the output contract is unchanged.
+    """
+    fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_rep"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -216,11 +216,20 @@ def sign_lsh_neardup_pairs(
 
     Tuning: P(bit agrees) = 1 - angle/pi, so a band of r bits matches
     with p^r — more rows_per_band = fewer candidates, lower recall;
-    more bands = the reverse. At 4×4 against this corpus the
-    candidate set is ~23% of all pairs; at high thresholds (0.9+)
-    8-bit bands keep recall while cutting candidates ~30×. Axis
+    more bands = the reverse.
+
+    SCALING LAW (measured, tools/scale_probe.py 100× tier): expected
+    candidates ≈ bands · n²/2^rows_per_band — the bucket count per
+    band is CONSTANT (2^rows_per_band), so with rows_per_band fixed
+    the candidate set grows quadratically in corpus size. Grow
+    rows_per_band ∝ log2(n) as data grows: the 4×4 fixture config
+    (16 buckets/band) suits the 2k-vector oracle corpus; at 200k
+    vectors use 4×16 (all 64 dims, 65536 signatures/band) with a
+    realistic near-dup threshold (0.9+), which keeps candidates ∝ n
+    — probe-verified ~linear wall-clock at ×100 data. Axis
     hyperplanes (not random ones) keep the oracle bit-reproducible;
-    at production scale substitute seeded random projections — the
+    at production scale substitute seeded random projections (needed
+    anyway once rows_per_band must exceed the dimension count) — the
     operator shape is identical.
     """
     nbits = bands * rows_per_band

@@ -309,6 +309,29 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY source
 """,
     "q21_minhash_lsh": _minhash_sql(16, 4, 0.8),
+    # q72: the same pair pipeline, resolved to connected components by
+    # transitive closure (recursive CTE) — min reachable id = cluster
+    # rep, exactly the fixpoint Spark's min-label propagation reaches.
+    "q72_dedup_clusters": f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql(16, 4, 0.8)}) t
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+best AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(best.mn, d.doc_id)) AS cluster_rep,
+       d.doc_id = LEAST(d.doc_id, COALESCE(best.mn, d.doc_id)) AS keep
+FROM documents d LEFT JOIN best ON best.a = d.doc_id
+""",
     "q22_simhash": f"""
 WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
 tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
@@ -323,7 +346,7 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """,
-    "q23_token_jaccard": f"""
+    "q23_token_jaccard_bruteforce_check": f"""
 WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -347,7 +370,7 @@ r AS (SELECT query_id, neighbor_id, cos,
       FROM scored)
 SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
 """,
-    "q25_embedding_neardup": f"""
+    "q25_embedding_neardup_bruteforce_check": f"""
 WITH a AS (SELECT vec_id, embedding FROM embeddings)
 SELECT x.vec_id AS id_a, y.vec_id AS id_b,
        ROUND({_cos('x.embedding', 'y.embedding')}, 6) AS cos

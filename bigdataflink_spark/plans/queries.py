@@ -416,7 +416,21 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs, bits=32)
 
 
-def q23_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS → canonical keep-set: the
+    full corpus dedup. q21's MinHash+LSH candidate pairs are resolved
+    into connected components by min-label propagation
+    (operators/dedup.dedup_clusters); every doc gets its component's
+    minimum id as cluster_rep, and keep = (doc IS the canonical
+    representative) — filter(keep) is the deduped corpus. The oracle
+    computes the same components with a recursive transitive-closure
+    CTE over the identical SQL pair pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.8)
+    return dedup.dedup_clusters(pairs, docs)
+
+
+def q23_token_jaccard_bruteforce_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-token Jaccard pairs >= 0.9 (all-pairs variant;
     the LSH-prefiltered version is q21 — this is the oracle-simple
     exact form)."""
@@ -449,7 +463,7 @@ def q24_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_embedding_neardup_bruteforce_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.4)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(emb, threshold=0.4)
@@ -1292,9 +1306,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_minhash_lsh": q21_minhash_lsh,
     "q22_simhash": q22_simhash,
-    "q23_token_jaccard": q23_token_jaccard,
+    "q23_token_jaccard_bruteforce_check": q23_token_jaccard_bruteforce_check,
     "q24_embedding_topk": q24_embedding_topk,
-    "q25_embedding_neardup": q25_embedding_neardup,
+    "q25_embedding_neardup_bruteforce_check": q25_embedding_neardup_bruteforce_check,
     "q26_ivf_topk": q26_ivf_topk,
     "q30_text_stats": q30_text_stats,
     "q31_lang_id": q31_lang_id,
@@ -1338,4 +1352,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_small_quantity_revenue": q69_small_quantity_revenue,
     "q70_filtered_distinct": q70_filtered_distinct,
     "q71_multimodal_resize": q71_multimodal_resize,
+    "q72_dedup_clusters": q72_dedup_clusters,
 }

@@ -215,3 +215,23 @@ def test_orc_round_trip(spark, tmp_path):
     assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
         map(tuple, orders.select(*cols).collect())
     )
+
+
+def test_dedup_clusters_multi_hop_chain(spark):
+    """A path graph a-b-c-d needs multiple propagation rounds; every
+    node must still land on the chain minimum, and exactly one doc
+    per component is kept."""
+    from bigdataflink_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (9, 11), (20, 21)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (2, 5, 9, 11, 20, 21, 40)], "doc_id long"
+    )
+    got = {r.doc_id: (r.cluster_rep, r.keep) for r in dedup_clusters(pairs, docs).collect()}
+    assert got == {
+        2: (2, True), 5: (2, False), 9: (2, False), 11: (2, False),
+        20: (20, True), 21: (20, False),
+        40: (40, True),  # singleton keeps itself
+    }

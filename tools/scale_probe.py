@@ -98,6 +98,133 @@ def time_suite(spark, sf_dir: str) -> dict[str, float]:
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
+# ---- 100× tier: top-5 bench heavyweights against a synthetic sf10 --
+#
+# Replication must model 100× MORE data, not 100× duplicated data —
+# otherwise the near-dup queries' OUTPUT grows quadratically in clone
+# count by definition (every clone pairs with every other), which
+# measures the semantics, not the operator. So clones are perturbed
+# structure-preservingly:
+#
+# * documents: every token gets a clone-tag suffix — a bijection on
+#   shingles, so intra-clone Jaccard structure is EXACTLY the base
+#   corpus's while cross-clone similarity collapses to zero. Output
+#   pairs scale linearly (×copies), like 100 disjoint corpora.
+# * embeddings: clone i rotates dimensions by i % 64 and sign-flips
+#   alternate dims every 64 clones — both transforms preserve ALL
+#   intra-clone inner products exactly (permutation / s²=1), while
+#   cross-clone cosines decorrelate.
+# * lineitem/orders: key-shifted copies as in the ×10 tier (dims stay
+#   fixed → FK keys get 100× hotter, a real skew stress).
+
+DST100 = "/tmp/spark_graft_sf10"
+COPIES100 = 100
+DIM = 64
+
+def _sign_lsh_scaled(spark, sf_dir):
+    """q49's operator at its 100×-scale OPERATING POINT. The q49 fixture
+    config (16 bits → 16 signatures/band) has a CONSTANT bucket count,
+    so candidates grow ∝ n²/16 — measured super-linear at sf10 (the
+    probe that found it ran >10 min before being killed). The operator's
+    scale dial is bits-per-band ∝ log2(n) + a realistic near-dup
+    threshold: 4 bands × 16 rows uses all 64 dims (65536 signatures per
+    band) and candidates stay ∝ n."""
+    from bigdataflink_spark.operators.similarity import sign_lsh_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sign_lsh_neardup_pairs(emb, threshold=0.9, bands=4, rows_per_band=16)
+
+
+PROBE100 = {
+    "q02_revenue_by_region": QUERIES["q02_revenue_by_region"],
+    "q21_minhash_lsh": QUERIES["q21_minhash_lsh"],
+    "q26_ivf_topk": QUERIES["q26_ivf_topk"],
+    "sign_lsh_64bit(q49-at-scale)": _sign_lsh_scaled,
+    "q56_nation_volume": QUERIES["q56_nation_volume"],
+}
+FIXED100 = ["region", "nation", "customer", "supplier"]
+
+
+def _union_all(parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_sf10(spark) -> None:
+    os.makedirs(DST100, exist_ok=True)
+    for t in FIXED100:
+        load_table(spark, t, SRC).write.mode("overwrite").parquet(f"{DST100}/{t}.parquet")
+
+    li, orders = load_table(spark, "lineitem", SRC), load_table(spark, "orders", SRC)
+    span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    _union_all(
+        [li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * span)) for i in range(COPIES100)]
+    ).write.mode("overwrite").parquet(f"{DST100}/lineitem.parquet")
+    _union_all(
+        [orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * span)) for i in range(COPIES100)]
+    ).write.mode("overwrite").parquet(f"{DST100}/orders.parquet")
+
+    docs = load_table(spark, "documents", SRC)
+    dspan = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    _union_all(
+        [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * dspan)).withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
+            )
+            for i in range(COPIES100)
+        ]
+    ).write.mode("overwrite").parquet(f"{DST100}/documents.parquet")
+
+    emb = load_table(spark, "embeddings", SRC)
+    espan = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    def clone_vec(i):
+        shift = i % DIM
+        vec = F.col("embedding")
+        if shift:
+            vec = F.concat(
+                F.slice("embedding", shift + 1, DIM - shift),
+                F.slice("embedding", 1, shift),
+            )
+        if (i // DIM) % 2:
+            vec = F.transform(vec, lambda v, j: F.when(j % 2 == 0, -v).otherwise(v))
+        return emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * espan)).withColumn(
+            "embedding", vec
+        )
+
+    _union_all([clone_vec(i) for i in range(COPIES100)]).write.mode("overwrite").parquet(
+        f"{DST100}/embeddings.parquet"
+    )
+
+
+def main_100() -> None:
+    spark = get_spark("scale-probe-100")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DST100}/lineitem.parquet"):
+        print("building synthetic sf10 ...", file=sys.stderr)
+        build_sf10(spark)
+    QUERIES["q02_revenue_by_region"](spark, SRC).count()  # warm
+    report = {}
+    for name, fn in PROBE100.items():
+        t0 = time.perf_counter()
+        n_small = fn(spark, SRC).count()
+        t_small = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_big = fn(spark, DST100).count()
+        t_big = round(time.perf_counter() - t0, 3)
+        report[name] = {
+            "sf0.1_s": t_small,
+            "sf10_s": t_big,
+            "x": round(t_big / t_small, 2) if t_small else None,
+            "rows0.1": n_small,
+            "rows10": n_big,
+        }
+        print(f"{name}: {report[name]}", file=sys.stderr)
+    print(json.dumps({"copies": COPIES100, "queries": report}, indent=2))
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -118,4 +245,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_100() if "100" in sys.argv[1:] else main()
