@@ -66,6 +66,37 @@ def lang_id(toks: Column) -> Column:
     )
 
 
+# PII patterns, ordered (emails first: a phone-lookalike inside an
+# address must already be gone). Plain RE2-compatible syntax so the
+# same pattern strings run verbatim in Spark (Java regex) and the
+# DuckDB oracle (RE2) — no lookarounds, no backrefs.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"),
+)
+
+
+def redact_pii(c: str | Column) -> Column:
+    """Replace emails/phone numbers with <EMAIL>/<PHONE> tags — the
+    scrubbing pass a training corpus runs before anything else.
+    Pure regexp_replace chain (scan-stage, zero shuffles); counts of
+    what was removed come from ``pii_counts`` so the redaction is
+    auditable (q74 value-hash-checks the redacted bytes via md5)."""
+    col = F.col(c) if isinstance(c, str) else c
+    for tag, pat in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, f"<{tag}>")
+    return col
+
+
+def pii_counts(c: str | Column) -> list[Column]:
+    """[n_emails, n_phones] match counts (pre-redaction)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{tag.lower()}s")
+        for tag, pat in PII_PATTERNS
+    ]
+
+
 def token_count_regex(c: str | Column) -> Column:
     """BPE-ish token count: alpha runs + digit runs via regex."""
     col = F.col(c) if isinstance(c, str) else c

@@ -309,6 +309,41 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY source
 """,
     "q21_minhash_lsh": _minhash_sql(16, 4, 0.8),
+    # q73: same md5 bucket formula as operators/sampling.split_bucket —
+    # bucket = md5('split-v1' || doc_id) % 1e6; train < 900000,
+    # val < 950000, else test.
+    "q73_hash_split": f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         {_md5_int("'split-v1' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(doc_id) AS sum_doc_id,
+       SUM(n_chars) AS sum_chars
+FROM b GROUP BY split
+""",
+    # q74: identical injected PII + the same ordered regexp_replace
+    # chain (emails first), RE2-compatible patterns run verbatim in
+    # both engines; md5 pins the exact redacted bytes.
+    "q74_pii_redaction": r"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM s
+""",
     # q72: the same pair pipeline, resolved to connected components by
     # transitive closure (recursive CTE) — min reachable id = cluster
     # rep, exactly the fixpoint Spark's min-label propagation reaches.

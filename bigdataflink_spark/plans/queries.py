@@ -1147,6 +1147,48 @@ def q71_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_byte_stats(resized)
 
 
+def q73_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (extension;
+    operators/sampling.hash_split): split(doc) is a pure function of
+    (salt, doc_id) — reproducible across snapshots/re-runs/cluster
+    sizes, so no train/test contamination as the corpus grows. One
+    scan-stage md5 bucket per row, zero extra shuffles; the oracle
+    recomputes every assignment from the same md5 formula."""
+    from bigdataflink_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q74_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (extension; operators/text.redact_pii): emails
+    and phone numbers replaced by tags, counts audited. PII is
+    injected deterministically per doc (the synthetic corpus has
+    none) so every row provably redacts; the md5 of the redacted text
+    value-hash-checks the exact output bytes against the oracle's
+    regexp_replace chain."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ).alias("t"),
+    )
+    return seeded.select(
+        "doc_id",
+        *text.pii_counts("t"),
+        F.md5(text.redact_pii("t")).alias("redacted_md5"),
+    )
+
+
 def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate filter — revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -1353,4 +1395,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_filtered_distinct": q70_filtered_distinct,
     "q71_multimodal_resize": q71_multimodal_resize,
     "q72_dedup_clusters": q72_dedup_clusters,
+    "q73_hash_split": q73_hash_split,
+    "q74_pii_redaction": q74_pii_redaction,
 }

@@ -235,3 +235,41 @@ def test_dedup_clusters_multi_hop_chain(spark):
         20: (20, True), 21: (20, False),
         40: (40, True),  # singleton keeps itself
     }
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A doc's split assignment must not change when the corpus grows
+    — the no-contamination property. Also: splits are exhaustive,
+    deterministic, and roughly proportioned."""
+    from bigdataflink_spark.operators.sampling import hash_split
+
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in hash_split(small, "doc_id", fr).collect()}
+    s_big = {r.doc_id: r.split for r in hash_split(big, "doc_id", fr).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())  # growth-stable
+    counts = {}
+    for v in s_big.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.85 < counts["train"] / 5000 < 0.95
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from bigdataflink_spark.operators.sampling import hash_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(spark.range(1).withColumnRenamed("id", "doc_id"), "doc_id", {"a": 0.5})
+
+
+def test_redact_pii_tags_and_counts(spark):
+    from bigdataflink_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-y.co.uk and call 555-123-4567 or 020.7946.0958x",)],
+        "t string",
+    )
+    row = df.select(T.redact_pii("t").alias("r"), *T.pii_counts("t")).collect()[0]
+    assert row.r == "mail <EMAIL> and call <PHONE> or 020.7946.0958x"
+    assert (row.n_emails, row.n_phones) == (1, 1)
