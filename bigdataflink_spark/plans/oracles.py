@@ -344,6 +344,17 @@ SELECT doc_id,
              '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
 FROM s
 """,
+    "q75_click_attribution": """
+SELECT c.user_id,
+       COUNT(*) AS n_attributed,
+       ROUND(CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS attributed_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id
+""",
     # q72: the same pair pipeline, resolved to connected components by
     # transitive closure (recursive CTE) — min reachable id = cluster
     # rep, exactly the fixpoint Spark's min-label propagation reaches.

@@ -1189,6 +1189,34 @@ def q74_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-join attribution (extension §2.3/§2.9): purchases
+    credited to any same-user click in the preceding 10 minutes —
+    the batch twin of streaming/join.interval_join (the operator is
+    shared; watermarks are a no-op in batch). Equality key keeps it a
+    hash/sort-merge join with the range as residual — never a
+    nested loop."""
+    from bigdataflink_spark.streaming.join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    j = interval_join(clicks, purchases, "c_user", "p_user", "c_ts", "p_ts",
+                      upper="10 minutes")
+    return j.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count("*").alias("n_attributed"),
+        F.round(F.sum(F.col("p_value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
 def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate filter — revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -1397,4 +1425,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_dedup_clusters": q72_dedup_clusters,
     "q73_hash_split": q73_hash_split,
     "q74_pii_redaction": q74_pii_redaction,
+    "q75_click_attribution": q75_click_attribution,
 }

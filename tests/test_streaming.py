@@ -472,3 +472,58 @@ def test_dead_letter_sink_persists_malformed_records(spark, workdir):
     assert len(dead) == 1
     assert dead[0]["status"] == "error: malformed json"
     assert dead[0]["_raw"] == bad_line
+
+
+def test_stream_stream_interval_join_matches_batch(spark, workdir):
+    """Watermarked stream-stream interval join (clicks → purchases
+    within 10 min per user) over an ordered availableNow replay must
+    equal the same interval join run as a single batch."""
+    from bigdataflink_spark.sources.tables import load_table
+    from bigdataflink_spark.streaming.join import interval_join
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    cdir, pdir = f"{workdir}/ssj_clicks", f"{workdir}/ssj_purch"
+    clicks.write.mode("overwrite").parquet(cdir)
+    purchases.write.mode("overwrite").parquet(pdir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    joined = interval_join(cs, ps, "c_user", "p_user", "c_ts", "p_ts", upper="10 minutes")
+    out = f"{workdir}/ssj_out"
+    q = (
+        joined.select("click_id", "purchase_id", "p_value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/ssj_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = interval_join(
+        clicks, purchases, "c_user", "p_user", "c_ts", "p_ts", upper="10 minutes"
+    ).select("click_id", "purchase_id", "p_value")
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert len(want) > 0
+    assert got == want
+
+
+def test_interval_join_rejects_column_clash(spark):
+    from bigdataflink_spark.sources.tables import load_table
+    from bigdataflink_spark.streaming.join import interval_join
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="rename overlapping"):
+        interval_join(ev, ev, "user_id", "user_id", "ts", "ts")

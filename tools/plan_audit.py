@@ -66,6 +66,7 @@ NOTES = {
     "q69_small_quantity_revenue": "Hand-decorrelated Q17: per-part averages aggregate once (partial map-side) and join back unhinted — AQE broadcasts while they fit, co-shuffles both sides on partkey at 100×; the threshold compares in exact decimal, multiplied through.",
     "q70_filtered_distinct": "Two DISTINCT aggregates + a plain count in ONE pass: Catalyst's Expand-based multi-distinct rewrite — no self-join, no second scan; one exchange on the 5-value group key.",
     "q71_multimodal_resize": "The whole binary pipeline (generate -> decode -> NN-resize -> byte stats) is three chained mapInPandas stages in ONE task pipeline: zero exchanges, payloads never shuffle — per-row Arrow work that scales embarrassingly with executors.",
+    "q75_click_attribution": "Interval join keys on user_id — a plain keyed shuffle join with the 10-min range as residual condition, never a nested loop; streaming twin bounds state via watermarks.",
     "q73_hash_split": "Split assignment is a scan-stage md5 expression (no shuffle, no RNG, no ordering dependence); the only exchange is the 3-group agg — reproducible splits at any scale by construction.",
     "q74_pii_redaction": "Pure regexp_replace/regexp_count chain in the scan stage: zero exchanges, nothing leaves the JVM; redaction audits ride the same pass as the scrub itself.",
     "q72_dedup_clusters": "Pair->cluster resolution: each min-label round is one keyed shuffle (edges joined to labels + min agg), lineage cut per round (localCheckpoint) so the plan stays constant-size; rounds = component diameter (2-4 for near-dup clusters). The audited plan is the final labels projection over the converged checkpoint.",
