@@ -344,6 +344,57 @@ SELECT doc_id,
              '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
 FROM s
 """,
+    "q76_local_supplier_volume": f"""
+SELECT n_name,
+       CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+""",
+    "q77_product_type_profit": f"""
+SELECT n_name AS nation,
+       year(CAST(o_orderdate AS DATE)) AS o_year,
+       CAST(ROUND(SUM({_DISC_PRICE}
+             - CAST(0.6 AS DECIMAL(6,4)) * CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type LIKE '%2%'
+GROUP BY n_name, o_year
+""",
+    "q78_waiting_suppliers": """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+),
+others AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+w AS (
+  SELECT l1.l_suppkey, COUNT(*) AS numwait
+  FROM late l1
+  WHERE EXISTS (SELECT 1 FROM others o1
+                WHERE o1.l_orderkey = l1.l_orderkey
+                  AND o1.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+  GROUP BY l1.l_suppkey
+)
+SELECT s_name, numwait
+FROM w JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
     "q75_click_attribution": """
 SELECT c.user_id,
        COUNT(*) AS n_attributed,

@@ -1217,6 +1217,116 @@ def q75_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where the supplier is LOCAL to the
+    customer (c_nationkey = s_nationkey) — the join graph's defining
+    edge runs between two dimensions, not through the fact. Fact joins
+    orders (one keyed shuffle) and supplier; the nation equality
+    filters post-join; nation/region stay hinted broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.expr(_DISC_PRICE)), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q77_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation × order-year across five
+    tables. profit = disc_price − 0.6·p_retailprice·qty (the testdata
+    has no partsupp, so unit cost derives from the part's retail
+    price — same expression shape, decimal-exact). Filter pushes the
+    part LIKE to its scan; one fact⋈orders shuffle; supplier/part are
+    AQE-sized, nation hinted."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type").like("%2%"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (
+        F.expr(_DISC_PRICE)
+        - F.expr(
+            "CAST(0.6 AS DECIMAL(6,4)) * CAST(p_retailprice AS DECIMAL(12,2)) "
+            "* CAST(l_quantity AS DECIMAL(12,2))"
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q78_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier order — a correlated EXISTS (another supplier in
+    the order) AND NOT EXISTS (another LATE supplier in the order) on
+    a self-joined fact. Late = shipped >60 days after the order date
+    (the testdata has no commit/receipt dates). Both correlations
+    plan as left-semi / left-anti joins keyed on orderkey — no
+    nested loop, two keyed shuffles of the slim (orderkey, suppkey)
+    projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    # another supplier shipped in the same order …
+    has_other = l1.join(
+        others.alias("o1"),
+        (F.col("l1.l_orderkey") == F.col("o1.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("o1.l_suppkey")),
+        "left_semi",
+    )
+    # … and no OTHER supplier was late in that order
+    sole_late = has_other.join(
+        late.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate filter — revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -1426,4 +1536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_hash_split": q73_hash_split,
     "q74_pii_redaction": q74_pii_redaction,
     "q75_click_attribution": q75_click_attribution,
+    "q76_local_supplier_volume": q76_local_supplier_volume,
+    "q77_product_type_profit": q77_product_type_profit,
+    "q78_waiting_suppliers": q78_waiting_suppliers,
 }
