@@ -344,6 +344,31 @@ SELECT doc_id,
              '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
 FROM s
 """,
+    "q79_window_battery2": """
+SELECT o_custkey, o_orderkey,
+       ROUND(percent_rank() OVER w, 9) AS pct_rank,
+       ROUND(cume_dist() OVER w, 9) AS cume,
+       nth_value(o_orderkey, 2) OVER w AS second_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY datediff('day', DATE '1992-01-01',
+                                          CAST(o_orderdate AS DATE))
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS trailing_30d_revenue
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+    "q80_date_battery": """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+       CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+FROM orders
+""",
     "q76_local_supplier_volume": f"""
 SELECT n_name,
        CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS revenue,

@@ -1327,6 +1327,54 @@ def q78_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_window_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window battery round 2 (completing q57): percent_rank /
+    cume_dist / nth_value over one total-ordered spec, plus a RANGE
+    frame (30-day trailing revenue) keyed on day offsets — all four
+    share the per-custkey shuffle; the total order (price, orderkey)
+    makes RANGE ≡ ROWS so both engines agree on ties."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wr), 2
+        )
+        .cast("double")
+        .alias("trailing_30d_revenue"),
+    )
+
+
+def q80_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function battery over o_orderdate: add days / add months
+    (end-of-month clamping), last_day, month truncation, ISO weekday
+    and week number, day difference — every expression evaluates in
+    the scan stage; functions chosen for exact cross-engine semantics
+    (Spark weekday+1 ≡ DuckDB isodow; both clamp add_months)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 1).alias("plus_1m"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since"),
+    )
+
+
 def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate filter — revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -1539,4 +1587,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_local_supplier_volume": q76_local_supplier_volume,
     "q77_product_type_profit": q77_product_type_profit,
     "q78_waiting_suppliers": q78_waiting_suppliers,
+    "q79_window_battery2": q79_window_battery2,
+    "q80_date_battery": q80_date_battery,
 }
