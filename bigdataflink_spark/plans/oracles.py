@@ -344,6 +344,20 @@ SELECT doc_id,
              '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
 FROM s
 """,
+    # q81: explicit left-to-right double folds mirror F.aggregate;
+    # DuckDB lists are 1-indexed (3rd-smallest = sorted[3]); the
+    # reverse-dot zips by index: e[i] * e[len+1-i].
+    "q81_array_battery2": """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       ROUND(CAST(list_sort(embedding)[3] AS DOUBLE), 6) AS third_smallest,
+       ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 6) AS reverse_dot
+FROM embeddings
+""",
     "q79_window_battery2": """
 SELECT o_custkey, o_orderkey,
        ROUND(percent_rank() OVER w, 9) AS pct_rank,

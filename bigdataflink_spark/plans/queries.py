@@ -1375,6 +1375,34 @@ def q80_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_array_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embeddings (completing q58's
+    element/size/minmax surface): filter (positive-count), transform +
+    aggregate (L2 norm as an explicit left-to-right double fold —
+    the cross-engine-reproducible summation), array_sort + element
+    access (3rd-smallest), and an index-zip dot of the vector with
+    its own reverse. All per-row JVM expressions; zero exchanges."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    sq_sum = F.aggregate(
+        e,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    rev_dot = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.get(F.array_sort(e), 2).cast("double"), 6).alias("third_smallest"),
+        F.round(rev_dot, 6).alias("reverse_dot"),
+    )
+
+
 def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate filter — revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -1589,4 +1617,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_waiting_suppliers": q78_waiting_suppliers,
     "q79_window_battery2": q79_window_battery2,
     "q80_date_battery": q80_date_battery,
+    "q81_array_battery2": q81_array_battery2,
 }

@@ -72,6 +72,7 @@ NOTES = {
     "q78_waiting_suppliers": "Q21 shape: both correlations (EXISTS other supplier / NOT EXISTS other late) plan as left-semi and left-anti joins keyed on orderkey over a slim (orderkey,suppkey) projection — no nested loop; top-20 via TakeOrderedAndProject.",
     "q79_window_battery2": "percent_rank/cume_dist/nth_value share ONE per-custkey window sort; the RANGE frame adds a second spec on the same partition key, so both ride a single o_custkey shuffle.",
     "q80_date_battery": "Seven date expressions, all in the scan projection: no exchange at all (pure per-row battery).",
+    "q81_array_battery2": "Four higher-order array expressions (filter/fold/sort/zip) all in the scan projection — zero exchanges; the L2 fold is an explicit left-to-right double accumulation, the cross-engine-stable summation order.",
     "q73_hash_split": "Split assignment is a scan-stage md5 expression (no shuffle, no RNG, no ordering dependence); the only exchange is the 3-group agg — reproducible splits at any scale by construction.",
     "q74_pii_redaction": "Pure regexp_replace/regexp_count chain in the scan stage: zero exchanges, nothing leaves the JVM; redaction audits ride the same pass as the scrub itself.",
     "q72_dedup_clusters": "Pair->cluster resolution: each min-label round is one keyed shuffle (edges joined to labels + min agg), lineage cut per round (localCheckpoint) so the plan stays constant-size; rounds = component diameter (2-4 for near-dup clusters). The audited plan is the final labels projection over the converged checkpoint.",
