@@ -242,6 +242,56 @@ def dedup_clusters(
     )
 
 
+def ngram_containment(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    benchmark set — the decontamination pass run before a training
+    corpus ships (high containment ⇒ the doc leaks eval data).
+
+    (id, n_grams, n_hit, containment); docs with < ngram tokens are
+    excluded (no n-grams to judge).
+
+    Scale shape: both sides explode to (shingle) rows and the
+    left-semi join keys on the shingle string — one shuffle each side,
+    candidate-set-free (never pairwise). Benchmark suites are usually
+    ≪ corpus so AQE broadcasts the distinct benchmark-shingle side;
+    no hint is forced because "benchmark" can legitimately be another
+    100 TB corpus split.
+    """
+    c_sets = shingle_sets(corpus, id_col, text_col, ngram).filter(F.size("sh") > 0)
+    bench = (
+        shingle_sets(benchmark, id_col, text_col, ngram)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        c_sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        .join(bench, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        c_sets.select(F.col(id_col), F.size("sh").cast("long").alias("n_grams"))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -56,3 +56,41 @@ def hash_split(
         expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the language/quality
+    rebalancing pass of a corpus mix (e.g. keep 100% of low-resource
+    languages, 10% of English).
+
+    A row survives iff its md5 bucket < rate(stratum)·RESOLUTION, so
+    membership is a pure function of (salt, id, stratum rate):
+    reproducible across runs/cluster sizes, monotone in the rate
+    (raising a stratum's rate only ADDS documents — snapshots stay
+    nested), and contamination-safe for the same reason as
+    ``hash_split``. Scan-stage filter expression: zero shuffles.
+    """
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    bucket = split_bucket(id_col, salt)
+    strat = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    rate_expr = None
+    for name, rate in rates.items():
+        bound = F.lit(int(round(rate * RESOLUTION)))
+        clause = strat == F.lit(name)
+        rate_expr = (
+            F.when(clause, bound) if rate_expr is None else rate_expr.when(clause, bound)
+        )
+    default_bound = F.lit(int(round(default_rate * RESOLUTION)))
+    rate_expr = default_bound if rate_expr is None else rate_expr.otherwise(default_bound)
+    return df.filter(bucket < rate_expr)

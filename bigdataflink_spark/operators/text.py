@@ -113,6 +113,54 @@ def fingerprint(c: str | Column) -> Column:
     return F.md5(normalized)
 
 
+def ngrams(t: Column, n: int) -> Column:
+    """Order-preserving (NON-distinct) word n-grams from a
+    MATERIALIZED token-array column — the repetition detectors need
+    multiplicity, unlike dedup.shingles_from_tokens which distincts.
+    Docs shorter than n tokens yield an empty array."""
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)]))
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def dup_token_ratio(t: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    Gopher-style repetition signal (1 - distinct/total)."""
+    return F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+
+
+def top_token_ratio(t: Column) -> Column:
+    """Most-frequent-token share of the document.
+
+    Per-row O(distinct·total) array scan — pure JVM expression, zero
+    shuffles, fine for document-length arrays (the corpus's docs are
+    ~100 tokens). For pathological multi-MB single documents, the
+    explode+groupBy twin is the fallback; never needed here because
+    the ratio only feeds a threshold filter."""
+    counts = F.transform(
+        F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x))
+    )
+    return F.array_max(counts).cast("double") / F.size(t).cast("double")
+
+
+def dup_ngram_ratio(t: Column, n: int) -> Column:
+    """Fraction of word n-grams that are duplicates — the classic
+    duplicate-line/paragraph proxy for corpora without line structure.
+    NULL for docs with < n tokens (no n-grams to judge)."""
+    g = ngrams(t, n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double"),
+    )
+
+
+def mean_token_len(t: Column) -> Column:
+    """Mean characters per token (double) — integer sum / count, so
+    both engines divide the same exact operands."""
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t).cast("double")
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + per-doc feature columns (the full text pass).
 

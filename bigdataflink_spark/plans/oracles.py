@@ -1000,6 +1000,152 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
+    # q82: same token array; DuckDB lists are 1-indexed so the n-gram
+    # comprehensions run i in [1, len-n+1]; divisions order-matched to
+    # the Spark expressions (double/double) for bit parity.
+    "q82_repetition_stats": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       ROUND(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 6)
+         AS dup_token_ratio,
+       ROUND(CAST(list_max(list_transform(list_distinct(tk),
+                    x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE)
+             / CAST(len(tk) AS DOUBLE), 6) AS top_token_ratio,
+       ROUND(1.0 - CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
+                                           FOR i IN range(1, len(tk))])) AS DOUBLE)
+             / CAST(len(tk) - 1 AS DOUBLE), 6) AS dup_bigram_ratio,
+       ROUND(1.0 - CAST(len(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           FOR i IN range(1, len(tk) - 1)])) AS DOUBLE)
+             / CAST(len(tk) - 2 AS DOUBLE), 6) AS dup_trigram_ratio
+FROM toks WHERE len(tk) >= 3
+""",
+    # q83: benchmark = doc_id < 25; distinct 5-grams per doc, semi
+    # join on the shingle string.
+    "q83_contamination_check": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                        || tk[i+3] || ' ' || tk[i+4]
+                        FOR i IN range(1, len(tk) - 3)]) AS sh
+  FROM toks WHERE len(tk) >= 5
+),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 25),
+corp AS (SELECT * FROM sh WHERE doc_id >= 25),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM (SELECT doc_id, unnest(sh) AS s FROM corp)
+  WHERE s IN (SELECT s FROM bench)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.sh) AS BIGINT) AS n_grams,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(len(c.sh) AS DOUBLE), 6)
+         AS containment
+FROM corp c LEFT JOIN hits h USING (doc_id)
+""",
+    # q84: the md5 bucket formula is shared with q73 (sampling salt
+    # differs); bounds = round(rate * 1e6).
+    "q84_stratified_sample": f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         {_md5_int("'sample-v1' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 250000
+                         WHEN 'de' THEN 1000000
+                         WHEN 'fr' THEN 750000
+                         ELSE 500000 END
+GROUP BY lang
+""",
+    # q85: one UNION ALL branch per profiled column; COUNT(DISTINCT)
+    # excludes NULLs in both engines; min/max only for numerics.
+    "q85_profile": """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 4) AS min_num,
+       ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 4) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4),
+       ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4),
+       ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*),
+       CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+""",
+    # q86: flags mirror the Spark rule chain; f4's NULL (docs with < 2
+    # tokens) coalesces to FALSE in both engines.
+    "q86_quality_funnel": f"""
+WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+flags AS (
+  SELECT (len(tk) >= 30 AND len(tk) <= 5000) AS f1,
+         (CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) BETWEEN 2.5 AND 12.0) AS f2,
+         (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it')))
+               AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.02) AS f3,
+         COALESCE(
+           CASE WHEN len(tk) >= 2 THEN
+             1.0 - CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
+                                           FOR i IN range(1, len(tk))])) AS DOUBLE)
+                   / CAST(len(tk) - 1 AS DOUBLE)
+           END <= 0.4, FALSE) AS f4
+  FROM toks
+),
+agg AS (
+  SELECT COUNT(*) AS n0,
+         SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+         SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS n4
+  FROM flags
+)
+SELECT '0_total' AS stage, CAST(n0 AS BIGINT) AS n_pass,
+       ROUND(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS retention FROM agg
+UNION ALL
+SELECT '1_length', CAST(n1 AS BIGINT),
+       ROUND(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM agg
+UNION ALL
+SELECT '2_word_len', CAST(n2 AS BIGINT),
+       ROUND(CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM agg
+UNION ALL
+SELECT '3_stopwords', CAST(n3 AS BIGINT),
+       ROUND(CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM agg
+UNION ALL
+SELECT '4_repetition', CAST(n4 AS BIGINT),
+       ROUND(CAST(n4 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM agg
+""",
     "q43_above_nation_avg": """
 WITH s AS (
   SELECT c_nationkey, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS ssum,

@@ -27,7 +27,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdataflink_spark.functions import cleanse as C
-from bigdataflink_spark.operators import dedup, joins, multimodal, similarity, text, windows
+from bigdataflink_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    profiling,
+    sampling,
+    similarity,
+    text,
+    windows,
+)
 from bigdataflink_spark.operators.hashing import md5_int
 from bigdataflink_spark.operators.multimodal import synthetic_media
 from bigdataflink_spark.sources.tables import load_table
@@ -1539,6 +1548,123 @@ def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, most-frequent-token share, duplicate bigram/trigram
+    fractions — the filters that catch boilerplate and degenerate
+    looped text before it poisons a training mix. All per-row JVM
+    array expressions over a ONCE-materialized token array (the same
+    codegen-CSE trap as with_text_features): zero exchanges, scales
+    embarrassingly."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("_tk")).filter(
+        F.size("_tk") >= 3
+    )
+    t = F.col("_tk")
+    return toked.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(text.dup_token_ratio(t), 6).alias("dup_token_ratio"),
+        F.round(text.top_token_ratio(t), 6).alias("top_token_ratio"),
+        F.round(text.dup_ngram_ratio(t, 2), 6).alias("dup_bigram_ratio"),
+        F.round(text.dup_ngram_ratio(t, 3), 6).alias("dup_trigram_ratio"),
+    )
+
+
+def q83_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination pass (operators/dedup.ngram_containment):
+    docs 0-24 stand in for an eval benchmark; every other document
+    reports how many of its distinct 5-grams appear anywhere in the
+    benchmark. Shuffle keys on the shingle string on both sides —
+    never pairwise, so 'benchmark' may itself be a full corpus split."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return dedup.ngram_containment(corpus, bench, ngram=5)
+
+
+def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling
+    (operators/sampling.stratified_hash_sample): keep 25% of English,
+    all of German, 75% of French, half of everything else — the
+    corpus-mix rebalancing pass. Membership is a pure md5 function of
+    (salt, doc_id), so the sample is reproducible and nested under
+    rate increases; the filter is a scan-stage expression (zero
+    shuffles) and only the per-language audit agg exchanges."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "de": 1.0, "fr": 0.75}, default_rate=0.5
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def q85_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column census over orders (operators/profiling.profile): row /
+    null / exact-distinct counts and numeric min-max for six columns
+    in ONE scan (single Expand + two-stage hash agg; the unpivot to
+    one-row-per-column touches k rows). The approximate=True HLL
+    variant is the 100 TB path; exact is used here because the oracle
+    hash-checks the counts."""
+    orders = _t(spark, sf_dir, "orders")
+    return profiling.profile(
+        orders,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate",
+        ],
+    )
+
+
+def q86_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel over documents — the pass/fail audit of a
+    Gopher-style rule chain (length → mean word length → stopword
+    floor → bigram-repetition cap), each stage counting survivors of
+    ALL rules so far. One scan, one single-row agg (conditional sums),
+    then a k-row unpivot; retention ratios divide exact longs."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(text.tokens("text").alias("_tk"))
+    t = F.col("_tk")
+    f1 = (F.size(t) >= 30) & (F.size(t) <= 5000)
+    f2 = text.mean_token_len(t).between(2.5, 12.0)
+    f3 = text.stopword_ratio(t) >= 0.02
+    f4 = F.coalesce(text.dup_ngram_ratio(t, 2) <= 0.4, F.lit(False))
+    flags = toked.select(
+        f1.alias("p1"),
+        (f1 & f2).alias("p2"),
+        (f1 & f2 & f3).alias("p3"),
+        (f1 & f2 & f3 & f4).alias("p4"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        *[F.sum(F.col(f"p{i}").cast("long")).alias(f"n{i}") for i in (1, 2, 3, 4)],
+    )
+    stages = [
+        ("0_total", "n0"),
+        ("1_length", "n1"),
+        ("2_word_len", "n2"),
+        ("3_stopwords", "n3"),
+        ("4_repetition", "n4"),
+    ]
+    rows = [
+        F.struct(
+            F.lit(name).alias("stage"),
+            F.col(col).cast("long").alias("n_pass"),
+            F.round(F.col(col).cast("double") / F.col("n0").cast("double"), 6).alias(
+                "retention"
+            ),
+        )
+        for name, col in stages
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -1618,4 +1744,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_window_battery2": q79_window_battery2,
     "q80_date_battery": q80_date_battery,
     "q81_array_battery2": q81_array_battery2,
+    "q82_repetition_stats": q82_repetition_stats,
+    "q83_contamination_check": q83_contamination_check,
+    "q84_stratified_sample": q84_stratified_sample,
+    "q85_profile": q85_profile,
+    "q86_quality_funnel": q86_quality_funnel,
 }

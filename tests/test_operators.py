@@ -273,3 +273,81 @@ def test_redact_pii_tags_and_counts(spark):
     row = df.select(T.redact_pii("t").alias("r"), *T.pii_counts("t")).collect()[0]
     assert row.r == "mail <EMAIL> and call <PHONE> or 020.7946.0958x"
     assert (row.n_emails, row.n_phones) == (1, 1)
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    """Raising a stratum's rate must only ADD rows (nested snapshots),
+    and membership must not depend on partitioning."""
+    from bigdataflink_spark.operators.sampling import stratified_hash_sample
+
+    docs = (
+        spark.range(0, 2000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de"))
+    )
+    lo = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.2}, default_rate=0.5)
+    hi = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.6}, default_rate=0.5)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    assert len(hi_ids) > len(lo_ids)
+    repart = {r.doc_id for r in
+              stratified_hash_sample(docs.repartition(13), "doc_id", "lang",
+                                     {"en": 0.2}, default_rate=0.5).collect()}
+    assert repart == lo_ids
+    with pytest.raises(ValueError, match="rate for"):
+        stratified_hash_sample(docs, "doc_id", "lang", {"en": 1.5})
+
+
+def test_ngram_containment_bounds(spark):
+    """Exact benchmark copy -> containment 1.0; disjoint doc -> 0 hits
+    (and still present in the output via the left join)."""
+    from bigdataflink_spark.operators.dedup import ngram_containment
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta"),
+            (11, "one two three four five six seven eight"),
+            (12, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_containment(corpus, bench, ngram=5).collect()}
+    assert set(rows) == {10, 11}  # doc 12 has < 5 tokens
+    assert rows[10].containment == 1.0 and rows[10].n_hit == rows[10].n_grams == 3
+    assert rows[11].containment == 0.0 and rows[11].n_hit == 0 and rows[11].n_grams == 4
+
+
+def test_repetition_ratios_known_values(spark):
+    from bigdataflink_spark.operators import text as T
+
+    df = spark.createDataFrame([("a a a b",)], "t string")
+    t = T.tokens("t")
+    row = df.select(
+        T.dup_token_ratio(t).alias("dup"),
+        T.top_token_ratio(t).alias("top"),
+        T.dup_ngram_ratio(t, 2).alias("bi"),
+        T.dup_ngram_ratio(t, 5).alias("none"),
+    ).collect()[0]
+    assert row.dup == 0.5  # 2 distinct / 4 tokens
+    assert row.top == 0.75  # 'a' x3 of 4
+    assert abs(row.bi - (1 - 2 / 3)) < 1e-12  # bigrams: aa,aa,ab
+    assert row.none is None  # < 5 tokens -> no 5-grams
+
+
+def test_profile_counts_nulls_and_approx(spark):
+    from bigdataflink_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "x")], "a long, s string"
+    )
+    rows = {r.col_name: r for r in profile(df, ["a", "s"]).collect()}
+    assert rows["a"].n_rows == 4 and rows["a"].n_null == 1 and rows["a"].n_distinct == 2
+    assert rows["a"].min_num == 1.0 and rows["a"].max_num == 2.0
+    assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_num is None and rows["s"].max_num is None
+    approx = {r.col_name: r for r in profile(df, ["a"], approximate=True).collect()}
+    assert approx["a"].n_distinct >= 1  # HLL estimate present

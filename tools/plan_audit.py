@@ -76,6 +76,11 @@ NOTES = {
     "q73_hash_split": "Split assignment is a scan-stage md5 expression (no shuffle, no RNG, no ordering dependence); the only exchange is the 3-group agg — reproducible splits at any scale by construction.",
     "q74_pii_redaction": "Pure regexp_replace/regexp_count chain in the scan stage: zero exchanges, nothing leaves the JVM; redaction audits ride the same pass as the scrub itself.",
     "q72_dedup_clusters": "Pair->cluster resolution: each min-label round is one keyed shuffle (edges joined to labels + min agg), lineage cut per round (localCheckpoint) so the plan stays constant-size; rounds = component diameter (2-4 for near-dup clusters). The audited plan is the final labels projection over the converged checkpoint.",
+    "q82_repetition_stats": "All four repetition ratios are per-row array expressions over a ONCE-materialized token array — zero exchanges; the per-row cost is O(distinct·total) on ~100-token docs, never a corpus-wide op.",
+    "q83_contamination_check": "Both sides explode to shingle rows; the left-semi join keys on the shingle string (one shuffle each side, AQE broadcasts the distinct benchmark set when small); per-doc hit counts reuse the doc_id shuffle — never pairwise.",
+    "q84_stratified_sample": "The sampling filter is a scan-stage md5 expression (zero shuffles); only the per-language audit agg exchanges — membership is partitioning-independent by construction.",
+    "q85_profile": "Six columns profiled in ONE scan: Catalyst's Expand-based multi-distinct rewrite feeds a single two-stage hash agg; the unpivot explodes one driver-sized row. The approximate=True HLL variant drops the Expand for 100 TB.",
+    "q86_quality_funnel": "All four rule flags evaluate in the scan projection; one single-row conditional-sum agg, then a 5-row unpivot — the funnel costs exactly one pass over the corpus.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
