@@ -1146,6 +1146,46 @@ UNION ALL
 SELECT '4_repetition', CAST(n4 AS BIGINT),
        ROUND(CAST(n4 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM agg
 """,
+    # q87: identical moment definitions both engines (sample vs
+    # population variants spelled explicitly); skew/kurtosis excluded
+    # (Spark population vs DuckDB sample corrections differ).
+    "q87_stats_battery": """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(stddev_pop(l_quantity), 6) AS sdp_qty,
+       ROUND(var_samp(l_quantity), 6) AS var_qty,
+       ROUND(var_pop(l_quantity), 6) AS varp_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qty_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    # q88: regexp_extract group-1 / match / split / translate /
+    # reverse / lpad / strpos / repeat / ascii — same semantics both
+    # engines on this ASCII data.
+    "q88_string_battery2": r"""
+WITH s AS (
+  SELECT CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS name_id,
+         CASE WHEN regexp_matches(c_name, '00\d*7$') THEN 1 ELSE 0 END AS ends_7ish,
+         string_split(c_name, '#')[1] AS stem,
+         translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+         reverse(c_mktsegment) AS seg_rev,
+         lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+         CAST(strpos(c_mktsegment, 'U') AS BIGINT) AS u_pos,
+         repeat(substr(c_mktsegment, 1, 1), 2) AS twice_initial,
+         CAST(ascii(c_mktsegment) AS INT) AS initial_code
+  FROM customer
+)
+SELECT stem, seg_lower_vowels, seg_rev, twice_initial, initial_code,
+       COUNT(*) AS n,
+       CAST(SUM(name_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(ends_7ish) AS BIGINT) AS n_7ish,
+       MAX(padded_key) AS max_padded,
+       CAST(SUM(u_pos) AS BIGINT) AS sum_u_pos
+FROM s
+GROUP BY stem, seg_lower_vowels, seg_rev, twice_initial, initial_code
+""",
     "q43_above_nation_avg": """
 WITH s AS (
   SELECT c_nationkey, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS ssum,

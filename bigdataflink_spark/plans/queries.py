@@ -1665,6 +1665,62 @@ def q86_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
 
 
+def q87_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregate battery per return flag: sample/
+    population stddev and variance of quantity, correlation and both
+    covariances of (quantity, extendedprice). All single-pass
+    distributed moment aggregates (map-side partials merge by the
+    numerically-stable pairwise update — no second scan, one
+    exchange). Skewness/kurtosis are deliberately absent: Spark uses
+    population formulas where DuckDB applies sample corrections, so
+    they cannot share an oracle. Rounding (6dp for O(1-100) moments,
+    4dp for the O(1e4) covariances) sits far above the ~1e-12
+    relative float divergence of parallel vs serial accumulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp(q), 6).alias("sd_qty"),
+        F.round(F.stddev_pop(q), 6).alias("sdp_qty"),
+        F.round(F.var_samp(q), 6).alias("var_qty"),
+        F.round(F.var_pop(q), 6).alias("varp_qty"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 4).alias("cov_qty_price"),
+        F.round(F.covar_pop(q, p), 4).alias("covp_qty_price"),
+    )
+
+
+def q88_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex battery round 2 (completing q50's substring/upper/
+    replace/LIKE surface): regexp_extract of the numeric id, regex
+    match flag, split + element access, translate, reverse, lpad,
+    position, repeat, ascii — all scan-stage per-row expressions;
+    the single exchange is the compact audit agg."""
+    c = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return (
+        c.select(
+            F.regexp_extract(name, r"Customer#(\d+)", 1).cast("long").alias("name_id"),
+            F.when(name.rlike(r"00\d*7$"), 1).otherwise(0).alias("ends_7ish"),
+            F.split(name, "#").getItem(0).alias("stem"),
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
+            F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+            F.instr("c_mktsegment", "U").cast("long").alias("u_pos"),
+            F.repeat(F.substring("c_mktsegment", 1, 1), 2).alias("twice_initial"),
+            F.ascii("c_mktsegment").cast("int").alias("initial_code"),
+        )
+        .groupBy("stem", "seg_lower_vowels", "seg_rev", "twice_initial", "initial_code")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("name_id").cast("long").alias("sum_ids"),
+            F.sum("ends_7ish").cast("long").alias("n_7ish"),
+            F.max("padded_key").alias("max_padded"),
+            F.sum("u_pos").cast("long").alias("sum_u_pos"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -1749,4 +1805,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_stratified_sample": q84_stratified_sample,
     "q85_profile": q85_profile,
     "q86_quality_funnel": q86_quality_funnel,
+    "q87_stats_battery": q87_stats_battery,
+    "q88_string_battery2": q88_string_battery2,
 }

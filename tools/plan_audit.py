@@ -81,6 +81,8 @@ NOTES = {
     "q84_stratified_sample": "The sampling filter is a scan-stage md5 expression (zero shuffles); only the per-language audit agg exchanges — membership is partitioning-independent by construction.",
     "q85_profile": "Six columns profiled in ONE scan: Catalyst's Expand-based multi-distinct rewrite feeds a single two-stage hash agg; the unpivot explodes one driver-sized row. The approximate=True HLL variant drops the Expand for 100 TB.",
     "q86_quality_funnel": "All four rule flags evaluate in the scan projection; one single-row conditional-sum agg, then a 5-row unpivot — the funnel costs exactly one pass over the corpus.",
+    "q87_stats_battery": "Eight moment aggregates share ONE partial+final hash-agg pass (numerically-stable pairwise merge of map-side partials); a single exchange on the 3-value flag key.",
+    "q88_string_battery2": "Nine string/regex expressions all evaluate in the scan projection; the only exchange is the compact group-key agg — nothing leaves codegen.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
