@@ -1197,4 +1197,100 @@ FROM customer c JOIN s USING (c_nationkey)
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > ssum
 GROUP BY c.c_nationkey
 """,
+    "q89_order_priority_check": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+GROUP BY o_orderpriority
+""",
+    "q90_min_cost_supplier": """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+eur AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, pk, sk, cost
+  FROM ps
+  JOIN supplier ON sk = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN part ON pk = p_partkey
+  WHERE r_name = 'EUROPE' AND p_size <= 5
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY cost, sk) AS rn
+  FROM eur
+)
+SELECT p_partkey, p_brand, s_name, s_acctbal,
+       CAST(cost AS DOUBLE) AS cost
+FROM r WHERE rn = 1
+""",
+    "q91_parts_supplier_counts": """
+WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem GROUP BY 1, 2)
+SELECT p_brand, p_size, COUNT(DISTINCT sk) AS supplier_cnt
+FROM ps JOIN part ON pk = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 3, 5, 7)
+  AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+    "q92_excess_stock_suppliers": """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT pk, SUM(sq) AS tot FROM ps GROUP BY pk)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT sk FROM ps JOIN tot USING (pk) WHERE sq * 2 > tot.tot)
+""",
+    "q93_important_stock": """
+WITH val AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey
+),
+t AS (SELECT SUM(v) AS t FROM val)
+SELECT l_partkey, ROUND(CAST(v AS DOUBLE), 2) AS value
+FROM val, t WHERE v * 1000 > t.t
+""",
+    "q94_sequence_packing": f"""
+WITH d AS (
+  SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS tk FROM documents
+),
+c AS (
+  SELECT lang, tk,
+         SUM(tk) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT lang, CAST(FLOOR((cum - tk) / 2048) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS bin_tokens
+FROM c GROUP BY lang, bin_id
+""",
+    "q95_domain_mixture": f"""
+WITH g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source, lang
+),
+t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot, COUNT(*) AS n_groups FROM g)
+SELECT source, lang, n_docs, tokens,
+       ROUND(CAST(tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS token_share,
+       ROUND(CAST(tot AS DOUBLE) / (CAST(n_groups AS DOUBLE) * CAST(tokens AS DOUBLE)), 6)
+         AS resample_weight
+FROM g, t
+""",
 }

@@ -1721,6 +1721,217 @@ def q88_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_partsupp(li: DataFrame) -> DataFrame:
+    """The testdata has no partsupp table; derive the part↔supplier
+    relation from lineitem: one row per (partkey, suppkey) with the
+    cheapest observed sale price as the supply cost. One groupBy on
+    the composite key — at 100 TB this is a single keyed shuffle of
+    the fact, and every downstream Q2/Q11/Q16/Q20 shape reuses it."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("ps_cost"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("ps_qty"),
+    )
+
+
+def q89_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority for one year, kept
+    only when EXISTS a lineitem shipped >45 days after the order date
+    (the schema has no commit/receipt dates, so "late" is ship-lag).
+    The EXISTS is a LEFT SEMI join — Spark never materializes the
+    matching lineitems, and the extra non-equi ship-lag predicate
+    rides on the equi-key join, so it stays a hash semi-join keyed on
+    orderkey (no BNLJ)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q90_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the cheapest EUROPE
+    supplier (correlated-min subquery decorrelated into a ranking
+    window over the derived partsupp). nation/region are bounded →
+    broadcast; part and supplier scale with SF → unhinted, AQE
+    decides. The window partitions on ps_partkey, the SAME key the
+    partsupp aggregation just shuffled on, so the rank adds no new
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    ps = _derived_partsupp(li)
+    eur = (
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .join(part.filter(F.col("p_size") <= 5), ps.ps_partkey == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("ps_partkey").orderBy(F.col("ps_cost").asc(), F.col("ps_suppkey").asc())
+    return (
+        eur.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("s_acctbal"),
+            F.col("ps_cost").cast("double").alias("cost"),
+        )
+    )
+
+
+def q91_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size)
+    over the derived partsupp, excluding one brand and any supplier
+    with a negative balance (the NOT IN subquery becomes a LEFT ANTI
+    join — null-safe by construction since s_suppkey is a key). The
+    anti-join side is an SF-scaling table, so no broadcast hint; the
+    COUNT(DISTINCT) expands on (brand,size,suppkey) — bounded group
+    cardinality, no skew risk."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    ps = _derived_partsupp(li)
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            part.filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 3, 5, 7)),
+            ps.ps_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q92_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_3 suppliers who, for some part, shipped
+    more than half of that part's 1997 volume (availqty>½·demand
+    re-expressed over the derived relation). Two aggregations share
+    the l_partkey shuffle key; the supplier keep-set is a LEFT SEMI
+    join, so supplier rows are never duplicated by multiple qualifying
+    parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    y97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per_ps = y97.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+    per_part = per_ps.groupBy("pk").agg(F.sum("sq").alias("tot"))
+    excess = per_ps.join(per_part, "pk").filter(F.col("sq") * 2 > F.col("tot"))
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_3")
+        .join(excess, supplier.s_suppkey == excess.sk, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q93_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_5-supplied value exceeds
+    0.1% of that nation's total (the HAVING > scalar-subquery becomes
+    a crossJoin with a one-row aggregate — a scalar broadcast, same
+    justification as the other BNLJ scalars in PLANS.md). The
+    comparison multiplies through by 1000 so both engines compare
+    exact decimals, never a double threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat5 = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_5")
+    )
+    val = nat5.groupBy(F.col("l_partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_v")
+    )
+    tot = val.agg(F.sum("_v").alias("_t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("_v") * 1000 > F.col("_t"))
+        .select(
+            "l_partkey",
+            F.round(F.col("_v").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing audit: stream documents per language
+    in doc_id order into contiguous 2048-token bins (a doc's bin is
+    the bin of its starting offset — the deterministic streaming
+    packer a tokenizer sharder uses). One window cumsum per lang
+    partition, one agg; both keyed on lang so the sort serves both.
+    At 100 TB the lang partitions are few and large — a production
+    packer would sub-shard by (lang, doc_id range); the bin ids are
+    offset-derived so sub-sharding changes nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr("size(filter(split(text, ' '), t -> t != ''))").cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        "lang",
+        toks.alias("_tk"),
+        F.floor((F.sum(toks).over(w) - toks) / F.lit(2048)).alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tk").cast("long").alias("bin_tokens"),
+    )
+
+
+def q95_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per (source, lang) token shares and
+    the resampling weight that would flatten the mixture to uniform
+    (weight = uniform_share / actual_share). The group count and the
+    token total come from ONE one-row aggregate crossJoined back (a
+    scalar broadcast); token counts are exact integers so the shares
+    only go to double at the final rounded division."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr("size(filter(split(text, ' '), t -> t != ''))").cast("long")
+    grp = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("long").alias("tokens"),
+    )
+    tot = grp.agg(
+        F.sum("tokens").cast("long").alias("_tot"),
+        F.count("*").alias("_groups"),
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens").cast("double") / F.col("_tot").cast("double"), 6).alias("token_share"),
+        F.round(
+            F.col("_tot").cast("double")
+            / (F.col("_groups").cast("double") * F.col("tokens").cast("double")),
+            6,
+        ).alias("resample_weight"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -1807,4 +2018,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_quality_funnel": q86_quality_funnel,
     "q87_stats_battery": q87_stats_battery,
     "q88_string_battery2": q88_string_battery2,
+    "q89_order_priority_check": q89_order_priority_check,
+    "q90_min_cost_supplier": q90_min_cost_supplier,
+    "q91_parts_supplier_counts": q91_parts_supplier_counts,
+    "q92_excess_stock_suppliers": q92_excess_stock_suppliers,
+    "q93_important_stock": q93_important_stock,
+    "q94_sequence_packing": q94_sequence_packing,
+    "q95_domain_mixture": q95_domain_mixture,
 }
