@@ -56,6 +56,11 @@ HEADLINE = [
     "q56_nation_volume",
     "q57_window_battery",
     "q62_large_orders",
+    # round-2 additions: the two heaviest TPC-H shapes (Q9 five-way,
+    # Q21 double-correlation) and the derived-partsupp Q2 shape
+    "q77_product_type_profit",
+    "q78_waiting_suppliers",
+    "q90_min_cost_supplier",
 ]
 
 

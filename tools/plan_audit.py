@@ -83,6 +83,13 @@ NOTES = {
     "q86_quality_funnel": "All four rule flags evaluate in the scan projection; one single-row conditional-sum agg, then a 5-row unpivot — the funnel costs exactly one pass over the corpus.",
     "q87_stats_battery": "Eight moment aggregates share ONE partial+final hash-agg pass (numerically-stable pairwise merge of map-side partials); a single exchange on the 3-value flag key.",
     "q88_string_battery2": "Nine string/regex expressions all evaluate in the scan projection; the only exchange is the compact group-key agg — nothing leaves codegen.",
+    "q89_order_priority_check": "Q4 shape: the EXISTS plans as a hash LEFT SEMI keyed on orderkey with the ship-lag residual riding on it — lineitem is probed, never materialized; the date range pushes to the orders scan.",
+    "q90_min_cost_supplier": "Q2 shape: derived partsupp aggregates once on (partkey,suppkey); the min-cost window re-partitions on ps_partkey only (same data, narrower key); nation/region broadcast, part/supplier AQE-sized — at 100× the partsupp agg is the only fact-sized shuffle.",
+    "q91_parts_supplier_counts": "Q16 shape: NOT IN is a LEFT ANTI against the negative-balance keys (null-free by construction); COUNT DISTINCT expands on (brand,size,suppkey) — bounded groups, two-stage agg, no skew.",
+    "q92_excess_stock_suppliers": "Q20 shape: per-(part,supp) and per-part sums share the l_partkey shuffle; the supplier keep-set is LEFT SEMI so multi-part qualifiers emit once; the 1997 range pushes to the fact scan.",
+    "q93_important_stock": "Q11 shape: the HAVING>scalar subquery is a one-row crossJoin broadcast; the threshold comparison multiplies through so both engines compare exact decimals; one partkey shuffle after the nation semi-filter.",
+    "q94_sequence_packing": "One window cumsum per lang partition and an agg on the SAME keys — a single sort-shuffle serves both; bin ids derive from token offsets, so range-sub-sharding at 100 TB changes no answer.",
+    "q95_domain_mixture": "Group sizes and the token total come from one agg + one-row crossJoin broadcast; token counting is a scan-stage array expression — the mixture table costs one corpus pass.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -92,6 +99,8 @@ EXPECTED_BNLJ = {
     "q26_ivf_topk": "the BNLJ is only the query→centroid routing table (|queries| × |cells|, both tiny); the corpus-sized scoring join is the cell-keyed BroadcastHashJoin.",
     "q61_sales_opportunity": "the BNLJ is the 1-row scalar-stats broadcast (the Q22 scalar subquery); every probe row pairs with exactly one build row.",
     "q46_tfidf_topk": "the BNLJ is the 1-row corpus-size broadcast (n_docs scalar) joined onto every (source, term) — a scalar fan-out, not a quadratic pairing.",
+    "q93_important_stock": "the BNLJ is the 1-row total-value broadcast (the Q11 HAVING scalar); every per-part row pairs with exactly one build row.",
+    "q95_domain_mixture": "the BNLJ is the 1-row totals broadcast (token total + group count) fanned onto the ~|sources×langs| mixture rows.",
 }
 
 
