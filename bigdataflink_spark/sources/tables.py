@@ -30,15 +30,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long and truncate to micros — exactly
-        # what DuckDB's nanos->TIMESTAMP (micros) conversion does.
+        # events.ts arrives in whatever physical type the generator
+        # used that round: TIMESTAMP(NANOS) (Spark rejects -> read
+        # nanos as long, truncate to micros, exactly DuckDB's
+        # conversion) or TIMESTAMP(MICROS) without isAdjustedToUTC
+        # (Spark reads TIMESTAMP_NTZ, which unix_micros/window math
+        # rejects). Normalize both to TIMESTAMP by pinning the wall
+        # clock to UTC — to_utc_timestamp(ntz, 'UTC') is session-tz
+        # independent and matches DuckDB's naive epoch_us exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        dtype = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if dtype == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         return df
     return spark.read.parquet(path)
 
