@@ -358,3 +358,52 @@ def cosine_topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: for each query vector, the
+    modal label among its k nearest corpus neighbors by cosine.
+
+    Output: (query_id, label, pred_label, votes) — ``label`` is the
+    query's own label (so the result doubles as a leave-one-out
+    accuracy audit), ``votes`` the winner's neighbor count. Ties break
+    deterministically: most votes, then best (max) top cosine within
+    the label, then smallest label.
+
+    Shape: the top-k join is ``cosine_topk_bruteforce`` (query side
+    broadcast, corpus never shuffles); the vote adds one narrow
+    groupBy on (query, label) over k rows per query plus a window —
+    negligible next to the scoring pass. For web-scale corpora swap
+    the scorer for ``ivf_topk`` (same output contract), the vote
+    logic is scorer-agnostic.
+    """
+    topk = cosine_topk_bruteforce(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nlabel")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "_nlabel")
+        .agg(F.count("*").alias("votes"), F.max("cos").alias("_best"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.desc("_best"), F.asc("_nlabel")
+    )
+    winner = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_nlabel").alias("pred_label"), "votes")
+    )
+    own = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return winner.join(F.broadcast(own), "query_id").select(
+        "query_id", "label", "pred_label", "votes"
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # Tiny deterministic stopword list shared with the oracle SQL.
@@ -151,6 +152,111 @@ def dup_ngram_ratio(t: Column, n: int) -> Column:
     return F.when(
         F.size(g) > 0,
         F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double"),
+    )
+
+
+def passages(t: Column, width: int = 3) -> Column:
+    """Non-overlapping ``width``-token passages of a MATERIALIZED
+    token-array column (last passage may be shorter). The unit of
+    exact passage-level dedup — the cross-document "repeated span"
+    detector training pipelines run after whole-doc dedup.
+
+    Empty docs yield an empty array; ``sequence`` would otherwise
+    count DOWN from 0 to -1 and emit a phantom passage."""
+    n = F.ceil(F.size(t) / F.lit(float(width))).cast("int")
+    idx = F.sequence(F.lit(0), n - 1)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(t, i * width + 1, width), " ")
+    )
+    return F.when(F.size(t) > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def passage_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+) -> DataFrame:
+    """Per-doc passage duplication: (id, n_passages, n_shared,
+    dup_ratio) where n_shared counts this doc's distinct passages that
+    also appear in >= 1 OTHER doc.
+
+    Shape: one explode to distinct (doc, passage) rows, one groupBy
+    on passage for document frequency, one join back, one groupBy on
+    doc — two keyed shuffles total, no pairwise comparison, so cost is
+    O(total passages) at any corpus size. At 100 TB, shuffle the
+    64-bit xxhash64(passage) instead of the passage text to cut
+    shuffle bytes ~5x (the string key is kept here for bit-exact
+    oracle parity)."""
+    doc_pass = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(passages(tokens(text_col), width))).alias(
+            "passage"
+        ),
+    )
+    df_counts = doc_pass.groupBy("passage").agg(
+        F.count("*").alias("_nd")  # rows are distinct per doc already
+    )
+    return (
+        doc_pass.join(df_counts, "passage")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("_nd") >= 2).cast("long")).alias("n_shared"),
+            F.round(
+                F.sum((F.col("_nd") >= 2).cast("long"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    by_col: str = "lang",
+    text_col: str = "text",
+    coverage: float = 0.9,
+) -> DataFrame:
+    """Tokenizer-vocabulary sizing per group: (group, n_terms,
+    total_tokens, n_terms_cov) where n_terms_cov is the smallest
+    prefix of terms (by descending frequency, term as tie-break) whose
+    cumulative frequency reaches ``coverage`` of the group's tokens.
+
+    Shape: explode -> groupBy (group, term) with map-side partial
+    aggregation -> one window cumsum per group -> final agg. The
+    window sort is per-group over the VOCABULARY (distinct terms),
+    which stays millions-not-billions even at 100 TB corpus size, so
+    the per-group sort is the cheap part; the explode+agg dominates
+    and scales linearly."""
+    term_freq = (
+        docs.select(F.col(by_col).alias("grp"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("grp")
+    ranked = term_freq.select(
+        "grp",
+        "freq",
+        F.sum("freq").over(w).alias("_cum"),
+        F.sum("freq").over(tot).alias("_tot"),
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.max("_tot").cast("long").alias("total_tokens"),
+            (
+                F.sum((F.col("_cum") < F.col("_tot") * F.lit(coverage)).cast("long"))
+                + F.lit(1)
+            ).alias("n_terms_cov"),
+        )
+        .select(F.col("grp").alias(by_col), "n_terms", "total_tokens", "n_terms_cov")
     )
 
 

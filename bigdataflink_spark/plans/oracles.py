@@ -1293,4 +1293,65 @@ SELECT source, lang, n_docs, tokens,
          AS resample_weight
 FROM g, t
 """,
+    # q96: non-overlapping 3-token passages (last may be shorter);
+    # DuckDB lists are 1-indexed and slices are inclusive.
+    "q96_passage_dedup": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(tk[i*3+1 : i*3+3], ' ')
+                               for i in range(CAST(ceil(len(tk) / 3.0) AS INT))])) AS passage
+  FROM d WHERE len(tk) > 0
+),
+pc AS (SELECT passage, COUNT(*) AS nd FROM ch GROUP BY passage)
+SELECT ch.doc_id,
+       COUNT(*) AS n_passages,
+       SUM(CASE WHEN pc.nd >= 2 THEN 1 ELSE 0 END) AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN pc.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM ch JOIN pc USING (passage)
+GROUP BY ch.doc_id
+""",
+    "q97_vocab_coverage": f"""
+WITH tf AS (
+  SELECT lang, unnest({_TOKS}) AS term FROM documents
+),
+freq AS (SELECT lang, term, COUNT(*) AS f FROM tf GROUP BY lang, term),
+ranked AS (
+  SELECT lang, f,
+         SUM(f) OVER (PARTITION BY lang ORDER BY f DESC, term
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(f) OVER (PARTITION BY lang) AS tot
+  FROM freq
+)
+SELECT lang, COUNT(*) AS n_terms, CAST(MAX(tot) AS BIGINT) AS total_tokens,
+       SUM(CASE WHEN cum < tot * 0.9 THEN 1 ELSE 0 END) + 1 AS n_terms_cov
+FROM ranked GROUP BY lang
+""",
+    "q98_knn_label_vote": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS own
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl FROM embeddings),
+scored AS (
+  SELECT query_id, own, neighbor_id, nl,
+         ROUND({_cos('qv', 'cv')}, 6) AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, own, nl, COUNT(*) AS votes, MAX(cos) AS best
+  FROM topk GROUP BY query_id, own, nl
+)
+SELECT query_id, CAST(own AS BIGINT) AS label,
+       CAST(nl AS BIGINT) AS pred_label, votes
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, best DESC, nl) AS vr
+      FROM votes)
+WHERE vr = 1
+""",
 }

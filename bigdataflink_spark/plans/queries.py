@@ -1932,6 +1932,37 @@ def q95_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup audit: per doc, how many of its
+    distinct 3-token passages also appear in another document — the
+    repeated-span detector run after whole-doc dedup (text.py
+    passage_dedup_stats; linear in total passages, no pair join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.passage_dedup_stats(docs, width=3)
+
+
+def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab sizing per language: distinct terms, total
+    tokens, and the smallest frequency-ranked vocabulary covering 90%
+    of the language's token mass (text.py vocab_coverage)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, by_col="lang", coverage=0.9)
+
+
+def q98_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote label audit for queries
+    vec_id < 10 (similarity.py knn_label_vote over the exact scorer)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.knn_label_vote(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        "votes",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2025,4 +2056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_important_stock": q93_important_stock,
     "q94_sequence_packing": q94_sequence_packing,
     "q95_domain_mixture": q95_domain_mixture,
+    "q96_passage_dedup": q96_passage_dedup,
+    "q97_vocab_coverage": q97_vocab_coverage,
+    "q98_knn_label_vote": q98_knn_label_vote,
 }

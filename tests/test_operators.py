@@ -351,3 +351,67 @@ def test_profile_counts_nulls_and_approx(spark):
     assert rows["s"].min_num is None and rows["s"].max_num is None
     approx = {r.col_name: r for r in profile(df, ["a"], approximate=True).collect()}
     assert approx["a"].n_distinct >= 1  # HLL estimate present
+
+
+def test_passages_chunking_and_edges(spark):
+    from bigdataflink_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.p
+        for r in df.select("doc_id", T.passages(T.tokens("text"), 3).alias("p")).collect()
+    }
+    assert rows[1] == ["a b c", "d e"]  # last passage shorter
+    assert rows[2] == ["x y z"]
+    assert rows[3] == []  # empty doc -> no phantom passage
+
+
+def test_passage_dedup_stats_shared_spans(spark):
+    from bigdataflink_spark.operators.text import passage_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),   # shares 'a b c' with doc 2
+            (2, "a b c q r s"),
+            (3, "u v w"),          # unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in passage_dedup_stats(docs, width=3).collect()}
+    assert rows[1].n_passages == 2 and rows[1].n_shared == 1
+    assert rows[1].dup_ratio == 0.5
+    assert rows[2].n_shared == 1
+    assert rows[3].n_shared == 0 and rows[3].dup_ratio == 0.0
+
+
+def test_vocab_coverage_cumulative_cut(spark):
+    from bigdataflink_spark.operators.text import vocab_coverage
+
+    # 10 tokens: 'a' x7, 'b' x2, 'c' x1 -> 90% needs a+b (cum 9 = 9.0 exactly,
+    # the strict < keeps rank 2 as the cover point)
+    docs = spark.createDataFrame(
+        [(1, "en", "a a a a a a a b b c")], "doc_id long, lang string, text string"
+    )
+    row = vocab_coverage(docs, coverage=0.9).collect()[0]
+    assert row.n_terms == 3 and row.total_tokens == 10 and row.n_terms_cov == 2
+
+
+def test_knn_label_vote_majority_and_ties(spark):
+    from bigdataflink_spark.operators.similarity import knn_label_vote
+
+    # axis-aligned vectors: query is [1,0]; neighbors at decreasing cosine
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 9),
+            (1, [0.9, 0.1], 5),
+            (2, [0.9, 0.2], 5),
+            (3, [0.8, 0.3], 7),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = corpus.filter("vec_id = 0")
+    row = knn_label_vote(corpus, queries, k=3).collect()[0]
+    assert row.query_id == 0 and row.label == 9
+    assert row.pred_label == 5 and row.votes == 2
