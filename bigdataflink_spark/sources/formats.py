@@ -1,0 +1,124 @@
+"""Generic batch format connectors: parquet / ORC / JSON-lines / CSV,
+read and write, plus partitioned-layout writes.
+
+The reference ingests only CSV-over-Kafka (producer/csv_to_kafka.py:17-33)
+and terminates in Postgres; a Spark-native engine's equivalent surface
+is the DataSource V1/V2 format matrix. These helpers pin the
+engine-wide conventions so every entry point round-trips losslessly:
+
+* **Schema is explicit on read** for the text formats (JSON/CSV infer
+  types lossily — int-looking strings, timestamp ambiguity). Callers
+  pass the expected ``StructType`` (usually from the parquet twin);
+  ``schema=None`` falls back to inference for exploratory reads.
+* **Timestamps go through UTC** (``timestampFormat`` with explicit
+  zone on CSV/JSON) so text round-trips are wall-clock stable under
+  any session timezone.
+* **Binary and array columns** survive parquet/ORC natively; JSON
+  encodes binary as base64 (Spark's contract) and CSV refuses nested
+  types — ``csv_safe_projection`` strips them explicitly instead of
+  letting the writer throw mid-job.
+* **Partitioned writes** use ``partitionBy`` + dynamic partition
+  overwrite, the idempotent-backfill layout: re-running a slice
+  replaces only the partitions present in the batch, never truncating
+  siblings — the 100 TB equivalent of the reference's per-row upsert
+  terminal store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+_TEXT_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` in ``fmt`` (parquet|orc|json|csv).
+
+    CSV defaults to header=true; JSON is JSON-lines. Explicit schema
+    skips the inference pass (one full extra scan on text formats —
+    never acceptable at 100 TB) and pins types.
+    """
+    reader = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        reader = reader.options(**_TEXT_OPTS)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+    if options:
+        reader = reader.options(**options)
+    return reader.load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **options: str) -> None:
+    """Write ``df`` to ``path`` in ``fmt`` with engine conventions."""
+    writer = df.write.format(fmt).mode(mode)
+    if fmt in ("json", "csv"):
+        writer = writer.options(**_TEXT_OPTS)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if options:
+        writer = writer.options(**options)
+    writer.save(path)
+
+
+def csv_safe_projection(df: DataFrame) -> DataFrame:
+    """Project away columns CSV cannot carry (arrays/maps/structs),
+    keeping scalars — explicit and loggable, instead of the writer's
+    mid-job AnalysisException."""
+    keep = [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    return df.select(*keep)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    dynamic: bool = True,
+) -> None:
+    """Partitioned-layout write with dynamic partition overwrite.
+
+    ``dynamic=True`` flips ``spark.sql.sources.partitionOverwriteMode``
+    for THIS write only (restored after): overwrite replaces exactly
+    the partitions present in ``df`` — the idempotent backfill
+    primitive. ``dynamic=False`` is the classic truncate-and-load.
+
+    Partition columns become directory keys (``col=value/``), so scans
+    filtered on them prune at the FILE LISTING level — zero IO for
+    excluded partitions, the cheapest predicate pushdown there is.
+    Choose low-cardinality keys (date, lang, source); a high-card key
+    explodes small files (the 100 TB killer is listing 10M dirs, not
+    reading them).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic" if dynamic else "static")
+        df.write.partitionBy(*partition_cols).format(fmt).mode("overwrite").save(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a partitioned layout back; partition dirs surface as
+    columns and equality filters on them prune at listing time."""
+    return spark.read.format(fmt).load(path)

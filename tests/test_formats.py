@@ -1,0 +1,92 @@
+"""Format-matrix round-trips: every supported batch format preserves
+the engine's tables bit-for-bit (or documents exactly what it cannot
+carry), and partitioned writes overwrite only the touched partitions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdataflink_spark.sources.formats import (
+    csv_safe_projection,
+    read_any,
+    read_partitioned,
+    write_any,
+    write_partitioned,
+)
+from bigdataflink_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip_orders(spark, tmp_path, fmt):
+    src = load_table(spark, "orders", SF)
+    path = f"{tmp_path}/orders_{fmt}"
+    write_any(src, path, fmt)
+    back = read_any(spark, path, fmt, schema=src.schema)
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json"])
+def test_roundtrip_embeddings_arrays(spark, tmp_path, fmt):
+    src = load_table(spark, "embeddings", SF)
+    path = f"{tmp_path}/emb_{fmt}"
+    write_any(src, path, fmt)
+    back = read_any(spark, path, fmt, schema=src.schema)
+    assert _rows(back.select("vec_id", "label")) == _rows(src.select("vec_id", "label"))
+    # array column survives with float precision intact
+    a = dict(back.select("vec_id", "embedding").collect())
+    b = dict(src.select("vec_id", "embedding").collect())
+    assert a == b
+
+
+def test_csv_safe_projection_drops_nested(spark):
+    src = load_table(spark, "embeddings", SF)
+    assert [f.name for f in csv_safe_projection(src).schema.fields] == [
+        "vec_id",
+        "label",
+    ]
+
+
+def test_partitioned_write_prunes_and_dynamic_overwrite(spark, tmp_path):
+    docs = load_table(spark, "documents", SF)
+    path = f"{tmp_path}/docs_by_lang"
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(spark, path)
+    assert back.count() == docs.count()
+
+    # listing-level pruning: the scan for one lang touches only its dir
+    one = back.filter(F.col("lang") == "en")
+    plan = one.queryExecution.executedPlan.toString() if hasattr(one, "queryExecution") else \
+        one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+    # dynamic overwrite: rewriting ONE lang's slice leaves others alone
+    en_count = one.count()
+    other_count = back.filter(F.col("lang") != "en").count()
+    en_doubled = docs.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    write_partitioned(en_doubled, path, ["lang"])
+    back2 = read_partitioned(spark, path)
+    assert back2.filter(F.col("lang") == "en").count() == en_count
+    assert back2.filter(F.col("lang") != "en").count() == other_count
+    assert (
+        back2.filter((F.col("lang") == "en") & (F.col("n_chars") <= 0)).count() == 0
+    )
+
+
+def test_static_overwrite_truncates(spark, tmp_path):
+    docs = load_table(spark, "documents", SF)
+    path = f"{tmp_path}/docs_static"
+    write_partitioned(docs, path, ["lang"])
+    en_only = docs.filter(F.col("lang") == "en")
+    write_partitioned(en_only, path, ["lang"], dynamic=False)
+    back = read_partitioned(spark, path)
+    assert back.select("lang").distinct().count() == 1
