@@ -324,3 +324,55 @@ def simhash(
         )
         sig = term if sig is None else sig + term
     return agged.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def greedy_leader_filter(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrival-order greedy near-dup resolution: a doc is KEPT iff no
+    verified near-dup pair connects it to a smaller-id doc that is
+    itself kept. This is the semantics of an online dedup pass (first
+    arrival wins; a dropped doc never blocks anyone), and the batch
+    twin of streaming/neardup.py — on a chain a~b~c the greedy answer
+    keeps {a, c}, where cluster-based dedup (dedup_clusters) would
+    keep only {a}.
+
+    Fixpoint iteration: kept(d) := NOT EXISTS pair (a,d), a<d, kept(a);
+    recomputed from the previous round's estimate until stable —
+    converges in O(longest blocked-chain) rounds (near-dup graphs are
+    shallow; 2-3 in practice). Only docs that appear in a pair enter
+    the loop; everything else is kept by construction, so the iterated
+    frontier is the (small) candidate set, not the corpus.
+
+    Returns docs + boolean ``keep`` column.
+    """
+    fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    cand_ids = (
+        fwd.select(F.col("a").alias("id"))
+        .unionByName(fwd.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # start optimistic: everyone kept; blocked rows flip per round
+    kept = cand_ids.select("id", F.lit(True).alias("keep")).localCheckpoint(eager=True)
+    for _ in range(25):
+        blockers = kept.filter(F.col("keep")).select(F.col("id").alias("a"))
+        blocked = fwd.join(blockers, "a").select(F.col("b").alias("id")).distinct()
+        new_kept = (
+            cand_ids.join(blocked.withColumn("_blk", F.lit(True)), "id", "left")
+            .select("id", F.coalesce(~F.col("_blk"), F.lit(True)).alias("keep"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_kept.alias("n")
+            .join(kept.alias("o"), "id")
+            .filter(F.col("n.keep") != F.col("o.keep"))
+            .count()
+        )
+        kept = new_kept
+        if changed == 0:
+            break
+    return (
+        docs.join(kept.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("keep", F.coalesce("keep", F.lit(True)))
+    )

@@ -1354,4 +1354,55 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM votes)
 WHERE vr = 1
 """,
+    # q99: SCD2 — change rows via NULL-safe lag compare, intervals via
+    # lead; epoch micros so timezone can't leak.
+    "q99_scd2_history": """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changed AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER v) AS valid_to_us,
+       row_number() OVER v AS version
+FROM changed
+WINDOW v AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    # q100: greedy arrival-order near-dup resolution — the sequential
+    # "first doc wins, dropped docs never block" fold replayed exactly
+    # via a recursive CTE over the (small) candidate set.
+    "q100_neardup_corpus": f"""
+WITH RECURSIVE
+pairs AS ({_minhash_sql(16, 4, 0.8)}),
+cand AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)
+),
+ord AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM cand),
+fold AS (
+  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS kept
+  UNION ALL
+  SELECT o.rn,
+         CASE WHEN EXISTS (SELECT 1 FROM pairs p
+                           WHERE p.id_b = o.id AND list_contains(f.kept, p.id_a))
+              THEN f.kept
+              ELSE list_append(f.kept, o.id) END
+  FROM fold f JOIN ord o ON o.rn = f.rn + 1
+),
+final_kept AS (SELECT kept FROM fold ORDER BY rn DESC LIMIT 1),
+dropped AS (
+  SELECT c.id FROM cand c, final_kept fk WHERE NOT list_contains(fk.kept, c.id)
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN d.doc_id IN (SELECT id FROM dropped) THEN 0 ELSE 1 END)
+         AS n_kept
+FROM documents d GROUP BY d.lang
+""",
 }

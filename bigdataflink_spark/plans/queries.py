@@ -33,6 +33,7 @@ from bigdataflink_spark.operators import (
     multimodal,
     profiling,
     sampling,
+    scd,
     similarity,
     text,
     windows,
@@ -1963,6 +1964,33 @@ def q98_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history: collapse each user's event_type
+    timeline into versioned validity intervals (operators/scd.py) —
+    the history-keeping extension of the reference's last-write-wins
+    dimension upsert (flink/stream_to_star.py:116-121)."""
+    ev = _t(spark, sf_dir, "events")
+    return scd.scd2_history(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+def q100_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP (not just pair listing): MinHash LSH
+    pairs resolved by the arrival-order greedy filter (first doc_id
+    wins, dropped docs never block), summarized per language. The
+    batch twin of streaming/neardup.py; the oracle replays the greedy
+    fold as a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    kept = dedup.greedy_leader_filter(docs.select("doc_id", "text", "lang"), pairs)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2059,4 +2087,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_passage_dedup": q96_passage_dedup,
     "q97_vocab_coverage": q97_vocab_coverage,
     "q98_knn_label_vote": q98_knn_label_vote,
+    "q99_scd2_history": q99_scd2_history,
+    "q100_neardup_corpus": q100_neardup_corpus,
 }

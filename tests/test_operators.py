@@ -415,3 +415,38 @@ def test_knn_label_vote_majority_and_ties(spark):
     row = knn_label_vote(corpus, queries, k=3).collect()[0]
     assert row.query_id == 0 and row.label == 9
     assert row.pred_label == 5 and row.votes == 2
+
+
+def test_scd2_history_versions_and_nulls(spark):
+    from bigdataflink_spark.operators.scd import scd2_history, scd2_lookup
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            # key 1: a -> a (no change) -> b -> NULL -> NULL (no change) -> a
+            (1, "a", 100, 1),
+            (1, "a", 200, 2),
+            (1, "b", 300, 3),
+            (1, None, 400, 4),
+            (1, None, 500, 5),
+            (1, "a", 600, 6),
+            # key 2: single observation stays open
+            (2, "z", 150, 7),
+        ],
+        "k long, attr string, t long, seq long",
+    )
+    ev = ev.withColumn("ts", F.timestamp_micros("t"))
+    hist = scd2_history(ev, "k", "attr", "ts", "seq")
+    rows = sorted(
+        (r.k, r.version, r.attr, r.valid_from_us, r.valid_to_us)
+        for r in hist.collect()
+    )
+    assert rows == [
+        (1, 1, "a", 100, 300),
+        (1, 2, "b", 300, 400),
+        (1, 3, None, 400, 600),
+        (1, 4, "a", 600, None),
+        (2, 1, "z", 150, None),
+    ]
+    snap = {(r.k): r.attr for r in scd2_lookup(hist, "k", 450).collect()}
+    assert snap == {1: None, 2: "z"}
