@@ -90,12 +90,18 @@ NOTES = {
     "q93_important_stock": "Q11 shape: the HAVING>scalar subquery is a one-row crossJoin broadcast; the threshold comparison multiplies through so both engines compare exact decimals; one partkey shuffle after the nation semi-filter.",
     "q94_sequence_packing": "One window cumsum per lang partition and an agg on the SAME keys — a single sort-shuffle serves both; bin ids derive from token offsets, so range-sub-sharding at 100 TB changes no answer.",
     "q95_domain_mixture": "Group sizes and the token total come from one agg + one-row crossJoin broadcast; token counting is a scan-stage array expression — the mixture table costs one corpus pass.",
+    "q96_passage_dedup": "Chunking is a scan-stage array expression; one explode to distinct (doc, passage), one shuffle on the passage key for document frequency, one join back on the same key, one doc-key agg — linear in total passages, no pair join at any scale (at 100 TB shuffle xxhash64(passage) instead of the string).",
+    "q97_vocab_coverage": "Explode + (lang, term) agg with map-side partials; the cumulative-coverage window sorts the VOCABULARY per lang (distinct terms, not tokens) — the sort input stays millions-scale under a 100 TB corpus while the linear explode+agg does the heavy lifting.",
+    "q98_knn_label_vote": "Scoring is q24's broadcast-queries pattern (corpus never shuffles); the vote adds a k-rows-per-query groupBy and one window — negligible; labels join via broadcast. Swap the scorer for ivf_topk at web scale, vote logic unchanged.",
+    "q99_scd2_history": "Change detection (lag+row_number) and interval assembly (lead+version) share the SAME (user × time) sort — Catalyst plans one shuffle + one sort feeding both Window nodes; no self-join, no per-row upserts, cost independent of history depth.",
+    "q100_neardup_corpus": "LSH pair generation is q21's bucketed shape; the greedy fixpoint iterates only the candidate-id frontier (localCheckpoint per round, like q72) — the audited plan is the final per-lang agg over the converged keep flags; the corpus passes once.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
 # the justification rendered instead of a warning.
 EXPECTED_BNLJ = {
     "q24_embedding_topk": "BNLJ is the semantics here: brute-force = score EVERY (query, corpus) pair; the broadcast side is the small query set, the corpus streams. The scale path is q26.",
+    "q98_knn_label_vote": "the BNLJ is q24's brute-force scorer (small query set broadcast against the streaming corpus); swap in ivf_topk for web scale — the vote stage is scorer-agnostic.",
     "q26_ivf_topk": "the BNLJ is only the query→centroid routing table (|queries| × |cells|, both tiny); the corpus-sized scoring join is the cell-keyed BroadcastHashJoin.",
     "q61_sales_opportunity": "the BNLJ is the 1-row scalar-stats broadcast (the Q22 scalar subquery); every probe row pairs with exactly one build row.",
     "q46_tfidf_topk": "the BNLJ is the 1-row corpus-size broadcast (n_docs scalar) joined onto every (source, term) — a scalar fan-out, not a quadratic pairing.",

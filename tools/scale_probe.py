@@ -67,6 +67,9 @@ PROBE = [
     "q57_window_battery",
     "q62_large_orders",
     "q66_embedding_topk_pandas",
+    "q96_passage_dedup",
+    "q97_vocab_coverage",
+    "q99_scd2_history",
 ]
 
 
