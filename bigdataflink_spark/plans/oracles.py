@@ -1405,4 +1405,45 @@ SELECT d.lang, COUNT(*) AS n_docs,
          AS n_kept
 FROM documents d GROUP BY d.lang
 """,
+    # q101: trigram blocking + Levenshtein entity resolution; the
+    # corruption (one deterministic char deletion) and blocking rule
+    # mirror plans/queries.q101 exactly.
+    "q101_fuzzy_match": f"""
+WITH clean AS (
+  SELECT doc_id AS id,
+         array_to_string({_TOKS}[1:4], ' ') AS name
+  FROM documents
+  WHERE len(array_to_string({_TOKS}[1:4], ' ')) >= 3
+),
+dirty AS (
+  SELECT id AS did,
+         substr(name, 1, CAST(id % len(name) AS INT))
+         || substr(name, CAST(id % len(name) AS INT) + 2) AS dname
+  FROM clean
+),
+dg AS (
+  SELECT did, unnest(list_distinct([substr(dname, i+1, 3)
+                                    for i in range(len(dname) - 2)])) AS g
+  FROM dirty WHERE len(dname) >= 3
+),
+cg AS (
+  SELECT id, unnest(list_distinct([substr(name, i+1, 3)
+                                   for i in range(len(name) - 2)])) AS g
+  FROM clean WHERE len(name) >= 3
+),
+cand AS (
+  SELECT did, id, COUNT(*) AS shared
+  FROM dg JOIN cg USING (g)
+  GROUP BY did, id HAVING COUNT(*) >= 2
+),
+ver AS (
+  SELECT c.did, c.id, levenshtein(d.dname, cl.name) AS dist
+  FROM cand c JOIN dirty d USING (did) JOIN clean cl USING (id)
+  WHERE levenshtein(d.dname, cl.name) <= 2
+)
+SELECT did, id, CAST(dist AS BIGINT) AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY did
+                                   ORDER BY dist, id) AS rn FROM ver)
+WHERE rn = 1
+""",
 }

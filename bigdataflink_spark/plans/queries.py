@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from bigdataflink_spark.functions import cleanse as C
 from bigdataflink_spark.operators import (
     dedup,
+    fuzzy,
     joins,
     multimodal,
     profiling,
@@ -1991,6 +1992,28 @@ def q100_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: deterministic one-char-deleted corruptions
+    of document phrases resolved back to the clean set via trigram
+    blocking + Levenshtein verify (operators/fuzzy.py). Phrase = first
+    4 tokens of each doc; deletion position = doc_id % len + 1."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(F.slice(text.tokens("text"), 1, 4), " ").alias("name"),
+    ).filter(F.length("name") >= 3)
+    # delete the char at 1-based position (id % len) + 1
+    dirty = clean.select(
+        F.col("id").alias("did"),
+        F.concat(
+            F.expr("substr(name, 1, cast(id % length(name) as int))"),
+            F.expr("substr(name, cast(id % length(name) as int) + 2)"),
+        ).alias("dname"),
+    )
+    out = fuzzy.qgram_match(dirty, clean)
+    return out.withColumn("dist", F.col("dist").cast("long"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2089,4 +2112,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_knn_label_vote": q98_knn_label_vote,
     "q99_scd2_history": q99_scd2_history,
     "q100_neardup_corpus": q100_neardup_corpus,
+    "q101_fuzzy_match": q101_fuzzy_match,
 }

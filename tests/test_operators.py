@@ -450,3 +450,25 @@ def test_scd2_history_versions_and_nulls(spark):
     ]
     snap = {(r.k): r.attr for r in scd2_lookup(hist, "k", 450).collect()}
     assert snap == {1: None, 2: "z"}
+
+
+def test_qgram_match_resolves_deletions_and_ties(spark):
+    from bigdataflink_spark.operators.fuzzy import char_trigrams, qgram_match
+    from pyspark.sql import functions as F
+
+    clean = spark.createDataFrame(
+        [(1, "spark data engine"), (2, "spark data engines"), (3, "unrelated")],
+        "id long, name string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "spark dat engine"),   # one deletion from id 1 (dist 1) and 2 (dist 2)
+         (11, "zzzz")],               # no candidate
+        "did long, dname string",
+    )
+    rows = {r.did: (r.id, r.dist) for r in qgram_match(dirty, clean).collect()}
+    assert rows == {10: (1, 1)}
+
+    grams = clean.select(char_trigrams("name").alias("g")).collect()[0].g
+    assert "spa" in grams and len(grams) == len(set(grams))
+    short = spark.createDataFrame([("ab",)], "s string")
+    assert short.select(char_trigrams("s").alias("g")).collect()[0].g == []
