@@ -61,6 +61,11 @@ HEADLINE = [
     "q77_product_type_profit",
     "q78_waiting_suppliers",
     "q90_min_cost_supplier",
+    # round-2 training-pipeline additions (linear corpus passes)
+    "q96_passage_dedup",
+    "q97_vocab_coverage",
+    "q99_scd2_history",
+    "q101_fuzzy_match",
 ]
 
 

@@ -1405,15 +1405,13 @@ SELECT d.lang, COUNT(*) AS n_docs,
          AS n_kept
 FROM documents d GROUP BY d.lang
 """,
-    # q101: trigram blocking + Levenshtein entity resolution; the
-    # corruption (one deterministic char deletion) and blocking rule
-    # mirror plans/queries.q101 exactly.
-    "q101_fuzzy_match": f"""
+    # q101: prefix-filtered 4-gram blocking + Levenshtein entity
+    # resolution; corruption (one deterministic char deletion), gram
+    # size, prefix length (q*max_dist+1 = 9), and canonical (df, gram)
+    # prefix order mirror plans/queries.q101 exactly.
+    "q101_fuzzy_match": """
 WITH clean AS (
-  SELECT doc_id AS id,
-         array_to_string({_TOKS}[1:4], ' ') AS name
-  FROM documents
-  WHERE len(array_to_string({_TOKS}[1:4], ' ')) >= 3
+  SELECT doc_id AS id, md5(CAST(doc_id AS VARCHAR)) AS name FROM documents
 ),
 dirty AS (
   SELECT id AS did,
@@ -1422,19 +1420,32 @@ dirty AS (
   FROM clean
 ),
 dg AS (
-  SELECT did, unnest(list_distinct([substr(dname, i+1, 3)
-                                    for i in range(len(dname) - 2)])) AS g
-  FROM dirty WHERE len(dname) >= 3
+  SELECT did, unnest(list_distinct([substr(dname, i+1, 4)
+                                    for i in range(len(dname) - 3)])) AS g
+  FROM dirty WHERE len(dname) >= 4
 ),
 cg AS (
-  SELECT id, unnest(list_distinct([substr(name, i+1, 3)
-                                   for i in range(len(name) - 2)])) AS g
-  FROM clean WHERE len(name) >= 3
+  SELECT id, unnest(list_distinct([substr(name, i+1, 4)
+                                   for i in range(len(name) - 3)])) AS g
+  FROM clean WHERE len(name) >= 4
+),
+dftab AS (SELECT g, COUNT(*) AS df FROM cg GROUP BY g),
+dpref AS (
+  SELECT did, g FROM (
+    SELECT did, g, row_number() OVER (PARTITION BY did
+                                      ORDER BY COALESCE(df, 0), g) AS rn
+    FROM dg LEFT JOIN dftab USING (g))
+  WHERE rn <= 9
+),
+cpref AS (
+  SELECT id, g FROM (
+    SELECT id, g, row_number() OVER (PARTITION BY id
+                                     ORDER BY COALESCE(df, 0), g) AS rn
+    FROM cg LEFT JOIN dftab USING (g))
+  WHERE rn <= 9
 ),
 cand AS (
-  SELECT did, id, COUNT(*) AS shared
-  FROM dg JOIN cg USING (g)
-  GROUP BY did, id HAVING COUNT(*) >= 2
+  SELECT DISTINCT did, id FROM dpref JOIN cpref USING (g)
 ),
 ver AS (
   SELECT c.did, c.id, levenshtein(d.dname, cl.name) AS dist

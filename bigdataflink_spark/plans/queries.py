@@ -1994,14 +1994,16 @@ def q100_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q101_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: deterministic one-char-deleted corruptions
-    of document phrases resolved back to the clean set via trigram
-    blocking + Levenshtein verify (operators/fuzzy.py). Phrase = first
-    4 tokens of each doc; deletion position = doc_id % len + 1."""
+    resolved back to the clean set via prefix-filtered q-gram blocking
+    + Levenshtein verify (operators/fuzzy.py). Entity string = md5 hex
+    of doc_id (the corpus's own text is a ~15-char alphabet, which
+    defeats ANY character-gram blocking — high-entropy keys are the
+    honest benchmark for the operator); deletion at doc_id % len + 1."""
     docs = _t(spark, sf_dir, "documents")
     clean = docs.select(
         F.col("doc_id").alias("id"),
-        F.array_join(F.slice(text.tokens("text"), 1, 4), " ").alias("name"),
-    ).filter(F.length("name") >= 3)
+        F.md5(F.col("doc_id").cast("string")).alias("name"),
+    )
     # delete the char at 1-based position (id % len) + 1
     dirty = clean.select(
         F.col("id").alias("did"),

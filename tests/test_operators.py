@@ -453,8 +453,7 @@ def test_scd2_history_versions_and_nulls(spark):
 
 
 def test_qgram_match_resolves_deletions_and_ties(spark):
-    from bigdataflink_spark.operators.fuzzy import char_trigrams, qgram_match
-    from pyspark.sql import functions as F
+    from bigdataflink_spark.operators.fuzzy import char_qgrams, qgram_match
 
     clean = spark.createDataFrame(
         [(1, "spark data engine"), (2, "spark data engines"), (3, "unrelated")],
@@ -462,13 +461,13 @@ def test_qgram_match_resolves_deletions_and_ties(spark):
     )
     dirty = spark.createDataFrame(
         [(10, "spark dat engine"),   # one deletion from id 1 (dist 1) and 2 (dist 2)
-         (11, "zzzz")],               # no candidate
+         (11, "zzzzzz")],             # no candidate
         "did long, dname string",
     )
     rows = {r.did: (r.id, r.dist) for r in qgram_match(dirty, clean).collect()}
     assert rows == {10: (1, 1)}
 
-    grams = clean.select(char_trigrams("name").alias("g")).collect()[0].g
-    assert "spa" in grams and len(grams) == len(set(grams))
-    short = spark.createDataFrame([("ab",)], "s string")
-    assert short.select(char_trigrams("s").alias("g")).collect()[0].g == []
+    grams = clean.select(char_qgrams("name").alias("g")).collect()[0].g
+    assert "spar" in grams and len(grams) == len(set(grams))
+    short = spark.createDataFrame([("abc",)], "s string")
+    assert short.select(char_qgrams("s").alias("g")).collect()[0].g == []

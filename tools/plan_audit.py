@@ -95,7 +95,7 @@ NOTES = {
     "q98_knn_label_vote": "Scoring is q24's broadcast-queries pattern (corpus never shuffles); the vote adds a k-rows-per-query groupBy and one window — negligible; labels join via broadcast. Swap the scorer for ivf_topk at web scale, vote logic unchanged.",
     "q99_scd2_history": "Change detection (lag+row_number) and interval assembly (lead+version) share the SAME (user × time) sort — Catalyst plans one shuffle + one sort feeding both Window nodes; no self-join, no per-row upserts, cost independent of history depth.",
     "q100_neardup_corpus": "LSH pair generation is q21's bucketed shape; the greedy fixpoint iterates only the candidate-id frontier (localCheckpoint per round, like q72) — the audited plan is the final per-lang agg over the converged keep flags; the corpus passes once.",
-    "q101_fuzzy_match": "Trigram blocking keys the shuffle on the gram — candidates, not the reference set, are quadratic; Levenshtein runs only on candidates; resolution is one window over the per-dirty candidate lists. At 100 TB add a stop-gram df cap (Zipf-hot grams add candidates without discrimination).",
+    "q101_fuzzy_match": "Prefix-filtered q-gram blocking (AllPairs family): each string joins on only its q·d+1 RAREST grams (canonical df order from one agg), so the candidate join never keys on Zipf-hot grams and recall for dist<=d stays exact by the edit bound; Levenshtein runs on candidates only; resolution is one window. Measured: q=3 on hex keys is 5x slower than q=4 for identical output — pick q so |alphabet|^q >> n.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
