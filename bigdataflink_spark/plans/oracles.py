@@ -1457,4 +1457,14 @@ FROM (SELECT *, row_number() OVER (PARTITION BY did
                                    ORDER BY dist, id) AS rn FROM ver)
 WHERE rn = 1
 """,
+    # q102: sketch values are engine-specific; the oracle pins the
+    # exact counts and asserts both Spark-side sketch contracts held
+    # (union-of-partials == direct, and the 5% bound) — q19's design.
+    "q102_hll_mergeable": """
+SELECT COUNT(DISTINCT event_type) AS n_types,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merge_eq_direct,
+       TRUE AS approx_ok
+FROM events
+""",
 }

@@ -2016,6 +2016,39 @@ def q101_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("dist", F.col("dist").cast("long"))
 
 
+def q102_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch contract: Datasketches HLL partials built per
+    event_type, unioned WITHOUT rescanning, must (a) reproduce the
+    direct whole-column sketch estimate exactly — sketch union is an
+    elementwise register max, so partial+merge ≡ direct by
+    construction, the property that lets 1000 executors sketch locally
+    and merge at the driver — and (b) land within 5% of the exact
+    distinct count. Both are emitted as booleans so a broken sketch
+    fails the value-hash gate (same design as q19)."""
+    events = _t(spark, sf_dir, "events")
+    partials = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("_exact_t"),
+    )
+    merged = partials.agg(
+        F.count("*").alias("n_types"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est_merged"),
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(direct).select(
+        "n_types",
+        "exact_users",
+        (F.col("_est_merged") == F.col("_est_direct")).alias("merge_eq_direct"),
+        (
+            F.abs(F.col("_est_merged").cast("double") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("approx_ok"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2115,4 +2148,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_scd2_history": q99_scd2_history,
     "q100_neardup_corpus": q100_neardup_corpus,
     "q101_fuzzy_match": q101_fuzzy_match,
+    "q102_hll_mergeable": q102_hll_mergeable,
 }
