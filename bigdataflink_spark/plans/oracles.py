@@ -1467,4 +1467,136 @@ SELECT COUNT(DISTINCT event_type) AS n_types,
        TRUE AS approx_ok
 FROM events
 """,
+    # q103: hourly grid between each user's first and last active
+    # hour; v_sum rounded BEFORE the forward fill so both engines
+    # fill the same doubles.
+    "q103_gap_fill": """
+WITH per_slot AS (
+  SELECT user_id, date_trunc('hour', ts) AS slot,
+         COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v_sum
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi
+           FROM per_slot GROUP BY 1),
+grid AS (SELECT user_id,
+                UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+         FROM bounds),
+j AS (SELECT g.user_id, g.slot, p.n_events, p.v_sum
+      FROM grid g LEFT JOIN per_slot p USING (user_id, slot))
+SELECT user_id, epoch_us(slot) AS slot_us,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       v_sum,
+       last_value(v_sum IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+FROM j
+""",
+    # q104: mean/std derived from the SAME exact decimal moment sums
+    # as the Spark twin, then the identical double z formula — any
+    # drift in the flags fails the hash.
+    "q104_anomaly_zscore": """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s1,
+         SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                  AS DECIMAL(38,8))) AS s2
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mean_v,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_v
+  FROM stats
+)
+SELECT e.event_type, m.n,
+       CAST(SUM(CASE WHEN abs((CAST(e.value AS DOUBLE) - m.mean_v) / m.std_v)
+                          > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS anomalies,
+       ROUND(m.mean_v, 4) AS mean_value,
+       ROUND(m.std_v, 4) AS stddev_value
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type, m.n, m.mean_v, m.std_v
+""",
+    # q105: discrete percentiles are real data values (smallest value
+    # with cume_dist >= p in both engines) — clip thresholds are
+    # bit-identical, so the clipped decimal mean is too.
+    "q105_winsorized_mean": """
+WITH pct AS (
+  SELECT o_orderpriority,
+         quantile_disc(o_totalprice, 0.05) AS lo,
+         quantile_disc(o_totalprice, 0.95) AS hi,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority, p.n_orders,
+       ROUND(p.lo, 2) AS p05, ROUND(p.hi, 2) AS p95,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, p.lo), p.hi)
+                           AS DECIMAL(18,2))) AS DOUBLE) / p.n_orders,
+             4) AS winsorized_mean
+FROM orders o JOIN pct p USING (o_orderpriority)
+GROUP BY o.o_orderpriority, p.n_orders, p.lo, p.hi
+""",
+    # q106: cohort = per-user first active day; cells count distinct
+    # users at day offsets 0..7.
+    "q106_retention_cohorts": """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS users
+FROM activity a JOIN firsts f USING (user_id)
+WHERE datediff('day', f.cohort_day, a.day) <= 7
+GROUP BY 1, 2
+""",
+    # q107: canonical form = lower, non-alnum -> space, collapse
+    # runs, trim; DuckDB regexp_replace needs the 'g' flag to match
+    # Spark's replace-all default.
+    "q107_canonical_dedup": """
+WITH united AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         upper(replace(text, ' ', '  ')) || ' !!' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+canon AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS canon_hash
+  FROM united
+)
+SELECT canon_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM canon GROUP BY 1 HAVING COUNT(*) > 1
+""",
+    # q108: distinct word bigrams per doc; novelty = share whose
+    # corpus-wide min doc_id is this doc. DuckDB lists are 1-indexed
+    # (same comprehension shape as _SHINGLES_CTE).
+    "q108_ngram_novelty": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([tk[i] || ' ' || tk[i+1]
+                               FOR i IN range(1, len(tk))])) AS g
+  FROM toks WHERE len(tk) >= 2
+),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM bg GROUP BY 1)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM bg b JOIN firsts f USING (g)
+GROUP BY b.doc_id
+""",
 }

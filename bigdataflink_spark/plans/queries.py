@@ -37,6 +37,7 @@ from bigdataflink_spark.operators import (
     scd,
     similarity,
     text,
+    timeseries,
     windows,
 )
 from bigdataflink_spark.operators.hashing import md5_int
@@ -2049,6 +2050,155 @@ def q102_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly gap fill + forward fill over the irregular
+    events stream (operators/timeseries.gap_fill). Every exchange is
+    keyed on user_id; the sequence() explode is linear in the OUTPUT
+    grid (span/3600 slots per user), so grid granularity — not event
+    volume — caps the blow-up at 100 TB."""
+    events = _t(spark, sf_dir, "events")
+    return timeseries.gap_fill(events, "user_id", "ts", "value", "hour")
+
+
+def q104_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly audit
+    (operators/timeseries.zscore_flags). Mean/stddev come from EXACT
+    decimal moment sums so the flags are bit-deterministic across
+    partition orders and engines; one grouped pass + one broadcast
+    stats join (groups are bounded by event-type cardinality)."""
+    events = _t(spark, sf_dir, "events")
+    return timeseries.zscore_flags(events, "event_type", "value", 2.0)
+
+
+def q105_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per order priority: clip at the exact
+    discrete P05/P95 (percentile_disc picks REAL data values —
+    bit-identical in any engine, unlike interpolated quantiles), then
+    a decimal-exact clipped mean. Percentile pass shuffles on the
+    5-value priority key; the per-group cutoffs join back as a
+    broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    pct = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("_lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("_hi"),
+        F.count("*").alias("n_orders"),
+    )
+    clipped = orders.join(F.broadcast(pct), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "_lo",
+        "_hi",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("_lo")), F.col("_hi")).alias(
+            "_cv"
+        ),
+    )
+    return (
+        clipped.groupBy("o_orderpriority", "n_orders", "_lo", "_hi")
+        .agg(F.sum(F.col("_cv").cast("decimal(18,2)")).alias("_s"))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("_lo", 2).alias("p05"),
+            F.round("_hi", 2).alias("p95"),
+            F.round(F.col("_s").cast("double") / F.col("n_orders"), 4).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
+
+
+def q106_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active day,
+    distinct-user counts at day offsets 0..7. Two keyed aggregations
+    (per-user first day, then per-cohort-cell distinct users) and one
+    user-keyed join — no self-join over events, which is the shape
+    that dies at scale."""
+    events = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = events.select("user_id", day).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+def q107_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized near-exact dedup: casefold, strip non-alnum,
+    collapse whitespace, then hash-group — the normalization pass that
+    runs BEFORE fuzzy dedup in a real corpus pipeline (catches
+    punctuation/case/spacing variants exact dedup q20 misses). The
+    corpus itself has no such variants at any SF, so (q101 precedent)
+    every 5th doc contributes a deterministic corruption — uppercased,
+    double-spaced, '!!'-suffixed — that canonicalization must resolve
+    back onto its original. Groups keyed by md5 of the canonical
+    form; keeper = min doc_id. One linear scan + one keyed shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.regexp_replace("text", " ", "  ")), F.lit(" !!")
+        ).alias("text"),
+    )
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        docs.unionByName(variants)
+        .select(F.md5(canon).alias("canon_hash"), "doc_id")
+        .groupBy("canon_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def q108_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: the share of a doc's distinct
+    word bigrams whose FIRST corpus occurrence (min doc_id) is this
+    doc — an arrival-order novelty score for dedup-aware sampling.
+    Linear explode + two bigram-keyed aggregations; never pairwise."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = text.tokens("text")
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(text.ngrams(tk, 2))).alias("g"),
+        )
+    )
+    firsts = bg.groupBy("g").agg(F.min("doc_id").alias("_first"))
+    return (
+        bg.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("novel").cast("long").alias("novel"),
+            F.round(
+                F.col("novel").cast("double") / F.col("n_bigrams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2149,4 +2299,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_neardup_corpus": q100_neardup_corpus,
     "q101_fuzzy_match": q101_fuzzy_match,
     "q102_hll_mergeable": q102_hll_mergeable,
+    "q103_gap_fill": q103_gap_fill,
+    "q104_anomaly_zscore": q104_anomaly_zscore,
+    "q105_winsorized_mean": q105_winsorized_mean,
+    "q106_retention_cohorts": q106_retention_cohorts,
+    "q107_canonical_dedup": q107_canonical_dedup,
+    "q108_ngram_novelty": q108_ngram_novelty,
 }

@@ -471,3 +471,44 @@ def test_qgram_match_resolves_deletions_and_ties(spark):
     assert "spar" in grams and len(grams) == len(set(grams))
     short = spark.createDataFrame([("abc",)], "s string")
     assert short.select(char_qgrams("s").alias("g")).collect()[0].g == []
+
+
+def test_gap_fill_fills_gaps_and_forward_fills(spark):
+    from bigdataflink_spark.operators.timeseries import gap_fill
+
+    # user 1: events at hours 0 and 3 -> slots 1,2 are gaps that must
+    # appear with n_events=0, v_sum NULL, v_ffill carried from hour 0.
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 5.0),
+            (1, "2024-01-01 00:40:00", 2.5),
+            (1, "2024-01-01 03:05:00", 1.0),
+            (2, "2024-01-01 00:00:00", 9.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = gap_fill(ev, "user_id", "ts", "value", "hour")
+    rows = {
+        (r.user_id, r.slot_us): (r.n_events, r.v_sum, r.v_ffill)
+        for r in out.collect()
+    }
+    hour = 3_600_000_000
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00 UTC in micros
+    assert len(rows) == 5  # user 1: 4 slots, user 2: 1 slot
+    assert rows[(1, base)] == (2, 7.5, 7.5)
+    assert rows[(1, base + hour)] == (0, None, 7.5)
+    assert rows[(1, base + 2 * hour)] == (0, None, 7.5)
+    assert rows[(1, base + 3 * hour)] == (1, 1.0, 1.0)
+    assert rows[(2, base)] == (1, 9.0, 9.0)
+
+
+def test_zscore_flags_known_outlier(spark):
+    from bigdataflink_spark.operators.timeseries import zscore_flags
+
+    vals = [("a", 10.0)] * 10 + [("a", 10.5)] * 10 + [("a", 1000.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(vals, "event_type string, value double")
+    out = {r.event_type: r for r in zscore_flags(df, "event_type", "value", 2.0).collect()}
+    # the single 1000.0 is the only |z| > 2 member of group a
+    assert out["a"].n == 21 and out["a"].anomalies == 1
+    # two-point group: each point is exactly 0.707 std from the mean
+    assert out["b"].n == 2 and out["b"].anomalies == 0
