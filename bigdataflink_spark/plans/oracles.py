@@ -1599,4 +1599,37 @@ SELECT b.doc_id, COUNT(*) AS n_bigrams,
 FROM bg b JOIN firsts f USING (g)
 GROUP BY b.doc_id
 """,
+    # q109: both calendars pre-aggregate before the full outer join;
+    # the day domains are disjoint so both null sides appear.
+    "q109_full_outer_reconcile": """
+WITH ocal AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_o
+  FROM orders GROUP BY 1
+),
+ecal AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_e
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.day, e.day) AS day,
+       CAST(COALESCE(o.n_o, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(e.n_e, 0) AS BIGINT) AS n_events,
+       CASE WHEN o.day IS NULL THEN 'events_only'
+            WHEN e.day IS NULL THEN 'orders_only'
+            ELSE 'both' END AS src
+FROM ocal o FULL JOIN ecal e ON o.day = e.day
+""",
+    # q110: the same correlated LATERAL shape, decorrelated by both
+    # engines; tiebreak on (bal DESC, nation) is total.
+    "q110_lateral_topn": """
+SELECT r.r_name AS region, l.nation, l.bal
+FROM region r JOIN LATERAL (
+  SELECT n.n_name AS nation,
+         ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY bal DESC, n.n_name
+  LIMIT 2
+) l ON TRUE
+""",
 }

@@ -2199,6 +2199,59 @@ def q108_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q109_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two activity calendars (order days
+    vs event days) — the join type the suite didn't cover. The key
+    domains are disjoint by construction (1992-1998 vs 2024), so both
+    null sides materialize. Each side pre-aggregates to its day before
+    the join: the full-outer exchange moves one row per day, not one
+    per fact."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    ocal = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("_no")
+    )
+    ecal = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("_ne")
+    )
+    return ocal.join(ecal, "day", "full").select(
+        "day",
+        F.coalesce("_no", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("_ne", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("_no").isNull(), "events_only")
+        .when(F.col("_ne").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("src"),
+    )
+
+
+def q110_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: per region, the top-2 nations by total
+    customer balance, expressed as a lateral subquery with its own
+    ORDER BY/LIMIT — the SQL surface (DomainJoin decorrelation) the
+    DataFrame twins express via window rank. Catalyst decorrelates to
+    a join + per-region rank, so the physical cost is one keyed
+    shuffle, not one subquery execution per outer row."""
+    for name in ("region", "nation", "customer"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"q110_{name}")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, l.nation, l.bal
+        FROM q110_region r JOIN LATERAL (
+          SELECT n.n_name AS nation,
+                 ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                            AS DOUBLE), 2) AS bal
+          FROM q110_nation n JOIN q110_customer c
+            ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY bal DESC, n.n_name
+          LIMIT 2
+        ) l
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2305,4 +2358,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_retention_cohorts": q106_retention_cohorts,
     "q107_canonical_dedup": q107_canonical_dedup,
     "q108_ngram_novelty": q108_ngram_novelty,
+    "q109_full_outer_reconcile": q109_full_outer_reconcile,
+    "q110_lateral_topn": q110_lateral_topn,
 }

@@ -122,3 +122,35 @@ def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     """Read a partitioned layout back; partition dirs surface as
     columns and equality filters on them prune at listing time."""
     return spark.read.format(fmt).load(path)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> None:
+    """Range-sharded write: globally range-partition on ``sort_cols``
+    into ceil(n/target) shards, sort within each, and cap every file
+    at ``target_rows_per_file`` rows.
+
+    This is the training-shard / compaction sink: output files are
+    (a) uniformly sized — ``maxRecordsPerFile`` splits any shard the
+    range sampler misestimated, so one hot key can't produce a 10 GB
+    straggler file; (b) globally ordered on the sort key, so parquet
+    min/max footers make downstream range predicates prune whole
+    files. ``repartitionByRange`` samples the key distribution
+    (reservoir per partition — one extra lightweight pass) instead of
+    hashing, which is what keeps shard sizes even under skew at 100 TB.
+    """
+    n = df.count()
+    shards = max(1, -(-n // target_rows_per_file))
+    (
+        df.repartitionByRange(shards, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.format(fmt)
+        .option("maxRecordsPerFile", str(target_rows_per_file))
+        .mode("overwrite")
+        .save(path)
+    )

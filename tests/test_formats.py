@@ -90,3 +90,31 @@ def test_static_overwrite_truncates(spark, tmp_path):
     write_partitioned(en_only, path, ["lang"], dynamic=False)
     back = read_partitioned(spark, path)
     assert back.select("lang").distinct().count() == 1
+
+
+def test_write_sharded_sizes_and_global_order(spark, tmp_path):
+    from bigdataflink_spark.sources.formats import write_sharded
+
+    df = load_table(spark, "orders", SF).select("o_orderkey", "o_totalprice")
+    n = df.count()
+    target = 400
+    out = str(tmp_path / "sharded")
+    write_sharded(df, out, ["o_orderkey"], target)
+
+    import glob
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= -(-n // target)
+    spans = []
+    for f in files:
+        t = pq.read_table(f, columns=["o_orderkey"])
+        assert 0 < t.num_rows <= target  # cap respected, no empty files
+        keys = t.column("o_orderkey").to_pylist()
+        assert keys == sorted(keys)  # sorted within file
+        spans.append((min(keys), max(keys)))
+    # global range order: file key spans don't interleave
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b
+    back = spark.read.parquet(out)
+    assert back.count() == n
