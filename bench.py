@@ -66,6 +66,11 @@ HEADLINE = [
     "q97_vocab_coverage",
     "q99_scd2_history",
     "q101_fuzzy_match",
+    # time-series / corpus-analytics batch (q103+): the grid explode,
+    # the bigram first-occurrence join, and the full-outer reconcile
+    "q103_gap_fill",
+    "q108_ngram_novelty",
+    "q109_full_outer_reconcile",
 ]
 
 

@@ -2171,12 +2171,13 @@ def q108_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc — an arrival-order novelty score for dedup-aware sampling.
     Linear explode + two bigram-keyed aggregations; never pairwise."""
     docs = _t(spark, sf_dir, "documents")
-    tk = text.tokens("text")
-    bg = (
-        docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(text.ngrams(tk, 2))).alias("g"),
-        )
+    # materialize the token array in its own projection (ngrams'
+    # documented contract — the lambda would otherwise re-split per
+    # element access)
+    toked = docs.select("doc_id", text.tokens("text").alias("_tk"))
+    bg = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.ngrams(F.col("_tk"), 2))).alias("g"),
     )
     firsts = bg.groupBy("g").agg(F.min("doc_id").alias("_first"))
     return (

@@ -38,6 +38,12 @@ def get_spark(app_name: str = "bigdataflink-spark", master: str | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "128MB")
+        # Split small inputs down to core count: a 10 MB parquet file
+        # would otherwise scan as ONE task, serializing CPU-heavy
+        # per-row work (tokenize/ngram/decode) on a 32-core box. On a
+        # real cluster defaultParallelism is large and splits follow
+        # it; maxPartitionBytes above still caps splits of big inputs.
+        .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -96,6 +96,14 @@ NOTES = {
     "q99_scd2_history": "Change detection (lag+row_number) and interval assembly (lead+version) share the SAME (user × time) sort — Catalyst plans one shuffle + one sort feeding both Window nodes; no self-join, no per-row upserts, cost independent of history depth.",
     "q100_neardup_corpus": "LSH pair generation is q21's bucketed shape; the greedy fixpoint iterates only the candidate-id frontier (localCheckpoint per round, like q72) — the audited plan is the final per-lang agg over the converged keep flags; the corpus passes once.",
     "q101_fuzzy_match": "Prefix-filtered q-gram blocking (AllPairs family): each string joins on only its q·d+1 RAREST grams (canonical df order from one agg), so the candidate join never keys on Zipf-hot grams and recall for dist<=d stays exact by the edit bound; Levenshtein runs on candidates only; resolution is one window. Measured: q=3 on hex keys is 5x slower than q=4 for identical output — pick q so |alphabet|^q >> n.",
+    "q103_gap_fill": "Events collapse to the hourly grid FIRST (one user-keyed agg), so the sequence() explode is linear in grid slots, not events; the grid←slots left join is AQE-broadcast here and co-shuffles on (user, slot) at 100×; the forward-fill window rides the same user_id partitioning. Grid granularity, not event volume, bounds the output.",
+    "q104_anomaly_zscore": "Moment sums (count/Σv/Σv²) aggregate map-side in exact decimal — one pass, one exchange on the bounded event_type key; the per-type stats row broadcasts back (hinted: cardinality is the type enum, not SF). The z flags evaluate in the probe scan stage.",
+    "q105_winsorized_mean": "percentile_disc sorts within the 5 priority groups (one shuffle); the per-group cutoffs broadcast back (hinted: bounded key) and clipping runs in the probe scan stage; the clipped decimal mean reuses the same 5-group agg shape. Two passes over orders by design — percentiles are holistic.",
+    "q106_retention_cohorts": "Per-user first-day and per-(user,day) distinct both key on user_id; the cohort join is unhinted (AQE broadcasts the per-user firsts here, co-shuffles at 100× — it GROWS with users, so no forced hint); final cell agg groups ~8 offsets × cohort days.",
+    "q107_canonical_dedup": "Canonicalization (lower/regex/collapse) and md5 are scan-stage expressions; the union of originals + synthesized variants feeds ONE shuffle on the canonical hash. Linear at any scale — the variant branch re-scans only the doc_id%5 slice.",
+    "q108_ngram_novelty": "One explode to distinct (doc, bigram) rows; first-occurrence agg keys on the bigram, and the join back reuses that same key (AQE broadcasts the firsts side here; at 100× both sides co-shuffle on the gram — never pairwise); the per-doc novelty agg is the second keyed exchange.",
+    "q109_full_outer_reconcile": "Both calendars pre-aggregate to one row per day BEFORE the full outer join, so the SortMergeJoin FullOuter exchanges day-cardinality rows, not facts; the src CASE evaluates post-join on null flags.",
+    "q110_lateral_topn": "Catalyst decorrelates the LATERAL subquery into a join + per-region window rank (DomainJoin → rank<=2 filter): nation/customer join broadcasts, the windows ride one keyed sort — NOT one subquery execution per outer row; identical physical family to the window-rank twin q10.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
