@@ -44,6 +44,39 @@ def _md5_int(expr: str, hex_digits: int = 15) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, {hex_digits}) AS BIGINT)"
 
 
+def _zorder_sql(bits: int = 16) -> str:
+    # mirror of operators/zorder.morton_key over (user_id, value):
+    # bit i of column j lands at position i*2 + j, j=0 user, j=1 value
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((su >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((sv >> {i}) & 1) << {2 * i + 1})")
+    top = (1 << bits) - 1
+    zexpr = " | ".join(terms)
+    return f"""
+WITH stats AS (
+  SELECT MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+         MIN(value) AS lo_v, MAX(value) AS hi_v
+  FROM events
+),
+scaled AS (
+  SELECT event_id,
+         LEAST(CAST(FLOOR(
+           (CASE WHEN CAST(hi_u - lo_u AS DOUBLE) > 0
+                 THEN (CAST(user_id AS DOUBLE) - CAST(lo_u AS DOUBLE))
+                      / CAST(hi_u - lo_u AS DOUBLE)
+                 ELSE 0.0 END) * {top + 1}) AS BIGINT), {top}) AS su,
+         LEAST(CAST(FLOOR(
+           (CASE WHEN CAST(hi_v - lo_v AS DOUBLE) > 0
+                 THEN (CAST(value AS DOUBLE) - CAST(lo_v AS DOUBLE))
+                      / CAST(hi_v - lo_v AS DOUBLE)
+                 ELSE 0.0 END) * {top + 1}) AS BIGINT), {top}) AS sv
+  FROM events, stats
+)
+SELECT event_id, CAST({zexpr} AS BIGINT) AS z FROM scaled
+"""
+
+
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
     # Kirsch-Mitzenmacher derived hashes from one md5 base (mirror of
     # operators/dedup.minhash_signatures): h_p = (h1 + p*h2) % (2^31-1)
@@ -1632,4 +1665,7 @@ FROM region r JOIN LATERAL (
   LIMIT 2
 ) l ON TRUE
 """,
+    # q111: the Morton key tree is generated by _zorder_sql so the
+    # Spark and DuckDB bit layouts can never drift independently.
+    "q111_zorder_key": _zorder_sql(16),
 }

@@ -2253,6 +2253,22 @@ def q110_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, value)
+    (operators/zorder.py): min/max scalar stats broadcast back, affine
+    scale to 16-bit lattice coordinates, bit-interleave — all
+    scan-stage expression work, the layout key behind write_zordered's
+    multi-dimensional file pruning. The oracle rebuilds the identical
+    shift/mask/or tree in SQL, so the key is pinned cross-engine."""
+    from bigdataflink_spark.operators import zorder
+
+    events = _t(spark, sf_dir, "events")
+    keyed = zorder.with_zorder_key(
+        events.select("event_id", "user_id", "value"), ["user_id", "value"]
+    )
+    return keyed.select("event_id", F.col("_z").alias("z"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2361,4 +2377,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_ngram_novelty": q108_ngram_novelty,
     "q109_full_outer_reconcile": q109_full_outer_reconcile,
     "q110_lateral_topn": q110_lateral_topn,
+    "q111_zorder_key": q111_zorder_key,
 }

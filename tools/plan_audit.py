@@ -104,6 +104,7 @@ NOTES = {
     "q108_ngram_novelty": "One explode to distinct (doc, bigram) rows; first-occurrence agg keys on the bigram, and the join back reuses that same key (AQE broadcasts the firsts side here; at 100× both sides co-shuffle on the gram — never pairwise); the per-doc novelty agg is the second keyed exchange.",
     "q109_full_outer_reconcile": "Both calendars pre-aggregate to one row per day BEFORE the full outer join, so the SortMergeJoin FullOuter exchanges day-cardinality rows, not facts; the src CASE evaluates post-join on null flags.",
     "q110_lateral_topn": "Catalyst decorrelates the LATERAL subquery into a join + per-region window rank (DomainJoin → rank<=2 filter): nation/customer join broadcasts, the windows ride one keyed sort — NOT one subquery execution per outer row; identical physical family to the window-rank twin q10.",
+    "q111_zorder_key": "Min/max stats collapse to ONE row and broadcast (scalar crossJoin); the scale + 32-term bit-interleave tree is pure scan-stage codegen — zero data shuffles. write_zordered adds only the range-shard exchange on the key.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -116,6 +117,7 @@ EXPECTED_BNLJ = {
     "q46_tfidf_topk": "the BNLJ is the 1-row corpus-size broadcast (n_docs scalar) joined onto every (source, term) — a scalar fan-out, not a quadratic pairing.",
     "q93_important_stock": "the BNLJ is the 1-row total-value broadcast (the Q11 HAVING scalar); every per-part row pairs with exactly one build row.",
     "q95_domain_mixture": "the BNLJ is the 1-row totals broadcast (token total + group count) fanned onto the ~|sources×langs| mixture rows.",
+    "q111_zorder_key": "the BNLJ is the 1-row min/max stats broadcast fanned onto every event row — the scalar-stats pattern (q61/q93), not a pairing.",
 }
 
 
