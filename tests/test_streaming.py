@@ -527,3 +527,37 @@ def test_interval_join_rejects_column_clash(spark):
     ev = load_table(spark, "events", "/root/testdata/sf0.001")
     with pytest.raises(ValueError, match="rename overlapping"):
         interval_join(ev, ev, "user_id", "user_id", "ts", "ts")
+
+
+def test_streaming_moments_match_batch_zscore(spark, tmp_path):
+    """Moment state folded over arbitrary micro-batches must equal the
+    one-shot batch operator bit-for-bit (decimal partials commute)."""
+    from bigdataflink_spark.operators.timeseries import zscore_flags
+    from bigdataflink_spark.streaming.moments import (
+        anomaly_audit,
+        run_moments_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    # three arrival slices -> three micro-batches
+    for i, (lo, hi) in enumerate([(0, 300), (300, 700), (700, 10**9)]):
+        events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).write.parquet(f"{src}/slice={i}")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stats = run_moments_stream(
+        spark, stream, str(tmp_path / "parts"), str(tmp_path / "ckpt")
+    )
+    got = sorted(
+        tuple(r)
+        for r in anomaly_audit(events, stats).collect()
+    )
+    want = sorted(tuple(r) for r in zscore_flags(events).collect())
+    assert got == want
