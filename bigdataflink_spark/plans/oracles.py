@@ -1668,4 +1668,32 @@ FROM region r JOIN LATERAL (
     # q111: the Morton key tree is generated by _zorder_sql so the
     # Spark and DuckDB bit layouts can never drift independently.
     "q111_zorder_key": _zorder_sql(16),
+    # q112: same double bin formula; DuckDB floor returns double.
+    "q112_histogram": """
+WITH stats AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+              AS INT) AS bin,
+         lo, hi
+  FROM orders, stats
+)
+SELECT bin,
+       ROUND(lo + bin * ((hi - lo) / 20.0), 2) AS bin_lo,
+       ROUND(lo + (bin + 1) * ((hi - lo) / 20.0), 2) AS bin_hi,
+       COUNT(*) AS n
+FROM binned GROUP BY bin, lo, hi
+""",
+    # q113: sketch values are engine-specific; the oracle pins the
+    # exact discrete percentiles and the rank-bound booleans.
+    "q113_approx_percentile_contract": """
+SELECT 0.5 AS p, ROUND(quantile_disc(o_totalprice, 0.5), 2) AS exact_v,
+       TRUE AS rank_ok
+FROM orders
+UNION ALL
+SELECT 0.9 AS p, ROUND(quantile_disc(o_totalprice, 0.9), 2) AS exact_v,
+       TRUE AS rank_ok
+FROM orders
+""",
 }

@@ -2269,6 +2269,85 @@ def q111_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select("event_id", F.col("_z").alias("z"))
 
 
+def q112_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (20 bins over the global
+    min/max): the profiling shape q85 doesn't cover. One scalar
+    min/max broadcast, bin assignment in the scan stage, one exchange
+    on the bounded bin key. Empty bins are simply absent (no grid
+    fill — q103 owns that pattern). Both engines compute the same
+    double bin formula, so edges can't drift."""
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(20.0)
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("_lo")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .select(bin_.alias("bin"), "_lo", "_hi")
+        .groupBy("bin", "_lo", "_hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * width, 2).alias("bin_lo"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * width, 2).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def q113_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error contract for the t-digest-style percentile sketch
+    (q19/q102 design): sketch VALUES are engine-specific, so the query
+    emits the cross-engine exact discrete percentile plus a boolean
+    asserting the sketch's achieved rank sits within its documented
+    1/accuracy rank-error bound — a broken sketch fails the value
+    hash. One pass for the sketch, one 2-row broadcast back over the
+    scan to measure achieved rank."""
+    accuracy = 1000
+    orders = _t(spark, sf_dir, "orders")
+    appr = orders.agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(accuracy)
+        ).alias("_ap"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("_e50"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("_e90"),
+        F.count("*").alias("_n"),
+    )
+    targets = appr.select(
+        F.posexplode("_ap").alias("_i", "_av"), "_e50", "_e90", "_n"
+    ).select(
+        F.when(F.col("_i") == 0, 0.5).otherwise(0.9).alias("p"),
+        "_av",
+        F.when(F.col("_i") == 0, F.col("_e50"))
+        .otherwise(F.col("_e90"))
+        .alias("exact_v"),
+        "_n",
+    )
+    ranked = orders.crossJoin(F.broadcast(targets)).groupBy(
+        "p", "_av", "exact_v", "_n"
+    ).agg(
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("_av"), 1).otherwise(0)
+        ).alias("_le")
+    )
+    tol = 1.0 / accuracy + 1e-9
+    return ranked.select(
+        "p",
+        F.round("exact_v", 2).alias("exact_v"),
+        (
+            F.abs(F.col("_le").cast("double") / F.col("_n") - F.col("p"))
+            <= F.lit(tol)
+        ).alias("rank_ok"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2378,4 +2457,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_full_outer_reconcile": q109_full_outer_reconcile,
     "q110_lateral_topn": q110_lateral_topn,
     "q111_zorder_key": q111_zorder_key,
+    "q112_histogram": q112_histogram,
+    "q113_approx_percentile_contract": q113_approx_percentile_contract,
 }

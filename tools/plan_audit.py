@@ -105,6 +105,8 @@ NOTES = {
     "q109_full_outer_reconcile": "Both calendars pre-aggregate to one row per day BEFORE the full outer join, so the SortMergeJoin FullOuter exchanges day-cardinality rows, not facts; the src CASE evaluates post-join on null flags.",
     "q110_lateral_topn": "Catalyst decorrelates the LATERAL subquery into a join + per-region window rank (DomainJoin → rank<=2 filter): nation/customer join broadcasts, the windows ride one keyed sort — NOT one subquery execution per outer row; identical physical family to the window-rank twin q10.",
     "q111_zorder_key": "Min/max stats collapse to ONE row and broadcast (scalar crossJoin); the scale + 32-term bit-interleave tree is pure scan-stage codegen — zero data shuffles. write_zordered adds only the range-shard exchange on the key.",
+    "q112_histogram": "Global min/max is a 1-row broadcast; bin assignment runs in the scan stage and the agg keys on the 20-value bin — bounded groups, map-side partials, one exchange.",
+    "q113_approx_percentile_contract": "The sketch and both exact percentiles come from one agg pass (percentile sorts within the single group); the 2-row targets broadcast back over the scan to measure achieved rank — the second pass is the price of auditing the first.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -118,6 +120,8 @@ EXPECTED_BNLJ = {
     "q93_important_stock": "the BNLJ is the 1-row total-value broadcast (the Q11 HAVING scalar); every per-part row pairs with exactly one build row.",
     "q95_domain_mixture": "the BNLJ is the 1-row totals broadcast (token total + group count) fanned onto the ~|sources×langs| mixture rows.",
     "q111_zorder_key": "the BNLJ is the 1-row min/max stats broadcast fanned onto every event row — the scalar-stats pattern (q61/q93), not a pairing.",
+    "q112_histogram": "the BNLJ is the 1-row min/max broadcast fanned onto every order row — scalar stats, not a pairing.",
+    "q113_approx_percentile_contract": "the BNLJ is the 2-row percentile-targets broadcast measured against the scan — a bounded fan-out for the rank audit.",
 }
 
 

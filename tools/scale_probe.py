@@ -70,6 +70,10 @@ PROBE = [
     "q96_passage_dedup",
     "q97_vocab_coverage",
     "q99_scd2_history",
+    "q103_gap_fill",
+    "q108_ngram_novelty",
+    "q109_full_outer_reconcile",
+    "q111_zorder_key",
 ]
 
 
