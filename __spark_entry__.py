@@ -32,9 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (omitted entries
-    get the driver's weaker rows-only check — only q19, whose HLL
-    sketch is engine-specific)."""
+    """DuckDB-runnable ANSI SQL twin for every query. Engine-specific
+    sketch values (q19/q102/q113) are oracled via their bounded-error
+    contracts: the oracle pins exact counts plus the contract booleans
+    the Spark side must evaluate to TRUE."""
     from bigdataflink_spark.plans.oracles import ORACLES
 
     return dict(ORACLES)

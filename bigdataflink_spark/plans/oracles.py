@@ -1696,4 +1696,51 @@ SELECT 0.9 AS p, ROUND(quantile_disc(o_totalprice, 0.9), 2) AS exact_v,
        TRUE AS rank_ok
 FROM orders
 """,
+    # q114: Gini from exact integer rank×count sums; entropy rounded
+    # 6dp (double sum, order drift ~1e-14 relative).
+    "q114_key_skew_profile": """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt ASC, o_custkey ASC) AS rk,
+         row_number() OVER (ORDER BY cnt DESC, o_custkey ASC) AS drk
+  FROM counts
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys,
+         SUM(cnt) AS total,
+         MAX(cnt) AS maxc,
+         SUM(CAST(rk AS HUGEINT) * cnt) AS iwx,
+         SUM(CASE WHEN drk <= 10 THEN cnt ELSE 0 END) AS top10
+  FROM ranked
+),
+ent AS (
+  SELECT ROUND(-SUM((CAST(cnt AS DOUBLE) / total)
+                    * ln(CAST(cnt AS DOUBLE) / total)), 6) AS entropy
+  FROM counts, stats
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(total AS BIGINT) AS total,
+       ROUND(CAST(maxc AS DOUBLE) / total, 6) AS max_share,
+       ROUND(CAST(top10 AS DOUBLE) / total, 6) AS top10_share,
+       entropy,
+       ROUND(2.0 * CAST(iwx AS DOUBLE) / (n_keys * total)
+             - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+FROM stats, ent
+""",
+    # q115: same walk; DuckDB spells integer division //.
+    "q115_recursive_hierarchy": """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS custkey, c_custkey AS node, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT custkey, node // 10, depth + 1 FROM walk WHERE node >= 10
+)
+SELECT custkey,
+       CAST(MAX(depth) AS INT) AS depth,
+       MAX(CASE WHEN node < 10 THEN node END) AS root
+FROM walk GROUP BY custkey
+""",
 }

@@ -2348,6 +2348,96 @@ def q113_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q114_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic over orders-per-customer: heavy-key
+    shares (max, top-10), Shannon entropy, and Gini of the key
+    distribution — the census you run BEFORE choosing salting
+    (q42) / AQE skew-split strategies at 100 TB. One fact shuffle to
+    per-key counts; the distribution stats then sort KEYS (vocabulary
+    scale, q97's argument), never facts. Gini accumulates rank×count
+    in exact integers so both engines emit identical bits; entropy's
+    double sum rounds at 6dp, far above parallel-order float drift."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.asc("cnt"), F.asc("o_custkey"))
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).alias("rk")
+    )
+    top = counts.select(
+        F.col("cnt"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("o_custkey")))
+        .alias("drk"),
+    )
+    top10 = top.agg(
+        F.sum(F.when(F.col("drk") <= 10, F.col("cnt")).otherwise(0)).alias(
+            "_top10"
+        )
+    )
+    stats = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("_maxc"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cnt")).alias("_iwx"),
+    )
+    ent = counts.crossJoin(F.broadcast(stats.select("total"))).agg(
+        F.round(
+            -F.sum(
+                (F.col("cnt").cast("double") / F.col("total"))
+                * F.log(F.col("cnt").cast("double") / F.col("total"))
+            ),
+            6,
+        ).alias("entropy")
+    )
+    return (
+        stats.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_keys",
+            "total",
+            F.round(F.col("_maxc").cast("double") / F.col("total"), 6).alias(
+                "max_share"
+            ),
+            F.round(F.col("_top10").cast("double") / F.col("total"), 6).alias(
+                "top10_share"
+            ),
+            "entropy",
+            # Gini from exact integer sums: (2*Σ rk*cnt)/(n*Σcnt) - (n+1)/n
+            F.round(
+                F.lit(2.0) * F.col("_iwx").cast("double")
+                / (F.col("n_keys") * F.col("total"))
+                - (F.col("n_keys") + 1).cast("double") / F.col("n_keys"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def q115_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk (Spark 4's recursive CTE — the
+    SQL surface behind q72/q100's iterative fixpoints): every customer
+    key climbs a synthesized decimal tree (parent = key DIV 10) to its
+    single-digit root, emitting depth and root. The recursion frontier
+    shrinks 10× per step, so total work is n·log10(n) rows and each
+    step is one keyed projection — the engine's iteration limit guards
+    runaway recursion, not this bounded walk."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q115_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS custkey, c_custkey AS node, 0 AS depth
+          FROM q115_customer
+          UNION ALL
+          SELECT custkey, node DIV 10, depth + 1 FROM walk WHERE node >= 10
+        )
+        SELECT custkey,
+               MAX(depth) AS depth,
+               MAX(CASE WHEN node < 10 THEN node END) AS root
+        FROM walk GROUP BY custkey
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2459,4 +2549,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_zorder_key": q111_zorder_key,
     "q112_histogram": q112_histogram,
     "q113_approx_percentile_contract": q113_approx_percentile_contract,
+    "q114_key_skew_profile": q114_key_skew_profile,
+    "q115_recursive_hierarchy": q115_recursive_hierarchy,
 }

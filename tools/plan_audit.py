@@ -107,6 +107,7 @@ NOTES = {
     "q111_zorder_key": "Min/max stats collapse to ONE row and broadcast (scalar crossJoin); the scale + 32-term bit-interleave tree is pure scan-stage codegen — zero data shuffles. write_zordered adds only the range-shard exchange on the key.",
     "q112_histogram": "Global min/max is a 1-row broadcast; bin assignment runs in the scan stage and the agg keys on the 20-value bin — bounded groups, map-side partials, one exchange.",
     "q113_approx_percentile_contract": "The sketch and both exact percentiles come from one agg pass (percentile sorts within the single group); the 2-row targets broadcast back over the scan to measure achieved rank — the second pass is the price of auditing the first.",
+    "q114_key_skew_profile": "One fact shuffle to per-key counts; every later op (rank windows, moment sums, entropy) runs over KEYS — vocabulary scale, q97's argument. The three 1-row stat legs recombine via scalar broadcasts.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -122,6 +123,7 @@ EXPECTED_BNLJ = {
     "q111_zorder_key": "the BNLJ is the 1-row min/max stats broadcast fanned onto every event row — the scalar-stats pattern (q61/q93), not a pairing.",
     "q112_histogram": "the BNLJ is the 1-row min/max broadcast fanned onto every order row — scalar stats, not a pairing.",
     "q113_approx_percentile_contract": "the BNLJ is the 2-row percentile-targets broadcast measured against the scan — a bounded fan-out for the rank audit.",
+    "q114_key_skew_profile": "all BNLJs are 1-row scalar-stat recombinations (totals/top-10/entropy legs) — the q61/q93 pattern.",
 }
 
 

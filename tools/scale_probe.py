@@ -214,13 +214,23 @@ def main_100() -> None:
         build_sf10(spark)
     QUERIES["q02_revenue_by_region"](spark, SRC).count()  # warm
     report = {}
+
+    def steady(fn, sf):
+        """Best-of-3 after one warmup: one-shot times in this shared
+        JVM swing up to 4× on GC/JIT state carried over from the
+        previous query (measured: q21 sf10 8.7s ↔ 36.8s across runs),
+        so the minimum is the only number that reflects the PLAN."""
+        n = fn(spark, sf).count()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf).count()
+            best = min(best, time.perf_counter() - t0)
+        return n, round(best, 3)
+
     for name, fn in PROBE100.items():
-        t0 = time.perf_counter()
-        n_small = fn(spark, SRC).count()
-        t_small = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n_big = fn(spark, DST100).count()
-        t_big = round(time.perf_counter() - t0, 3)
+        n_small, t_small = steady(fn, SRC)
+        n_big, t_big = steady(fn, DST100)
         report[name] = {
             "sf0.1_s": t_small,
             "sf10_s": t_big,
