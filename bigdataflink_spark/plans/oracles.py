@@ -1743,4 +1743,16 @@ SELECT custkey,
        MAX(CASE WHEN node < 10 THEN node END) AS root
 FROM walk GROUP BY custkey
 """,
+    # q116: all commutative-associative aggregates; DuckDB count(*)
+    # FILTER mirrors count_if.
+    "q116_agg_battery": """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_high,
+       BOOL_OR(o_totalprice > 200000.0) AS any_high,
+       BOOL_AND(o_totalprice > 0) AS all_positive,
+       CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_band,
+       CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_bor,
+       CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_bxor
+FROM orders GROUP BY 1
+""",
 }

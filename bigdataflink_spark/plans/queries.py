@@ -2438,6 +2438,25 @@ def q115_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q116_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean / bitwise aggregate battery per order
+    priority: count_if, bool_or / bool_and (SQL ANY/EVERY), and the
+    three bitwise reductions over the order key. All are commutative-
+    associative single-pass aggregates — map-side partials merge in
+    any order with bit-exact results, so they shard freely at 100 TB.
+    One exchange on the bounded priority key."""
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_totalprice") > 200000.0
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(high).alias("n_high"),
+        F.bool_or(high).alias("any_high"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bit_and("o_orderkey").alias("key_band"),
+        F.bit_or("o_orderkey").alias("key_bor"),
+        F.bit_xor("o_orderkey").alias("key_bxor"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2551,4 +2570,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_approx_percentile_contract": q113_approx_percentile_contract,
     "q114_key_skew_profile": q114_key_skew_profile,
     "q115_recursive_hierarchy": q115_recursive_hierarchy,
+    "q116_agg_battery": q116_agg_battery,
 }

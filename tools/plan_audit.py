@@ -108,6 +108,7 @@ NOTES = {
     "q112_histogram": "Global min/max is a 1-row broadcast; bin assignment runs in the scan stage and the agg keys on the 20-value bin — bounded groups, map-side partials, one exchange.",
     "q113_approx_percentile_contract": "The sketch and both exact percentiles come from one agg pass (percentile sorts within the single group); the 2-row targets broadcast back over the scan to measure achieved rank — the second pass is the price of auditing the first.",
     "q114_key_skew_profile": "One fact shuffle to per-key counts; every later op (rank windows, moment sums, entropy) runs over KEYS — vocabulary scale, q97's argument. The three 1-row stat legs recombine via scalar broadcasts.",
+    "q116_agg_battery": "Six commutative-associative aggregates share ONE partial+final hash-agg pass — order-independent bit-exact merges, one exchange on the 5-value priority key.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
