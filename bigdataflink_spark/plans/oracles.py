@@ -1755,4 +1755,27 @@ SELECT o_orderpriority,
        CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_bxor
 FROM orders GROUP BY 1
 """,
+    # q117: first-occurrence cascade with strict > between stages.
+    "q117_funnel": """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM v) AS viewed,
+       (SELECT COUNT(*) FROM c) AS clicked,
+       (SELECT COUNT(*) FROM p) AS purchased,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase
+""",
 }

@@ -2457,6 +2457,46 @@ def q116_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click-after-view →
+    purchase-after-click): each stage is the user's FIRST qualifying
+    event strictly after the previous stage's timestamp. Three
+    filtered per-user min aggregations chained by user-keyed joins —
+    no per-user event collection, no window over raw events, so state
+    per stage is one row per surviving user at any scale. Micros
+    timestamps make the strict > comparisons exact cross-engine."""
+    events = _t(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        step = events.filter(F.col("event_type") == etype)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(
+                F.col("ts") > F.col("_prev_ts")
+            )
+        return step.groupBy("user_id").agg(F.min("ts").alias("_prev_ts"))
+
+    viewed = first_after("view", None)
+    clicked = first_after("click", viewed)
+    purchased = first_after("purchase", clicked)
+    total = events.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        total.crossJoin(F.broadcast(viewed.agg(F.count("*").alias("viewed"))))
+        .crossJoin(F.broadcast(clicked.agg(F.count("*").alias("clicked"))))
+        .crossJoin(
+            F.broadcast(purchased.agg(F.count("*").alias("purchased")))
+        )
+        .select(
+            "n_users",
+            "viewed",
+            "clicked",
+            "purchased",
+            F.round(
+                F.col("purchased").cast("double") / F.col("viewed"), 6
+            ).alias("view_to_purchase"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2571,4 +2611,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_key_skew_profile": q114_key_skew_profile,
     "q115_recursive_hierarchy": q115_recursive_hierarchy,
     "q116_agg_battery": q116_agg_battery,
+    "q117_funnel": q117_funnel,
 }

@@ -109,6 +109,7 @@ NOTES = {
     "q113_approx_percentile_contract": "The sketch and both exact percentiles come from one agg pass (percentile sorts within the single group); the 2-row targets broadcast back over the scan to measure achieved rank — the second pass is the price of auditing the first.",
     "q114_key_skew_profile": "One fact shuffle to per-key counts; every later op (rank windows, moment sums, entropy) runs over KEYS — vocabulary scale, q97's argument. The three 1-row stat legs recombine via scalar broadcasts.",
     "q116_agg_battery": "Six commutative-associative aggregates share ONE partial+final hash-agg pass — order-independent bit-exact merges, one exchange on the 5-value priority key.",
+    "q117_funnel": "Each funnel stage is a filtered per-user min agg joined to the previous stage on user_id — per-stage state is one row per surviving user; the four stage counts recombine as 1-row broadcasts.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -125,6 +126,7 @@ EXPECTED_BNLJ = {
     "q112_histogram": "the BNLJ is the 1-row min/max broadcast fanned onto every order row — scalar stats, not a pairing.",
     "q113_approx_percentile_contract": "the BNLJ is the 2-row percentile-targets broadcast measured against the scan — a bounded fan-out for the rank audit.",
     "q114_key_skew_profile": "all BNLJs are 1-row scalar-stat recombinations (totals/top-10/entropy legs) — the q61/q93 pattern.",
+    "q117_funnel": "all BNLJs are 1-row stage-count recombinations — the q61/q93 scalar pattern.",
 }
 
 
