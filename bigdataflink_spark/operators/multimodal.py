@@ -308,3 +308,66 @@ def synthetic_media(spark, docs: DataFrame) -> DataFrame:
         F.lit(64).alias("height"),
         (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
     )
+
+
+def synthetic_rgb_video(
+    docs: DataFrame, width: int = 8, height: int = 6, frames: int = 10,
+    duration_ms: int = 1000,
+) -> DataFrame:
+    """One deterministic raw-RGB VIDEO per document row: the payload
+    is ``frames`` concatenated w*h*3 frames where container byte m is
+    ``(media_id * 31 + m) % 256`` — same closed form as
+    synthetic_rgb_media, extended over the frame axis so a SQL oracle
+    can recompute any sliced frame's bytes (the q118 fixture)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height * 3 * frames
+        ks = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "video",
+                    "payload": pdf["doc_id"].map(
+                        lambda i: ((int(i) * 31 + ks) % 256).astype(np.uint8).tobytes()
+                    ),
+                    "mime": RAW_RGB_VIDEO,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "duration_ms": pd.array([duration_ms] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def frame_byte_stats(frames: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, n_bytes, byte_sum) over sample_frames
+    output — the per-frame twin of media_byte_stats."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("n_bytes", LongType(), True),
+            StructField("byte_sum", LongType(), True),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "n_bytes": pdf["frame_bytes"].map(
+                        lambda b: len(b) if b is not None else None
+                    ),
+                    "byte_sum": pdf["frame_bytes"].map(
+                        lambda b: int(np.frombuffer(bytes(b), dtype=np.uint8).sum())
+                        if b is not None
+                        else None
+                    ),
+                }
+            )
+
+    return frames.mapInPandas(_batches, schema=schema)

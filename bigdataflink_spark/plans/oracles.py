@@ -1778,4 +1778,18 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
        ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
              / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase
 """,
+    # q118: sampled frame k slices container bytes [k*5*144, +144);
+    # container byte m = (id*31 + m) % 256 — q71's closed form over
+    # the frame axis.
+    "q118_video_frame_stats": """
+SELECT d.doc_id AS media_id,
+       CAST(k.k AS INT) AS frame_idx,
+       CAST(144 AS BIGINT) AS n_bytes,
+       CAST(SUM((d.doc_id * 31 + (k.k * 5 * 144) + j.j) % 256)
+            AS BIGINT) AS byte_sum
+FROM documents d,
+     generate_series(0, 1) AS k(k),
+     generate_series(0, 143) AS j(j)
+GROUP BY d.doc_id, k.k
+""",
 }

@@ -2497,6 +2497,25 @@ def q117_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling over binary payload columns
+    (operators/multimodal.py): a deterministic 10-frame 8x6 raw-RGB
+    video per document (container byte m = (id*31 + m) % 256),
+    sliced at exact frame boundaries by sample_frames (every 500 ms
+    of a 1000 ms clip over 10 stored frames -> step 5 -> frames 0 and
+    5), then byte-exact per-frame stats. Three chained mapInPandas
+    stages in one task pipeline — zero exchanges, payloads never
+    shuffle; the oracle recomputes each sampled frame's bytes from
+    the generative formula (q71's design, extended over the frame
+    axis)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_rgb_video(
+        docs, width=8, height=6, frames=10, duration_ms=1000
+    )
+    frames = multimodal.sample_frames(media, every_ms=500)
+    return multimodal.frame_byte_stats(frames)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2612,4 +2631,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_recursive_hierarchy": q115_recursive_hierarchy,
     "q116_agg_battery": q116_agg_battery,
     "q117_funnel": q117_funnel,
+    "q118_video_frame_stats": q118_video_frame_stats,
 }
