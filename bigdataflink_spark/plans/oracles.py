@@ -1792,4 +1792,20 @@ FROM documents d,
      generate_series(0, 143) AS j(j)
 GROUP BY d.doc_id, k.k
 """,
+    # q119: survivors = keys with no change (seq 0) or an update
+    # (updated price); deleted keys (k % 7 = 0) vanish.
+    "q119_cdc_apply": """
+WITH survivors AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        + CAST(10 AS DECIMAL(4,2)) AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+  FROM orders
+  WHERE o_orderkey % 7 <> 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total_price
+FROM survivors GROUP BY 1
+""",
 }

@@ -2516,6 +2516,49 @@ def q118_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_byte_stats(frames)
 
 
+def q119_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a synthesized change stream over orders (every 3rd
+    key updates its price by +10.00 — an exact decimal add, so no
+    engine-specific tie rounding — every 7th key deletes) folded
+    onto the base snapshot —
+    the MERGE generalization of LWW upsert (q14) WITH deletes. Latest
+    op per key wins via one keyed window; D rows drop out of the
+    final state. Emits a per-status audit of surviving rows. One
+    shuffle on the key — the same cost envelope as the upsert it
+    generalizes."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.lit(0).alias("_seq"),
+        F.lit("I").alias("_op"),
+    )
+    changes = orders.filter(
+        (F.col("o_orderkey") % 3 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(10).cast("decimal(4,2)"))
+        .cast("decimal(18,2)")
+        .alias("price"),
+        F.lit(1).alias("_seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("_op"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("_seq"))
+    latest = (
+        base.unionByName(changes)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
+    )
+    return latest.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("price").cast("double"), 2).alias("total_price"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2632,4 +2675,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_agg_battery": q116_agg_battery,
     "q117_funnel": q117_funnel,
     "q118_video_frame_stats": q118_video_frame_stats,
+    "q119_cdc_apply": q119_cdc_apply,
 }
