@@ -38,12 +38,18 @@ def get_spark(app_name: str = "bigdataflink-spark", master: str | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "128MB")
-        # Split small inputs down to core count: a 10 MB parquet file
-        # would otherwise scan as ONE task, serializing CPU-heavy
-        # per-row work (tokenize/ngram/decode) on a 32-core box. On a
-        # real cluster defaultParallelism is large and splits follow
-        # it; maxPartitionBytes above still caps splits of big inputs.
-        .config("spark.sql.files.minPartitionNum", cpus)
+        # Split small inputs into at least 8 scan tasks: a 10 MB
+        # parquet file would otherwise scan as ONE task, serializing
+        # CPU-heavy per-row work (tokenize/ngram/decode) on a 32-core
+        # box. 8 (not core count) balances that against per-task
+        # scheduling overhead on many-small-action workloads — the
+        # star ETL's 7 table actions pay ~20% for a 32-way floor.
+        # On a real cluster defaultParallelism drives splits anyway;
+        # maxPartitionBytes above still caps splits of big inputs.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITIONS", "8"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
