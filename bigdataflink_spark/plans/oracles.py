@@ -1808,4 +1808,15 @@ SELECT o_orderstatus, COUNT(*) AS n_rows,
        ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total_price
 FROM survivors GROUP BY 1
 """,
+    # q120: DuckDB's JSON extraction mirrors the variant path; sum
+    # over INT widens to HUGEINT -> cast.
+    "q120_variant_extract": """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS n_distinct_k,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY 1
+""",
 }

@@ -2559,6 +2559,26 @@ def q119_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json the props
+    column WITHOUT declaring a schema (q11's from_json twin needs
+    one), extract a typed path, aggregate. VARIANT keeps the parse in
+    the scan stage as a binary-encoded value — schema drift in 100 TB
+    of logs can't break the reader, and path extraction prunes to the
+    accessed field. One exchange on the bounded type key."""
+    events = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return events.select("event_type", k.alias("_k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("_k").alias("sum_k"),
+        F.countDistinct("_k").alias("n_distinct_k"),
+        F.min("_k").alias("min_k"),
+        F.max("_k").alias("max_k"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2676,4 +2696,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q117_funnel": q117_funnel,
     "q118_video_frame_stats": q118_video_frame_stats,
     "q119_cdc_apply": q119_cdc_apply,
+    "q120_variant_extract": q120_variant_extract,
 }
