@@ -154,3 +154,40 @@ def write_sharded(
         .mode("overwrite")
         .save(path)
     )
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Small-file compaction (the lakehouse OPTIMIZE maintenance op):
+    rewrite a directory's accumulated files into range-sharded,
+    size-capped, sorted files via write_sharded. Returns (files
+    before, files after).
+
+    Streaming sinks and per-batch writers accrete small files; at
+    100 TB the cost is the FILE LISTING and per-task open overhead,
+    not the bytes. Compaction is a full rewrite of the directory —
+    run it per partition directory on partitioned layouts so each
+    maintenance job stays bounded. The rewrite goes through a temp
+    dir + atomic-ish swap so a crash leaves either the old or the
+    new layout, never a mix.
+    """
+    import glob as _glob
+    import shutil
+
+    def _count(p: str) -> int:
+        return len(_glob.glob(p + "/part-*"))
+
+    before = _count(path)
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    write_sharded(df, tmp, sort_cols, target_rows_per_file, fmt=fmt)
+    old = path.rstrip("/") + ".compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return before, _count(path)

@@ -118,3 +118,23 @@ def test_write_sharded_sizes_and_global_order(spark, tmp_path):
         assert hi_a <= lo_b
     back = spark.read.parquet(out)
     assert back.count() == n
+
+
+def test_compact_dir_reduces_files_and_preserves_rows(spark, tmp_path):
+    from bigdataflink_spark.sources.formats import compact_dir
+
+    src = load_table(spark, "orders", SF).select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "accreted")
+    # simulate a streaming sink's accretion: 12 tiny appends
+    for i in range(12):
+        src.filter(F.col("o_orderkey") % 12 == i).repartition(3).write.mode(
+            "append"
+        ).parquet(out)
+    n = src.count()
+    before, after = compact_dir(spark, out, ["o_orderkey"], 2000)
+    assert before >= 30 and after <= max(1, -(-n // 2000)) + 1
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.agg(F.sum("o_totalprice")).collect()[0][0] == src.agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0]
