@@ -1819,4 +1819,13 @@ SELECT event_type,
        MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY 1
 """,
+    # q121: DuckDB's ordered list agg sliced to 3 mirrors
+    # sort_array(collect_list(struct)) with the same total order.
+    "q121_grouped_topk_arrays": """
+SELECT c_nationkey,
+       (list(c_name ORDER BY c_acctbal DESC, c_custkey ASC))[1:3]
+         AS top3_names,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY 1
+""",
 }

@@ -2579,6 +2579,31 @@ def q120_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_grouped_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k materialized AS AN ORDERED ARRAY (the serving-
+    layer shape: one row per group carrying its ranked list): top-3
+    customers by balance per nation, emitted as array<string>. The
+    sort_array(collect_list(struct))) idiom gives a deterministic
+    total order (balance desc, key asc tiebreak) without a window
+    shuffle — collect_list rides the existing group agg and the sort
+    is per-group in-memory, bounded by group size. For unbounded
+    groups cap with slice() AFTER sort (done here) and guard group
+    cardinality upstream."""
+    customer = _t(spark, sf_dir, "customer")
+    pair = F.struct(
+        (-F.col("c_acctbal")).alias("_negbal"),
+        F.col("c_custkey").alias("_key"),
+        F.col("c_name").alias("_name"),
+    )
+    return customer.groupBy("c_nationkey").agg(
+        F.transform(
+            F.slice(F.sort_array(F.collect_list(pair)), 1, 3),
+            lambda s: s.getField("_name"),
+        ).alias("top3_names"),
+        F.count("*").alias("n_customers"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2697,4 +2722,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_video_frame_stats": q118_video_frame_stats,
     "q119_cdc_apply": q119_cdc_apply,
     "q120_variant_extract": q120_variant_extract,
+    "q121_grouped_topk_arrays": q121_grouped_topk_arrays,
 }

@@ -113,6 +113,7 @@ NOTES = {
     "q118_video_frame_stats": "Three chained mapInPandas stages (generate -> frame-slice -> stats) fuse into ONE task pipeline: zero exchanges, binary payloads never shuffle — q71's argument with a 1:N frame fan-out in the middle.",
     "q119_cdc_apply": "Base ∪ changes shuffles ONCE on the key for the latest-op window (q14's LWW cost envelope); deletes drop in the same filter, and the audit agg groups the 3-value status key.",
     "q120_variant_extract": "parse_json + variant_get run in the scan stage (no declared schema to break on drift); the multi-distinct agg is Catalyst's Expand rewrite on the bounded type key — one exchange.",
+    "q121_grouped_topk_arrays": "collect_list rides the ONE group-key exchange; sort+slice are per-group in-memory (bounded by group size) — no window shuffle for the ranked-list shape.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
