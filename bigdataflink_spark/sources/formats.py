@@ -173,21 +173,32 @@ def compact_dir(
     not the bytes. Compaction is a full rewrite of the directory —
     run it per partition directory on partitioned layouts so each
     maintenance job stays bounded. The rewrite goes through a temp
-    dir + atomic-ish swap so a crash leaves either the old or the
-    new layout, never a mix.
+    dir + rename swap so a crash leaves either the old or the new
+    layout, never a mix. All filesystem ops go through the Hadoop
+    FileSystem API (NOT driver-local os/shutil), so the helper works
+    unchanged on file://, hdfs://, and s3a:// paths — the same
+    contract as streaming/merge.py's state probes.
     """
-    import glob as _glob
-    import shutil
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
-    def _count(p: str) -> int:
-        return len(_glob.glob(p + "/part-*"))
+    def _count(p) -> int:
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith("part-")
+        )
 
-    before = _count(path)
+    before = _count(hpath)
     df = spark.read.format(fmt).load(path)
-    tmp = path.rstrip("/") + ".compact_tmp"
-    write_sharded(df, tmp, sort_cols, target_rows_per_file, fmt=fmt)
-    old = path.rstrip("/") + ".compact_old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
-    return before, _count(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_tmp")
+    write_sharded(df, tmp.toString(), sort_cols, target_rows_per_file, fmt=fmt)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact_dir: could not stage {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compact_dir: could not swap in compacted {path}")
+    fs.delete(old, True)
+    return before, _count(hpath)
