@@ -561,3 +561,41 @@ def test_streaming_moments_match_batch_zscore(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in zscore_flags(events).collect())
     assert got == want
+
+
+def test_streaming_topk_matches_batch(spark, tmp_path):
+    """Merged per-batch token counts must give exactly the one-shot
+    batch top-k (integer counts merge losslessly for any slicing)."""
+    from bigdataflink_spark.streaming.topk import run_topk_stream
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "srcdocs")
+    for i, (lo, hi) in enumerate([(0, 40), (40, 70), (70, 10**9)]):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).write.parquet(
+            f"{src}/slice={i}"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = [
+        (r.token, r.cnt)
+        for r in run_topk_stream(
+            spark, stream, str(tmp_path / "parts"), str(tmp_path / "ckpt"), k=8
+        ).collect()
+    ]
+    from bigdataflink_spark.operators.text import tokens as _toks
+
+    want = [
+        (r.token, r.cnt)
+        for r in docs.select(F.explode(_toks("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(8)
+        .collect()
+    ]
+    assert got == want
