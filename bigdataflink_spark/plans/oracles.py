@@ -1828,4 +1828,83 @@ SELECT c_nationkey,
        COUNT(*) AS n_customers
 FROM customer GROUP BY 1
 """,
+    # q122: same rational lift (no ln) and the same IEEE expression
+    # shape — numerator product left-assoc, one division at the end.
+    "q122_pmi_collocations": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+uni AS (SELECT UNNEST(tk) AS t FROM toks),
+unic AS (SELECT t, COUNT(*) AS c_t FROM uni GROUP BY 1),
+bg AS (
+  SELECT UNNEST([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS g
+  FROM toks WHERE len(tk) >= 2
+),
+bgc AS (SELECT g, COUNT(*) AS c_xy FROM bg GROUP BY 1 HAVING COUNT(*) >= 5),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+         (SELECT COUNT(*) FROM bg) AS n_bg
+),
+scored AS (
+  SELECT b.g AS bigram, b.c_xy, ux.c_t AS c_x, uy.c_t AS c_y,
+         ROUND(CAST(b.c_xy AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+               * CAST(t.n_uni AS DOUBLE)
+               / (CAST(t.n_bg AS DOUBLE) * CAST(ux.c_t AS DOUBLE)
+                  * CAST(uy.c_t AS DOUBLE)), 6) AS lift
+  FROM bgc b
+  JOIN unic ux ON string_split(b.g, ' ')[1] = ux.t
+  JOIN unic uy ON string_split(b.g, ' ')[2] = uy.t
+  CROSS JOIN totals t
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, bigram ASC) AS rn
+  FROM scored
+)
+SELECT bigram, c_xy, c_x, c_y, lift, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 20
+""",
+    # q123: distinct (doc,term) pairs; postings = first 8 sorted doc
+    # ids; idf is the q46 rational n_docs/df; stopword cut at 78% df.
+    "q123_inverted_index": f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS term FROM documents
+),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+agg AS (
+  SELECT term, COUNT(*) AS df,
+         (list(doc_id ORDER BY doc_id ASC))[1:8] AS postings
+  FROM pairs GROUP BY 1
+)
+SELECT term, df,
+       ROUND(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE), 6) AS idf,
+       postings
+FROM agg CROSS JOIN total
+WHERE CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) <= 0.78
+""",
+    # q124: both medians are discrete (quantile_disc picks real data
+    # values); the 3*MAD fence and abs-dev arithmetic are plain IEEE
+    # doubles, mirrored term for term.
+    "q124_mad_outliers": """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.n_events, m.med,
+         ABS(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, n_events, med, quantile_disc(ad, 0.5) AS mad
+  FROM dev GROUP BY 1, 2, 3
+)
+SELECT d.event_type, d.n_events,
+       ROUND(d.med, 6) AS median,
+       ROUND(m.mad, 6) AS mad,
+       CAST(SUM(CASE WHEN d.ad > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.n_events, d.med, m.mad
+""",
 }

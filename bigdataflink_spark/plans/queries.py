@@ -2604,6 +2604,139 @@ def q121_grouped_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise-mutual-information LIFT:
+    bigram observed/expected ratio over the whole corpus. Like q46's
+    idf, the score is the exact rational c_xy*N_uni^2/(N_bg*c_x*c_y)
+    rather than its log — IEEE division is bit-identical across
+    engines, libm's ln() is not. All passes are linear explodes +
+    token-keyed aggregations; the two unigram joins shuffle on the
+    vocabulary (sublinear in corpus size), and the scalar totals ride
+    a broadcast. Top-20 by (lift desc, bigram asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("_tk"))
+    uni = toked.select(F.explode("_tk").alias("t"))
+    unic = uni.groupBy("t").agg(F.count("*").alias("c_t"))
+    bg = toked.select(F.explode(text.ngrams(F.col("_tk"), 2)).alias("g"))
+    bgc = bg.groupBy("g").agg(F.count("*").alias("c_xy"))
+    totals = uni.agg(F.count("*").alias("n_uni")).crossJoin(
+        bg.agg(F.count("*").alias("n_bg"))
+    )
+    x = F.element_at(F.split("g", " "), 1)
+    y = F.element_at(F.split("g", " "), 2)
+    scored = (
+        bgc.filter(F.col("c_xy") >= 5)
+        .withColumn("_x", x)
+        .withColumn("_y", y)
+        .join(unic.select(F.col("t").alias("_x"), F.col("c_t").alias("c_x")), "_x")
+        .join(unic.select(F.col("t").alias("_y"), F.col("c_t").alias("c_y")), "_y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("g").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.col("c_xy").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+                / (
+                    F.col("n_bg").cast("double")
+                    * F.col("c_x").cast("double")
+                    * F.col("c_y").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("bigram"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", "c_xy", "c_x", "c_y", "lift", "rn")
+    )
+
+
+def q123_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction contract (the retrieval-layer
+    shape): per term, document frequency, rational idf (n_docs/df,
+    same no-libm rule as q46), and the first 8 postings as a sorted
+    array<doc_id>. One distinct-pair explode + one term-keyed agg;
+    posting arrays are built by sort_array(collect_list()) inside the
+    existing group agg and capped with slice() — per-term memory is
+    bounded by the cap only after the sort, so at 100 TB cap df per
+    term upstream (stopword cut at df/n_docs > 0.78 here,
+    tuned to the synthetic corpus's flat Zipf curve)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+        .distinct()
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    agg = pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8).alias("postings"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("df").cast("double") / F.col("n_docs").cast("double") <= 0.78
+        )
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("df").cast("double"), 6
+            ).alias("idf"),
+            "postings",
+        )
+    )
+
+
+def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: median absolute deviation
+    (MAD) with a 3×MAD fence — q104's z-score twin that a heavy-tailed
+    100 TB telemetry feed actually needs (mean/stddev are themselves
+    dragged by the outliers they're meant to find). Both medians use
+    percentile_disc, which picks REAL data values — bit-identical
+    across engines, no interpolation. Two grouped passes over events
+    keyed by the bounded event_type domain; per-group cutoffs join
+    back as broadcasts."""
+    events = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("_med"),
+        F.count("*").alias("n_events"),
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_events",
+        "_med",
+        F.abs(F.col("value") - F.col("_med")).alias("_ad"),
+    )
+    mad = dev.groupBy("event_type", "n_events", "_med").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _ad)").alias("_mad")
+    )
+    return (
+        dev.select("event_type", "_ad")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n_events", "_med", "_mad")
+        .agg(
+            F.sum(
+                F.when(F.col("_ad") > 3.0 * F.col("_mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("_med", 6).alias("median"),
+            F.round("_mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2723,4 +2856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_cdc_apply": q119_cdc_apply,
     "q120_variant_extract": q120_variant_extract,
     "q121_grouped_topk_arrays": q121_grouped_topk_arrays,
+    "q122_pmi_collocations": q122_pmi_collocations,
+    "q123_inverted_index": q123_inverted_index,
+    "q124_mad_outliers": q124_mad_outliers,
 }
