@@ -2614,13 +2614,43 @@ def q122_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (sublinear in corpus size), and the scalar totals ride
     a broadcast. Top-20 by (lift desc, bigram asc)."""
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", text.tokens("text").alias("_tk"))
-    uni = toked.select(F.explode("_tk").alias("t"))
-    unic = uni.groupBy("t").agg(F.count("*").alias("c_t"))
-    bg = toked.select(F.explode(text.ngrams(F.col("_tk"), 2)).alias("g"))
-    bgc = bg.groupBy("g").agg(F.count("*").alias("c_xy"))
-    totals = uni.agg(F.count("*").alias("n_uni")).crossJoin(
-        bg.agg(F.count("*").alias("n_bg"))
+    toked = docs.select(text.tokens("text").alias("_tk"))
+    # ONE corpus scan: unigrams and bigrams explode together under a
+    # kind tag, count in one shuffle, and the vocab-sized counts table
+    # persists — unic/bgc/totals all derive from the cache, so the
+    # 100 TB corpus is read exactly once (the naive 5-subtree plan
+    # re-scans it per reference; no ReuseExchange, the subtrees
+    # differ after filter pushdown).
+    grams = toked.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    "_tk",
+                    lambda t: F.struct(F.lit("u").alias("kind"), t.alias("g")),
+                ),
+                F.transform(
+                    text.ngrams(F.col("_tk"), 2),
+                    lambda b: F.struct(F.lit("b").alias("kind"), b.alias("g")),
+                ),
+            )
+        ).alias("kg")
+    )
+    counts = (
+        grams.groupBy(
+            F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g")
+        )
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    unic = counts.filter(F.col("kind") == "u").select(
+        F.col("g").alias("t"), F.col("c").alias("c_t")
+    )
+    bgc = counts.filter(F.col("kind") == "b").select(
+        "g", F.col("c").alias("c_xy")
+    )
+    totals = counts.agg(
+        F.sum(F.when(F.col("kind") == "u", F.col("c"))).alias("n_uni"),
+        F.sum(F.when(F.col("kind") == "b", F.col("c"))).alias("n_bg"),
     )
     x = F.element_at(F.split("g", " "), 1)
     y = F.element_at(F.split("g", " "), 2)
@@ -2704,28 +2734,31 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as broadcasts."""
     events = _t(spark, sf_dir, "events")
     med = events.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("_med"),
-        F.count("*").alias("n_events"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("_med")
     )
     dev = events.join(F.broadcast(med), "event_type").select(
         "event_type",
-        "n_events",
         "_med",
         F.abs(F.col("value") - F.col("_med")).alias("_ad"),
     )
-    mad = dev.groupBy("event_type", "n_events", "_med").agg(
+    mad = dev.groupBy("event_type", "_med").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _ad)").alias("_mad")
     )
+    # final pass recomputes the abs-dev against the broadcast cutoffs
+    # and counts rows in the same agg: 3 fact scans total (med → mad →
+    # audit), each branch strictly sequential, none cached
     return (
-        dev.select("event_type", "_ad")
-        .join(F.broadcast(mad), "event_type")
-        .groupBy("event_type", "n_events", "_med", "_mad")
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "_med", "_mad")
         .agg(
+            F.count("*").alias("n_events"),
             F.sum(
-                F.when(F.col("_ad") > 3.0 * F.col("_mad"), 1).otherwise(0)
+                F.when(
+                    F.abs(F.col("value") - F.col("_med")) > 3.0 * F.col("_mad"), 1
+                ).otherwise(0)
             )
             .cast("long")
-            .alias("n_outliers")
+            .alias("n_outliers"),
         )
         .select(
             "event_type",

@@ -114,6 +114,9 @@ NOTES = {
     "q119_cdc_apply": "Base ∪ changes shuffles ONCE on the key for the latest-op window (q14's LWW cost envelope); deletes drop in the same filter, and the audit agg groups the 3-value status key.",
     "q120_variant_extract": "parse_json + variant_get run in the scan stage (no declared schema to break on drift); the multi-distinct agg is Catalyst's Expand rewrite on the bounded type key — one exchange.",
     "q121_grouped_topk_arrays": "collect_list rides the ONE group-key exchange; sort+slice are per-group in-memory (bounded by group size) — no window shuffle for the ranked-list shape.",
+    "q122_pmi_collocations": "ONE corpus scan: unigrams+bigrams explode together under a kind tag into a single token-keyed count shuffle, persisted vocab-sized — the scans listed below are all InMemoryTableScans of that one cache (the FileScan executes once at materialization; without the cache each of the 4 references re-scans the corpus, since filter pushdown defeats ReuseExchange). Unigram joins are vocab×vocab, totals ride 1-row broadcasts; the top-20 window ranks only the >=5-count bigram set.",
+    "q123_inverted_index": "distinct(doc,term) is one shuffle on the pair, the posting agg one on term; sort+slice per-term in-memory. At 100 TB the df cap must move INTO the agg (count-then-filter pre-pass) so hot stopword terms never materialize full lists.",
+    "q124_mad_outliers": "Two grouped percentile_disc passes on the bounded event_type key; the per-group cutoffs rejoin as broadcasts so the fact side never reshuffles. percentile_disc sorts within groups — at 100× swap to approx_percentile for the first pass and keep disc only for the audit.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -131,6 +134,8 @@ EXPECTED_BNLJ = {
     "q113_approx_percentile_contract": "the BNLJ is the 2-row percentile-targets broadcast measured against the scan — a bounded fan-out for the rank audit.",
     "q114_key_skew_profile": "all BNLJs are 1-row scalar-stat recombinations (totals/top-10/entropy legs) — the q61/q93 pattern.",
     "q117_funnel": "all BNLJs are 1-row stage-count recombinations — the q61/q93 scalar pattern.",
+    "q122_pmi_collocations": "the BNLJ is the 1-row (n_uni, n_bg) totals broadcast fanned onto the filtered bigram set — the q46 scalar pattern.",
+    "q123_inverted_index": "the BNLJ is the 1-row n_docs broadcast fanned onto per-term rows — q46's scalar idf pattern.",
 }
 
 
@@ -155,6 +160,12 @@ def audit(name: str, plan: str) -> list[str]:  # noqa: C901
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     n_bc = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
     lines.append(f"  - exchanges: {n_ex} shuffle, {n_bc} broadcast")
+    n_imts = len(re.findall(r"InMemoryTableScan", plan))
+    if n_imts:
+        lines.append(
+            f"  - cache: {n_imts} InMemoryTableScan refs of a persisted "
+            "intermediate (its source scan executes ONCE at materialization)"
+        )
     if "BroadcastNestedLoopJoin" in plan:
         if name in EXPECTED_BNLJ:
             lines.append(f"  - nested loop (intended): {EXPECTED_BNLJ[name]}")
