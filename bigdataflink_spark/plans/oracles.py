@@ -1907,4 +1907,82 @@ SELECT d.event_type, d.n_events,
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type, d.n_events, d.med, m.mad
 """,
+    # q125: DuckDB range() excludes the stop like Spark's
+    # sequence(0, n-1, stride) includes only values <= n-1; list
+    # slices are 1-based inclusive and clamp at the end on both
+    # engines, so chunk contents match token for token.
+    "q125_doc_chunking": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+st AS (
+  SELECT doc_id, tk, UNNEST(range(0, len(tk), 24)) AS start
+  FROM toks WHERE len(tk) >= 1
+)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_idx,
+       CAST(len(tk[start + 1 : start + 32]) AS INT) AS chunk_len,
+       {_md5_int("array_to_string(tk[start + 1 : start + 32], ' ')")}
+         AS chunk_sig
+FROM st
+""",
+    # q126: same exact-integer accumulation (sum of BIGINT term
+    # counts, widened then cast back) with the one IEEE division at
+    # the end; rare threshold compared in integers (c_t*5000 < N).
+    "q126_unigram_lm_score": f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS c_t FROM tok GROUP BY 1),
+total AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM counts)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(c.c_t) AS BIGINT) AS sum_c,
+       CAST(SUM(CASE WHEN c.c_t * 5000 < tt.n_total THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       ROUND(CAST(SUM(c.c_t) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(tt.n_total) AS DOUBLE)),
+             9) AS avg_prob
+FROM tok t JOIN counts c USING (term) CROSS JOIN total tt
+GROUP BY t.doc_id
+""",
+    # q127: quantile_disc picks real data values like percentile_disc;
+    # the strict > binning rule is mirrored term for term, so
+    # boundary ties land in the same (lower) bin on both engines.
+    "q127_equidepth_bins": """
+WITH bounds AS (
+  SELECT quantile_disc(o_totalprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM orders
+),
+binned AS (
+  SELECT o.o_totalprice,
+         CAST(1 + len(list_filter(b.bs, x -> o.o_totalprice > x)) AS INT)
+           AS bin
+  FROM orders o CROSS JOIN bounds b
+)
+SELECT bin, COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS bin_revenue
+FROM binned GROUP BY 1
+""",
+    # q128: the map battery's scalars re-derived with plain
+    # conditional aggregation — the relational ground truth the map
+    # path must reproduce key-addressed.
+    "q128_map_battery": """
+WITH per AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_priorities,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN c END), 0) AS BIGINT) AS n_urgent,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                              THEN c END), 0) AS BIGINT) AS n_low,
+       CAST(SUM(c) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+         AS n_in_repeat_priorities
+FROM per GROUP BY o_custkey
+""",
 }

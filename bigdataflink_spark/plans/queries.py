@@ -2770,6 +2770,155 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunker: 32-token windows at stride 24
+    (8-token overlap) per document, each chunk fingerprinted for
+    downstream chunk-level dedup/retrieval. Entirely per-row JVM
+    expressions (sequence → explode → slice) — zero shuffles, so at
+    100 TB it is a pure map stage whose only cost is the ~1.33×
+    token amplification the overlap itself mandates. Chunk ids are
+    start//stride, reproducible under any partitioning."""
+    chunk, stride = 32, 24
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("_tk")).filter(
+        F.size("_tk") >= 1
+    )
+    st = toked.select(
+        "doc_id",
+        "_tk",
+        F.explode(
+            F.sequence(F.lit(0), F.size("_tk") - 1, F.lit(stride))
+        ).alias("_start"),
+    )
+    piece = F.slice("_tk", F.col("_start") + 1, chunk)
+    return st.select(
+        "doc_id",
+        (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("chunk_len"),
+        md5_int(F.concat_ws(" ", piece)).alias("chunk_sig"),
+    )
+
+
+def q126_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document (the CCNet-
+    style perplexity proxy used to filter pretraining corpora): each
+    doc's mean token probability under the corpus unigram
+    distribution, plus its rare-token count (p < 1/5000, compared in
+    exact integers: c_t*5000 < N). One tokenize-explode feeds both
+    the vocab count table and the per-doc join back, so the corpus is
+    scanned once; the count table is vocab-sized (sublinear in corpus
+    size) and AQE broadcasts it when it fits. All per-doc sums are
+    exact BIGINTs — the single IEEE division happens at the end, so
+    scores are bit-stable under any partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).persist()
+    counts = tok.groupBy("term").agg(F.count("*").alias("c_t"))
+    total = counts.agg(F.sum("c_t").alias("n_total"))
+    per_doc = (
+        tok.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("c_t").cast("long").alias("sum_c"),
+            F.sum(
+                F.when(F.col("c_t") * 5000 < F.col("n_total"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rare"),
+            F.round(
+                F.sum("c_t").cast("double")
+                / (F.count("*").cast("double") * F.max("n_total").cast("double")),
+                9,
+            ).alias("avg_prob"),
+        )
+    )
+    return per_doc
+
+
+def q127_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of order totals WITHOUT a
+    global ntile: decile boundaries come from percentile_disc (a
+    distributed sort-based aggregate that picks real data values —
+    bit-identical across engines), ride a scalar broadcast, and each
+    row computes its bin as 1 + #(boundaries < value) via an array
+    fold. Two scans, no single-partition window anywhere — the
+    shape that survives 100 TB where ntile(10) OVER (ORDER BY …)
+    would serialize the sort onto one task. Ties land in the lower
+    bin on both engines by the shared strict-> rule."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY o_totalprice)"
+                )
+                for i in range(1, 10)
+            ]
+        ).alias("_bs")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.aggregate(
+                "_bs",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        _money("o_totalprice").alias("bin_revenue"),
+    )
+
+
+def q128_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function battery: per customer, an order-priority →
+    count map built with map_from_entries(collect_list(struct)), then
+    interrogated with element_at, size, map_filter, and a map_values
+    fold — every output scalar is key-addressed, so collect_list's
+    nondeterministic order cannot leak. The oracle computes the same
+    scalars with plain conditional aggregation, pinning map semantics
+    to the relational ground truth. One keyed two-level agg: the
+    per-(custkey,priority) partial combine happens map-side, so the
+    shuffle carries at most 5 rows per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("_c")
+    )
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderpriority", "_c"))
+        ).alias("_m")
+    )
+    mv = F.map_values(F.map_filter(F.col("_m"), lambda k, v: v >= 2))
+    return m.select(
+        "o_custkey",
+        F.size("_m").cast("long").alias("n_priorities"),
+        F.coalesce(F.element_at("_m", F.lit("1-URGENT")), F.lit(0))
+        .cast("long")
+        .alias("n_urgent"),
+        F.coalesce(F.element_at("_m", F.lit("5-LOW")), F.lit(0))
+        .cast("long")
+        .alias("n_low"),
+        F.aggregate(
+            F.map_values("_m"), F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("n_orders"),
+        F.aggregate(mv, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "n_in_repeat_priorities"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -2892,4 +3041,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_pmi_collocations": q122_pmi_collocations,
     "q123_inverted_index": q123_inverted_index,
     "q124_mad_outliers": q124_mad_outliers,
+    "q125_doc_chunking": q125_doc_chunking,
+    "q126_unigram_lm_score": q126_unigram_lm_score,
+    "q127_equidepth_bins": q127_equidepth_bins,
+    "q128_map_battery": q128_map_battery,
 }
