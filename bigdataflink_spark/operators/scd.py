@@ -87,3 +87,30 @@ def scd2_lookup(history: DataFrame, key_col: str, at_us: int) -> DataFrame:
             | (F.col("valid_to_us") > F.lit(at_us))
         )
     ).drop("version")
+
+
+def pit_join(
+    probe: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+) -> DataFrame:
+    """Point-in-time JOIN: each probe row picks up the history version
+    whose validity interval contains its timestamp — the "as was"
+    enrichment every backtest / training-snapshot pipeline needs
+    (never "as is", which leaks the future).
+
+    Shape: an equi-join on the key followed by the interval predicate.
+    Catalyst executes the equi-part as a hash join, so the interval
+    check only ever scans ONE key's versions — cost is keyed-shuffle +
+    per-key version count, never a cross product. Probe rows before a
+    key's first version drop out (inner semantics); at most one
+    version matches because intervals partition the timeline.
+    """
+    return probe.join(history, on=key_col, how="inner").filter(
+        (F.col("valid_from_us") <= F.col(ts_us_col))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col(ts_us_col) < F.col("valid_to_us"))
+        )
+    )

@@ -1985,4 +1985,41 @@ SELECT o_custkey,
          AS n_in_repeat_priorities
 FROM per GROUP BY o_custkey
 """,
+    # q129: q99's SCD2 history rebuilt verbatim, probed by the q103
+    # hourly grid with the same half-open [from, to) containment rule.
+    "q129_pit_join": """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changed AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+),
+hist AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS valid_from_us,
+         epoch_us(lead(ts) OVER v) AS valid_to_us,
+         row_number() OVER v AS version
+  FROM changed
+  WINDOW v AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id, epoch_us(UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)))
+           AS t_us
+  FROM bounds
+)
+SELECT g.user_id, g.t_us, h.event_type AS attr_at_t, h.version
+FROM grid g JOIN hist h ON g.user_id = h.user_id
+WHERE h.valid_from_us <= g.t_us
+  AND (h.valid_to_us IS NULL OR g.t_us < h.valid_to_us)
+""",
 }

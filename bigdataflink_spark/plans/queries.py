@@ -2919,6 +2919,41 @@ def q128_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd.pit_join): an hourly probe
+    grid per user is enriched with the SCD2 event_type version that
+    was valid AT each grid instant — the "as was" lookup that
+    backtests and training-data snapshots need (an "as is" join would
+    leak the future). Grid and history both shuffle once on user_id;
+    the interval predicate runs inside the per-key hash-join match, so
+    cost is versions-per-key, never a cross product."""
+    ev = _t(spark, sf_dir, "events")
+    hist = scd.scd2_history(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("_lo"),
+            F.date_trunc("hour", F.max("ts")).alias("_hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+            ).alias("_t"),
+        )
+        .select("user_id", F.unix_micros("_t").alias("t_us"))
+    )
+    return scd.pit_join(grid, hist, "user_id", "t_us").select(
+        "user_id",
+        "t_us",
+        F.col("event_type").alias("attr_at_t"),
+        "version",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3045,4 +3080,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_unigram_lm_score": q126_unigram_lm_score,
     "q127_equidepth_bins": q127_equidepth_bins,
     "q128_map_battery": q128_map_battery,
+    "q129_pit_join": q129_pit_join,
 }
