@@ -2022,4 +2022,61 @@ FROM grid g JOIN hist h ON g.user_id = h.user_id
 WHERE h.valid_from_us <= g.t_us
   AND (h.valid_to_us IS NULL OR g.t_us < h.valid_to_us)
 """,
+    # q130: identical exact moment sums (integer x, decimal y and
+    # x*y), then the identical IEEE slope/intercept expression —
+    # term-for-term, so the doubles agree bit for bit.
+    "q130_regression_by_group": """
+WITH agg AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT)) AS sx,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                  AS DECIMAL(18,0))
+             * CAST(o_totalprice AS DECIMAL(18,2))) AS sxy,
+         SUM(CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+             * CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                    AS BIGINT)) AS sxx
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT o_orderpriority, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM agg
+)
+SELECT o_orderpriority, n,
+       ROUND(slope, 6) AS slope,
+       ROUND((syd - slope * sxd) / CAST(n AS DOUBLE), 4) AS intercept
+FROM s
+""",
+    # q131: pure integer Hamilton apportionment — same DIV/mod
+    # quotas, same (remainder DESC, source, lang) leftover ranking.
+    "q131_sample_allocation": f"""
+WITH grp AS (
+  SELECT source, lang,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM grp),
+quota AS (
+  SELECT source, lang, tokens,
+         CAST((1000 * tokens) // t AS BIGINT) AS base,
+         CAST((1000 * tokens) % t AS BIGINT) AS rem
+  FROM grp CROSS JOIN tot
+),
+lft AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS leftover FROM quota),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC, lang ASC) AS r
+  FROM quota
+)
+SELECT source, lang, tokens,
+       CAST(base + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS n_sampled
+FROM rk CROSS JOIN lft
+""",
 }

@@ -2954,6 +2954,85 @@ def q129_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority simple linear regression (order price vs order
+    date) WITHOUT regr_slope: the four moment sums accumulate exactly
+    (x = integer epoch days, y and x·y in DECIMAL), so the only IEEE
+    arithmetic is the final slope/intercept expression — identical
+    term-for-term in the oracle, bit-stable under any partition order
+    (Spark's regr_* are double accumulators, whose parallel summation
+    order would NOT reproduce across engines). One grouped pass on the
+    bounded 5-value priority key."""
+    orders = _t(spark, sf_dir, "orders")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("long")).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast("decimal(18,0)") * y).alias("sxy"),
+        F.sum(x.cast("long") * x.cast("long")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((syd - slope * sxd) / nd, 4).alias("intercept"),
+    )
+
+
+def q131_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1000-doc
+    sampling budget across (source, lang) strata by token mass — the
+    exact integer answer to "how many docs does each stratum
+    contribute to the next training mix". All quota arithmetic is
+    integer (budget·tokens div/mod total), so there is NO float
+    anywhere; the remainder ranking that distributes the leftover is
+    one ordered pass over the stratum table (bounded by source×lang
+    cardinality, not corpus size — trivially a single partition at
+    any SF)."""
+    budget = 1000
+    docs = _t(spark, sf_dir, "documents")
+    grp = docs.groupBy("source", "lang").agg(
+        F.sum(F.size(text.tokens("text"))).cast("long").alias("tokens")
+    )
+    tot = grp.agg(F.sum("tokens").cast("long").alias("_tot"))
+    quota = grp.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "tokens",
+        # integer floor-division (DIV) — long/long `/` would detour
+        # through IEEE double and could mis-floor at big token counts
+        F.expr(f"({budget} * tokens) DIV _tot").alias("base"),
+        ((F.lit(budget) * F.col("tokens")) % F.col("_tot")).alias("_rem"),
+    )
+    # leftover = budget - sum(base) seats, handed to the largest
+    # remainders (ties broken on the stratum key for determinism)
+    left = quota.agg((F.lit(budget) - F.sum("base")).alias("_left"))
+    w = Window.orderBy(F.desc("_rem"), F.asc("source"), F.asc("lang"))
+    return (
+        quota.crossJoin(F.broadcast(left))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "source",
+            "lang",
+            "tokens",
+            (
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sampled"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3081,4 +3160,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_equidepth_bins": q127_equidepth_bins,
     "q128_map_battery": q128_map_battery,
     "q129_pit_join": q129_pit_join,
+    "q130_regression_by_group": q130_regression_by_group,
+    "q131_sample_allocation": q131_sample_allocation,
 }
