@@ -81,6 +81,15 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["q02_revenue_by_region"](spark, SF_DIR).count()
 
+    # hardware calibration: a fixed pure-JVM aggregation whose cost is
+    # independent of this repo's code. Round-over-round comparisons
+    # should normalize by this — the sandbox VM's speed varies between
+    # rounds, and a uniform shift in calib_sec explains a uniform
+    # shift in every query time.
+    c0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 3 % 7)").collect()
+    calib = round(time.perf_counter() - c0, 3)
+
     # best-of-2 per query: the second run amortizes one-off plan/codegen
     # compilation, so the number tracks execution throughput, not
     # scheduler noise — keeps round-over-round comparisons meaningful
@@ -103,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf else None,
+                "calib_sec": calib,
             }
         )
     )

@@ -202,3 +202,32 @@ def compact_dir(
         raise IOError(f"compact_dir: could not swap in compacted {path}")
     fs.delete(old, True)
     return before, _count(hpath)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Raw-asset ingest via Spark's ``binaryFile`` source — the
+    multimodal on-ramp (images/audio/video land as one row per file:
+    path, modificationTime, length, content BINARY).
+
+    This is the 100 TB-sane way to get opaque media into the
+    engine: the scan is distributed, columnar-metadata-only until
+    ``content`` is actually referenced (column pruning drops the
+    bytes for pure-inventory queries), and ``pathGlobFilter`` prunes
+    at the LISTING, before any read. Pair with
+    operators/multimodal.py: ``content`` is exactly the ``data``
+    column its decode/resize/frame-sample mapInPandas stages expect.
+
+    Spark caps per-file size at ``spark.sql.sources.binaryFile
+    .maxLength`` (int max, ~2 GB) — shard bigger assets upstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

@@ -138,3 +138,33 @@ def test_compact_dir_reduces_files_and_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("o_totalprice")).collect()[0][0] == src.agg(
         F.sum("o_totalprice")
     ).collect()[0][0]
+
+
+def test_binary_dir_ingest_and_multimodal_handoff(spark, tmp_path):
+    """binaryFile source: one row per file with raw bytes; glob
+    prunes at listing; content feeds multimodal byte-stats."""
+    from bigdataflink_spark.sources.formats import read_binary_dir
+
+    assets = tmp_path / "assets" / "nested"
+    assets.mkdir(parents=True)
+    payloads = {
+        "a.img": bytes(range(16)) * 4,
+        "b.img": b"\xff\x00" * 10,
+        "skip.txt": b"not media",
+    }
+    for name, data in payloads.items():
+        (assets / name).write_bytes(data)
+
+    df = read_binary_dir(spark, str(tmp_path / "assets"), glob="*.img")
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"]["length"] == 64
+    assert bytes(rows["a.img"]["content"]) == payloads["a.img"]
+
+    # hand off to the multimodal byte-stat expressions: content is the
+    # same BINARY shape operators/multimodal.py consumes
+    stats = df.select(
+        F.length("content").alias("n_bytes"),
+        F.length(F.base64("content")).alias("n_b64"),
+    ).collect()
+    assert {s["n_bytes"] for s in stats} == {64, 20}

@@ -117,6 +117,13 @@ NOTES = {
     "q122_pmi_collocations": "ONE corpus scan: unigrams+bigrams explode together under a kind tag into a single token-keyed count shuffle, persisted vocab-sized — the scans listed below are all InMemoryTableScans of that one cache (the FileScan executes once at materialization; without the cache each of the 4 references re-scans the corpus, since filter pushdown defeats ReuseExchange). Unigram joins are vocab×vocab, totals ride 1-row broadcasts; the top-20 window ranks only the >=5-count bigram set.",
     "q123_inverted_index": "distinct(doc,term) is one shuffle on the pair, the posting agg one on term; sort+slice per-term in-memory. At 100 TB the df cap must move INTO the agg (count-then-filter pre-pass) so hot stopword terms never materialize full lists.",
     "q124_mad_outliers": "Two grouped percentile_disc passes on the bounded event_type key; the per-group cutoffs rejoin as broadcasts so the fact side never reshuffles. percentile_disc sorts within groups — at 100× swap to approx_percentile for the first pass and keep disc only for the audit.",
+    "q125_doc_chunking": "Pure map stage: sequence→explode→slice all in the scan projection; ZERO exchanges. The only cost is the overlap's inherent ~1.33× token amplification — exactly the shape that scales by adding executors.",
+    "q126_unigram_lm_score": "One tokenize-explode persisted feeds both the vocab count (term-keyed shuffle, vocab-sized output) and the per-doc join; the count side is sublinear in corpus so AQE broadcasts it at small SF and falls back to a term-keyed shuffle at 100 TB. Per-doc sums are exact BIGINTs — one final division.",
+    "q127_equidepth_bins": "Decile bounds via percentile_disc (distributed sort-agg) ride a 1-row broadcast; binning is a per-row array fold in the scan stage; final agg on the 10-value bin key. NO global ntile window — nothing serializes onto one task.",
+    "q128_map_battery": "Two-level keyed agg: per-(custkey,priority) partials combine map-side, so the custkey shuffle carries ≤5 rows/customer; all map ops are per-row expressions after the agg.",
+    "q129_pit_join": "History (2 windows over one user_id sort) and grid (agg + sequence explode) each shuffle once on user_id; the PIT match is the per-key hash-join probe with the interval predicate applied inside the match — versions-per-key cost, never a cross product.",
+    "q130_regression_by_group": "Single grouped pass on the 5-value priority key; all moment sums are exact (BIGINT/decimal) partial+final aggs in codegen; slope/intercept are per-group scalar expressions after the agg.",
+    "q131_sample_allocation": "Stratum table is bounded by source×lang cardinality — the global remainder-ranking window runs on ~100 rows regardless of corpus size; the only corpus-scaled work is the one token-count agg.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -136,6 +143,9 @@ EXPECTED_BNLJ = {
     "q117_funnel": "all BNLJs are 1-row stage-count recombinations — the q61/q93 scalar pattern.",
     "q122_pmi_collocations": "the BNLJ is the 1-row (n_uni, n_bg) totals broadcast fanned onto the filtered bigram set — the q46 scalar pattern.",
     "q123_inverted_index": "the BNLJ is the 1-row n_docs broadcast fanned onto per-term rows — q46's scalar idf pattern.",
+    "q127_equidepth_bins": "the BNLJ is the 1-row decile-bounds broadcast fanned onto every order row — the q112 scalar-stats pattern.",
+    "q131_sample_allocation": "both BNLJs are 1-row scalar broadcasts (token total; leftover seat count) onto the bounded stratum table.",
+    "q126_unigram_lm_score": "the BNLJ is the 1-row corpus-token-total broadcast fanned onto the per-token join — the q46 scalar pattern.",
 }
 
 
