@@ -2999,8 +2999,13 @@ def q131_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     any SF)."""
     budget = 1000
     docs = _t(spark, sf_dir, "documents")
-    grp = docs.groupBy("source", "lang").agg(
-        F.sum(F.size(text.tokens("text"))).cast("long").alias("tokens")
+    # persist the stratum table: quota/total/leftover all derive from
+    # it — without the cache the corpus-sized token-count agg runs 4×
+    # (pushdown-divergent subtrees defeat ReuseExchange)
+    grp = (
+        docs.groupBy("source", "lang")
+        .agg(F.sum(F.size(text.tokens("text"))).cast("long").alias("tokens"))
+        .persist()
     )
     tot = grp.agg(F.sum("tokens").cast("long").alias("_tot"))
     quota = grp.crossJoin(F.broadcast(tot)).select(

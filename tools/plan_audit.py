@@ -123,7 +123,7 @@ NOTES = {
     "q128_map_battery": "Two-level keyed agg: per-(custkey,priority) partials combine map-side, so the custkey shuffle carries ≤5 rows/customer; all map ops are per-row expressions after the agg.",
     "q129_pit_join": "History (2 windows over one user_id sort) and grid (agg + sequence explode) each shuffle once on user_id; the PIT match is the per-key hash-join probe with the interval predicate applied inside the match — versions-per-key cost, never a cross product.",
     "q130_regression_by_group": "Single grouped pass on the 5-value priority key; all moment sums are exact (BIGINT/decimal) partial+final aggs in codegen; slope/intercept are per-group scalar expressions after the agg.",
-    "q131_sample_allocation": "Stratum table is bounded by source×lang cardinality — the global remainder-ranking window runs on ~100 rows regardless of corpus size; the only corpus-scaled work is the one token-count agg.",
+    "q131_sample_allocation": "Stratum table is bounded by source×lang cardinality and persisted — the corpus-sized token-count agg executes ONCE; quota/total/leftover and the global remainder-ranking window all run on the ~100 cached rows.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
