@@ -29,15 +29,27 @@ def interval_join(
     right_ts: str,
     upper: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """INNER join rows with equal keys where
+    """Join rows with equal keys where
     ``left_ts <= right_ts <= left_ts + upper``.
 
     ``watermark`` bounds both sides' state (and defines how much
     disorder the streams tolerate before rows are dropped as late).
     Works identically on batch DataFrames (watermark is a no-op
     there) — the parity test exploits that.
+
+    ``how='leftOuter'`` additionally emits each unmatched left row
+    (right side NULL) — but only once the RIGHT watermark passes
+    ``left_ts + upper``, i.e. once no future right row could still
+    match. A finite stream therefore withholds outer results near its
+    end until something advances the watermark; batch emits them
+    immediately. Spark requires the time bound in the condition for
+    exactly this reason: it is what makes outer-state eviction sound.
     """
+    allowed = ("inner", "leftOuter")
+    if how not in allowed:
+        raise ValueError(f"interval_join supports {allowed}, not {how!r}")
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
@@ -48,4 +60,4 @@ def interval_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

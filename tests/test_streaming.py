@@ -520,6 +520,91 @@ def test_stream_stream_interval_join_matches_batch(spark, workdir):
     assert got == want
 
 
+def test_stream_stream_interval_join_left_outer_matches_batch(spark, workdir):
+    """leftOuter interval join: unmatched clicks surface with NULL
+    purchase columns once the right watermark passes click_ts+upper.
+    The global watermark is the MIN across all sources, so BOTH
+    streams carry a far-future sentinel — advancing only the right
+    side would leave the left watermark capping the join watermark
+    and withhold the newest clicks' outer rows. Sentinels match
+    nothing and are filtered from the comparison."""
+    from bigdataflink_spark.sources.tables import load_table
+    from bigdataflink_spark.streaming.join import interval_join
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    p_sentinel = purchases.limit(1).select(
+        F.lit(-1).alias("p_user"),
+        F.lit(-1).alias("purchase_id"),
+        (F.col("p_ts") + F.expr("INTERVAL 10 YEARS")).alias("p_ts"),
+    )
+    purchases = purchases.unionByName(p_sentinel)
+    c_sentinel = clicks.limit(1).select(
+        F.lit(-1).alias("c_user"),
+        F.lit(-1).alias("click_id"),
+        (F.col("c_ts") + F.expr("INTERVAL 10 YEARS")).alias("c_ts"),
+    )
+    clicks = clicks.unionByName(c_sentinel)
+
+    cdir, pdir = f"{workdir}/lsj_clicks", f"{workdir}/lsj_purch"
+    clicks.write.mode("overwrite").parquet(cdir)
+    purchases.write.mode("overwrite").parquet(pdir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    joined = interval_join(
+        cs, ps, "c_user", "p_user", "c_ts", "p_ts",
+        upper="10 minutes", how="leftOuter",
+    )
+    out = f"{workdir}/lsj_out"
+    # NOTE: the sentinel must NOT be filtered inside the pipeline —
+    # a `click_id >= 0` filter there gets pushed down into the source
+    # scan, removing the sentinel before the watermark ever sees its
+    # event time. Filter after collect instead.
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/lsj_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = interval_join(
+        clicks, purchases, "c_user", "p_user", "c_ts", "p_ts",
+        upper="10 minutes", how="leftOuter",
+    ).select("click_id", "purchase_id")
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect() if r["click_id"] >= 0
+    )
+    want = sorted(tuple(r) for r in batch.collect() if r["click_id"] >= 0)
+    assert got == want
+    # the outer semantics actually fired: some clicks are unmatched
+    assert any(p is None for _, p in got)
+    assert any(p is not None for _, p in got)
+
+
+def test_interval_join_rejects_bad_how(spark):
+    from bigdataflink_spark.sources.tables import load_table
+    from bigdataflink_spark.streaming.join import interval_join
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    a = ev.select(F.col("user_id").alias("u1"), F.col("ts").alias("t1"))
+    b = ev.select(F.col("user_id").alias("u2"), F.col("ts").alias("t2"))
+    with pytest.raises(ValueError, match="interval_join supports"):
+        interval_join(a, b, "u1", "u2", "t1", "t2", how="fullOuter")
+
+
 def test_interval_join_rejects_column_clash(spark):
     from bigdataflink_spark.sources.tables import load_table
     from bigdataflink_spark.streaming.join import interval_join
