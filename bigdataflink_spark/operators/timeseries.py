@@ -135,3 +135,47 @@ def zscore_flags(
             F.round("_std", 4).alias("stddev_value"),
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average of a stepwise signal per key: each
+    observation holds until the next one, so its weight is the
+    interval length — the correct mean for irregularly-sampled
+    telemetry (the plain AVG over-weights bursts).
+
+    Determinism: weights are exact integer microseconds and values
+    are clamped to DECIMAL(18,6) (the q104 convention), so the
+    weighted sum accumulates exactly in decimal and the single IEEE
+    division happens at the end — bit-stable under any partition
+    order and engine. The last observation per key has no successor
+    interval and is excluded (n_intervals counts the rest; keys with
+    a single event drop out).
+
+    One keyed shuffle for the lead() window, one for the agg — both
+    on ``key_col``, so the operator scales with keys, not history.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    dur = F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    stepped = events.select(
+        F.col(key_col),
+        F.col(value_col).cast("decimal(18,6)").alias("_v"),
+        dur.alias("_dur_us"),
+    ).filter(F.col("_dur_us").isNotNull())
+    return stepped.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("_dur_us").cast("long").alias("total_dur_us"),
+        F.round(
+            F.sum(F.col("_v") * F.col("_dur_us").cast("decimal(18,0)"))
+            .cast("double")
+            / F.sum("_dur_us").cast("double"),
+            6,
+        ).alias("twa_value"),
+    )

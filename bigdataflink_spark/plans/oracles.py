@@ -2079,4 +2079,75 @@ SELECT source, lang, tokens,
          AS n_sampled
 FROM rk CROSS JOIN lft
 """,
+    # q132: the same exact BIGINT cross-products (c_st·N − c_t·N_s)
+    # summed before the one per-source IEEE division; absent-term
+    # mass derived identically from the present-term join.
+    "q132_source_divergence": f"""
+WITH st AS (
+  SELECT source, UNNEST({_TOKS}) AS term FROM documents
+),
+c AS (SELECT source, term, COUNT(*) AS c_st FROM st GROUP BY 1, 2),
+gc AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM c GROUP BY 1),
+ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ns),
+per AS (
+  SELECT c.source, ns.n_s, t.n_tot,
+         CAST(SUM(ABS(c.c_st * t.n_tot - g.c_t * ns.n_s)) AS BIGINT)
+           AS present,
+         CAST(SUM(g.c_t) AS BIGINT) AS ct_present
+  FROM c
+  JOIN gc g USING (term)
+  JOIN ns USING (source)
+  CROSS JOIN tot t
+  GROUP BY 1, 2, 3
+)
+SELECT source, n_s AS n_tokens,
+       ROUND(CAST(present + (n_tot - ct_present) * n_s AS DOUBLE)
+             / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_tot AS DOUBLE)), 9)
+         AS tv_divergence
+FROM per
+""",
+    # q133: identical distinct-(source,term) self-join on term with
+    # the same source_a < source_b pairing and one final division.
+    "q133_vocab_overlap": f"""
+WITH v AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source, UNNEST({_TOKS}) AS term FROM documents)
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM v GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       sa.n_terms AS n_a, sb.n_terms AS n_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / CAST(sa.n_terms + sb.n_terms - n_common AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+""",
+    # q134: exact integer-microsecond interval weights × DECIMAL
+    # values, same lead() spec, one final division — q104 convention.
+    "q134_time_weighted_avg": """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(19,6))
+                     * CAST(dur_us AS DECIMAL(19,0))) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE), 6) AS twa_value
+FROM stepped WHERE dur_us IS NOT NULL
+GROUP BY user_id
+""",
 }

@@ -3038,6 +3038,110 @@ def q131_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation divergence of each source's unigram
+    distribution from the whole corpus — the drift/contrast metric a
+    mixture curator watches (KL needs libm's log; TV is the
+    cross-engine-exact alternative). The trick that keeps it
+    bit-stable: TV = Σ|c_st·N − c_t·N_s| / (2·N_s·N), so every
+    summand is an exact BIGINT cross-product and the single IEEE
+    division happens per source at the end. Terms a source never
+    uses contribute c_t·N_s each; that absent-mass is (N − Σ_present
+    c_t)·N_s — derived from the SAME join, no anti-join pass. One
+    tokenize scan; all other inputs derive from the persisted
+    (source, term) count table (vocab-sized)."""
+    docs = _t(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(text.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+        .persist()
+    )
+    glob = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    tot = ns.agg(F.sum("n_s").cast("long").alias("n_tot"))
+    j = (
+        st.join(glob, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    per = j.groupBy("source", "n_s", "n_tot").agg(
+        F.sum(
+            F.abs(F.col("c_st") * F.col("n_tot") - F.col("c_t") * F.col("n_s"))
+        ).alias("_present"),
+        F.sum("c_t").cast("long").alias("_ct_present"),
+    )
+    tv_num = F.col("_present") + (
+        (F.col("n_tot") - F.col("_ct_present")) * F.col("n_s")
+    )
+    return per.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.round(
+            tv_num.cast("double")
+            / (2.0 * F.col("n_s").cast("double") * F.col("n_tot").cast("double")),
+            9,
+        ).alias("tv_divergence"),
+    )
+
+
+def q133_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    overlap census that decides whether two crawls are worth keeping
+    separately. |A∩B| comes from self-joining the distinct
+    (source, term) table on term (shuffle keyed on the vocab, output
+    bounded by sources² — never documents²); set sizes join back as
+    broadcasts; Jaccard = inter/(|A|+|B|−inter) is exact integers
+    until the one final division."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(text.tokens("text")).alias("term"))
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n_terms"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "n_terms": "n_a"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "n_terms": "n_b"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q134_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value signal
+    (operators/timeseries.time_weighted_avg): interval-weighted, not
+    row-weighted — the correct mean for irregular telemetry. Exact
+    integer-microsecond weights × DECIMAL(18,6) values accumulate
+    exactly; one division per user at the end."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3167,4 +3271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_pit_join": q129_pit_join,
     "q130_regression_by_group": q130_regression_by_group,
     "q131_sample_allocation": q131_sample_allocation,
+    "q132_source_divergence": q132_source_divergence,
+    "q133_vocab_overlap": q133_vocab_overlap,
+    "q134_time_weighted_avg": q134_time_weighted_avg,
 }
