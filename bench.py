@@ -103,6 +103,22 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    # continuity metric: the r1 bench recorded exactly this 29-query
+    # set (BENCH_r01.json) — its subtotal is the number comparable
+    # across rounds as the headline list grows.
+    r1_set = [
+        "q01_pricing_summary", "q02_revenue_by_region", "q03_top_customers",
+        "q04_priority_semi_join", "q06_ri_check", "q08_date_parts",
+        "q10_window_rank", "q11_json_extract", "q14_lww_dedup",
+        "q15_tumbling_window", "q17_session_window", "q20_dedup_exact",
+        "q21_minhash_lsh", "q22_simhash", "q24_embedding_topk",
+        "q26_ivf_topk", "q30_text_stats", "q33_fingerprint",
+        "q38_asof_join", "q39_range_join", "q42_salted_join",
+        "q44_corpus_pipeline", "q48_sessionize", "q49_embedding_lsh_neardup",
+        "q52_forecast_revenue", "q55_returned_items", "q56_nation_volume",
+        "q57_window_battery", "q62_large_orders",
+    ]
+    r1_subtotal = round(sum(times[q] for q in r1_set if q in times), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -113,6 +129,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf else None,
                 "calib_sec": calib,
+                "r1_set_subtotal": r1_subtotal,
             }
         )
     )
