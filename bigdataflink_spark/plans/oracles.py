@@ -2150,4 +2150,94 @@ SELECT user_id,
 FROM stepped WHERE dur_us IS NOT NULL
 GROUP BY user_id
 """,
+    # q135: the melt written as its relational ground truth — one
+    # UNION ALL branch per measure over the same wide agg.
+    "q135_unpivot": f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         {_money('l_quantity')} AS sum_qty,
+         {_money('l_extendedprice')} AS sum_price,
+         {_money('l_discount')} AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+""",
+    # q136: identical distinct-basket self-join pairing, support cut,
+    # and the one rational lift division; same top-20 tiebreaks.
+    "q136_market_basket": """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       FROM baskets),
+pb AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_o
+       FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+scored AS (
+  SELECT brand_a, brand_b, n_both, pa.n_o AS n_a, pbb.n_o AS n_b,
+         ROUND(CAST(n_both AS DOUBLE) * CAST(no.n_orders AS DOUBLE)
+               / (CAST(pa.n_o AS DOUBLE) * CAST(pbb.n_o AS DOUBLE)), 6)
+           AS lift
+  FROM pairs
+  JOIN pb pa ON pa.p_brand = brand_a
+  JOIN pb pbb ON pbb.p_brand = brand_b
+  CROSS JOIN no
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, brand_a, brand_b) AS rn
+  FROM scored
+)
+SELECT brand_a, brand_b, n_both, n_a, n_b, lift, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 20
+""",
+    # q137: same lead() spec and exact-integer counts; one division.
+    "q137_event_transitions": """
+WITH trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+outs AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_out
+  FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n_trans,
+       ROUND(CAST(c.n_trans AS DOUBLE) / CAST(o.n_out AS DOUBLE), 6) AS share
+FROM counts c JOIN outs o USING (from_type)
+""",
+    # q138: floor(log2) as exact integer bit length — length(bin(x))-1
+    # agrees between engines for positive BIGINTs (no libm log2).
+    "q138_interarrival_histogram": """
+WITH stepped AS (
+  SELECT event_type,
+         epoch_us(lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts)
+           AS dur_us
+  FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN dur_us <= 0 THEN -1
+                 ELSE length(bin(dur_us)) - 1 END AS INT) AS log2_bucket,
+       COUNT(*) AS n,
+       MIN(dur_us) AS min_dur_us,
+       MAX(dur_us) AS max_dur_us
+FROM stepped WHERE dur_us IS NOT NULL
+GROUP BY 1, 2
+""",
 }

@@ -3142,6 +3142,141 @@ def q134_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
 
 
+def q135_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (the q40 pivot's inverse): per-returnflag
+    measure sums melt into (flag, measure, value) rows — the
+    serving-layer reshape for metric stores. The agg is one grouped
+    pass; unpivot itself is a per-row Expand (each input row emits
+    one row per measure) — zero additional exchanges."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _money("l_quantity").alias("sum_qty"),
+        _money("l_extendedprice").alias("sum_price"),
+        _money("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
+def q136_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity: per-order distinct brand sets →
+    pair supports → lift, the association-rule surface. The pair
+    explode is quadratic PER BASKET, never per corpus — baskets are
+    bounded by order size (cap upstream for pathological carts), so
+    the pair table is Σ|basket|², linear in orders. Brand comes from
+    a part join (dimension, AQE-sized); supports are exact integers;
+    lift is the one rational division (the q122 no-libm rule).
+    Top-20 by (lift desc, brand pair) with n_both ≥ 5."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("_n_orders")
+    )
+    per_brand = baskets.groupBy("p_brand").agg(F.count("*").alias("n_o"))
+    a = baskets.withColumnsRenamed({"p_brand": "brand_a"})
+    b = baskets.withColumnsRenamed({"p_brand": "brand_b"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(per_brand.withColumnsRenamed({"p_brand": "brand_a", "n_o": "n_a"})),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(per_brand.withColumnsRenamed({"p_brand": "brand_b", "n_o": "n_b"})),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double") * F.col("_n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+def q137_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: (event_type → next event_type)
+    counts per user timeline plus each source state's outgoing share —
+    the Markov-chain census behind funnel/session models. One lead()
+    window on the user_id shuffle, one bounded-key agg; the share is
+    exact-integer counts with one final division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    trans = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    outs = counts.groupBy("from_type").agg(F.sum("n_trans").cast("long").alias("n_out"))
+    return counts.join(F.broadcast(outs), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.col("n_out").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def q138_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-arrival-time histogram per event type —
+    the latency-distribution shape ops dashboards draw. The bucket is
+    floor(log2(Δt_us)) computed EXACTLY as length(bin(Δt))−1 (integer
+    bit length, no libm log2 whose rounding differs across engines);
+    zero gaps land in bucket −1. One lead() window keyed on user, one
+    bounded-key agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    stepped = ev.select(
+        "event_type", dur.alias("_dur_us")
+    ).filter(F.col("_dur_us").isNotNull())
+    bucket = (
+        F.when(F.col("_dur_us") <= 0, F.lit(-1))
+        .otherwise(F.length(F.bin("_dur_us")) - 1)
+        .cast("int")
+    )
+    return (
+        stepped.withColumn("log2_bucket", bucket)
+        .groupBy("event_type", "log2_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_dur_us").alias("min_dur_us"),
+            F.max("_dur_us").alias("max_dur_us"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3274,4 +3409,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_source_divergence": q132_source_divergence,
     "q133_vocab_overlap": q133_vocab_overlap,
     "q134_time_weighted_avg": q134_time_weighted_avg,
+    "q135_unpivot": q135_unpivot,
+    "q136_market_basket": q136_market_basket,
+    "q137_event_transitions": q137_event_transitions,
+    "q138_interarrival_histogram": q138_interarrival_histogram,
 }
