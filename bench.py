@@ -71,6 +71,13 @@ HEADLINE = [
     "q103_gap_fill",
     "q108_ngram_novelty",
     "q109_full_outer_reconcile",
+    # round-2 continuation: chunker (pure map), LM scorer (token join),
+    # PIT join, TV divergence, basket pairing
+    "q125_doc_chunking",
+    "q126_unigram_lm_score",
+    "q129_pit_join",
+    "q132_source_divergence",
+    "q136_market_basket",
 ]
 
 

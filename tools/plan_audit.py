@@ -124,6 +124,13 @@ NOTES = {
     "q129_pit_join": "History (2 windows over one user_id sort) and grid (agg + sequence explode) each shuffle once on user_id; the PIT match is the per-key hash-join probe with the interval predicate applied inside the match — versions-per-key cost, never a cross product.",
     "q130_regression_by_group": "Single grouped pass on the 5-value priority key; all moment sums are exact (BIGINT/decimal) partial+final aggs in codegen; slope/intercept are per-group scalar expressions after the agg.",
     "q131_sample_allocation": "Stratum table is bounded by source×lang cardinality and persisted — the corpus-sized token-count agg executes ONCE; quota/total/leftover and the global remainder-ranking window all run on the ~100 cached rows.",
+    "q132_source_divergence": "One tokenize scan into the persisted (source,term) count table; global/per-source totals derive from the cache. The term join shuffles vocab-sized data (sublinear in corpus); per-source sums are exact BIGINT cross-products with one division each.",
+    "q133_vocab_overlap": "Distinct (source,term) persisted; the self-join keys on term (vocab-sized shuffle) and its output is bounded by sources² — never documents². Set sizes rejoin as broadcasts.",
+    "q134_time_weighted_avg": "One lead() window + one agg, both keyed on user_id — scales with keys, not history. Weights are exact integer micros × decimal values; one division per key.",
+    "q135_unpivot": "One grouped pass for the wide agg; unpivot is a per-row Expand (3 output rows per input) with zero extra exchanges.",
+    "q136_market_basket": "Basket table (order × brand, distinct) persisted; pair explode is quadratic per basket, linear in orders. Supports join back as broadcasts; the top-20 window ranks only the support-cut pair set.",
+    "q137_event_transitions": "One lead() window on the user_id shuffle; counts and shares on the bounded type×type key.",
+    "q138_interarrival_histogram": "One lead() window on user_id; the log2 bucket is an exact integer bit-length expression in the scan stage; final agg on the bounded type×bucket key.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with

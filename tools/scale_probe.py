@@ -74,6 +74,11 @@ PROBE = [
     "q108_ngram_novelty",
     "q109_full_outer_reconcile",
     "q111_zorder_key",
+    "q125_doc_chunking",
+    "q126_unigram_lm_score",
+    "q129_pit_join",
+    "q132_source_divergence",
+    "q136_market_basket",
 ]
 
 
