@@ -153,6 +153,8 @@ EXPECTED_BNLJ = {
     "q127_equidepth_bins": "the BNLJ is the 1-row decile-bounds broadcast fanned onto every order row — the q112 scalar-stats pattern.",
     "q131_sample_allocation": "both BNLJs are 1-row scalar broadcasts (token total; leftover seat count) onto the bounded stratum table.",
     "q126_unigram_lm_score": "the BNLJ is the 1-row corpus-token-total broadcast fanned onto the per-token join — the q46 scalar pattern.",
+    "q132_source_divergence": "the BNLJ is the 1-row corpus-total broadcast fanned onto the (source,term) join — the q46 scalar pattern.",
+    "q136_market_basket": "the BNLJ is the 1-row n_orders broadcast fanned onto the support-cut pair set — the q46 scalar pattern.",
 }
 
 
