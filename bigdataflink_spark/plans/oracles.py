@@ -2240,4 +2240,46 @@ SELECT event_type,
 FROM stepped WHERE dur_us IS NOT NULL
 GROUP BY 1, 2
 """,
+    # q139: identical total order (value, event_id) and the same
+    # rn/count division — rank normalization is exact integers until
+    # the one division.
+    "q139_quantile_transform": """
+SELECT event_id, event_type, value,
+       ROUND(CAST(row_number() OVER (
+                PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE)
+             / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE), 9)
+         AS quantile
+FROM events
+""",
+    # q140: the same month-index islands (m − row_number constant per
+    # streak), integer decomposition via (m−1) div/mod 12, earliest
+    # start breaking length ties.
+    "q140_longest_streak": """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+  FROM orders
+),
+isl AS (
+  SELECT o_custkey, m,
+         m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+  FROM months
+),
+streaks AS (
+  SELECT o_custkey, grp,
+         CAST(COUNT(*) AS BIGINT) AS streak_months,
+         MIN(m) AS start_m
+  FROM isl GROUP BY 1, 2
+),
+best AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY streak_months DESC, start_m ASC) AS rk
+  FROM streaks
+)
+SELECT o_custkey, streak_months,
+       CAST((start_m - 1) // 12 AS BIGINT) AS start_year,
+       CAST((start_m - 1) % 12 + 1 AS INT) AS start_month
+FROM best WHERE rk = 1
+""",
 }

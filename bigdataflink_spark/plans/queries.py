@@ -3277,6 +3277,73 @@ def q138_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q139_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile (rank) normalization — the feature
+    transform that maps a skewed signal onto uniform [0,1] before
+    model training. quantile = row_number/count over a TOTAL order
+    (value, event_id), so ties are broken deterministically and both
+    engines agree exactly; one shuffle on event_type serves both the
+    ranking window and the group count (same partition spec — Spark
+    plans a single Exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    wq = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.row_number().over(wq).cast("double")
+            / F.count("*").over(wn).cast("double"),
+            9,
+        ).alias("quantile"),
+    )
+
+
+def q140_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE months with ≥1 order per customer —
+    the gaps-and-islands idiom (month_index − row_number is constant
+    within an island). All integer arithmetic on a distinct
+    (customer, month) table; two windows share one custkey shuffle;
+    ties between equal-length streaks resolve to the earliest start.
+    The census behind engagement/retention cohorts at 100 TB: cost is
+    keyed shuffles on custkey, never cross-month joins."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    months = (
+        orders.select(
+            "o_custkey",
+            (F.year(d) * 12 + F.month(d)).cast("long").alias("_m"),
+        )
+        .distinct()
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("_m")
+    islands = months.withColumn(
+        "_isl", F.col("_m") - F.row_number().over(wseq)
+    )
+    streaks = islands.groupBy("o_custkey", "_isl").agg(
+        F.count("*").cast("long").alias("streak_months"),
+        F.min("_m").alias("_start_m"),
+    )
+    wbest = Window.partitionBy("o_custkey").orderBy(
+        F.desc("streak_months"), F.asc("_start_m")
+    )
+    return (
+        streaks.withColumn("_rk", F.row_number().over(wbest))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "o_custkey",
+            "streak_months",
+            # month index decomposes via (_m-1): integer DIV avoids the
+            # double detour, and December stays in its own year
+            F.expr("(_start_m - 1) DIV 12").alias("start_year"),
+            F.expr("CAST((_start_m - 1) % 12 + 1 AS INT)").alias("start_month"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3410,6 +3477,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_vocab_overlap": q133_vocab_overlap,
     "q134_time_weighted_avg": q134_time_weighted_avg,
     "q135_unpivot": q135_unpivot,
+    "q139_quantile_transform": q139_quantile_transform,
+    "q140_longest_streak": q140_longest_streak,
     "q136_market_basket": q136_market_basket,
     "q137_event_transitions": q137_event_transitions,
     "q138_interarrival_histogram": q138_interarrival_histogram,

@@ -684,3 +684,54 @@ def test_streaming_topk_matches_batch(spark, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, workdir):
+    """Event-time session windows in a watermarked stream (append
+    mode) equal the batch operators/windows.session answer. Append
+    mode only emits a session once the watermark passes its close, so
+    a far-future sentinel event flushes the final sessions; the
+    sentinel's own session (user -1) is excluded from the compare."""
+    from bigdataflink_spark.operators import windows as W
+    from bigdataflink_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    sentinel = events.limit(1).select(
+        F.lit(-1).alias("user_id"),
+        (F.col("ts") + F.expr("INTERVAL 10 YEARS")).alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit(-1).alias("event_id"),
+    )
+    staged = events.unionByName(sentinel)
+    src = f"{workdir}/sess_src"
+    staged.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+    )
+    out = f"{workdir}/sess_out"
+    q = (
+        W.session(stream, gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/sess_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] >= 0
+    )
+    want = sorted(
+        tuple(r) for r in W.session(events, gap="30 minutes").collect()
+    )
+    assert len(want) > 0
+    assert got == want
