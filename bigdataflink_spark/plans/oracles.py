@@ -2282,4 +2282,45 @@ SELECT o_custkey, streak_months,
        CAST((start_m - 1) % 12 + 1 AS INT) AS start_month
 FROM best WHERE rk = 1
 """,
+    # q141: same interval pairing as q75; per-purchase credit is one
+    # IEEE division clamped to DECIMAL(18,6) so per-user sums are
+    # exact and order-free.
+    "q141_linear_attribution": """
+WITH clicks AS (
+  SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts,
+         value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT c.c_user, c.click_id, p.purchase_id, p.p_value
+  FROM clicks c JOIN purchases p
+    ON c.c_user = p.p_user
+   AND p.p_ts >= c.c_ts
+   AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTES
+),
+credited AS (
+  SELECT c_user, click_id,
+         CAST(p_value / CAST(COUNT(*) OVER (PARTITION BY purchase_id)
+                             AS DOUBLE) AS DECIMAL(18,6)) AS credit
+  FROM touches
+)
+SELECT c_user AS user_id,
+       CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 4) AS linear_credit
+FROM credited GROUP BY 1
+""",
+    # q142: ISO year/week (Spark YEAROFWEEK ≡ DuckDB isoyear,
+    # weekofyear ISO on both); discrete percentiles per q124 rule.
+    "q142_weekly_percentiles": """
+SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       COUNT(*) AS n_orders,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90
+FROM orders GROUP BY 1, 2
+""",
 }

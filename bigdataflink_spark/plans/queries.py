@@ -3344,6 +3344,74 @@ def q140_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (completing q75's single-touch
+    credit): each purchase splits its value EQUALLY across all
+    same-user clicks in the preceding 10 minutes. Per-purchase
+    fan-out counts are exact integers; the per-purchase credit is ONE
+    IEEE division clamped to DECIMAL(18,6), so the per-user credit
+    sum accumulates exactly — order-independent across partitions and
+    engines. Same interval-join shape as q75 (equality key + range
+    residual, never a nested loop)."""
+    from bigdataflink_spark.streaming.join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = interval_join(
+        clicks, purchases, "c_user", "p_user", "c_ts", "p_ts",
+        upper="10 minutes",
+    )
+    wn = Window.partitionBy("purchase_id")
+    credited = touches.select(
+        "c_user",
+        "click_id",
+        (
+            F.col("p_value") / F.count("*").over(wn).cast("double")
+        ).cast("decimal(18,6)").alias("_credit"),
+    )
+    return credited.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.countDistinct("click_id").cast("long").alias("n_credited_clicks"),
+        F.round(F.sum("_credit").cast("double"), 4).alias("linear_credit"),
+    )
+
+
+def q142_weekly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed percentile bands: per ISO (year, week), the
+    discrete P50/P90 of order totals plus volume — the trend-line
+    percentile chart every ops dashboard draws. percentile_disc picks
+    real data values (bit-identical across engines, q124 rule); one
+    grouped sort-agg on the bounded week key."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.select(
+            F.expr("extract(YEAROFWEEK FROM to_date(o_orderdate))")
+            .cast("int")
+            .alias("iso_year"),
+            F.weekofyear(d).cast("int").alias("iso_week"),
+            "o_totalprice",
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .alias("p90"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3479,6 +3547,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_unpivot": q135_unpivot,
     "q139_quantile_transform": q139_quantile_transform,
     "q140_longest_streak": q140_longest_streak,
+    "q141_linear_attribution": q141_linear_attribution,
+    "q142_weekly_percentiles": q142_weekly_percentiles,
     "q136_market_basket": q136_market_basket,
     "q137_event_transitions": q137_event_transitions,
     "q138_interarrival_histogram": q138_interarrival_histogram,
