@@ -2323,4 +2323,158 @@ SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_year,
        quantile_disc(o_totalprice, 0.9) AS p90
 FROM orders GROUP BY 1, 2
 """,
+    # q143: same explode-to-cover-days trick (each distinct user-day
+    # covers days d..d+6), exact integer epoch days, inner join trims
+    # no-DAU days identically.
+    "q143_active_users": """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day_num
+  FROM events
+),
+dau AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM ud GROUP BY 1),
+covers AS (
+  SELECT DISTINCT user_id, day_num + d AS day_num
+  FROM ud, generate_series(0, 6) AS g(d)
+),
+wau AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM covers GROUP BY 1)
+SELECT day_num, dau, wau,
+       ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau USING (day_num)
+""",
+    # q144: identical quantile_disc boundaries and the shared
+    # strict-> scoring rule; the segment census is bounded at 4³.
+    "q144_rfm_segmentation": """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(MAX(datediff('day', DATE '1970-01-01', o_orderdate))
+              AS BIGINT) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT quantile_disc(last_day, 0.25) AS ld25,
+         quantile_disc(last_day, 0.50) AS ld50,
+         quantile_disc(last_day, 0.75) AS ld75,
+         quantile_disc(freq, 0.25) AS f25,
+         quantile_disc(freq, 0.50) AS f50,
+         quantile_disc(freq, 0.75) AS f75,
+         quantile_disc(monetary, 0.25) AS m25,
+         quantile_disc(monetary, 0.50) AS m50,
+         quantile_disc(monetary, 0.75) AS m75
+  FROM per
+),
+scored AS (
+  SELECT CAST(1 + CASE WHEN last_day > ld25 THEN 1 ELSE 0 END
+                + CASE WHEN last_day > ld50 THEN 1 ELSE 0 END
+                + CASE WHEN last_day > ld75 THEN 1 ELSE 0 END AS INT)
+           AS r_score,
+         CAST(1 + CASE WHEN freq > f25 THEN 1 ELSE 0 END
+                + CASE WHEN freq > f50 THEN 1 ELSE 0 END
+                + CASE WHEN freq > f75 THEN 1 ELSE 0 END AS INT)
+           AS f_score,
+         CAST(1 + CASE WHEN monetary > m25 THEN 1 ELSE 0 END
+                + CASE WHEN monetary > m50 THEN 1 ELSE 0 END
+                + CASE WHEN monetary > m75 THEN 1 ELSE 0 END AS INT)
+           AS m_score
+  FROM per CROSS JOIN b
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+""",
+    # q145: identical md5-band masking (both engines null the same
+    # cells), completeness count, and survivorship sort.
+    "q145_golden_record": """
+WITH m AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                          || '|status'), 1, 15) AS BIGINT) % 10 < 3
+              THEN NULL ELSE o_orderstatus END AS status,
+         CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                          || '|price'), 1, 15) AS BIGINT) % 10 < 3
+              THEN NULL ELSE o_totalprice END AS price,
+         CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                          || '|prio'), 1, 15) AS BIGINT) % 10 < 3
+              THEN NULL ELSE o_orderpriority END AS priority
+  FROM orders
+),
+c AS (
+  SELECT *, CASE WHEN status IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN price IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN priority IS NOT NULL THEN 1 ELSE 0 END AS comp
+  FROM m
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY comp DESC, o_orderdate DESC, o_orderkey DESC) AS rk
+  FROM c
+)
+SELECT o_custkey, o_orderkey AS golden_orderkey,
+       CAST(comp AS INT) AS n_fields_present
+FROM r WHERE rk = 1
+""",
+    # q146: per-cell chi² with the exact DECIMAL numerator
+    # (o·N − r·c)² and the identical one-division expressions.
+    "q146_chisq_contingency": """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+  FROM orders GROUP BY 1, 2
+),
+rm AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS r_tot
+       FROM cells GROUP BY 1),
+cm AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS c_tot
+       FROM cells GROUP BY 1),
+nt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_tot FROM cells),
+j AS (
+  SELECT c.o_orderpriority, c.o_orderstatus, c.obs, rm.r_tot, cm.c_tot,
+         nt.n_tot,
+         CAST(c.obs AS DECIMAL(19,0)) * CAST(nt.n_tot AS DECIMAL(19,0))
+         - CAST(rm.r_tot AS DECIMAL(19,0)) * CAST(cm.c_tot AS DECIMAL(19,0))
+           AS num
+  FROM cells c
+  JOIN rm USING (o_orderpriority)
+  JOIN cm USING (o_orderstatus)
+  CROSS JOIN nt
+)
+SELECT o_orderpriority, o_orderstatus, obs,
+       ROUND(CAST(r_tot * c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 4)
+         AS expected,
+       ROUND(CAST(num * num AS DOUBLE)
+             / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                * CAST(r_tot * c_tot AS DOUBLE)), 6) AS chi2_cell
+FROM j
+""",
+    # q147: the q127 boundary-broadcast binning on per-customer spend;
+    # decimal revenue sums, one share division per decile.
+    "q147_pareto_deciles": """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT quantile_disc(rev, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM per
+),
+binned AS (
+  SELECT p.rev,
+         CAST(1 + len(list_filter(b.bs, x -> p.rev > x)) AS INT)
+           AS spend_decile
+  FROM per p CROSS JOIN b
+),
+tot AS (SELECT SUM(CAST(rev AS DECIMAL(18,2))) AS t FROM per)
+SELECT spend_decile, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS decile_revenue,
+       ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(tot.t AS DOUBLE), 6) AS revenue_share
+FROM binned CROSS JOIN tot
+GROUP BY spend_decile, tot.t
+""",
 }

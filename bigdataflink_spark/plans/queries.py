@@ -3412,6 +3412,242 @@ def q142_weekly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — computed the
+    distributed way: instead of a per-day COUNT(DISTINCT) over a
+    range window (which re-scans 7 days of users per day), each
+    distinct (user, day) row EXPLODES into the ≤7 future days it
+    keeps the user active for, and one distinct-count per cover day
+    finishes it. Work is 7× the distinct user-day table — linear,
+    shuffle keyed on day; no window over raw events at all. Days are
+    exact integer epoch days; stickiness is the one final division."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    ud = ev.select("user_id", day.cast("long").alias("_day")).distinct()
+    dau = ud.groupBy(F.col("_day").alias("day_num")).agg(
+        F.count("*").alias("dau")
+    )
+    covers = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_day"), F.col("_day") + 6)
+        ).alias("day_num"),
+    ).distinct()
+    wau = covers.groupBy("day_num").agg(F.count("*").alias("wau"))
+    # inner join: days with no activity have no DAU row; WAU cover
+    # days beyond the data's last day are trimmed by the same join
+    return dau.join(wau, "day_num").select(
+        "day_num",
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
+def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quartiles via percentile_disc boundaries (the q127 equi-depth
+    pattern — a distributed sort-agg plus a scalar broadcast, never a
+    global ntile window), combined into the classic 3-digit segment
+    code. All boundary comparisons use the shared strict-> rule so
+    ties land identically in both engines; counts per segment are the
+    output (bounded 64-row result)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")))
+        .cast("long")
+        .alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_mon"),
+    ).select(
+        "o_custkey", "last_day", "freq", F.col("_mon").cast("double").alias("monetary")
+    ).persist()
+    bounds = per_cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{c}_{int(q * 100)}")
+            for c in ("last_day", "freq", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def _score(col: str):
+        return (
+            F.lit(1)
+            + F.when(F.col(col) > F.col(f"{col}_25"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{col}_50"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{col}_75"), 1).otherwise(0)
+        ).cast("int")
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        _score("last_day").alias("r_score"),
+        _score("freq").alias("f_score"),
+        _score("monetary").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q145_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record dedup (the MDM completion of LWW
+    q14): among each customer's order rows, the MOST COMPLETE record
+    wins — completeness is a deterministic non-null field count over
+    deterministically-masked copies (field f of row r is "missing"
+    when md5(r,f) lands in a 30% band, so both engines mask the same
+    cells) — ties break on recency then key. One keyed window; the
+    pattern generalizes to any survivorship rule that is a sortable
+    expression."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def masked(col, tag: str, band: int):
+        return F.when(
+            md5_int(F.concat_ws("|", F.col("o_orderkey").cast("string"), F.lit(tag)))
+            % 10 < band,
+            F.lit(None),
+        ).otherwise(col)
+
+    rows = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        masked(F.col("o_orderstatus"), "status", 3).alias("status"),
+        masked(F.col("o_totalprice"), "price", 3).alias("price"),
+        masked(F.col("o_orderpriority"), "prio", 3).alias("priority"),
+    )
+    completeness = (
+        F.when(F.col("status").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("price").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("priority").isNotNull(), 1).otherwise(0)
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("_complete"), F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    golden = (
+        rows.withColumn("_complete", completeness)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+    return golden.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("golden_orderkey"),
+        F.col("_complete").cast("int").alias("n_fields_present"),
+    )
+
+
+def q146_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the priority × status
+    contingency table, reported PER CELL: observed count, expected
+    count, and the cell's chi² contribution. Emitting cells (bounded
+    5×3 result) instead of the summed statistic keeps every number
+    one-division deterministic — the numerator (o·N − r·c)² is an
+    exact DECIMAL cross-product, so both engines agree bit-for-bit
+    (a summed chi² would add 15 doubles in nondeterministic order).
+    One grouped count + two marginal aggs derived from it + scalar
+    broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("obs"))
+        .persist()
+    )
+    rows_m = cells.groupBy("o_orderpriority").agg(
+        F.sum("obs").cast("long").alias("r_tot")
+    )
+    cols_m = cells.groupBy("o_orderstatus").agg(
+        F.sum("obs").cast("long").alias("c_tot")
+    )
+    n = cells.agg(F.sum("obs").cast("long").alias("n_tot"))
+    j = (
+        cells.join(F.broadcast(rows_m), "o_orderpriority")
+        .join(F.broadcast(cols_m), "o_orderstatus")
+        .crossJoin(F.broadcast(n))
+    )
+    # (obs*N - r*c)^2 exact in decimal; expected = r*c/N and the
+    # contribution (obs*N - r*c)^2 / (N^2 * r*c) each do ONE division
+    num = (
+        F.col("obs").cast("decimal(19,0)") * F.col("n_tot").cast("decimal(19,0)")
+        - F.col("r_tot").cast("decimal(19,0)") * F.col("c_tot").cast("decimal(19,0)")
+    )
+    return j.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.round(
+            (F.col("r_tot") * F.col("c_tot")).cast("double")
+            / F.col("n_tot").cast("double"),
+            4,
+        ).alias("expected"),
+        F.round(
+            (num * num).cast("double")
+            / (
+                F.col("n_tot").cast("double")
+                * F.col("n_tot").cast("double")
+                * (F.col("r_tot") * F.col("c_tot")).cast("double")
+            ),
+            6,
+        ).alias("chi2_cell"),
+    )
+
+
+def q147_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration ("do 20% of customers drive 80%?"):
+    customers bucket into spend deciles via percentile_disc
+    boundaries (q127/q144 pattern — a distributed sort-agg + scalar
+    broadcast, NO global rank window serializing all customers onto
+    one task), then each decile reports its customer count, exact
+    decimal revenue, and share of total. Shares divide exact decimal
+    sums by the broadcast total — one division per decile row."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev")
+    ).select("o_custkey", F.col("_rev").cast("double").alias("rev")).persist()
+    bounds = per_cust.agg(
+        F.array(
+            *[
+                F.expr(f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY rev)")
+                for i in range(1, 10)
+            ]
+        ).alias("_bs")
+    )
+    binned = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "rev",
+        (
+            F.lit(1)
+            + F.aggregate(
+                "_bs",
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("rev") > b, 1).otherwise(0),
+            )
+        )
+        .cast("int")
+        .alias("spend_decile"),
+    )
+    tot = per_cust.agg(
+        F.sum(F.col("rev").cast("decimal(18,2)")).alias("_tot")
+    )
+    return (
+        binned.groupBy("spend_decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("rev").cast("decimal(18,2)")).alias("_dec_rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "spend_decile",
+            "n_customers",
+            F.round(F.col("_dec_rev").cast("double"), 2).alias("decile_revenue"),
+            F.round(
+                F.col("_dec_rev").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3549,6 +3785,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_longest_streak": q140_longest_streak,
     "q141_linear_attribution": q141_linear_attribution,
     "q142_weekly_percentiles": q142_weekly_percentiles,
+    "q143_active_users": q143_active_users,
+    "q144_rfm_segmentation": q144_rfm_segmentation,
+    "q145_golden_record": q145_golden_record,
+    "q146_chisq_contingency": q146_chisq_contingency,
+    "q147_pareto_deciles": q147_pareto_deciles,
     "q136_market_basket": q136_market_basket,
     "q137_event_transitions": q137_event_transitions,
     "q138_interarrival_histogram": q138_interarrival_histogram,

@@ -135,6 +135,9 @@ NOTES = {
     "q140_longest_streak": "Distinct (cust, month) then two windows + one agg, all on the custkey shuffle — the islands trick is pure integer arithmetic, no self-joins across months.",
     "q141_linear_attribution": "Interval join = equality-key hash join with the range residual (q75 shape); the per-purchase count window keys on purchase_id; credits clamp to decimal so the user-level sum is one exact agg.",
     "q142_weekly_percentiles": "One grouped percentile_disc sort-agg on the bounded (iso_year, iso_week) key; week extraction runs in the scan projection.",
+    "q143_active_users": "No range-window distinct: each distinct user-day explodes into its ≤7 cover days (linear 7× amplification) and one day-keyed distinct-count finishes — the shape that survives 100 TB where a per-day DISTINCT window rescans the trailing week per day.",
+    "q144_rfm_segmentation": "Per-customer agg persisted; 9 percentile_disc boundaries in ONE distributed sort-agg ride a 1-row broadcast; scoring is per-row arithmetic; final census on the bounded 4³ segment key.",
+    "q145_golden_record": "One keyed window on custkey (completeness + recency sort); masking and field counting are scan-stage expressions.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -159,6 +162,7 @@ EXPECTED_BNLJ = {
     "q126_unigram_lm_score": "the BNLJ is the 1-row corpus-token-total broadcast fanned onto the per-token join — the q46 scalar pattern.",
     "q132_source_divergence": "the BNLJ is the 1-row corpus-total broadcast fanned onto the (source,term) join — the q46 scalar pattern.",
     "q136_market_basket": "the BNLJ is the 1-row n_orders broadcast fanned onto the support-cut pair set — the q46 scalar pattern.",
+    "q144_rfm_segmentation": "the BNLJ is the 1-row nine-boundary broadcast fanned onto per-customer rows — the q127/q112 scalar-stats pattern.",
 }
 
 
