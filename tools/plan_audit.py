@@ -138,6 +138,8 @@ NOTES = {
     "q143_active_users": "No range-window distinct: each distinct user-day explodes into its ≤7 cover days (linear 7× amplification) and one day-keyed distinct-count finishes — the shape that survives 100 TB where a per-day DISTINCT window rescans the trailing week per day.",
     "q144_rfm_segmentation": "Per-customer agg persisted; 9 percentile_disc boundaries in ONE distributed sort-agg ride a 1-row broadcast; scoring is per-row arithmetic; final census on the bounded 4³ segment key.",
     "q145_golden_record": "One keyed window on custkey (completeness + recency sort); masking and field counting are scan-stage expressions.",
+    "q146_chisq_contingency": "Cell counts persisted; marginals derive from the cache; everything joins back as broadcasts on bounded keys. Emitting per-cell contributions keeps all arithmetic one-division deterministic.",
+    "q147_pareto_deciles": "Per-customer spend persisted; decile bounds in one distributed sort-agg ride a 1-row broadcast; binning is a per-row fold; final agg on the 10-value decile key.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -163,6 +165,8 @@ EXPECTED_BNLJ = {
     "q132_source_divergence": "the BNLJ is the 1-row corpus-total broadcast fanned onto the (source,term) join — the q46 scalar pattern.",
     "q136_market_basket": "the BNLJ is the 1-row n_orders broadcast fanned onto the support-cut pair set — the q46 scalar pattern.",
     "q144_rfm_segmentation": "the BNLJ is the 1-row nine-boundary broadcast fanned onto per-customer rows — the q127/q112 scalar-stats pattern.",
+    "q146_chisq_contingency": "the BNLJ is the 1-row grand-total broadcast fanned onto the bounded cell table — the q61/q93 scalar pattern.",
+    "q147_pareto_deciles": "both BNLJs are 1-row scalar broadcasts (decile bounds; revenue total) — the q127 pattern.",
 }
 
 
