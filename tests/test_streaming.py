@@ -735,3 +735,93 @@ def test_streaming_session_window_matches_batch(spark, workdir):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """Incremental SCD2 change-log state folded over time-ordered
+    micro-batches must equal operators/scd.scd2_history bit-exactly
+    (CDC contract: per-key nondecreasing event time across batches —
+    guaranteed here by slicing on global time)."""
+    from bigdataflink_spark.operators.scd import scd2_history
+    from bigdataflink_spark.streaming.scd2 import (
+        read_scd2_history,
+        run_scd2_stream,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    src = str(tmp_path / "scd2_src")
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(f"{src}/slice={i}")
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp_ntz, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = str(tmp_path / "scd2_state")
+    run_scd2_stream(
+        spark, stream, state, str(tmp_path / "scd2_ckpt"),
+        "user_id", "event_type", "ts", "event_id",
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in read_scd2_history(spark, state, "user_id", "event_type").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in scd2_history(
+            events, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    )
+    assert len(want) > 0
+    assert got == want
+
+
+def test_streaming_scd2_drops_late_rows(spark, tmp_path):
+    """A row older than its key's newest change is dropped (counted),
+    leaving the history unchanged — the documented CDC contract."""
+    from bigdataflink_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        read_scd2_history,
+    )
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    state = str(tmp_path / "late_state")
+    n = merge_scd2_batch(
+        spark, events, state, "user_id", "event_type", "ts", "event_id"
+    )
+    assert n == 0
+    before = sorted(
+        tuple(r)
+        for r in read_scd2_history(spark, state, "user_id", "event_type").collect()
+    )
+
+    late = events.orderBy("ts").limit(1).select(
+        "user_id",
+        F.lit("zzz_late").alias("event_type"),
+        (F.col("ts") - F.expr("INTERVAL 5 YEARS")).alias("ts"),
+        F.lit(10**12).alias("event_id"),
+    )
+    n_late = merge_scd2_batch(
+        spark, late, state, "user_id", "event_type", "ts", "event_id"
+    )
+    assert n_late == 1
+    after = sorted(
+        tuple(r)
+        for r in read_scd2_history(spark, state, "user_id", "event_type").collect()
+    )
+    assert after == before
