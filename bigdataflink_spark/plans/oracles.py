@@ -2477,4 +2477,38 @@ SELECT spend_decile, COUNT(*) AS n_customers,
 FROM binned CROSS JOIN tot
 GROUP BY spend_decile, tot.t
 """,
+    # q148: pure integer bucket audit — same DIV bucketing and
+    # within-bucket expected-count arithmetic.
+    "q148_id_continuity": """
+WITH ids AS (SELECT DISTINCT o_orderkey FROM orders)
+SELECT o_orderkey // 1000 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_present,
+       MIN(o_orderkey) AS lo,
+       MAX(o_orderkey) AS hi,
+       CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1 - COUNT(*) AS BIGINT)
+         AS n_missing_within
+FROM ids GROUP BY 1
+""",
+    # q149: identical composite-key self-join with the ±5-minute
+    # residual band and id_a < id_b pair canonicalization.
+    "q149_double_fire": """
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, value AS v, event_id,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+pairs AS (
+  SELECT a.u, a.t, ABS(b.ts_us - a.ts_us) AS gap_us
+  FROM e a JOIN e b
+    ON a.u = b.u AND a.t = b.t
+   AND a.event_id < b.event_id
+   AND ABS(b.ts_us - a.ts_us) <= 3600000000
+   AND ABS(b.v - a.v) < 5.0
+)
+SELECT t AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_suspect_pairs,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+       MIN(gap_us) AS min_gap_us
+FROM pairs GROUP BY 1
+""",
 }

@@ -3648,6 +3648,73 @@ def q147_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_id_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-continuity audit — the ingestion data-quality check "did we
+    drop rows?": order keys bucket into fixed 1000-wide ranges and
+    each bucket reports present/expected/missing counts plus its
+    bounds. Pure integer arithmetic on ONE distinct + one bucket-keyed
+    agg; no global sort window, so the audit parallelizes over buckets
+    at any scale (a lead()-over-everything gap list would serialize).
+    Only non-empty buckets report — absent ranges are visible as
+    bucket gaps in the output."""
+    orders = _t(spark, sf_dir, "orders")
+    ids = orders.select("o_orderkey").distinct()
+    b = F.expr("o_orderkey DIV 1000")
+    return (
+        ids.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_present"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .select(
+            "bucket",
+            "n_present",
+            "lo",
+            "hi",
+            (F.col("hi") - F.col("lo") + 1 - F.col("n_present"))
+            .cast("long")
+            .alias("n_missing_within"),
+        )
+    )
+
+
+def q149_double_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire detection — near-duplicate EVENTS (same user, same
+    type, near-equal value |Δv|<5, within 1 hour), the telemetry twin
+    of payment double-charge auditing. A self-join on the exact
+    composite key (user, type) with BOTH tolerances as residuals: the
+    equality key does the heavy lifting (hash join), the bands only
+    filter within key groups — never a time-only cross pairing. Pair
+    order pinned by event_id < event_id so each suspicious pair
+    reports once; gaps are exact integer micros."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("value").alias("v_a"),
+        F.col("event_id").alias("id_a"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_a"),
+    )
+    bseg = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("value").alias("v_b"),
+        F.col("event_id").alias("id_b"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_b"),
+    )
+    pairs = a.join(bseg, ["u", "t"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("ts_b") - F.col("ts_a")) <= 3_600_000_000)
+        & (F.abs(F.col("v_b") - F.col("v_a")) < 5.0)
+    )
+    return pairs.groupBy(F.col("t").alias("event_type")).agg(
+        F.count("*").alias("n_suspect_pairs"),
+        F.countDistinct("u").cast("long").alias("n_users"),
+        F.min(F.abs(F.col("ts_b") - F.col("ts_a"))).alias("min_gap_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3793,4 +3860,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_market_basket": q136_market_basket,
     "q137_event_transitions": q137_event_transitions,
     "q138_interarrival_histogram": q138_interarrival_histogram,
+    "q148_id_continuity": q148_id_continuity,
+    "q149_double_fire": q149_double_fire,
 }

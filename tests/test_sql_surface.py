@@ -29,6 +29,10 @@ ANSI_QUERIES = [
     "q37_setops",
     "q42_salted_join",
     "q43_above_nation_avg",
+    "q128_map_battery",
+    "q137_event_transitions",
+    "q139_quantile_transform",
+    "q146_chisq_contingency",
 ]
 # Excluded for dialect (not capability) reasons: q18_rollup — Spark
 # won't resolve an output alias inside GROUPING() the way DuckDB does;
