@@ -140,6 +140,8 @@ NOTES = {
     "q145_golden_record": "One keyed window on custkey (completeness + recency sort); masking and field counting are scan-stage expressions.",
     "q146_chisq_contingency": "Cell counts persisted; marginals derive from the cache; everything joins back as broadcasts on bounded keys. Emitting per-cell contributions keeps all arithmetic one-division deterministic.",
     "q147_pareto_deciles": "Per-customer spend persisted; decile bounds in one distributed sort-agg ride a 1-row broadcast; binning is a per-row fold; final agg on the 10-value decile key.",
+    "q148_id_continuity": "One distinct + one bucket-keyed integer agg — parallelizes over buckets; deliberately NOT a lead()-over-everything gap list, which would serialize the global sort.",
+    "q149_double_fire": "Self-join keyed on (user, type) with time/value bands as residuals — the equality key bounds pairing to within-key groups, never a time-only cross product.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
