@@ -3284,7 +3284,14 @@ def q139_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value, event_id), so ties are broken deterministically and both
     engines agree exactly; one shuffle on event_type serves both the
     ranking window and the group count (same partition spec — Spark
-    plans a single Exchange)."""
+    plans a single Exchange).
+
+    Scale note (conscious tradeoff): the window partitions on the
+    BOUNDED event_type key, so each type's rank sort runs on one
+    task — exact ranks don't parallelize within a group. At 100 TB
+    per type, swap to the boundary-broadcast approximation (q127's
+    percentile_disc bins at whatever granularity the model needs);
+    this exact form is for group sizes a single task can sort."""
     ev = _t(spark, sf_dir, "events")
     wq = Window.partitionBy("event_type").orderBy(
         F.asc("value"), F.asc("event_id")

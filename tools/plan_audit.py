@@ -131,7 +131,7 @@ NOTES = {
     "q136_market_basket": "Basket table (order × brand, distinct) persisted; pair explode is quadratic per basket, linear in orders. Supports join back as broadcasts; the top-20 window ranks only the support-cut pair set.",
     "q137_event_transitions": "One lead() window on the user_id shuffle; counts and shares on the bounded type×type key.",
     "q138_interarrival_histogram": "One lead() window on user_id; the log2 bucket is an exact integer bit-length expression in the scan stage; final agg on the bounded type×bucket key.",
-    "q139_quantile_transform": "Ranking window and group count share the one event_type partition spec — a single Exchange serves both; everything else is per-row arithmetic.",
+    "q139_quantile_transform": "Ranking window and group count share the one event_type partition spec — a single Exchange serves both. Conscious tradeoff: exact per-group ranks sort each (bounded-cardinality) type on one task; at 100 TB/type use the q127 boundary-broadcast bins instead (docstring).",
     "q140_longest_streak": "Distinct (cust, month) then two windows + one agg, all on the custkey shuffle — the islands trick is pure integer arithmetic, no self-joins across months.",
     "q141_linear_attribution": "Interval join = equality-key hash join with the range residual (q75 shape); the per-purchase count window keys on purchase_id; credits clamp to decimal so the user-level sum is one exact agg.",
     "q142_weekly_percentiles": "One grouped percentile_disc sort-agg on the bounded (iso_year, iso_week) key; week extraction runs in the scan projection.",
