@@ -825,3 +825,51 @@ def test_streaming_scd2_drops_late_rows(spark, tmp_path):
         for r in read_scd2_history(spark, state, "user_id", "event_type").collect()
     )
     assert after == before
+
+
+def test_apply_in_pandas_with_state_dedup(spark, tmp_path):
+    """Arbitrary-state dedup (applyInPandasWithState — runs LIVE here,
+    unlike the protobuf-gated transformWithState twin): duplicated
+    events across micro-batches collapse to exactly one row per key,
+    first occurrence (min event_id) winning."""
+    from bigdataflink_spark.streaming.pandas_state import first_seen_dedup
+
+    ev = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .limit(200)
+        .select("event_id", "user_id", "value")
+    )
+    src = str(tmp_path / "fsd_src")
+    # slice 0 and slice 1 both carry the full data -> every key is
+    # redelivered in a LATER micro-batch; state must drop all repeats
+    ev.coalesce(1).write.parquet(f"{src}/slice=0")
+    ev.coalesce(1).write.parquet(f"{src}/slice=1")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = first_seen_dedup(stream, "user_id", "event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fsd_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "fsd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.table("fsd_sink")
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(F.min("event_id").alias("event_id"))
+        .join(ev, ["user_id", "event_id"])
+        .select("event_id", "user_id", "value")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want
+    assert got.count() == got.select("user_id").distinct().count()
