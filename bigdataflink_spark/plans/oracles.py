@@ -2511,4 +2511,42 @@ SELECT t AS event_type,
        MIN(gap_us) AS min_gap_us
 FROM pairs GROUP BY 1
 """,
+    # q150: same within-word adjacent char-pair extraction (1-based
+    # 2-char substrings) and (count desc, pair) top-20 tiebreak.
+    "q150_bpe_merge_candidates": f"""
+WITH w AS (
+  SELECT UNNEST({_TOKS}) AS w FROM documents
+),
+p AS (
+  SELECT UNNEST([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair
+  FROM w WHERE len(w) >= 2
+),
+c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1)
+SELECT pair, n,
+       CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rn
+FROM c QUALIFY rn <= 20
+""",
+    # q151: identical integer bin arithmetic ((len-1)//32+1) and the
+    # padded-total scalar; one share division per bin.
+    "q151_padding_waste": f"""
+WITH lens AS (
+  SELECT len({_TOKS}) AS l FROM documents
+),
+binned AS (
+  SELECT l, (l - 1) // 32 + 1 AS b FROM lens WHERE l >= 1
+),
+per_bin AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(l) AS BIGINT) AS sum_tokens,
+         CAST(SUM(b * 32 - l) AS BIGINT) AS wasted_tokens
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(b * 32 * n_docs) AS BIGINT) AS padded
+        FROM per_bin)
+SELECT CAST(b * 32 AS BIGINT) AS bin_top, n_docs, sum_tokens,
+       wasted_tokens,
+       ROUND(CAST(wasted_tokens AS DOUBLE) / CAST(padded AS DOUBLE), 6)
+         AS waste_share_of_corpus
+FROM per_bin CROSS JOIN tot
+""",
 }

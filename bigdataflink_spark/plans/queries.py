@@ -3722,6 +3722,64 @@ def q149_double_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training step zero: corpus-weighted counts of
+    adjacent CHARACTER pairs inside words — the first BPE merge's
+    candidate table (complementing q97's vocab sizing and q122's
+    word-level PMI). Pair extraction is a per-token array expression
+    (substring zip), so amplification is bounded by word length —
+    linear in corpus bytes, one token-keyed count shuffle, top-20 by
+    (count desc, pair) over the bounded char-pair domain."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("_w"))
+    pairs = toks.filter(F.length("_w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_w") - 1),
+                lambda i: F.col("_w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+def q151_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency census: docs bucket by token length into
+    32-token bins; per bin, the padding waste a naive pad-to-bin-top
+    batcher would pay (bin_top − len summed, exact integers) and its
+    share of the padded total — the number that justifies q94's
+    sequence packing. Pure per-row arithmetic + one bounded-key agg
+    + a scalar broadcast for the share."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(text.tokens("text")).cast("long")
+    binned = docs.select(n_tok.alias("_len")).filter(
+        F.col("_len") >= 1
+    ).withColumn("_bin", F.expr("(_len - 1) DIV 32 + 1"))
+    per_bin = binned.groupBy("_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_len").cast("long").alias("sum_tokens"),
+        F.sum(F.col("_bin") * 32 - F.col("_len")).cast("long").alias("wasted_tokens"),
+    )
+    tot = per_bin.agg(
+        F.sum(F.col("_bin") * 32 * F.col("n_docs")).cast("long").alias("_padded")
+    )
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        (F.col("_bin") * 32).cast("long").alias("bin_top"),
+        "n_docs",
+        "sum_tokens",
+        "wasted_tokens",
+        F.round(
+            F.col("wasted_tokens").cast("double") / F.col("_padded").cast("double"),
+            6,
+        ).alias("waste_share_of_corpus"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3869,4 +3927,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_interarrival_histogram": q138_interarrival_histogram,
     "q148_id_continuity": q148_id_continuity,
     "q149_double_fire": q149_double_fire,
+    "q150_bpe_merge_candidates": q150_bpe_merge_candidates,
+    "q151_padding_waste": q151_padding_waste,
 }
