@@ -142,6 +142,8 @@ NOTES = {
     "q147_pareto_deciles": "Per-customer spend persisted; decile bounds in one distributed sort-agg ride a 1-row broadcast; binning is a per-row fold; final agg on the 10-value decile key.",
     "q148_id_continuity": "One distinct + one bucket-keyed integer agg — parallelizes over buckets; deliberately NOT a lead()-over-everything gap list, which would serialize the global sort.",
     "q149_double_fire": "Self-join keyed on (user, type) with time/value bands as residuals — the equality key bounds pairing to within-key groups, never a time-only cross product.",
+    "q150_bpe_merge_candidates": "Char-pair extraction is a per-token array expression (amplification bounded by word length — linear in corpus bytes); one pair-keyed count shuffle; top-20 window over the bounded char-pair domain.",
+    "q151_padding_waste": "Per-row integer bin arithmetic in the scan stage; one bounded-key agg; padded-total scalar rides a 1-row broadcast.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -169,6 +171,7 @@ EXPECTED_BNLJ = {
     "q144_rfm_segmentation": "the BNLJ is the 1-row nine-boundary broadcast fanned onto per-customer rows — the q127/q112 scalar-stats pattern.",
     "q146_chisq_contingency": "the BNLJ is the 1-row grand-total broadcast fanned onto the bounded cell table — the q61/q93 scalar pattern.",
     "q147_pareto_deciles": "both BNLJs are 1-row scalar broadcasts (decile bounds; revenue total) — the q127 pattern.",
+    "q151_padding_waste": "the BNLJ is the 1-row padded-total broadcast onto the bounded bin table — the q46 scalar pattern.",
 }
 
 
