@@ -1,0 +1,98 @@
+"""`kafkadump` — a Python Data Source (Spark 4 DataSource API) that
+reads recorded Kafka topic dumps (JSONL, one message value per line —
+the `kafka-console-consumer > dump.jsonl` capture format) and exposes
+EXACTLY the post-``.load()`` shape of Spark's Kafka source
+(KAFKA_WIRE_SCHEMA: binary key/value, topic, partition, offset, …).
+
+Why it exists: the reference's transport is a single-partition Kafka
+topic (README.md:144-147) consumed value-only in broker order
+(flink/stream_to_star.py:305-315). With this source, a user who has
+only a topic CAPTURE — no live broker — plugs the dump straight into
+the same pipeline: ``spark.read.format("kafkadump").load(dir)`` →
+``project_kafka_records`` → parse → upsert, no code changes
+downstream. (The live-broker path stays `format("kafka")` in
+sources/kafka.py; the recorded-offsets contract test pins that the
+two shapes are interchangeable.)
+
+Offsets are assigned by (file in sorted-name order, line order) —
+the producer's sorted-glob send order (csv_to_kafka.py:24) — so
+last-write-wins replays resolve identically to the live topic.
+
+Scale shape: one InputPartition per dump file (parallel read across
+executors); line counting for offset bases is one planning-time pass
+over the files on the driver. Files are opened with plain ``open``
+— the dump dir must be visible to executors (shared FS); for object
+stores, land dumps as parquet and use the recorded-wire path
+instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from bigdataflink_spark.sources.kafka import KAFKA_WIRE_SCHEMA
+
+
+class DumpFilePartition(InputPartition):
+    def __init__(self, path: str, base_offset: int):
+        self.path = path
+        self.base_offset = base_offset
+
+
+class KafkaDumpReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafkadump: .load(path) is required")
+        self.topic = options.get("topic", "sales")
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(glob.glob(os.path.join(self.path, "*")))
+        return sorted(glob.glob(self.path))
+
+    def partitions(self) -> list[DumpFilePartition]:
+        parts: list[DumpFilePartition] = []
+        base = 0
+        for f in self._files():
+            if os.path.basename(f).startswith(("_", ".")):
+                continue
+            with open(f, "rb") as fh:
+                n = sum(1 for line in fh if line.strip())
+            parts.append(DumpFilePartition(f, base))
+            base += n
+        if not parts:
+            raise ValueError(f"kafkadump: no dump files under {self.path}")
+        return parts
+
+    def read(self, partition: DumpFilePartition) -> Iterator[tuple]:
+        offset = partition.base_offset
+        with open(partition.path, "rb") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                yield (None, line, self.topic, 0, offset, None, 0)
+                offset += 1
+
+
+class KafkaDumpDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafkadump"
+
+    def schema(self) -> str:
+        # DDL string — the same constant the live Kafka path documents
+        return KAFKA_WIRE_SCHEMA
+
+    def reader(self, schema) -> KafkaDumpReader:
+        return KafkaDumpReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source for ``spark.read.format("kafkadump")``."""
+    spark.dataSource.register(KafkaDumpDataSource)

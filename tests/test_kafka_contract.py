@@ -136,3 +136,65 @@ def test_stream_via_kafka_wire_equals_batch_star(spark, workdir, wire_dir):
     replayed = table_rows(finalize_star(spark, state_dir))
     for name in batch:
         assert batch[name][1] == replayed[name][1], f"{name}: redelivery regressed state"
+
+
+def test_kafkadump_python_datasource_end_to_end(spark, workdir):
+    """The `kafkadump` Python Data Source turns a value-only JSONL
+    topic capture into the exact wire shape `format("kafka")` would
+    load — offsets in (sorted file, line) order — and the unchanged
+    downstream pipeline publishes the same star as the batch build."""
+    from bigdataflink_spark.sources.kafkadump import register
+
+    from pyspark.sql.window import Window
+
+    raw = read_sales_csv(spark)
+    # capture: 3 dump files in producer send order (arrival_seq is
+    # ordered but not contiguous — rank it for the slicing)
+    dump = f"{workdir}/dump"
+    ranked = raw.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("arrival_seq")) - 1
+    )
+    n_total = raw.count()
+    cuts = [n_total // 3, 2 * n_total // 3, n_total]
+    lo = 0
+    for i, hi in enumerate(cuts):
+        (
+            ranked.filter((F.col("_rk") >= lo) & (F.col("_rk") < hi))
+            .orderBy("_rk")
+            .select(F.to_json(F.struct(*raw.columns)).alias("line"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(f"{workdir}/dump_part_{i}")
+        )
+        lo = hi
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    os.makedirs(dump, exist_ok=True)
+    for i in range(3):
+        [src] = _glob.glob(f"{workdir}/dump_part_{i}/part-*.txt")
+        _shutil.copy(src, f"{dump}/chunk_{i}.jsonl")
+
+    register(spark)
+    wire = spark.read.format("kafkadump").load(dump)
+    assert wire.count() == n_total
+    offs = [r.offset for r in wire.orderBy("offset").select("offset").collect()]
+    assert offs == list(range(n_total))
+
+    records, _errors = parse_sales_records(
+        project_kafka_records(wire).selectExpr(
+            "value", "CAST(arrival_seq AS LONG) AS arrival_seq"
+        )
+    )
+    state = f"{workdir}/dump_state"
+    upsert_star_batch(records, 0, state)
+    got_star = finalize_star(spark, state)
+    want_star = build_star(read_sales_csv(spark))
+    for name in want_star:
+        b, s = want_star[name], got_star[name]
+        cols = sorted(b.columns)
+        assert sorted(s.columns) == cols, name
+        assert {tuple(r) for r in s.select(*cols).collect()} == {
+            tuple(r) for r in b.select(*cols).collect()
+        }, f"{name}: kafkadump star differs from batch star"
