@@ -32,7 +32,12 @@ import glob
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from bigdataflink_spark.sources.kafka import KAFKA_WIRE_SCHEMA
 
@@ -92,7 +97,63 @@ class KafkaDumpDataSource(DataSource):
     def reader(self, schema) -> KafkaDumpReader:
         return KafkaDumpReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "KafkaDumpStreamReader":
+        return KafkaDumpStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the source for ``spark.read.format("kafkadump")``."""
     spark.dataSource.register(KafkaDumpDataSource)
+
+
+class KafkaDumpStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a dump directory — the broker-less twin of
+    the Kafka STREAM source: new dump files appearing in the
+    directory are consumed in sorted-name order, offsets continue
+    monotonically across files and restarts (the offset dict is
+    checkpointed by the engine), and ``readBetweenOffsets`` replays
+    any committed range deterministically — exactly-once end to end
+    when paired with the idempotent star MERGE.
+
+    The offset is ``{"n": <messages consumed>}`` against the sorted
+    concatenation of all dump files: append-only capture directories
+    only (files must not be rewritten — same contract as a Kafka
+    segment)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafkadump: .load(path) is required")
+        self.topic = options.get("topic", "sales")
+
+    def _lines(self):
+        pattern = (
+            os.path.join(self.path, "*") if os.path.isdir(self.path) else self.path
+        )
+        for f in sorted(glob.glob(pattern)):
+            if os.path.basename(f).startswith(("_", ".")):
+                continue
+            with open(f, "rb") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        yield line
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def _slice(self, start_n: int, end_n: int | None):
+        for i, line in enumerate(self._lines()):
+            if end_n is not None and i >= end_n:
+                return
+            if i >= start_n:
+                yield (None, line, self.topic, 0, i, None, 0)
+
+    def read(self, start: dict):
+        rows = list(self._slice(start["n"], None))
+        return iter(rows), {"n": start["n"] + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._slice(start["n"], end["n"])
+
+

@@ -198,3 +198,49 @@ def test_kafkadump_python_datasource_end_to_end(spark, workdir):
         assert {tuple(r) for r in s.select(*cols).collect()} == {
             tuple(r) for r in b.select(*cols).collect()
         }, f"{name}: kafkadump star differs from batch star"
+
+
+def test_kafkadump_streaming_offsets_resume(spark, workdir):
+    """Streaming kafkadump: offsets continue across restarts via the
+    checkpoint — appending a new capture file and re-running the same
+    query yields exactly the new messages, no replays, offsets
+    contiguous across the whole capture."""
+    import os as _os
+
+    from bigdataflink_spark.sources.kafkadump import register
+
+    dump = f"{workdir}/sdump"
+    _os.makedirs(dump, exist_ok=True)
+    with open(f"{dump}/chunk_0.jsonl", "wb") as f:
+        for i in range(100):
+            f.write(b'{"id": "%d"}\n' % i)
+
+    register(spark)
+    out, ckpt = f"{workdir}/sdump_out", f"{workdir}/sdump_ckpt"
+
+    def run_once():
+        q = (
+            spark.readStream.format("kafkadump")
+            .load(dump)
+            .selectExpr("CAST(value AS STRING) AS value", "offset")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    with open(f"{dump}/chunk_1.jsonl", "wb") as f:
+        for i in range(100, 150):
+            f.write(b'{"id": "%d"}\n' % i)
+    run_once()
+
+    final = spark.read.parquet(out)
+    assert final.count() == 150
+    offs = sorted(r.offset for r in final.select("offset").collect())
+    assert offs == list(range(150))
