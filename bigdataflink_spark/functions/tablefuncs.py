@@ -14,6 +14,8 @@ library calls), and it still runs Arrow-batched per partition.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql.functions import udtf
 
 
@@ -41,3 +43,27 @@ class ChunkDocUDTF:
         for start in range(0, n, self.STRIDE):
             piece = toks[start : start + self.CHUNK]
             yield (start // self.STRIDE, len(piece), " ".join(piece))
+
+
+def make_trimmed_mean_udaf(trim_frac: float = 0.1):
+    """Custom UDAF surface (SURVEY.md §2.10 — the triple's third
+    member next to the chunker UDTF and the cleanse UDFs-as-
+    expressions): a grouped-agg ``pandas_udf`` computing the trimmed
+    mean (drop the top/bottom ``trim_frac`` of values, average the
+    rest) — a robust statistic with no built-in equivalent.
+
+    Arrow ships each group's values to ONE python worker batch, so
+    like any exact order-statistic this holds a group in memory —
+    use the q105 winsorized-decimal path when groups outgrow a task.
+    Results are floats from a deterministic sorted fold, suitable
+    for test pinning (not cross-engine hashing)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        arr = np.sort(v.to_numpy(dtype="float64"))
+        k = int(len(arr) * trim_frac)
+        kept = arr[k : len(arr) - k] if len(arr) > 2 * k else arr
+        return float(kept.mean()) if len(kept) else float("nan")
+
+    return trimmed_mean

@@ -80,3 +80,30 @@ def test_chunk_udtf_matches_expression_chunker(spark):
     want = sorted(tuple(r) for r in q125_doc_chunking(spark, SF).collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_trimmed_mean_udaf(spark):
+    """Grouped-agg pandas UDAF equals a driver-side numpy computation
+    of the same trimmed mean per group."""
+    import numpy as np
+
+    from bigdataflink_spark.functions.tablefuncs import make_trimmed_mean_udaf
+
+    ev = load_table(spark, "events", SF)
+    tm = make_trimmed_mean_udaf(0.1)
+    got = {
+        r["event_type"]: r["tmean"]
+        for r in ev.groupBy("event_type")
+        .agg(tm("value").alias("tmean"))
+        .collect()
+    }
+
+    rows = ev.select("event_type", "value").collect()
+    byg = {}
+    for r in rows:
+        byg.setdefault(r["event_type"], []).append(r["value"])
+    for g, vals in byg.items():
+        arr = np.sort(np.array(vals, dtype="float64"))
+        k = int(len(arr) * 0.1)
+        kept = arr[k : len(arr) - k] if len(arr) > 2 * k else arr
+        assert abs(got[g] - float(kept.mean())) < 1e-9, g
