@@ -2549,4 +2549,66 @@ SELECT CAST(b * 32 AS BIGINT) AS bin_top, n_docs, sum_tokens,
          AS waste_share_of_corpus
 FROM per_bin CROSS JOIN tot
 """,
+    # q152: same count-then-rank mode with the (n desc, type asc)
+    # deterministic tiebreak.
+    "q152_grouped_mode": """
+WITH c AS (
+  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY p_brand ORDER BY n DESC, p_type ASC) AS rk
+  FROM c
+)
+SELECT p_brand, p_type AS mode_type, n AS n_mode FROM r WHERE rk = 1
+""",
+    # q153: identical exact-decimal charge accumulation and drift
+    # comparison — the 1-cent verdicts can't flip on add order.
+    "q153_order_reconciliation": f"""
+WITH per_order AS (
+  SELECT l_orderkey, SUM({_CHARGE}) AS line_total
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderstatus,
+         ABS(CAST(o.o_totalprice AS DECIMAL(18,2))
+             - COALESCE(p.line_total, CAST(0 AS DECIMAL(18,2)))) AS drift
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN drift > CAST(0.01 AS DECIMAL(18,2))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       ROUND(CAST(MAX(drift) AS DOUBLE), 2) AS max_abs_drift
+FROM j GROUP BY 1
+""",
+    # q154: the identical integer micro-unit clamp (IEEE multiply +
+    # floor of the widened float), exact sums/squares, per-label
+    # divisions at the end — no float→decimal cast, no libm sqrt.
+    "q154_label_centroids": """
+WITH comp AS (
+  SELECT label, e.c.d AS dim,
+         CAST(FLOOR(CAST(e.c.v AS DOUBLE) * 1000000.0) AS BIGINT) AS vu
+  FROM (
+    SELECT label,
+           UNNEST([{'d': i - 1, 'v': embedding[i]}
+                   FOR i IN range(1, len(embedding) + 1)]) AS c
+    FROM embeddings
+  ) e
+),
+per_dim AS (
+  SELECT label, dim, COUNT(*) AS n,
+         CAST(SUM(vu) AS BIGINT) AS s
+  FROM comp GROUP BY 1, 2
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+                  AS DOUBLE)
+             / (CAST(MAX(n) * MAX(n) AS DOUBLE) * 1e12), 9)
+         AS centroid_sq_norm,
+       ROUND(CAST(MAX(ABS(s)) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * 1e6), 9) AS max_abs_component
+FROM per_dim GROUP BY label
+""",
 }

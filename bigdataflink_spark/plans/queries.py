@@ -3780,6 +3780,111 @@ def q151_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MODE with a deterministic tiebreak (most common part
+    type per brand; ties → lexicographically first type) — the
+    categorical summary statistic Spark has no builtin for, as the
+    classic count-then-rank idiom: one (brand,type) count shuffle +
+    one brand-keyed ranking window over the counted (bounded) table,
+    never over raw rows."""
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand", "p_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), F.asc("p_type"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "p_brand",
+            F.col("p_type").alias("mode_type"),
+            F.col("n").alias("n_mode"),
+        )
+    )
+
+
+def q153_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header↔detail reconciliation audit: does each order's stored
+    total match the sum of its line charges? Per order status:
+    orders checked, mismatches beyond a 1-cent tolerance, and the
+    worst absolute drift. All arithmetic in exact DECIMAL up to the
+    final rounding, so the mismatch VERDICTS are bit-stable (a double
+    accumulation would flip borderline cents by partition order).
+    One line-side keyed agg + one header join + one bounded-key agg."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.expr(_CHARGE)).alias("_line_total")
+    )
+    # drift stays at the charge's FULL decimal scale — rounding the
+    # line total to cents first would re-introduce engine-specific
+    # tie-rounding (HALF_UP vs HALF_EVEN) on exact half-cent sums
+    j = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        (
+            F.abs(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                - F.coalesce(
+                    F.col("_line_total"),
+                    F.lit(0).cast("decimal(18,2)"),
+                )
+            )
+        ).alias("_drift"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.col("_drift") > F.lit(0.01).cast("decimal(18,2)"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+        F.round(F.max("_drift").cast("double"), 2).alias("max_abs_drift"),
+    )
+
+
+def q154_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, cross-engine-exact: components
+    clamp to INTEGER micro-units — floor(v·1e6) of the float32 value
+    widened to double, the one clamp both engines compute bit-
+    identically (float→decimal casts round differently at the last
+    ULP between engines; IEEE multiply + floor does not). Sums,
+    squares, and the cross-dim total are then exact integers/decimal;
+    the only divisions happen once per label at the end. The squared
+    norm is reported UN-rooted (libm sqrt would break parity). One
+    posexplode (64× amplification, linear) + one (label,dim)-keyed
+    agg + one label rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "_v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("_v").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("_vu"),
+    )
+    per_dim = comp.groupBy("label", "dim").agg(
+        F.count("*").alias("_n"),
+        F.sum("_vu").cast("long").alias("_s"),
+    )
+    sq = (
+        F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("_n").cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(sq).cast("double")
+            / ((F.max("_n") * F.max("_n")).cast("double") * 1e12),
+            9,
+        ).alias("centroid_sq_norm"),
+        F.round(
+            F.max(F.abs("_s")).cast("double")
+            / (F.max("_n").cast("double") * 1e6),
+            9,
+        ).alias("max_abs_component"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -3929,4 +4034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_double_fire": q149_double_fire,
     "q150_bpe_merge_candidates": q150_bpe_merge_candidates,
     "q151_padding_waste": q151_padding_waste,
+    "q152_grouped_mode": q152_grouped_mode,
+    "q153_order_reconciliation": q153_order_reconciliation,
+    "q154_label_centroids": q154_label_centroids,
 }
