@@ -144,6 +144,9 @@ NOTES = {
     "q149_double_fire": "Self-join keyed on (user, type) with time/value bands as residuals — the equality key bounds pairing to within-key groups, never a time-only cross product.",
     "q150_bpe_merge_candidates": "Char-pair extraction is a per-token array expression (amplification bounded by word length — linear in corpus bytes); one pair-keyed count shuffle; top-20 window over the bounded char-pair domain.",
     "q151_padding_waste": "Per-row integer bin arithmetic in the scan stage; one bounded-key agg; padded-total scalar rides a 1-row broadcast.",
+    "q152_grouped_mode": "Count-then-rank: one (brand,type) count shuffle + a brand-keyed window over the COUNTED table (bounded), never over raw rows.",
+    "q153_order_reconciliation": "Line-side keyed agg + header join (AQE-sized) + bounded-key agg; drift stays exact decimal so the 1-cent verdicts are partition-order-free.",
+    "q154_label_centroids": "posexplode is linear (64×); (label,dim) agg then label rollup — integer micro-unit sums keep every intermediate exact until the per-label division.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
