@@ -2611,4 +2611,56 @@ SELECT label,
              / (CAST(MAX(n) AS DOUBLE) * 1e6), 9) AS max_abs_component
 FROM per_dim GROUP BY label
 """,
+    # q155: same micro-unit sums; radius from E|v|² − |centroid|²,
+    # separation from exact Σ S² cross products — identical IEEE
+    # expression shapes, one division chain per output.
+    "q155_cluster_tightness": """
+WITH comp AS (
+  SELECT label, e.c.d AS dim,
+         CAST(FLOOR(CAST(e.c.v AS DOUBLE) * 1000000.0) AS BIGINT) AS vu
+  FROM (
+    SELECT label,
+           UNNEST([{'d': i - 1, 'v': embedding[i]}
+                   FOR i IN range(1, len(embedding) + 1)]) AS c
+    FROM embeddings
+  ) e
+),
+per_dim AS (
+  SELECT label, dim, COUNT(*) AS n, CAST(SUM(vu) AS BIGINT) AS s
+  FROM comp GROUP BY 1, 2
+),
+sumsq AS (
+  SELECT label,
+         SUM(CAST(vu AS DECIMAL(19,0)) * CAST(vu AS DECIMAL(19,0))) AS vv
+  FROM comp GROUP BY 1
+),
+cent AS (
+  SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+         SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS ss
+  FROM per_dim GROUP BY 1
+),
+crossed AS (
+  SELECT a.label AS la, b.label AS lb, MAX(a.n) AS na, MAX(b.n) AS nb,
+         SUM(CAST(a.s AS DECIMAL(19,0)) * CAST(a.s AS DECIMAL(19,0))) AS aa,
+         SUM(CAST(a.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))) AS ab,
+         SUM(CAST(b.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))) AS bb
+  FROM per_dim a JOIN per_dim b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT la,
+         CAST(aa AS DOUBLE) / CAST(na * na AS DOUBLE)
+         - 2.0 * CAST(ab AS DOUBLE) / CAST(na * nb AS DOUBLE)
+         + CAST(bb AS DOUBLE) / CAST(nb * nb AS DOUBLE) AS d2
+  FROM crossed
+),
+near AS (SELECT la AS label, MIN(d2) AS min_d2 FROM d2 GROUP BY 1)
+SELECT c.label, c.n_vectors,
+       ROUND((CAST(q.vv AS DOUBLE) / CAST(c.n_vectors AS DOUBLE)
+              - CAST(c.ss AS DOUBLE)
+                / CAST(c.n_vectors * c.n_vectors AS DOUBLE)) / 1e12, 9)
+         AS mean_sq_radius,
+       ROUND(n.min_d2 / 1e12, 9) AS nearest_centroid_sq_dist
+FROM cent c JOIN sumsq q USING (label) JOIN near n USING (label)
+""",
 }

@@ -3885,6 +3885,104 @@ def q154_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q155_cluster_tightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality diagnostics per embedding label — mean squared
+    radius (within-cluster tightness, via E|v|² − |centroid|², so NO
+    per-pair work) and the squared distance to the NEAREST other
+    centroid (separation). Everything derives from the q154 integer
+    micro-unit sums: Σ|v|², per-dim component sums, and centroid
+    cross-distances are all exact integers/decimals; each output does
+    its division(s) once. Costs: one linear posexplode + bounded
+    label/dim aggs + a labels² centroid pairing (bounded by label
+    cardinality, never by corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "_v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("_v").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("_vu"),
+    ).persist()
+    per_dim = comp.groupBy("label", "dim").agg(
+        F.count("*").alias("_n"),
+        F.sum("_vu").cast("long").alias("_s"),
+    ).persist()
+    # Σ_i |v_i|² per label (exact): sum of vu² over all rows
+    sumsq = comp.groupBy("label").agg(
+        F.sum(
+            F.col("_vu").cast("decimal(19,0)") * F.col("_vu").cast("decimal(19,0)")
+        ).alias("_vv")
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.max("_n").cast("long").alias("n_vectors"),
+        F.sum(
+            F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
+        ).alias("_ss"),
+    )
+    # inter-centroid squared distances from per-dim sums: for labels
+    # a,b with counts n_a,n_b: Σ_d (Sa_d/n_a − Sb_d/n_b)² — computed
+    # from the exact cross products Σ Sa², Σ Sb², Σ Sa·Sb
+    a = per_dim.select(
+        F.col("label").alias("la"), "dim",
+        F.col("_s").alias("sa"), F.col("_n").alias("na"),
+    )
+    b = per_dim.select(
+        F.col("label").alias("lb"), "dim",
+        F.col("_s").alias("sb"), F.col("_n").alias("nb"),
+    )
+    cross = (
+        a.join(b, "dim")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb", "na", "nb")
+        .agg(
+            F.sum(
+                F.col("sa").cast("decimal(19,0)") * F.col("sa").cast("decimal(19,0)")
+            ).alias("_aa"),
+            F.sum(
+                F.col("sa").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")
+            ).alias("_ab"),
+            F.sum(
+                F.col("sb").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")
+            ).alias("_bb"),
+        )
+        .select(
+            "la",
+            (
+                F.col("_aa").cast("double")
+                / (F.col("na") * F.col("na")).cast("double")
+                - 2.0
+                * F.col("_ab").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+                + F.col("_bb").cast("double")
+                / (F.col("nb") * F.col("nb")).cast("double")
+            ).alias("_d2"),
+        )
+    )
+    nearest = cross.groupBy(F.col("la").alias("label")).agg(
+        F.min("_d2").alias("_min_d2")
+    )
+    return (
+        cent.join(sumsq, "label")
+        .join(nearest, "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round(
+                (
+                    F.col("_vv").cast("double") / F.col("n_vectors").cast("double")
+                    - F.col("_ss").cast("double")
+                    / (F.col("n_vectors") * F.col("n_vectors")).cast("double")
+                )
+                / 1e12,
+                9,
+            ).alias("mean_sq_radius"),
+            F.round(F.col("_min_d2") / 1e12, 9).alias("nearest_centroid_sq_dist"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4037,4 +4135,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q152_grouped_mode": q152_grouped_mode,
     "q153_order_reconciliation": q153_order_reconciliation,
     "q154_label_centroids": q154_label_centroids,
+    "q155_cluster_tightness": q155_cluster_tightness,
 }
