@@ -147,6 +147,7 @@ NOTES = {
     "q152_grouped_mode": "Count-then-rank: one (brand,type) count shuffle + a brand-keyed window over the COUNTED table (bounded), never over raw rows.",
     "q153_order_reconciliation": "Line-side keyed agg + header join (AQE-sized) + bounded-key agg; drift stays exact decimal so the 1-cent verdicts are partition-order-free.",
     "q154_label_centroids": "posexplode is linear (64×); (label,dim) agg then label rollup — integer micro-unit sums keep every intermediate exact until the per-label division.",
+    "q155_cluster_tightness": "Radius needs NO pairwise pass (E|v|²−|centroid|² from the same sums); the only quadratic piece is the labels² centroid pairing — bounded by label cardinality, never corpus. Persisted comp/per_dim serve all four aggregates from one explode.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
