@@ -2663,4 +2663,46 @@ SELECT c.label, c.n_vectors,
        ROUND(n.min_d2 / 1e12, 9) AS nearest_centroid_sq_dist
 FROM cent c JOIN sumsq q USING (label) JOIN near n USING (label)
 """,
+    # q156: set-op CARDINALITIES (result order is engine-specific,
+    # sizes are not) against the same literal probe vocabulary.
+    "q156_array_setops": f"""
+WITH t AS (
+  SELECT source, list_distinct({_TOKS}) AS tk FROM documents
+),
+p AS (
+  SELECT source,
+         len(list_intersect(tk, ['the','a','table','spark','zzz']))
+           AS n_hit,
+         len(list_filter(tk,
+             x -> NOT list_contains(['the','a','table','spark','zzz'], x)))
+           AS n_rest,
+         len(list_distinct(list_concat(tk,
+             ['the','a','table','spark','zzz']))) AS n_union
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_hit) AS BIGINT) AS sum_hits,
+       CAST(SUM(n_rest) AS BIGINT) AS sum_rest,
+       CAST(SUM(n_union) AS BIGINT) AS sum_union,
+       CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlapping
+FROM p GROUP BY 1
+""",
+    # q157: same per-status bit assignment; bit_or merges, bit_count
+    # reads cardinality; audited against exact count distinct.
+    "q157_bitmap_distinct": """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(bit_or(CASE o_orderstatus WHEN 'O' THEN 1
+                     WHEN 'F' THEN 2 ELSE 4 END) AS BIGINT)
+           AS status_bitmap,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_exact
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, status_bitmap,
+       CAST(bit_count(status_bitmap) AS INT) AS n_from_bitmap,
+       n_exact,
+       bit_count(status_bitmap) = n_exact AS bitmap_agrees
+FROM per
+""",
 }

@@ -3983,6 +3983,61 @@ def q155_cluster_tightness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation battery (completing q58/q81's element/
+    fold surface): per document, the distinct-token set intersected /
+    excepted / unioned against a fixed probe vocabulary. Outputs are
+    SIZES — set-op result ORDER is engine-specific, cardinalities are
+    not. All per-row expressions in the scan stage; one bounded-key
+    audit agg."""
+    probe = F.array(*[F.lit(w) for w in ("the", "a", "table", "spark", "zzz")])
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.array_distinct(text.tokens("text"))
+    per = docs.select(
+        "source",
+        F.size(F.array_intersect(tk, probe)).alias("_n_hit"),
+        F.size(F.array_except(tk, probe)).alias("_n_rest"),
+        F.size(F.array_union(tk, probe)).alias("_n_union"),
+        F.arrays_overlap(tk, probe).alias("_any"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n_hit").cast("long").alias("sum_hits"),
+        F.sum("_n_rest").cast("long").alias("sum_rest"),
+        F.sum("_n_union").cast("long").alias("sum_union"),
+        F.sum(F.when(F.col("_any"), 1).otherwise(0)).cast("long").alias("n_overlapping"),
+    )
+
+
+def q157_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-encoded distinct for small domains: each customer's set
+    of order statuses packs into ONE BIGINT via bit_or of per-status
+    bits; bit_count reads the cardinality back. The idiom that
+    replaces COUNT(DISTINCT) when the domain is enumerable — the
+    bitmap is mergeable (bit_or is associative/commutative), so
+    map-side partials combine losslessly, and set membership later is
+    one AND. Audited against the exact count_distinct in the same
+    row."""
+    orders = _t(spark, sf_dir, "orders")
+    bit = (
+        F.when(F.col("o_orderstatus") == "O", 1)
+        .when(F.col("o_orderstatus") == "F", 2)
+        .otherwise(4)
+        .cast("long")
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.bit_or(bit).alias("status_bitmap"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_exact"),
+    )
+    return per.select(
+        "o_custkey",
+        "status_bitmap",
+        F.bit_count("status_bitmap").cast("int").alias("n_from_bitmap"),
+        "n_exact",
+        (F.bit_count("status_bitmap") == F.col("n_exact")).alias("bitmap_agrees"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4136,4 +4191,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q153_order_reconciliation": q153_order_reconciliation,
     "q154_label_centroids": q154_label_centroids,
     "q155_cluster_tightness": q155_cluster_tightness,
+    "q156_array_setops": q156_array_setops,
+    "q157_bitmap_distinct": q157_bitmap_distinct,
 }
