@@ -148,6 +148,8 @@ NOTES = {
     "q153_order_reconciliation": "Line-side keyed agg + header join (AQE-sized) + bounded-key agg; drift stays exact decimal so the 1-cent verdicts are partition-order-free.",
     "q154_label_centroids": "posexplode is linear (64×); (label,dim) agg then label rollup — integer micro-unit sums keep every intermediate exact until the per-label division.",
     "q155_cluster_tightness": "Radius needs NO pairwise pass (E|v|²−|centroid|² from the same sums); the only quadratic piece is the labels² centroid pairing — bounded by label cardinality, never corpus. Persisted comp/per_dim serve all four aggregates from one explode.",
+    "q156_array_setops": "All set ops are per-row scan-stage expressions against a literal probe array; one bounded source-key agg.",
+    "q157_bitmap_distinct": "bit_or partials combine map-side (associative) — one custkey shuffle carries a single long per key; bit_count is a per-row expression after the agg.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
