@@ -2705,4 +2705,63 @@ SELECT o_custkey, status_bitmap,
        bit_count(status_bitmap) = n_exact AS bitmap_agrees
 FROM per
 """,
+    # q158: identical 30-min lag-cumsum sessions, first-3-step path
+    # joined with '>', (count desc, path) top-10.
+    "q158_session_paths": """
+WITH g AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+),
+st AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, sess ORDER BY ts, event_id) AS step
+  FROM s
+),
+paths AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM st WHERE step <= 3 GROUP BY 1, 2
+),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY 1)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+            AS BIGINT) AS rn
+FROM c QUALIFY rn <= 10
+""",
+    # q159: same as-of pairing (nearest preceding click within 1h)
+    # and discrete percentiles on exact integer micros.
+    "q159_conversion_latency": """
+WITH clicks AS (
+  SELECT user_id AS u, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id AS u, event_id AS pid, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+nearest AS (
+  SELECT p.u, p.pid, p.p_us, MAX(c.c_us) AS c_us
+  FROM purchases p JOIN clicks c
+    ON p.u = c.u AND c.c_us <= p.p_us
+   AND p.p_us - c.c_us <= 3600000000
+  GROUP BY 1, 2, 3
+),
+lat AS (SELECT p_us - c_us AS latency_us FROM nearest)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       MIN(latency_us) AS min_us,
+       quantile_disc(latency_us, 0.5) AS p50_us,
+       quantile_disc(latency_us, 0.9) AS p90_us,
+       MAX(latency_us) AS max_us
+FROM lat
+""",
 }

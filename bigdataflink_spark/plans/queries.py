@@ -4038,6 +4038,93 @@ def q157_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the ordered first-3-event-type path of every
+    30-minute session, counted corpus-wide — the navigation-pattern
+    census beyond q137's single transitions. Sessions come from the
+    q48 lag-cumsum idiom (one user-keyed window pass); the path is a
+    per-session slice+join of collected steps (bounded by the 3-step
+    cap); counts shuffle on the bounded path-string key. Top-10 by
+    (count desc, path)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    sess = ev.withColumn(
+        "_new", F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    ).withColumn("_sess", F.sum("_new").over(w))
+    wp = Window.partitionBy("user_id", "_sess").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    steps = (
+        sess.withColumn("_step", F.row_number().over(wp))
+        .filter(F.col("_step") <= 3)
+        .groupBy("user_id", "_sess")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_step", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+            ).alias("path")
+        )
+    )
+    counts = steps.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+def q159_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion latency distribution: for each
+    purchase, the time since the user's NEAREST PRECEDING click
+    within 1 hour (the q38 as-of idiom), then discrete P50/P90 and
+    bounds of the latency in exact integer microseconds — the
+    attribution-latency chart q75/q141 price but never time. As-of
+    resolution is one user-keyed join + per-purchase max-click;
+    percentile_disc on real integer values keeps both engines
+    bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("pid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    asof = (
+        purchases.join(clicks, "u")
+        .filter(
+            (F.col("c_us") <= F.col("p_us"))
+            & (F.col("p_us") - F.col("c_us") <= 3_600_000_000)
+        )
+        .groupBy("u", "pid", "p_us")
+        .agg(F.max("c_us").alias("_c"))
+        .select((F.col("p_us") - F.col("_c")).alias("latency_us"))
+    )
+    return asof.agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.min("latency_us").alias("min_us"),
+        # percentile_disc picks a real (integer) data value but Spark
+        # types it double — cast back for cross-engine type parity
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p90_us"),
+        F.max("latency_us").alias("max_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4193,4 +4280,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q155_cluster_tightness": q155_cluster_tightness,
     "q156_array_setops": q156_array_setops,
     "q157_bitmap_distinct": q157_bitmap_distinct,
+    "q158_session_paths": q158_session_paths,
+    "q159_conversion_latency": q159_conversion_latency,
 }
