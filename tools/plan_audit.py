@@ -150,6 +150,8 @@ NOTES = {
     "q155_cluster_tightness": "Radius needs NO pairwise pass (E|v|²−|centroid|² from the same sums); the only quadratic piece is the labels² centroid pairing — bounded by label cardinality, never corpus. Persisted comp/per_dim serve all four aggregates from one explode.",
     "q156_array_setops": "All set ops are per-row scan-stage expressions against a literal probe array; one bounded source-key agg.",
     "q157_bitmap_distinct": "bit_or partials combine map-side (associative) — one custkey shuffle carries a single long per key; bit_count is a per-row expression after the agg.",
+    "q158_session_paths": "Sessionization is the q48 lag-cumsum on one user-keyed sort; the path agg collects ≤3 structs per session; counts shuffle on the bounded path string.",
+    "q159_conversion_latency": "As-of = equality-key join + per-purchase max (no window over raw events); the one-row percentile agg sorts only the conversion latencies.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
