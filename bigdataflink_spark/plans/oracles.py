@@ -2764,4 +2764,29 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
        MAX(latency_us) AS max_us
 FROM lat
 """,
+    # q160: value-bounded RANGE frame over integer micros — tie
+    # order inside the frame is irrelevant by construction.
+    "q160_trailing_window_count": """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_trailing_1h
+FROM events
+""",
+    # q161: identical left fold — list ordered by (ts, event_id),
+    # seeded with the first element (both engines' fold semantics),
+    # accumulator-first lambda with the same IEEE expression.
+    "q161_ewma": """
+WITH l AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events,
+       ROUND(list_reduce(vs, (acc, v) -> v * 0.25 + acc * 0.75), 6)
+         AS ewma_value
+FROM l
+""",
 }

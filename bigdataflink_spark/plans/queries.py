@@ -4125,6 +4125,61 @@ def q159_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q160_trailing_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT trailing-hour activity: how many same-user events
+    fall in the preceding hour, as a value-based RANGE frame over
+    integer event-time micros (completing q79's offset-RANGE with the
+    timestamp flavor every rate-limit/abuse detector uses). RANGE
+    frames are VALUE-bounded, so tie order inside the frame can't
+    change the count — exact cross-engine parity with zero rounding.
+    One user-keyed window pass."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_trailing_1h"),
+    )
+
+
+def q161_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.25) of the
+    value signal — the sequential recurrence Spark has no window
+    function for, expressed as a DETERMINISTIC array fold: collect
+    the user's timeline once, sort it totally (ts, event_id), seed
+    with the first value, fold the rest left-to-right. Both engines
+    run the identical IEEE operation sequence (Spark aggregate ↔
+    DuckDB list_reduce, accumulator-first), so the result is
+    bit-stable — the array is bounded by per-key history, the shuffle
+    is one collect per user."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+                F.col("event_id").alias("_id"),
+                F.col("value").alias("_v"),
+            )
+        )
+    )
+    vals = F.transform(arr, lambda x: x.getField("_v"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, 1_000_000),
+        F.element_at(vals, 1),
+        lambda acc, v: v * F.lit(0.25) + acc * F.lit(0.75),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+    return per
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4282,4 +4337,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q157_bitmap_distinct": q157_bitmap_distinct,
     "q158_session_paths": q158_session_paths,
     "q159_conversion_latency": q159_conversion_latency,
+    "q160_trailing_window_count": q160_trailing_window_count,
+    "q161_ewma": q161_ewma,
 }
