@@ -152,6 +152,8 @@ NOTES = {
     "q157_bitmap_distinct": "bit_or partials combine map-side (associative) — one custkey shuffle carries a single long per key; bit_count is a per-row expression after the agg.",
     "q158_session_paths": "Sessionization is the q48 lag-cumsum on one user-keyed sort; the path agg collects ≤3 structs per session; counts shuffle on the bounded path string.",
     "q159_conversion_latency": "As-of = equality-key join + per-purchase max (no window over raw events); the one-row percentile agg sorts only the conversion latencies.",
+    "q160_trailing_window_count": "One user-keyed window pass; the RANGE frame is value-bounded integer micros, so the count is tie-order-free.",
+    "q161_ewma": "One collect per user (array bounded by per-key history); the fold is a per-row expression after the agg — the sequential recurrence costs a keyed shuffle, not a window scan per step.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
