@@ -2789,4 +2789,45 @@ SELECT user_id, n_events,
          AS ewma_value
 FROM l
 """,
+    # q162: same FULL OUTER id pairing and audit counts/shares.
+    "q162_coverage_audit": """
+WITH j AS (
+  SELECT d.doc_id AS dd, e.vec_id AS vv
+  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT CAST(SUM(CASE WHEN dd IS NOT NULL AND vv IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN vv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_text_only,
+       CAST(SUM(CASE WHEN dd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_vector_only,
+       ROUND(CAST(SUM(CASE WHEN dd IS NOT NULL AND vv IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6) AS text_coverage
+FROM j
+""",
+    # q163: same md5 content hash, min-doc_id keep rule, and exact
+    # integer token accounting; one final savings division.
+    "q163_dedup_savings": f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hh,
+         CAST(len({_TOKS}) AS BIGINT) AS ntok
+  FROM documents
+),
+keep AS (SELECT hh, MIN(doc_id) AS keep_id FROM h GROUP BY 1),
+m AS (
+  SELECT h.source, h.ntok,
+         CASE WHEN h.doc_id = k.keep_id THEN 1 ELSE 0 END AS kept
+  FROM h JOIN keep k USING (hh)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(ntok) AS BIGINT) AS tokens_before,
+       CAST(SUM(ntok * kept) AS BIGINT) AS tokens_after,
+       ROUND(1.0 - CAST(SUM(ntok * kept) AS DOUBLE)
+                   / CAST(SUM(ntok) AS DOUBLE), 6) AS token_savings
+FROM m GROUP BY 1
+""",
 }

@@ -4180,6 +4180,71 @@ def q161_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per
 
 
+def q162_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality coverage audit: do the text corpus and the
+    embedding store line up row-for-row? FULL OUTER on doc_id↔vec_id
+    (the q06 RI check generalized across extension tables) summarized
+    as matched / text-only / vector-only counts plus coverage shares
+    — the join-health dashboard every multimodal pipeline needs
+    before training. One key-equi full join + a one-row audit agg."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("_d"))
+    emb = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("_v"))
+    j = docs.join(emb, docs._d == emb._v, "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("_d").isNotNull() & F.col("_v").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_text_only"),
+        F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_vector_only"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_d").isNotNull() & F.col("_v").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum(F.when(F.col("_d").isNotNull(), 1).otherwise(0)).cast("double"),
+            6,
+        ).alias("text_coverage"),
+    )
+
+
+def q163_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: per source, documents and tokens BEFORE
+    vs AFTER exact-hash dedup (md5 of text, first doc_id keeps) — the
+    "what did dedup save" number a curation run publishes. The keep
+    set is one hash-keyed min-agg; savings are exact integer
+    subtraction; one joined pass recomputes token mass for kept docs
+    only (no second tokenize of dropped docs at 100 TB — the filter
+    happens before the token count)."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", md5_int(F.col("text")).alias("_h"),
+        F.size(text.tokens("text")).cast("long").alias("_ntok"),
+    ).persist()
+    keep = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keep_id"))
+    marked = hashed.join(keep, "_h").withColumn(
+        "_kept", (F.col("doc_id") == F.col("_keep_id")).cast("int")
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_kept").cast("long").alias("n_kept"),
+        F.sum("_ntok").cast("long").alias("tokens_before"),
+        F.sum(F.col("_ntok") * F.col("_kept")).cast("long").alias("tokens_after"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("_ntok") * F.col("_kept")).cast("double")
+            / F.sum("_ntok").cast("double"),
+            6,
+        ).alias("token_savings"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4339,4 +4404,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_conversion_latency": q159_conversion_latency,
     "q160_trailing_window_count": q160_trailing_window_count,
     "q161_ewma": q161_ewma,
+    "q162_coverage_audit": q162_coverage_audit,
+    "q163_dedup_savings": q163_dedup_savings,
 }
