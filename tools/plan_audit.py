@@ -154,6 +154,8 @@ NOTES = {
     "q159_conversion_latency": "As-of = equality-key join + per-purchase max (no window over raw events); the one-row percentile agg sorts only the conversion latencies.",
     "q160_trailing_window_count": "One user-keyed window pass; the RANGE frame is value-bounded integer micros, so the count is tie-order-free.",
     "q161_ewma": "One collect per user (array bounded by per-key history); the fold is a per-row expression after the agg — the sequential recurrence costs a keyed shuffle, not a window scan per step.",
+    "q162_coverage_audit": "One key-equi FULL OUTER (AQE-sized) + a one-row audit agg; only the two id columns are ever read.",
+    "q163_dedup_savings": "Hash + token count in one scan (persisted); keep-set is a hash-keyed min agg; savings are exact integer sums with one final division.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
