@@ -2830,4 +2830,35 @@ SELECT source, COUNT(*) AS n_docs,
                    / CAST(SUM(ntok) AS DOUBLE), 6) AS token_savings
 FROM m GROUP BY 1
 """,
+    # q164: same exact-decimal revenue per nation; the parent total
+    # is a window SUM over the bounded nation table; one division.
+    "q164_share_of_region": f"""
+WITH rev AS (
+  SELECT r_name, n_name, SUM({_DISC_PRICE}) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       ROUND(CAST(rev AS DOUBLE), 2) AS nation_revenue,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+         AS share_of_region
+FROM rev
+""",
+    # q165: md5 of the space-joined first-8-token prefix; ≥2 cut.
+    "q165_prefix_collisions": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+per AS (
+  SELECT doc_id,
+         {_md5_int("array_to_string(tk[1:8], ' ')")} AS p
+  FROM t
+)
+SELECT p AS prefix_sig, COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM per GROUP BY 1 HAVING COUNT(*) >= 2
+""",
 }

@@ -4245,6 +4245,61 @@ def q163_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent analytics: each nation's share of its REGION's
+    revenue (the drill-down percentage every BI rollup shows next to
+    the absolute). Revenue aggregates once per nation in exact
+    decimal; the parent total is a region-keyed window SUM over the
+    25-row aggregate — the share divides two exact decimals once.
+    Fact-side work is the q02 star join; the window only ever sees
+    the bounded nation-level table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.expr(_DISC_PRICE)).alias("_rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_rev").cast("double"), 2).alias("nation_revenue"),
+        F.round(
+            F.col("_rev").cast("double")
+            / F.sum("_rev").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    )
+
+
+def q165_prefix_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate sniff: documents sharing the SAME first-8-token
+    prefix (templated intros, mirrored pages) — the cheap pre-filter
+    a crawl pipeline runs before any MinHash. One md5 of the joined
+    prefix per doc, one hash-keyed count, survivors with ≥2 docs
+    reported with their doc-id range. Linear; the prefix cap bounds
+    per-doc work regardless of document length."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 8))
+    per = docs.select("doc_id", md5_int(prefix).alias("_p"))
+    return (
+        per.groupBy(F.col("_p").alias("prefix_sig"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4406,4 +4461,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q161_ewma": q161_ewma,
     "q162_coverage_audit": q162_coverage_audit,
     "q163_dedup_savings": q163_dedup_savings,
+    "q164_share_of_region": q164_share_of_region,
+    "q165_prefix_collisions": q165_prefix_collisions,
 }
