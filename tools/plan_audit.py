@@ -156,6 +156,8 @@ NOTES = {
     "q161_ewma": "One collect per user (array bounded by per-key history); the fold is a per-row expression after the agg — the sequential recurrence costs a keyed shuffle, not a window scan per step.",
     "q162_coverage_audit": "One key-equi FULL OUTER (AQE-sized) + a one-row audit agg; only the two id columns are ever read.",
     "q163_dedup_savings": "Hash + token count in one scan (persisted); keep-set is a hash-keyed min agg; savings are exact integer sums with one final division.",
+    "q164_share_of_region": "Fact-side work is the q02 star join (one agg exchange); the ratio-to-parent window runs over the bounded 25-row nation table.",
+    "q165_prefix_collisions": "One md5 per doc in the scan stage; one hash-keyed count; the ≥2 cut applies post-agg — linear, bounded per-doc work.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
