@@ -61,7 +61,10 @@ def make_trimmed_mean_udaf(trim_frac: float = 0.1):
 
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
-        arr = np.sort(v.to_numpy(dtype="float64"))
+        # SQL-aggregate NULL discipline: drop NULLs BEFORE sorting —
+        # NaN sorts to the tail where it would survive the trim and
+        # poison the group mean (ADVICE r2)
+        arr = np.sort(v.dropna().to_numpy(dtype="float64"))
         k = int(len(arr) * trim_frac)
         kept = arr[k : len(arr) - k] if len(arr) > 2 * k else arr
         return float(kept.mean()) if len(kept) else float("nan")

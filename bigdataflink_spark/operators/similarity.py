@@ -174,6 +174,24 @@ def ivf_topk(
     )
 
 
+BRUTEFORCE_MAX_ROWS = 10_000
+
+
+def guard_bruteforce(corpus: DataFrame, what: str, scale_path: str) -> None:
+    """Mechanical stop for the O(n²) oracle tools (VERDICT r2 #3): an
+    all-pairs self-join above ~10⁴ rows is a scale-killer whether or
+    not the docstring says so. Raises with a pointer to the bucketed
+    path. One count() — trivial next to the join it prevents."""
+    n = corpus.count()
+    if n > BRUTEFORCE_MAX_ROWS:
+        raise ValueError(
+            f"{what} is an all-pairs O(n²) oracle tool, refused at "
+            f"n={n} rows (limit {BRUTEFORCE_MAX_ROWS}); use the "
+            f"bucketed scale path {scale_path} instead, or pass a "
+            f"sampled/limited corpus explicitly."
+        )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -182,10 +200,13 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (id_a < id_b).
 
-    All-pairs here (corpus joined to itself) — at 100 TB gate this
-    behind LSH or IVF cells exactly like minhash_dedup_pairs; the
-    scoring expression is shared.
+    All-pairs here (corpus joined to itself) — an ORACLE TOOL:
+    guard_bruteforce refuses corpora above ~10⁴ rows; the scale path
+    is sign_lsh_neardup_pairs (same output schema, bucketed).
     """
+    guard_bruteforce(
+        corpus, "cosine_neardup_pairs", "sign_lsh_neardup_pairs"
+    )
     a = _sided(corpus, id_col, vec_col, "a")
     b = _sided(corpus, id_col, vec_col, "b")
     return (
@@ -201,11 +222,22 @@ def cosine_neardup_pairs(
     )
 
 
+def auto_rows_per_band(n: int, dim: int, bands: int) -> int:
+    """Scale-safe band width for sign-LSH: ⌈log2 n⌉ keeps the bucket
+    count per band (2^rows_per_band) ≥ n, so expected candidates stay
+    ∝ bands·n rather than ∝ n² (the r2 probe's super-linear finding
+    for any FIXED width). Clamped to [4, dim // bands] — the axis-
+    hyperplane scheme can't draw more bits than the vector has dims;
+    past that cap, switch to seeded random projections."""
+    want = max(4, (max(n, 2) - 1).bit_length())  # ceil(log2 n)
+    return max(1, min(want, dim // max(bands, 1)))
+
+
 def sign_lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     bands: int = 4,
-    rows_per_band: int = 4,
+    rows_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -221,17 +253,26 @@ def sign_lsh_neardup_pairs(
     SCALING LAW (measured, tools/scale_probe.py 100× tier): expected
     candidates ≈ bands · n²/2^rows_per_band — the bucket count per
     band is CONSTANT (2^rows_per_band), so with rows_per_band fixed
-    the candidate set grows quadratically in corpus size. Grow
-    rows_per_band ∝ log2(n) as data grows: the 4×4 fixture config
-    (16 buckets/band) suits the 2k-vector oracle corpus; at 200k
-    vectors use 4×16 (all 64 dims, 65536 signatures/band) with a
-    realistic near-dup threshold (0.9+), which keeps candidates ∝ n
-    — probe-verified ~linear wall-clock at ×100 data. Axis
-    hyperplanes (not random ones) keep the oracle bit-reproducible;
-    at production scale substitute seeded random projections (needed
-    anyway once rows_per_band must exceed the dimension count) — the
-    operator shape is identical.
+    the candidate set grows quadratically in corpus size. Hence
+    ``rows_per_band=None`` (the default) DERIVES it from the corpus:
+    ⌈log2 n⌉ clamped to [4, dim // bands], which keeps the bucket
+    count ≥ n (candidates ∝ n, probe-verified ~linear wall-clock at
+    ×100 data) — at 200k 64-dim vectors it lands on 4×16, the config
+    the r2 probe validated, while a fixed 4×4 previously hung for
+    10+ minutes (VERDICT r2 #1). Callers needing bit-pinned recall
+    (the q49 oracle fixture) pass it explicitly. The derivation costs
+    one count() + one first() on the corpus — O(metadata) next to the
+    join it configures. Axis hyperplanes (not random ones) keep the
+    oracle bit-reproducible; at production scale substitute seeded
+    random projections (needed anyway once rows_per_band must exceed
+    the dimension count) — the operator shape is identical.
     """
+    if rows_per_band is None:
+        n = corpus.count()
+        dim = (
+            corpus.select(F.size(F.col(vec_col)).alias("d")).first() or {"d": 0}
+        )["d"] or 0
+        rows_per_band = auto_rows_per_band(n, dim, bands)
     nbits = bands * rows_per_band
     bits = F.transform(
         F.slice(F.col(vec_col), 1, nbits),

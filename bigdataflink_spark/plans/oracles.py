@@ -2489,7 +2489,7 @@ SELECT o_orderkey // 1000 AS bucket,
          AS n_missing_within
 FROM ids GROUP BY 1
 """,
-    # q149: identical composite-key self-join with the ±5-minute
+    # q149: identical composite-key self-join with the ±1-hour
     # residual band and id_a < id_b pair canonicalization.
     "q149_double_fire": """
 WITH e AS (

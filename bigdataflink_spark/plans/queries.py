@@ -445,8 +445,12 @@ def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_token_jaccard_bruteforce_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-token Jaccard pairs >= 0.9 (all-pairs variant;
     the LSH-prefiltered version is q21 — this is the oracle-simple
-    exact form)."""
+    exact form). guard_bruteforce refuses corpora above ~10⁴ docs
+    (VERDICT r2 #3) — the scale path is q21's banded MinHash."""
     docs = _t(spark, sf_dir, "documents")
+    similarity.guard_bruteforce(
+        docs, "q23_token_jaccard_bruteforce_check", "q21 minhash_dedup_pairs"
+    )
     toks = docs.select(
         F.col("doc_id"), F.array_distinct(text.tokens("text")).alias("tk")
     )
@@ -726,9 +730,14 @@ def q49_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of q25: sign-LSH bucketing cuts the candidate
     set ~4× before exact cosine (operators/similarity.
     sign_lsh_neardup_pairs); same output schema as the brute-force
-    all-pairs version."""
+    all-pairs version. The 4×4 banding is PINNED here (bit-matched by
+    the DuckDB oracle for this 2k-vector fixture); the operator's
+    default now auto-derives rows_per_band ∝ log2(n) so uncurated
+    calls stay ~linear at scale (VERDICT r2 #1)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.sign_lsh_neardup_pairs(emb, threshold=0.4)
+    return similarity.sign_lsh_neardup_pairs(
+        emb, threshold=0.4, bands=4, rows_per_band=4
+    )
 
 
 def q47_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,10 +14,17 @@ Semantics mirror the reference's idempotent-upsert effect
 effectively exactly-once): FIRST-seen row per key wins, repeats are
 dropped while the key's marker lives. With a TTL, the marker expires
 ``ttl_minutes`` after the key was FIRST seen (processing time) — a
-fixed redelivery horizon; the timeout is armed once at first sight
-and deliberately NOT re-armed on repeats (re-arming would let steady
-duplicate traffic keep a key alive forever — the ADVICE.md tws TTL
-bug, avoided here by construction).
+fixed redelivery horizon. Two Spark subtleties make this non-trivial:
+
+1. Spark CLEARS the pending processing-time timeout on every
+   invocation for a key, so the repeat path must RE-ARM toward the
+   original first-seen deadline (stored in the state tuple) — never
+   a fresh full TTL, which would let steady duplicate traffic keep a
+   key alive forever.
+2. A key that receives data in a batch is never invoked with
+   ``hasTimedOut`` for that batch, so expiry must ALSO be checked on
+   the data path: a repeat arriving past the stored deadline is a
+   re-emission (the marker had logically expired), not a drop.
 
 State per key is one marker tuple — O(live keys), Arrow-batched,
 partitioned by the grouping key, so the operator scales with key
@@ -37,7 +44,7 @@ def first_seen_dedup(
     stream: DataFrame,
     key_col: str,
     seq_col: str,
-    ttl_minutes: int | None = None,
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Emit each key's FIRST row (min ``seq_col`` — deterministic
     within and across micro-batches); drop repeats while the key's
@@ -45,8 +52,10 @@ def first_seen_dedup(
 
     ``ttl_minutes=None`` keeps markers forever (exact exactly-once
     for a bounded key space); with a TTL the marker expires a fixed
-    horizon after FIRST sight and a later redelivery would re-emit —
-    the documented at-least-once window.
+    horizon after FIRST sight and a later redelivery re-emits — the
+    documented at-least-once window. The state tuple holds the
+    first-seen DEADLINE (epoch ms; 0 = no TTL) so both the timer
+    path and the data path agree on when the marker dies.
     """
     fields = stream.schema.fields
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
@@ -56,23 +65,35 @@ def first_seen_dedup(
         if ttl_minutes is not None
         else GroupStateTimeout.NoTimeout
     )
+    ttl_ms = int(ttl_minutes * 60 * 1000) if ttl_minutes is not None else None
 
     def dedup(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # marker expired: forget the key; a future redelivery
-            # re-emits (at-least-once horizon, by design)
+            # idle key's marker expired: forget it; a future
+            # redelivery re-emits (at-least-once horizon, by design)
             state.remove()
             return
         batch = pd.concat(list(pdfs), ignore_index=True)
+        now = state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
         if state.exists:
-            # seen before (this or an earlier batch): all repeats drop
-            return
-        state.update((1,))
-        if ttl_minutes is not None:
-            # armed ONCE at first sight — never re-armed on repeats
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            (deadline,) = state.get
+            if ttl_ms is None or now < deadline:
+                # live marker: all repeats drop. Spark cleared the
+                # pending timeout when it invoked us — re-arm toward
+                # the ORIGINAL deadline (never a fresh TTL, or
+                # steady duplicates would keep the key alive forever)
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(max(deadline - now, 1))
+                return
+            # deadline passed but the timer couldn't fire (keys with
+            # data are never invoked with hasTimedOut): the marker is
+            # logically dead — fall through and treat as first sight
+        new_deadline = (now + ttl_ms) if ttl_ms is not None else 0
+        state.update((new_deadline,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         first = batch.sort_values(seq_col, kind="mergesort").head(1)
         yield first[names]
 

@@ -25,6 +25,13 @@ observations no longer exist — no incremental store below the full
 log can re-expand that run, so silent insertion would diverge from
 the batch truth.
 
+Lateness is judged against the per-key OBSERVED frontier — the max
+(ts, seq) ever merged, carried on every state row as
+(``_obs_us``, ``_obs_seq``) — NOT against the change log's max ts
+(ADVICE r2): a same-attr run's interior observations collapse away,
+so the change-log max understates what was seen and would let a row
+land inside the collapsed run undetected.
+
 Versions/valid_to are NOT stored — they are derived on read with one
 lead() window (``read_scd2_history``), so the state never needs
 in-place updates when a live version closes: closing a version is
@@ -59,9 +66,9 @@ def merge_scd2_batch(
     """Merge one micro-batch of observations (key, attr, ts, tiebreak)
     into the bucketed SCD2 change-log state at ``path``.
 
-    Returns the number of LATE rows dropped (ts strictly before the
-    key's newest recorded change — see module docstring for why they
-    cannot be honored incrementally).
+    Returns the number of LATE rows dropped ((ts, tiebreak) strictly
+    before the key's observed frontier — see module docstring for why
+    they cannot be honored incrementally).
     """
     inc = batch.select(
         F.col(key_col),
@@ -74,6 +81,7 @@ def merge_scd2_batch(
 
     fs, hpath = _fs_and_path(spark, path)
     n_late = 0
+    old_frontier = None
     if fs.exists(hpath):
         meta = _read_meta(spark, path)
         if meta is not None and meta.get("num_buckets") != num_buckets:
@@ -84,18 +92,37 @@ def merge_scd2_batch(
             )
         dirty = [r[0] for r in inc.select(BUCKET_COL).distinct().collect()]
         existing = _state_df(spark, path).filter(F.col(BUCKET_COL).isin(dirty))
-        # drop-late gate: a batch row older than the key's newest
-        # change can't be merged exactly (module docstring)
-        frontier = existing.groupBy(key_col).agg(
-            F.max("_ts_us").alias("_frontier_us")
+        # drop-late gate vs the OBSERVED frontier (every state row of a
+        # key carries the same (_obs_us, _obs_seq)); legacy state
+        # without the columns falls back to the change-log max
+        if "_obs_us" in existing.columns:
+            old_frontier = existing.groupBy(key_col).agg(
+                F.max(
+                    F.struct(
+                        F.col("_obs_us").alias("_f_us"),
+                        F.col("_obs_seq").alias("_f_seq"),
+                    )
+                ).alias("_frontier")
+            )
+            existing = existing.drop("_obs_us", "_obs_seq")
+        else:
+            old_frontier = existing.groupBy(key_col).agg(
+                F.max(
+                    F.struct(
+                        F.col("_ts_us").alias("_f_us"),
+                        F.col("_seq").alias("_f_seq"),
+                    )
+                ).alias("_frontier")
+            )
+        gated = inc.join(F.broadcast(old_frontier), key_col, "left")
+        obs = F.struct(
+            F.col("_ts_us").alias("_f_us"), F.col("_seq").alias("_f_seq")
         )
-        gated = inc.join(F.broadcast(frontier), key_col, "left")
-        late = gated.filter(F.col("_ts_us") < F.col("_frontier_us"))
+        late = gated.filter(obs < F.col("_frontier"))
         n_late = late.count()
         inc = gated.filter(
-            F.col("_frontier_us").isNull()
-            | (F.col("_ts_us") >= F.col("_frontier_us"))
-        ).drop("_frontier_us")
+            F.col("_frontier").isNull() | (obs >= F.col("_frontier"))
+        ).drop("_frontier")
         merged = existing.unionByName(inc)
     else:
         merged = inc
@@ -112,6 +139,29 @@ def merge_scd2_batch(
             | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
         )
         .drop("_prev", "_rn")
+    )
+    # advance the observed frontier: max over everything merged this
+    # round, lifted by the previous frontier (which may exceed the
+    # change-log max when same-attr observations collapsed away)
+    batch_max = merged.groupBy(key_col).agg(
+        F.max(
+            F.struct(F.col("_ts_us").alias("_f_us"), F.col("_seq").alias("_f_seq"))
+        ).alias("_bmax")
+    )
+    if old_frontier is not None:
+        frontier_new = (
+            batch_max.join(old_frontier, key_col, "left")
+            .select(
+                F.col(key_col),
+                F.greatest(F.col("_bmax"), F.col("_frontier")).alias("_bmax"),
+            )
+        )
+    else:
+        frontier_new = batch_max
+    changes = changes.join(frontier_new, key_col, "left").select(
+        *[c for c in changes.columns],
+        F.col("_bmax._f_us").alias("_obs_us"),
+        F.col("_bmax._f_seq").alias("_obs_seq"),
     )
     changes = changes.localCheckpoint(eager=True)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

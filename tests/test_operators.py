@@ -558,3 +558,55 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert zf_value < sf_value / 2
     # and the payload column round-trips completely
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_bruteforce_guard_trips_above_limit(spark):
+    """VERDICT r2 #3: the O(n²) oracle tools refuse large corpora
+    mechanically, with a pointer to the bucketed scale path."""
+    from bigdataflink_spark.operators.similarity import (
+        BRUTEFORCE_MAX_ROWS,
+        cosine_neardup_pairs,
+    )
+
+    big = spark.range(BRUTEFORCE_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="sign_lsh_neardup_pairs"):
+        cosine_neardup_pairs(big)
+
+    small = big.limit(8)
+    assert cosine_neardup_pairs(small, threshold=0.99).count() == 28  # C(8,2)
+
+
+def test_sign_lsh_auto_band_width(spark):
+    """Default rows_per_band derives ⌈log2 n⌉ clamped to
+    [4, dim // bands] — the r2 scale fix: bucket count tracks corpus
+    size so candidates stay ~linear."""
+    from bigdataflink_spark.operators.similarity import (
+        auto_rows_per_band,
+        sign_lsh_neardup_pairs,
+    )
+
+    assert auto_rows_per_band(2_000, 64, 4) == 11
+    assert auto_rows_per_band(200_000, 64, 4) == 16  # capped at dim//bands
+    assert auto_rows_per_band(10, 64, 4) == 4  # floor
+    assert auto_rows_per_band(1 << 40, 64, 4) == 16  # cap survives huge n
+
+    from bigdataflink_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    for cfg in (
+        sign_lsh_neardup_pairs(emb, threshold=0.4),  # auto config
+        sign_lsh_neardup_pairs(emb, threshold=0.4, rows_per_band=4),
+    ):
+        got = {(r["id_a"], r["id_b"]): r["cos"] for r in cfg.collect()}
+        # LSH recalls a SUBSET of the exact pairs; every recalled pair
+        # carries the exact cosine
+        assert set(got).issubset(set(exact))
+        assert all(exact[k] == v for k, v in got.items())
+        assert got  # non-degenerate: something recalled at 0.4

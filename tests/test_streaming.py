@@ -873,3 +873,127 @@ def test_apply_in_pandas_with_state_dedup(spark, tmp_path):
     )
     assert sorted(tuple(r) for r in got.collect()) == want
     assert got.count() == got.select("user_id").distinct().count()
+
+
+def test_first_seen_dedup_ttl_expiry_and_rearm(spark, tmp_path):
+    """TTL contract (ADVICE r2): a repeat INSIDE the TTL drops even
+    though Spark cleared the pending timeout on that invocation (the
+    marker re-arms toward its original deadline), and a redelivery
+    AFTER the TTL re-emits (the marker expired — checked on the data
+    path, since keys with data never see hasTimedOut).
+
+    One continuous-trigger query with slices landed over wall-clock
+    time: availableNow + ProcessingTimeTimeout never terminates in
+    Spark 4.x (the trigger loops 'cleaning up state' as long as the
+    timeout feature is on), so restart-per-slice is not an option.
+    """
+    import time
+
+    from bigdataflink_spark.streaming.pandas_state import first_seen_dedup
+
+    src = str(tmp_path / "ttl_src")
+    row = spark.createDataFrame(
+        [(1, 100, 1.5)], "event_id long, user_id long, value double"
+    )
+    row.coalesce(1).write.parquet(f"{src}/slice=0")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ttl_sec = 15.0  # wide: slice-1 must be CONSUMED within the TTL on a loaded box
+    out = first_seen_dedup(
+        stream, "user_id", "event_id", ttl_minutes=ttl_sec / 60
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .start()
+    )
+
+    def emitted() -> int:
+        return spark.table("ttl_sink").count()
+
+    def inputs() -> int:
+        return int(sum(p["numInputRows"] for p in q.recentProgress))
+
+    def wait_for(pred, deadline_sec: float = 60.0) -> None:
+        t0 = time.time()
+        while not pred():
+            assert time.time() - t0 < deadline_sec, "streaming test stalled"
+            time.sleep(0.25)
+
+    try:
+        # first sight emits
+        wait_for(lambda: emitted() >= 1)
+        t_first = time.time()
+        assert emitted() == 1
+
+        # repeat within the TTL: consumed but dropped (the marker
+        # re-armed toward its ORIGINAL deadline, not a fresh TTL)
+        row.coalesce(1).write.parquet(f"{src}/slice=1")
+        wait_for(lambda: inputs() >= 2)
+        assert time.time() - t_first < ttl_sec, "box too slow for TTL window"
+        assert emitted() == 1
+
+        # redelivery after the TTL: marker expired -> re-emits
+        time.sleep(max(0.0, t_first + ttl_sec + 2.0 - time.time()))
+        row.coalesce(1).write.parquet(f"{src}/slice=2")
+        wait_for(lambda: emitted() >= 2)
+        assert emitted() == 2
+    finally:
+        q.stop()
+
+
+def test_streaming_scd2_observed_frontier_gate(spark, tmp_path):
+    """Late-gate vs the OBSERVED frontier (ADVICE r2): observations
+    (t1,A),(t5,A) collapse to one change row at t1 — a late (t3,B)
+    lands INSIDE the collapsed run and must be dropped, though it is
+    newer than the change log's max ts."""
+    from datetime import datetime
+
+    from bigdataflink_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        read_scd2_history,
+    )
+
+    def obs(rows):
+        return spark.createDataFrame(
+            [(7, a, datetime(2024, 1, t), s) for (t, a, s) in rows],
+            "k long, attr string, ts timestamp, seq long",
+        )
+
+    state = str(tmp_path / "obs_state")
+    n = merge_scd2_batch(
+        spark, obs([(1, "A", 1), (5, "A", 2)]), state, "k", "attr", "ts", "seq"
+    )
+    assert n == 0
+    hist0 = [
+        (r["attr"], r["version"])
+        for r in read_scd2_history(spark, state, "k", "attr").collect()
+    ]
+    assert hist0 == [("A", 1)]  # same-attr run collapsed
+
+    # t3 < observed frontier t5: dropped, history unchanged
+    n = merge_scd2_batch(
+        spark, obs([(3, "B", 3)]), state, "k", "attr", "ts", "seq"
+    )
+    assert n == 1
+    hist1 = [
+        (r["attr"], r["version"])
+        for r in read_scd2_history(spark, state, "k", "attr").collect()
+    ]
+    assert hist1 == [("A", 1)]
+
+    # t6 > frontier: merged as a genuine new version
+    n = merge_scd2_batch(
+        spark, obs([(6, "B", 4)]), state, "k", "attr", "ts", "seq"
+    )
+    assert n == 0
+    hist2 = sorted(
+        (r["attr"], r["version"])
+        for r in read_scd2_history(spark, state, "k", "attr").collect()
+    )
+    assert hist2 == [("A", 1), ("B", 2)]

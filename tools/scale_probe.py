@@ -134,17 +134,17 @@ COPIES100 = 100
 DIM = 64
 
 def _sign_lsh_scaled(spark, sf_dir):
-    """q49's operator at its 100×-scale OPERATING POINT. The q49 fixture
-    config (16 bits → 16 signatures/band) has a CONSTANT bucket count,
-    so candidates grow ∝ n²/16 — measured super-linear at sf10 (the
-    probe that found it ran >10 min before being killed). The operator's
-    scale dial is bits-per-band ∝ log2(n) + a realistic near-dup
-    threshold: 4 bands × 16 rows uses all 64 dims (65536 signatures per
-    band) and candidates stay ∝ n."""
+    """q49's operator at its 100×-scale operating point, via the
+    DEFAULT call: rows_per_band=None auto-derives ⌈log2 n⌉ clamped to
+    [4, dim//bands] (operators/similarity.py), which at 200k 64-dim
+    vectors lands on 4×16 — 65536 signatures/band, candidates ∝ n.
+    The old fixed 4×4 fixture default (16 signatures/band, candidates
+    ∝ n²/16) was the r2 probe's super-linear finding; it is now only
+    reachable by explicit override (q49's bit-pinned oracle fixture)."""
     from bigdataflink_spark.operators.similarity import sign_lsh_neardup_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return sign_lsh_neardup_pairs(emb, threshold=0.9, bands=4, rows_per_band=16)
+    return sign_lsh_neardup_pairs(emb, threshold=0.9)
 
 
 PROBE100 = {
