@@ -78,6 +78,16 @@ HEADLINE = [
     "q129_pit_join",
     "q132_source_divergence",
     "q136_market_basket",
+    # round-3 additions: the newest families (VERDICT r2 #5) — cover-day
+    # explode, BPE pair counts, bitmap distinct, session path mining,
+    # RANGE frame, EWMA fold, prefix-collision census
+    "q143_active_users",
+    "q150_bpe_merge_candidates",
+    "q157_bitmap_distinct",
+    "q158_session_paths",
+    "q160_trailing_window_count",
+    "q161_ewma",
+    "q165_prefix_collisions",
 ]
 
 
@@ -97,13 +107,14 @@ def main() -> None:
     spark.range(200_000_000).selectExpr("sum(id * 3 % 7)").collect()
     calib = round(time.perf_counter() - c0, 3)
 
-    # best-of-2 per query: the second run amortizes one-off plan/codegen
-    # compilation, so the number tracks execution throughput, not
-    # scheduler noise — keeps round-over-round comparisons meaningful
+    # best-of-3 per query (VERDICT r2 #4): run 1 pays one-off
+    # plan/codegen compilation, runs 2-3 sample steady state twice so a
+    # single scheduler hiccup can't masquerade as a plan regression —
+    # the q22 r1→r2 ×1.94 "outlier" was exactly this ambiguity at n=2
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

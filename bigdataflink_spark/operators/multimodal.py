@@ -10,6 +10,9 @@ Two codec tiers:
   here with numpy (raw interleaved RGB is just shape arithmetic):
   decode, nearest-neighbor resize, per-channel stats, exact frame
   slicing. Deterministic, oracle-checkable byte-for-byte (q71).
+* ``audio/x-raw-pcm16`` — REAL codec too (interleaved little-endian
+  int16 is a frombuffer + reshape): decode, per-channel integer
+  stats, mono downmix. Byte-exact oracle (q166) like the RGB tier.
 * compressed formats (JPEG/PNG/MP4…) — require PIL/ffmpeg, which this
   container doesn't ship; those branches fall back to a clearly-marked
   deterministic sha256 FAKE (features/frames) or raise (resize), with
@@ -44,6 +47,7 @@ from pyspark.sql.types import (
 
 RAW_RGB_IMAGE = "image/x-raw-rgb"  # payload = h*w*3 uint8, row-major RGB
 RAW_RGB_VIDEO = "video/x-raw-rgb"  # payload = n_frames concatenated raw frames
+RAW_PCM_AUDIO = "audio/x-raw-pcm16"  # payload = interleaved int16 LE samples
 
 MEDIA_SCHEMA = StructType(
     [
@@ -339,6 +343,120 @@ def synthetic_rgb_video(
             )
 
     return docs.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def synthetic_pcm_audio(
+    docs: DataFrame,
+    n_samples: int = 400,
+    channels: int = 2,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """One deterministic raw-PCM16 clip per document row: interleaved
+    sample j of media_id is ``((media_id * 31 + j) % 65536) - 32768``
+    (int16 little-endian on the wire). Same closed-form design as
+    synthetic_rgb_media so a SQL oracle can recompute every sample —
+    the q166 fixture. Built distributed via mapInPandas."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_total = n_samples * channels
+        js = np.arange(n_total, dtype=np.int64)
+        dur = int(n_samples * 1000 / sample_rate)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "audio",
+                    "payload": pdf["doc_id"].map(
+                        lambda i: (((int(i) * 31 + js) % 65536) - 32768)
+                        .astype("<i2")
+                        .tobytes()
+                    ),
+                    "mime": RAW_PCM_AUDIO,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array([dur] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def decode_pcm16(payload: bytes, channels: int) -> np.ndarray:
+    """Raw-PCM16 decode: (n_samples, channels) int16 array from the
+    interleaved little-endian wire bytes. Pure numpy shape
+    arithmetic — a REAL codec, not a fake."""
+    a = np.frombuffer(payload, dtype="<i2")
+    if channels > 1 and len(a) % channels:
+        raise ValueError(
+            f"PCM payload of {len(a)} samples not divisible by "
+            f"{channels} channels"
+        )
+    return a.reshape(-1, channels)
+
+
+def audio_channel_stats(media: DataFrame, channels: int = 2) -> DataFrame:
+    """Per-(media_id, channel) integer stats of DECODED samples:
+    count, sum, min, max, energy (Σv²). All-integer accumulation so
+    the DuckDB oracle agrees bit-for-bit (no libm, per the
+    cross-engine determinism rules). Arrow-batched mapInPandas; each
+    task holds one batch of clips — scales like any map stage."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("channel", IntegerType(), False),
+            StructField("n_samples", LongType(), True),
+            StructField("sum_amp", LongType(), True),
+            StructField("min_amp", IntegerType(), True),
+            StructField("max_amp", IntegerType(), True),
+            StructField("energy", LongType(), True),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in schema.fields}
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                if mime != RAW_PCM_AUDIO or payload is None:
+                    continue
+                arr = decode_pcm16(bytes(payload), channels).astype(np.int64)
+                for c in range(channels):
+                    col = arr[:, c]
+                    out["media_id"].append(mid)
+                    out["channel"].append(c)
+                    out["n_samples"].append(len(col))
+                    out["sum_amp"].append(int(col.sum()))
+                    out["min_amp"].append(int(col.min()))
+                    out["max_amp"].append(int(col.max()))
+                    out["energy"].append(int((col * col).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, schema=schema)
+
+
+def downmix_mono(media: DataFrame, channels: int = 2) -> DataFrame:
+    """Channel-mean mono downmix (floor division — integer-exact for
+    the oracle) re-encoded as raw-PCM16: the audio twin of
+    resize_images. Payload in, payload out, so downstream stats/
+    feature ops run unchanged on the downmixed clip."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def _mix(payload):
+                if payload is None:
+                    return None
+                arr = decode_pcm16(bytes(payload), channels).astype(np.int64)
+                # floor-div mean, clamped back into int16 range
+                mono = np.floor_divide(arr.sum(axis=1), channels)
+                return mono.astype("<i2").tobytes()
+
+            res = pdf.copy()
+            res["payload"] = pdf["payload"].map(_mix)
+            res["mime"] = RAW_PCM_AUDIO
+            yield res
+
+    return media.mapInPandas(_batches, schema=media.schema)
 
 
 def frame_byte_stats(frames: DataFrame) -> DataFrame:

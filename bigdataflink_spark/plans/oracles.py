@@ -2861,4 +2861,45 @@ SELECT p AS prefix_sig, COUNT(*) AS n_docs,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM per GROUP BY 1 HAVING COUNT(*) >= 2
 """,
+    # q166: recompute every interleaved PCM16 sample from the
+    # generative closed form (sample j of media_id =
+    # (id*31 + j) % 65536 - 32768, channel = j % 2) and aggregate the
+    # same all-integer stats the Spark codec computes from the DECODED
+    # wire bytes — byte-exact check of encode → frombuffer → stats.
+    "q166_audio_channel_stats": """
+WITH js AS (SELECT j FROM generate_series(0, 799) t(j)),
+s AS (
+  SELECT d.doc_id AS media_id,
+         CAST(j % 2 AS INT) AS channel,
+         ((d.doc_id * 31 + j) % 65536) - 32768 AS v
+  FROM documents d CROSS JOIN js
+)
+SELECT media_id, channel,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(MIN(v) AS INT) AS min_amp,
+       CAST(MAX(v) AS INT) AS max_amp,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s GROUP BY 1, 2
+""",
+    # q167: mono sample s = floor((v(2s) + v(2s+1)) / 2) — floor (not
+    # truncate) division to match numpy floor_divide on negatives.
+    "q167_audio_downmix": """
+WITH ss AS (SELECT s FROM generate_series(0, 399) t(s)),
+m AS (
+  SELECT d.doc_id AS media_id,
+         CAST(FLOOR((
+           (((d.doc_id * 31 + 2 * s) % 65536) - 32768) +
+           (((d.doc_id * 31 + 2 * s + 1) % 65536) - 32768)
+         ) / 2.0) AS BIGINT) AS v
+  FROM documents d CROSS JOIN ss
+)
+SELECT media_id, CAST(0 AS INT) AS channel,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(MIN(v) AS INT) AS min_amp,
+       CAST(MAX(v) AS INT) AS max_amp,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM m GROUP BY 1, 2
+""",
 }

@@ -4309,6 +4309,32 @@ def q165_prefix_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q166_audio_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw-PCM16 audio decode over binary payload columns
+    (extension; operators/multimodal.py — q71's design for the audio
+    modality, closing the r2 'one modality still behind the sha256
+    fake' gap): a deterministic 2-channel 400-sample int16 clip per
+    document (interleaved sample j = (id·31 + j) % 65536 − 32768,
+    built distributed via mapInPandas), decoded by the numpy codec,
+    then per-channel integer stats (count/sum/min/max/Σv²). The
+    oracle recomputes every sample from the closed form in pure SQL,
+    so the encode → decode → stats pipeline is value-hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_pcm_audio(docs, n_samples=400, channels=2)
+    return multimodal.audio_channel_stats(media, channels=2)
+
+
+def q167_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mono downmix (floor-div channel mean, re-encoded PCM16 — the
+    audio twin of q71's resize: payload in, payload out) followed by
+    decoded-sample stats of the DOWNMIXED clip; byte-exact against
+    the oracle's closed-form recomputation of every mono sample."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_pcm_audio(docs, n_samples=400, channels=2)
+    mono = multimodal.downmix_mono(media, channels=2)
+    return multimodal.audio_channel_stats(mono, channels=1)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4472,4 +4498,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q163_dedup_savings": q163_dedup_savings,
     "q164_share_of_region": q164_share_of_region,
     "q165_prefix_collisions": q165_prefix_collisions,
+    "q166_audio_channel_stats": q166_audio_channel_stats,
+    "q167_audio_downmix": q167_audio_downmix,
 }

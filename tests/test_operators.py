@@ -610,3 +610,46 @@ def test_sign_lsh_auto_band_width(spark):
         assert set(got).issubset(set(exact))
         assert all(exact[k] == v for k, v in got.items())
         assert got  # non-degenerate: something recalled at 0.4
+
+
+def test_pcm16_codec_roundtrip_and_downmix(spark):
+    """Raw-PCM16 tier (r3): decode is byte-faithful, stats are
+    integer-exact, and downmix floor-divides (numpy floor_divide
+    semantics on negatives — -3//2 == -2 in magnitude toward -inf)."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        audio_channel_stats,
+        decode_pcm16,
+        downmix_mono,
+        synthetic_pcm_audio,
+    )
+
+    docs = spark.createDataFrame([(5,), (9,)], "doc_id long")
+    media = synthetic_pcm_audio(docs, n_samples=6, channels=2)
+    rows = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    # wire bytes match the closed form, decode reshapes losslessly
+    for mid, payload in rows.items():
+        want = ((mid * 31 + np.arange(12)) % 65536 - 32768).astype("<i2")
+        assert payload == want.tobytes()
+        assert (decode_pcm16(payload, 2).ravel() == want).all()
+
+    stats = {
+        (r["media_id"], r["channel"]): r
+        for r in audio_channel_stats(media, channels=2).collect()
+    }
+    for mid, payload in rows.items():
+        arr = decode_pcm16(payload, 2).astype(np.int64)
+        for c in (0, 1):
+            got = stats[(mid, c)]
+            assert got["sum_amp"] == arr[:, c].sum()
+            assert got["energy"] == (arr[:, c] ** 2).sum()
+
+    mono = downmix_mono(media, channels=2)
+    for r in mono.collect():
+        src = decode_pcm16(rows[r["media_id"]], 2).astype(np.int64)
+        want = np.floor_divide(src.sum(axis=1), 2).astype("<i2")
+        assert bytes(r["payload"]) == want.tobytes()
+
+    # a negative odd sum floors toward -inf, not zero
+    assert np.floor_divide(np.array([-3]), 2)[0] == -2

@@ -3,13 +3,17 @@ oracle_sql() DuckDB twin at an arbitrary sf dir (default sf0.01 —
 the scale the driver grades at; tests/test_queries_oracle.py covers
 sf0.001).
 
-Usage: python tools/oracle_sweep.py [sf_dir] [query_prefix ...]
+Usage: python tools/oracle_sweep.py [--json=OUT] [sf_dir] [query_prefix ...]
 Prints one line per query and a failure summary; exit 1 on any
-mismatch.
+mismatch. ``--json=OUT`` additionally writes the per-query results as
+a CORRECTNESS-style artifact (the per-round ``CORRECTNESS_LOCAL_r{N}
+.json`` files — the auditable record of the locally-graded queries
+the driver's fixed 50-query file doesn't cover; VERDICT r2 #2).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -21,8 +25,14 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from bigdataflink_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2:]
+_args = sys.argv[1:]
+JSON_OUT = None
+for a in list(_args):
+    if a.startswith("--json="):
+        JSON_OUT = a.split("=", 1)[1]
+        _args.remove(a)
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = _args[1:]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -59,6 +69,7 @@ def main() -> int:
         names = [n for n in names if any(n.startswith(p) for p in ONLY)]
 
     failures = []
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -68,6 +79,9 @@ def main() -> int:
             if name not in oracles:
                 print(f"{name:42s} rows={len(spark_rows):>7} (no oracle) "
                       f"{time.time()-t0:5.1f}s")
+                record[name] = {
+                    "rows": len(spark_rows), "oracle": False, "pass": None,
+                }
                 continue
             res = duck.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
@@ -90,16 +104,38 @@ def main() -> int:
             status = "OK " if not problems else "FAIL"
             print(f"{name:42s} rows={len(spark_rows):>7} {status} "
                   f"{time.time()-t0:5.1f}s" + (" | " + " | ".join(problems) if problems else ""))
+            record[name] = {
+                "rows": len(spark_rows),
+                "oracle": True,
+                "pass": not problems,
+                "sec": round(time.time() - t0, 2),
+                **({"problems": [p[:200] for p in problems]} if problems else {}),
+            }
             if problems:
                 failures.append((name, problems))
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).splitlines()[0][:200]
             print(f"{name:42s} ERR {time.time()-t0:5.1f}s | {msg}")
+            record[name] = {"oracle": True, "pass": False, "error": msg}
             failures.append((name, [msg]))
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green at {SF_DIR}")
     for name, problems in failures:
         print(f"  FAIL {name}: {problems[0][:200]}")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_queries": len(names),
+                    "n_pass": len(names) - len(failures),
+                    "method": "rowcount+schema+order-insensitive canonical values vs DuckDB twin (driver methodology)",
+                    "queries": record,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {JSON_OUT}")
     return 1 if failures else 0
 
 

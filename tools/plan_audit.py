@@ -158,6 +158,8 @@ NOTES = {
     "q163_dedup_savings": "Hash + token count in one scan (persisted); keep-set is a hash-keyed min agg; savings are exact integer sums with one final division.",
     "q164_share_of_region": "Fact-side work is the q02 star join (one agg exchange); the ratio-to-parent window runs over the bounded 25-row nation table.",
     "q165_prefix_collisions": "One md5 per doc in the scan stage; one hash-keyed count; the ≥2 cut applies post-agg — linear, bounded per-doc work.",
+    "q166_audio_channel_stats": "Two Arrow map stages (synthesize clip, decode+stats), zero shuffles, zero joins — embarrassingly parallel per clip; at 100 TB the synthesize stage is replaced by a binary-column scan and the shape is unchanged.",
+    "q167_audio_downmix": "Three chained Arrow map stages (synthesize, floor-div downmix re-encode, decode+stats) — still zero shuffles; payload-in/payload-out downmix composes with any downstream media op.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
