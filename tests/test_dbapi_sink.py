@@ -74,26 +74,7 @@ def test_make_upsert_sql_shapes():
     assert make_upsert_sql("d", ["k"], ["k"]).endswith("DO NOTHING")
 
 
-_DDL = """
-CREATE TABLE dim_customer (source_customer_id INTEGER PRIMARY KEY,
-  customer_name TEXT, customer_country TEXT, customer_age INTEGER,
-  customer_email TEXT, arrival_seq INTEGER);
-CREATE TABLE dim_seller (source_seller_id INTEGER PRIMARY KEY,
-  seller_name TEXT, seller_country TEXT, seller_email TEXT, arrival_seq INTEGER);
-CREATE TABLE dim_product (source_product_id INTEGER PRIMARY KEY,
-  product_name TEXT, product_category TEXT, product_price REAL,
-  product_rating REAL, product_reviews INTEGER, arrival_seq INTEGER);
-CREATE TABLE dim_store (store_name TEXT PRIMARY KEY,
-  store_city TEXT, store_country TEXT, store_email TEXT, arrival_seq INTEGER);
-CREATE TABLE dim_supplier (supplier_name TEXT PRIMARY KEY,
-  supplier_country TEXT, supplier_email TEXT, arrival_seq INTEGER);
-CREATE TABLE dim_date (sale_date TEXT PRIMARY KEY, arrival_seq INTEGER);
-CREATE TABLE fact_sales_raw (source_sale_id INTEGER PRIMARY KEY,
-  arrival_seq INTEGER, sale_quantity INTEGER, sale_total_price REAL,
-  source_customer_id INTEGER, source_seller_id INTEGER,
-  source_product_id INTEGER, store_name TEXT, supplier_name TEXT,
-  sale_date TEXT);
-"""
+from bigdataflink_spark.streaming.dbapi_sink import STAR_DDL_SQLITE as _DDL
 
 
 def test_stream_to_dbapi_matches_parquet_state(spark, workdir):

@@ -244,3 +244,149 @@ def test_kafkadump_streaming_offsets_resume(spark, workdir):
     assert final.count() == 150
     offs = sorted(r.offset for r in final.select("offset").collect())
     assert offs == list(range(150))
+
+
+def test_full_reference_topology_stream(spark, workdir):
+    """The reference's exact end-to-end shape in ONE composed run
+    (VERDICT r2 #8): CSV corpus → `kafkadump` topic capture (the
+    producer, csv_to_kafka.py) → CHECKPOINTED streaming consumer
+    (offsets resume across a restart when the capture grows, like a
+    committed consumer group) → star upsert into BOTH terminal
+    stores per micro-batch — the bucketed-parquet MERGE state and
+    the reference's literal relational store (sqlite ON CONFLICT,
+    stream_to_star.py:287-295) — then an at-least-once REDELIVERY of
+    the first chunk. Final sqlite star ≡ parquet-state star ≡
+    one-shot batch star."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import sqlite3
+
+    from pyspark.sql.window import Window
+
+    from bigdataflink_spark.sources.kafkadump import register
+    from bigdataflink_spark.streaming.dbapi_sink import (
+        STAR_DDL_SQLITE,
+        upsert_star_batch_dbapi,
+    )
+    from bigdataflink_spark.streaming.merge import read_state
+    from bigdataflink_spark.streaming.pipeline import (
+        DIM_PROJECTION,
+        FACT_COLS,
+    )
+
+    raw = read_sales_csv(spark)
+    n_total = raw.count()
+    ranked = raw.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("arrival_seq")) - 1
+    )
+
+    def capture_chunk(i: int, lo: int, hi: int, dest: str) -> None:
+        tmp = f"{workdir}/topo_part_{i}"
+        (
+            ranked.filter((F.col("_rk") >= lo) & (F.col("_rk") < hi))
+            .orderBy("_rk")
+            .select(F.to_json(F.struct(*raw.columns)).alias("line"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(tmp)
+        )
+        [src] = _glob.glob(f"{tmp}/part-*.txt")
+        _shutil.copy(src, dest)
+
+    dump = f"{workdir}/topo_dump"
+    _os.makedirs(dump, exist_ok=True)
+    cut = n_total // 2
+    capture_chunk(0, 0, cut, f"{dump}/chunk_0.jsonl")
+
+    db = f"{workdir}/topo_star.db"
+    con = sqlite3.connect(db)
+    con.executescript(STAR_DDL_SQLITE)
+    con.commit()
+    con.close()
+
+    def fac():
+        c = sqlite3.connect(db, timeout=60)
+        c.execute("PRAGMA busy_timeout=60000")
+        return c
+
+    state_dir = f"{workdir}/topo_state"
+    ckpt = f"{workdir}/topo_ckpt"
+    register(spark)
+
+    def both_sinks(wire_batch, bid):
+        records, _errs = parse_sales_records(
+            project_kafka_records(wire_batch).selectExpr(
+                "value", "CAST(arrival_seq AS LONG) AS arrival_seq"
+            )
+        )
+        records = records.localCheckpoint(eager=True)
+        upsert_star_batch(records, bid, state_dir)
+        upsert_star_batch_dbapi(records, bid, fac, num_partitions=1)
+
+    def run_consumer():
+        q = (
+            spark.readStream.format("kafkadump")
+            .load(dump)
+            .writeStream.foreachBatch(both_sinks)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_consumer()  # consumes chunk 0
+    # the producer keeps publishing; the consumer restarts and resumes
+    # from its committed offset (no replays, offsets contiguous)
+    capture_chunk(1, cut, n_total, f"{dump}/chunk_1.jsonl")
+    run_consumer()
+
+    # at-least-once: the broker re-sends chunk 0 (same offsets, same
+    # payloads); the seq-guarded stores must not regress
+    redeliver_dir = f"{workdir}/topo_redeliver"
+    _os.makedirs(redeliver_dir, exist_ok=True)
+    _shutil.copy(f"{dump}/chunk_0.jsonl", f"{redeliver_dir}/chunk_0.jsonl")
+    both_sinks(spark.read.format("kafkadump").load(redeliver_dir), 999)
+
+    # --- parquet-state star ≡ one-shot batch star -------------------
+    batch_star = build_star(raw)
+    stream_star = finalize_star(spark, state_dir)
+    assert set(batch_star) == set(stream_star)
+    for name in batch_star:
+        cols = sorted(batch_star[name].columns)
+        assert sorted(stream_star[name].columns) == cols, name
+        want = sorted(tuple(r) for r in batch_star[name].select(*cols).collect())
+        got = sorted(tuple(r) for r in stream_star[name].select(*cols).collect())
+        assert got == want, f"{name}: streamed star differs from batch star"
+
+    # --- sqlite winners ≡ parquet-state winners ---------------------
+    def canon(v):
+        from decimal import Decimal
+
+        if v is None:
+            return None
+        if isinstance(v, (float, Decimal)):
+            return f"{float(v):.9g}"
+        return str(v)
+
+    con = sqlite3.connect(db)
+    layout = {
+        name: (f"state_{name}", [key] + attrs + ["arrival_seq"])
+        for name, (key, attrs) in DIM_PROJECTION.items()
+    }
+    layout["fact_sales_raw"] = ("state_fact", FACT_COLS)
+    for table, (state_name, cols) in layout.items():
+        want = sorted(
+            tuple(canon(v) for v in r)
+            for r in read_state(spark, f"{state_dir}/{state_name}")
+            .select(*cols)
+            .collect()
+        )
+        got = sorted(
+            tuple(canon(v) for v in r)
+            for r in con.execute(
+                f"SELECT {', '.join(cols)} FROM {table}"
+            ).fetchall()
+        )
+        assert got == want, f"{table}: sqlite winners differ from state"
+    con.close()
