@@ -2902,4 +2902,26 @@ SELECT media_id, CAST(0 AS INT) AS channel,
        CAST(SUM(v * v) AS BIGINT) AS energy
 FROM m GROUP BY 1, 2
 """,
+    # q168: the observe() contract — recompute the observed aggregates
+    # directly and pin the matches-direct boolean TRUE (q19's bounded-
+    # contract pattern for an engine-specific surface).
+    "q168_observe_metrics": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_keys,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       TRUE AS observed_matches_direct
+FROM events
+""",
+    # q169: merged streaming top-k state must equal the one-shot
+    # batch top-20 (count desc, token asc total order).
+    "q169_streaming_topk": f"""
+WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents)
+SELECT token, COUNT(*) AS cnt FROM t
+GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20
+""",
 }
+
+# q170: stream-state moments ≡ one-shot batch zscore audit — the
+# oracle IS q104's SQL (identical output is the parity contract).
+ORACLES["q170_streaming_moments"] = ORACLES["q104_anomaly_zscore"]

@@ -4335,6 +4335,92 @@ def q167_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_channel_stats(mono, channels=1)
 
 
+def q168_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract for the observe() surface (VERDICT r2
+    #9 — previously pytest-only): quality metrics accumulate INSIDE
+    the events scan (streaming/observe.observe_batch, AccumulatorV2
+    under the hood — zero extra scans), then the observed values are
+    emitted as rows alongside a contract boolean comparing them to an
+    independent direct aggregation. The oracle recomputes the
+    aggregates and pins the boolean TRUE — if observe() ever drifts
+    from the data it observed, the driver sees a value mismatch."""
+    from bigdataflink_spark.streaming.observe import observe_batch
+
+    ev = _t(spark, sf_dir, "events")
+    observed_df, obs = observe_batch(ev, "user_id", "value")
+    observed_df.write.format("noop").mode("overwrite").save()
+    got = obs.get  # {'n_rows':…, 'n_null_keys':…, 'value_sum':…}
+
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("d_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "d_null_keys"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("d_sum"),
+    )
+    return direct.select(
+        F.lit(int(got["n_rows"])).alias("n_rows"),
+        F.lit(int(got["n_null_keys"])).alias("n_null_keys"),
+        F.lit(float(got["value_sum"])).alias("value_sum"),
+        (
+            (F.col("d_rows") == F.lit(int(got["n_rows"])))
+            & (F.col("d_null_keys") == F.lit(int(got["n_null_keys"])))
+            & (F.col("d_sum") == F.lit(float(got["value_sum"])))
+        ).alias("observed_matches_direct"),
+    )
+
+
+def _slice_through_parts(df: DataFrame, slice_col, n_slices, body, parts_dir):
+    """Deterministic micro-batch simulation for the streaming-state
+    contract queries: run the SAME foreachBatch bodies the streaming
+    engine drives (partials under parts/batch_id=N), sliced by a
+    stable key — the parity claim is 'any batch slicing merges to the
+    batch truth', so the slicing choice is immaterial."""
+    for i in range(n_slices):
+        body(df.filter(F.pmod(slice_col, F.lit(n_slices)) == i), i, parts_dir)
+
+
+def q169_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract for the streaming top-k state
+    (streaming/topk.py — mergeable per-batch token-count partials):
+    the documents corpus flows through the REAL foreachBatch body in
+    3 deterministic slices, and the merged state's exact top-20 must
+    equal the one-shot batch top-20 the oracle computes directly.
+    State lands in a throwaway parts dir; the result frame reads the
+    merged partials, so what the driver hashes IS the state."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.topk import read_topk, topk_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = tempfile.mkdtemp(prefix="q169_topk_parts_")
+    _slice_through_parts(docs, F.col("doc_id"), 3, topk_batch, parts)
+    return read_topk(spark, parts, k=20)
+
+
+def q170_streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract for the streaming moments state
+    (streaming/moments.py — exact-decimal (n, Σv, Σv²) partials):
+    events flow through the REAL foreachBatch body in 3 slices, the
+    merged state feeds anomaly_audit, and the output must be
+    bit-identical to q104's one-shot zscore_flags — the oracle IS
+    q104's SQL, so the driver certifies stream-state ≡ batch."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.moments import (
+        anomaly_audit,
+        moments_batch,
+        read_moments,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    parts = tempfile.mkdtemp(prefix="q170_moments_parts_")
+    _slice_through_parts(ev, F.col("event_id"), 3, moments_batch, parts)
+    return anomaly_audit(ev, read_moments(spark, parts))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4500,4 +4586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q165_prefix_collisions": q165_prefix_collisions,
     "q166_audio_channel_stats": q166_audio_channel_stats,
     "q167_audio_downmix": q167_audio_downmix,
+    "q168_observe_metrics": q168_observe_metrics,
+    "q169_streaming_topk": q169_streaming_topk,
+    "q170_streaming_moments": q170_streaming_moments,
 }

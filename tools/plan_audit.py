@@ -160,6 +160,9 @@ NOTES = {
     "q165_prefix_collisions": "One md5 per doc in the scan stage; one hash-keyed count; the ≥2 cut applies post-agg — linear, bounded per-doc work.",
     "q166_audio_channel_stats": "Two Arrow map stages (synthesize clip, decode+stats), zero shuffles, zero joins — embarrassingly parallel per clip; at 100 TB the synthesize stage is replaced by a binary-column scan and the shape is unchanged.",
     "q167_audio_downmix": "Three chained Arrow map stages (synthesize, floor-div downmix re-encode, decode+stats) — still zero shuffles; payload-in/payload-out downmix composes with any downstream media op.",
+    "q168_observe_metrics": "Metrics accumulate inside the events scan (AccumulatorV2) — the noop write is the one action; the returned frame is a 1-row aggregate with the observed literals folded in. Zero extra scans of events beyond the observe pass + direct-check aggregate.",
+    "q169_streaming_topk": "Three partial-count writes (one keyed shuffle each over a third of the corpus) + one merge agg + top-20 — the same mergeable-partials state the streaming engine drives; at 100 TB the per-batch partial is the only state rewritten.",
+    "q170_streaming_moments": "Three exact-decimal moment partials + one merge + broadcast of the 5-row stats to the scoring pass — identical shuffle count to q104, state-mediated.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
