@@ -2925,3 +2925,33 @@ GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20
 # q170: stream-state moments ≡ one-shot batch zscore audit — the
 # oracle IS q104's SQL (identical output is the parity contract).
 ORACLES["q170_streaming_moments"] = ORACLES["q104_anomaly_zscore"]
+
+# q171: imperative UDTF chunker ≡ q125's pure-expression chunker —
+# the oracle IS q125's SQL.
+ORACLES["q171_udtf_chunking"] = ORACLES["q125_doc_chunking"]
+
+# q172: the pandas UDAF's trimmed mean, reproduced as drop-k-each-end
+# by rank in window SQL; NULLs (every 7th event) drop BEFORE the trim
+# — SQL aggregate discipline, the r2 ADVICE fix under driver contract.
+ORACLES["q172_udaf_trimmed_mean"] = """
+WITH seeded AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(value AS DOUBLE) END AS v
+  FROM events
+),
+nn AS (SELECT event_type, v FROM seeded WHERE v IS NOT NULL),
+r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM nn
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       ROUND(AVG(v) FILTER (WHERE n <= 2 * CAST(FLOOR(n * 0.1) AS INT)
+                               OR (rn > CAST(FLOOR(n * 0.1) AS INT)
+                                   AND rn <= n - CAST(FLOOR(n * 0.1) AS INT))), 6)
+         AS trimmed_mean
+FROM r GROUP BY event_type
+"""

@@ -4421,6 +4421,65 @@ def q170_streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_audit(ev, read_moments(spark, parts))
 
 
+def q171_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract for the Python UDTF surface
+    (functions/tablefuncs.ChunkDocUDTF — previously pytest-only):
+    the IMPERATIVE chunker runs as a registered LATERAL table
+    function over documents, its chunks fingerprinted into q125's
+    exact output schema — the oracle IS q125's SQL, so the driver
+    certifies UDTF ≡ pure-expression twin. The UDTF is the slow path
+    by design (Python round-trip; q125 is the production shape) but
+    it is the template for genuinely imperative fan-out logic."""
+    from bigdataflink_spark.functions.tablefuncs import ChunkDocUDTF
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("q171_docs")
+    spark.udtf.register("chunk_doc", ChunkDocUDTF)
+    chunks = spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.chunk_len, c.chunk_text
+           FROM q171_docs d, LATERAL chunk_doc(d.text) c"""
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+        md5_int(F.col("chunk_text")).alias("chunk_sig"),
+    )
+
+
+def q172_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract for the grouped-agg pandas UDAF
+    surface (functions/tablefuncs.make_trimmed_mean_udaf): 10%-
+    trimmed mean of event values per type, NULLs dropped before the
+    trim (the r2 ADVICE fix — this query would FAIL against its
+    oracle without it, since NaNs would survive the trim and poison
+    whole groups). The oracle reproduces drop-k-each-end-by-rank in
+    window SQL; n_values pins the NULL discipline exactly."""
+    from bigdataflink_spark.functions.tablefuncs import make_trimmed_mean_udaf
+
+    tmean = make_trimmed_mean_udaf(trim_frac=0.1)
+    ev = _t(spark, sf_dir, "events")
+    # NULLs are injected deterministically so the discipline is
+    # actually exercised (every 7th event loses its value)
+    seeded = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg — two keyed passes, joined on the ~5-row
+    # group key set (broadcast)
+    means = seeded.groupBy("event_type").agg(
+        F.round(tmean(F.col("value")), 6).alias("trimmed_mean")
+    )
+    counts = seeded.groupBy("event_type").agg(
+        F.count("value").alias("n_values")
+    )
+    return counts.join(F.broadcast(means), "event_type").select(
+        "event_type", "n_values", "trimmed_mean"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4589,4 +4648,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168_observe_metrics": q168_observe_metrics,
     "q169_streaming_topk": q169_streaming_topk,
     "q170_streaming_moments": q170_streaming_moments,
+    "q171_udtf_chunking": q171_udtf_chunking,
+    "q172_udaf_trimmed_mean": q172_udaf_trimmed_mean,
 }

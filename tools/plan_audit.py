@@ -163,6 +163,8 @@ NOTES = {
     "q168_observe_metrics": "Metrics accumulate inside the events scan (AccumulatorV2) — the noop write is the one action; the returned frame is a 1-row aggregate with the observed literals folded in. Zero extra scans of events beyond the observe pass + direct-check aggregate.",
     "q169_streaming_topk": "Three partial-count writes (one keyed shuffle each over a third of the corpus) + one merge agg + top-20 — the same mergeable-partials state the streaming engine drives; at 100 TB the per-batch partial is the only state rewritten.",
     "q170_streaming_moments": "Three exact-decimal moment partials + one merge + broadcast of the 5-row stats to the scoring pass — identical shuffle count to q104, state-mediated.",
+    "q171_udtf_chunking": "Arrow-batched Python UDTF lateral per partition, md5 in the projection — zero shuffles like q125; the Python round-trip is the declared cost of the imperative surface (q125 is the production twin).",
+    "q172_udaf_trimmed_mean": "One Arrow grouped-agg pass (each group's values to one worker — declared order-statistic cost; q105 winsorized-decimal is the scale path) + a count agg joined on the ~5-row key set broadcast.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with

@@ -153,6 +153,13 @@ PROBE100 = {
     "q26_ivf_topk": QUERIES["q26_ivf_topk"],
     "sign_lsh_64bit(q49-at-scale)": _sign_lsh_scaled,
     "q56_nation_volume": QUERIES["q56_nation_volume"],
+    # r3 additions (VERDICT r2 #6): the LLM-pipeline heavies whose 10×
+    # growth was output-driven — verify they stay ~linear at 100×
+    "q96_passage_dedup": QUERIES["q96_passage_dedup"],
+    "q101_fuzzy_match": QUERIES["q101_fuzzy_match"],
+    "q108_ngram_novelty": QUERIES["q108_ngram_novelty"],
+    "q126_unigram_lm_score": QUERIES["q126_unigram_lm_score"],
+    "q136_market_basket": QUERIES["q136_market_basket"],
 }
 FIXED100 = ["region", "nation", "customer", "supplier"]
 
