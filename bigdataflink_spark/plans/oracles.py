@@ -2955,3 +2955,40 @@ SELECT event_type,
          AS trimmed_mean
 FROM r GROUP BY event_type
 """
+
+
+# q173: the q21 oracle's signature/candidate CTEs, extended with the
+# integer micro-unit estimate-vs-exact comparison (matches*62500 vs
+# common*1e6 // union — both engines integer-exact).
+ORACLES["q173_minhash_estimation_audit"] = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, {_md5_int('unnest(sh)')} AS h FROM sh),
+sig AS (SELECT doc_id, {', '.join(f'MIN(((h >> 30) + {p} * (h & 1073741823)) % 2147483647) AS mh{p}' for p in range(16))}
+        FROM ex GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b.band,
+         CASE b.band {' '.join('WHEN ' + str(b) + ' THEN concat_ws(' + chr(39) + ',' + chr(39) + ', ' + ', '.join(f'mh{b*4+r}' for r in range(4)) + ')' for b in range(4))} END AS bsig
+  FROM sig, (VALUES (0),(1),(2),(3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         CAST(({' + '.join(f'CASE WHEN x.mh{p} = y.mh{p} THEN 1 ELSE 0 END' for p in range(16))}) * 62500 AS BIGINT) AS est_jaccard_micro
+  FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard_micro,
+       CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000000
+         // (CAST(len(x.sh) AS BIGINT) + CAST(len(y.sh) AS BIGINT)
+             - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT))
+         AS exact_jaccard_micro,
+       ABS(e.est_jaccard_micro
+           - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000000
+             // (CAST(len(x.sh) AS BIGINT) + CAST(len(y.sh) AS BIGINT)
+                 - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)))
+         AS abs_err_micro
+FROM est e JOIN sh x ON x.doc_id = e.id_a JOIN sh y ON y.doc_id = e.id_b
+"""

@@ -4480,6 +4480,59 @@ def q172_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q173_minhash_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash family (extension): for
+    every q21 LSH candidate pair, the 16-hash MinHash ESTIMATE of
+    Jaccard (matching components / 16) next to the EXACT shingle-set
+    Jaccard, both in integer micro-units so the comparison is
+    bit-stable cross-engine (no float accumulation; one integer DIV
+    each). This is the audit a pipeline runs before trusting the
+    sketch at a new shingle size/threshold — it quantifies estimator
+    error on exactly the pairs the sketch surfaces. Linear: signatures
+    and shingle sets join only on the candidate set."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    sets_ = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    a_sig = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{p}").alias(f"a{p}") for p in range(16)],
+    )
+    b_sig = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{p}").alias(f"b{p}") for p in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(16)
+    )
+    est = cands.join(a_sig, "id_a").join(b_sig, "id_b").select(
+        "id_a", "id_b", (matches * F.lit(62500)).cast("long").alias("est_jaccard_micro")
+    )
+    sa = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - common
+    return (
+        est.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("exact_jaccard_micro", F.expr(
+            "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000 DIV "
+            "(CAST(size(sh_a) AS BIGINT) + CAST(size(sh_b) AS BIGINT) "
+            " - CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT))"
+        ))
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard_micro",
+            "exact_jaccard_micro",
+            F.abs(
+                F.col("est_jaccard_micro") - F.col("exact_jaccard_micro")
+            ).alias("abs_err_micro"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4650,4 +4703,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_streaming_moments": q170_streaming_moments,
     "q171_udtf_chunking": q171_udtf_chunking,
     "q172_udaf_trimmed_mean": q172_udaf_trimmed_mean,
+    "q173_minhash_estimation_audit": q173_minhash_estimation_audit,
 }

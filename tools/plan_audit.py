@@ -165,6 +165,7 @@ NOTES = {
     "q170_streaming_moments": "Three exact-decimal moment partials + one merge + broadcast of the 5-row stats to the scoring pass — identical shuffle count to q104, state-mediated.",
     "q171_udtf_chunking": "Arrow-batched Python UDTF lateral per partition, md5 in the projection — zero shuffles like q125; the Python round-trip is the declared cost of the imperative surface (q125 is the production twin).",
     "q172_udaf_trimmed_mean": "One Arrow grouped-agg pass (each group's values to one worker — declared order-statistic cost; q105 winsorized-decimal is the scale path) + a count agg joined on the ~5-row key set broadcast.",
+    "q173_minhash_estimation_audit": "q21's signature/candidate shapes (one shingle shuffle, banded self-join on bucket keys) + two candidate-keyed joins for signatures and shingle sets — integer micro-unit comparison, linear in candidates.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
