@@ -17,10 +17,18 @@ exact (guaranteed by the bound, not a heuristic).
 Same bucket-join discipline as the MinHash pipeline
 (operators/dedup.py): the shuffle keys on the gram, candidate pairs —
 not the corpus — are quadratic, and the expensive metric runs only on
-candidates. Pick ``q`` so the gram space out-cards the corpus
-(|alphabet|^q >> n_strings): too-small q makes every gram hot and the
-prefix filter loses its discrimination — measured here, q=3 over
-hex strings is 5x slower than q=4 for identical output.
+candidates. ``q`` must grow with the corpus so the gram space
+out-cards it (|alphabet|^q >> n_strings): with q FIXED the per-gram
+bucket holds ~n·prefix/|A|^q strings and candidates grow ∝ n²/|A|^q —
+the same constant-bucket-count quadratic law as a fixed sign-LSH band
+width (the r3 100× probe measured exactly this: q=4 over 600k hex
+strings stalled on a ~4·10⁸-pair candidate join, while the auto
+q=6 run stays linear). Hence ``q=None`` (the default) DERIVES
+q = ⌈log_|A|(64·n)⌉ from the clean set's observed alphabet and corpus
+size, clamped to [4, min_string_len] — one tiny agg over the clean
+side the pipeline scans anyway. Because the prefix bound guarantees
+EXACT recall for dist <= max_dist at ANY q (<= every string's
+length), the derivation changes performance only, never output.
 """
 
 from __future__ import annotations
@@ -56,6 +64,19 @@ def _prefix_grams(
     )
 
 
+def auto_q(n_clean: int, alphabet_size: int, min_len: int) -> int:
+    """Scale-safe gram width: smallest q with |A|^q >= 64·n (so the
+    expected per-gram bucket stays O(prefix_len/64) strings), clamped
+    to [4, min_len] — a gram longer than the shortest string would
+    silently drop it from blocking and break the exact-recall bound."""
+    a = max(alphabet_size, 2)
+    target = 64 * max(n_clean, 1)
+    want = 4
+    while a**want < target:
+        want += 1
+    return max(2, min(want, max(min_len, 2)))
+
+
 def qgram_match(
     dirty: DataFrame,
     clean: DataFrame,
@@ -63,15 +84,31 @@ def qgram_match(
     dirty_col: str = "dname",
     clean_id: str = "id",
     clean_col: str = "name",
-    q: int = 4,
+    q: int | None = None,
     max_dist: int = 2,
 ) -> DataFrame:
     """Resolve each dirty string to its best clean match.
 
     Output: (dirty_id, clean_id, dist) — one row per dirty record that
     found a candidate within ``max_dist``; best = smallest Levenshtein
-    distance, ties to the smallest clean id.
+    distance, ties to the smallest clean id. ``q=None`` derives the
+    gram width from the clean corpus (see ``auto_q``); output is
+    q-independent by the exact-recall bound.
     """
+    if q is None:
+        stats = clean.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.length(clean_col)).alias("min_len"),
+        ).first()
+        # observed alphabet, distributed: map-side partials collapse to
+        # <= |A| rows before the exchange — never a collected list
+        alphabet = (
+            clean.select(F.explode(F.split(clean_col, "")).alias("ch"))
+            .filter(F.col("ch") != "")
+            .agg(F.countDistinct("ch"))
+            .first()[0]
+        )
+        q = auto_q(int(stats["n"]), int(alphabet), int(stats["min_len"]))
     prefix_len = q * max_dist + 1
     d_grams = dirty.select(
         F.col(dirty_id), F.explode(char_qgrams(dirty_col, q)).alias("g")

@@ -653,3 +653,31 @@ def test_pcm16_codec_roundtrip_and_downmix(spark):
 
     # a negative odd sum floors toward -inf, not zero
     assert np.floor_divide(np.array([-3]), 2)[0] == -2
+
+
+def test_fuzzy_auto_q_derivation(spark):
+    """auto_q grows the gram width with corpus size so the gram space
+    out-cards the corpus (the r3 100x probe's q101 stall: fixed q=4
+    over 600k hex strings ~ 4e8 candidate pairs), and output is
+    q-independent (exact-recall bound)."""
+    from bigdataflink_spark.operators.fuzzy import auto_q, qgram_match
+
+    assert auto_q(6_000, 16, 32) == 5       # 16^5 = 1M >= 64*6k
+    assert auto_q(600_000, 16, 32) == 7     # 16^7 = 268M >= 38.4M
+    assert auto_q(10, 16, 32) == 4          # floor
+    assert auto_q(600_000, 16, 5) == 5      # capped at min string len
+    assert auto_q(100, 2, 32) == 13         # tiny alphabet forces long grams
+
+    clean = spark.createDataFrame(
+        [(1, "alphabet"), (2, "alphabravo"), (3, "charlie")], ["id", "name"]
+    )
+    dirty = spark.createDataFrame(
+        [(10, "alpabet"), (11, "charli")], ["did", "dname"]
+    )
+    auto = {
+        (r.did, r.id, r.dist) for r in qgram_match(dirty, clean).collect()
+    }
+    pinned = {
+        (r.did, r.id, r.dist) for r in qgram_match(dirty, clean, q=4).collect()
+    }
+    assert auto == pinned == {(10, 1, 1), (11, 3, 1)}
