@@ -2992,3 +2992,25 @@ SELECT e.id_a, e.id_b, e.est_jaccard_micro,
          AS abs_err_micro
 FROM est e JOIN sh x ON x.doc_id = e.id_a JOIN sh y ON y.doc_id = e.id_b
 """
+
+# q174: re-derive the snapshot change classes from the mutation rules
+# — %10==0 deleted, else %5==0 updated (source retag changes the
+# fingerprint), max+id inserted for %7==0. Note 70 ≡ 0 (mod 10): an id
+# divisible by 10 is deleted even when also divisible by 5 or 7 — the
+# source rows for inserts keep their ORIGINAL id's %7 test.
+ORACLES["q174_snapshot_diff"] = """
+WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+deleted AS (
+  SELECT doc_id, 'deleted' AS change FROM documents WHERE doc_id % 10 = 0
+),
+updated AS (
+  SELECT doc_id, 'updated' AS change FROM documents
+  WHERE doc_id % 10 <> 0 AND doc_id % 5 = 0
+),
+inserted AS (
+  SELECT d.doc_id + span.s AS doc_id, 'inserted' AS change
+  FROM documents d, span WHERE d.doc_id % 7 = 0
+)
+SELECT * FROM deleted UNION ALL SELECT * FROM updated
+UNION ALL SELECT * FROM inserted
+"""

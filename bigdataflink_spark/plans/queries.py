@@ -4533,6 +4533,40 @@ def q173_minhash_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q174_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract for the versioned snapshot layer
+    (sources/snapshots.py — VERSION-AS-OF time travel over immutable
+    parquet + manifest): commit documents as v0, a deterministically
+    mutated corpus as v1 (doc_id%10==0 deleted, %5==0 retagged,
+    max+id inserted for %7==0), then the row-level diff_versions
+    change set. The oracle re-derives every change class from the
+    mutation rules directly — certifying both the time-travel reads
+    and the NULL-safe fingerprint diff. State lands in a throwaway
+    table dir; the returned frame reads the committed snapshots."""
+    import tempfile
+
+    from bigdataflink_spark.sources import snapshots as sn
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    table = tempfile.mkdtemp(prefix="q174_snap_") + "/docs"
+    sn.write_snapshot(spark, docs, table)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    updated = base.withColumn(
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("source"), F.lit("-v2"))
+        ).otherwise(F.col("source")),
+    )
+    span = docs.agg(F.max("doc_id")).first()[0] + 1
+    inserts = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(span)
+    )
+    sn.write_snapshot(spark, updated.unionByName(inserts), table)
+    return sn.diff_versions(spark, table, 0, 1, ["doc_id"])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4704,4 +4738,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q171_udtf_chunking": q171_udtf_chunking,
     "q172_udaf_trimmed_mean": q172_udaf_trimmed_mean,
     "q173_minhash_estimation_audit": q173_minhash_estimation_audit,
+    "q174_snapshot_diff": q174_snapshot_diff,
 }

@@ -168,3 +168,55 @@ def test_binary_dir_ingest_and_multimodal_handoff(spark, tmp_path):
         F.length(F.base64("content")).alias("n_b64"),
     ).collect()
     assert {s["n_bytes"] for s in stats} == {64, 20}
+
+
+def test_snapshot_time_travel_and_diff(spark, tmp_path):
+    """Versioned snapshot tables (sources/snapshots.py): commit log
+    ordering, VERSION AS OF reads, unknown-version refusal, and a
+    row-level diff classifying inserted/deleted/updated with NULL-safe
+    fingerprints."""
+    from bigdataflink_spark.sources import snapshots as sn
+
+    t = str(tmp_path / "snap_table")
+    v0_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    assert sn.write_snapshot(spark, v0_df, t) == 0
+    # v1: update k=2 (NULL -> ''), delete k=3, insert k=4
+    v1_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 0.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    assert sn.write_snapshot(spark, v1_df, t) == 1
+
+    log = sn.list_versions(spark, t)
+    assert [e["version"] for e in log] == [0, 1]
+    assert [e["n_rows"] for e in log] == [3, 3]
+    assert log[1]["parent"] == 0
+
+    # time travel: v0 is immutable history, latest is v1
+    as_of_0 = {tuple(r) for r in sn.read_snapshot(spark, t, 0).collect()}
+    assert as_of_0 == {(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)}
+    latest = {tuple(r) for r in sn.read_snapshot(spark, t).collect()}
+    assert latest == {(1, "a", 10.0), (2, "b", 0.0), (4, "d", 40.0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="commit log"):
+        sn.read_snapshot(spark, t, 7)
+
+    diff = {
+        (r["k"], r["change"])
+        for r in sn.diff_versions(spark, t, 0, 1, ["k"]).collect()
+    }
+    assert diff == {(2, "updated"), (3, "deleted"), (4, "inserted")}
+
+    # NULL-safe fingerprints: NULL, '', and 'null' are all distinct
+    fp = sn.row_fingerprint(
+        spark.createDataFrame(
+            [(1, None), (2, ""), (3, "null")], "k long, s string"
+        ),
+        ["k"],
+    )
+    assert fp.select("_fp").distinct().count() == 3

@@ -166,6 +166,7 @@ NOTES = {
     "q171_udtf_chunking": "Arrow-batched Python UDTF lateral per partition, md5 in the projection — zero shuffles like q125; the Python round-trip is the declared cost of the imperative surface (q125 is the production twin).",
     "q172_udaf_trimmed_mean": "One Arrow grouped-agg pass (each group's values to one worker — declared order-statistic cost; q105 winsorized-decimal is the scale path) + a count agg joined on the ~5-row key set broadcast.",
     "q173_minhash_estimation_audit": "q21's signature/candidate shapes (one shingle shuffle, banded self-join on bucket keys) + two candidate-keyed joins for signatures and shingle sets — integer micro-unit comparison, linear in candidates.",
+    "q174_snapshot_diff": "Two immutable snapshot writes + one full-outer join on the key over exactly the two compared versions (fingerprints computed in the scan stage) — linear, one shuffle; readers never replay a log.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
