@@ -161,7 +161,7 @@ PROBE100 = {
     "q126_unigram_lm_score": QUERIES["q126_unigram_lm_score"],
     "q136_market_basket": QUERIES["q136_market_basket"],
 }
-FIXED100 = ["region", "nation", "customer", "supplier"]
+FIXED100 = ["region", "nation", "customer", "supplier", "part"]
 
 
 def _union_all(parts):
