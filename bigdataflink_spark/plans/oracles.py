@@ -3014,3 +3014,42 @@ inserted AS (
 SELECT * FROM deleted UNION ALL SELECT * FROM updated
 UNION ALL SELECT * FROM inserted
 """
+
+# q175: the oracle uses the DEFINITION — a customer is on the frontier
+# iff no other strictly dominates (better on one dim, >= on the other)
+# — deliberately a different formulation than the engine's linear
+# window sweep, so the sweep's equivalence to the definition is what
+# gets checked.
+ORACLES["q175_pareto_frontier"] = """
+WITH per AS (
+  SELECT o_custkey, MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT p.o_custkey, p.spend, p.n_orders
+FROM per p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per q
+  WHERE (q.spend >= p.spend AND q.n_orders > p.n_orders)
+     OR (q.spend > p.spend AND q.n_orders >= p.n_orders)
+)
+"""
+
+# q176: same smallest-v-reaching-half-total rule, window SQL.
+ORACLES["q176_weighted_median"] = """
+WITH wtd AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         CAST(event_id % 5 + 1 AS BIGINT) AS w
+  FROM events WHERE value IS NOT NULL
+),
+cum AS (
+  SELECT event_type, v,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY v, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(w) OVER (PARTITION BY event_type) AS t
+  FROM wtd
+)
+SELECT event_type, MIN(v) AS weighted_median,
+       CAST(MAX(t) AS BIGINT) AS total_weight
+FROM cum WHERE 2 * c >= t GROUP BY event_type
+"""

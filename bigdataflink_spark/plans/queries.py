@@ -4567,6 +4567,82 @@ def q174_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sn.diff_versions(spark, table, 0, 1, ["doc_id"])
 
 
+def q175_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (extension): customers not
+    dominated on (max single-order price, order count) — no other
+    customer is strictly better on one dimension and at least as good
+    on the other (the two dims trade off: many small orders vs one
+    big one — a real frontier, not a correlated point). The naive formulation is an O(n²) dominance anti-join; in
+    2-D it is ONE window: sort by spend desc (custkey asc tiebreak),
+    keep a row iff its count exceeds the running max count of every
+    STRICTLY-higher-spend row — linear, one shuffle, scales like any
+    window. Spend stays exact decimal; the emitted frontier is
+    integer/decimal so both engines agree bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        F.count("*").alias("n_orders"),
+    )
+    # dense rank of spend desc gives a numeric key where "strictly
+    # higher spend" = strictly smaller rank — the rangeBetween frame
+    # [unbounded, -1] over it is exactly the strict-dominator set
+    spend_rank = per.select(
+        "o_custkey", "spend", "n_orders",
+        F.dense_rank().over(Window.orderBy(F.desc("spend"))).alias("_r"),
+    )
+    w_prev = Window.orderBy("_r").rangeBetween(Window.unboundedPreceding, -1)
+    w_same = Window.partitionBy("_r")
+    return (
+        spend_rank.withColumn("_prevmax", F.max("n_orders").over(w_prev))
+        .withColumn("_samemax", F.max("n_orders").over(w_same))
+        .filter(
+            # beat every strictly-higher-spend row on count…
+            (
+                F.col("_prevmax").isNull()
+                | (F.col("n_orders") > F.col("_prevmax"))
+            )
+            # …and not beaten by an equal-spend row (equal spend +
+            # higher count dominates; equal on both dims co-survives)
+            & (F.col("n_orders") == F.col("_samemax"))
+        )
+        .select("o_custkey", "spend", "n_orders")
+    )
+
+
+def q176_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group (extension — the robust-stats
+    family next to q124's MAD): per event type, the smallest value v
+    whose cumulative integer weight reaches half the total (weight =
+    event_id % 5 + 1, deterministic). One per-group window sort with
+    a running BIGINT weight sum — the comparison 2·cum ≥ total stays
+    in exact integers (no midpoint interpolation, so both engines
+    pick the identical element)."""
+    ev = _t(spark, sf_dir, "events")
+    wtd = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        (F.col("event_id") % 5 + 1).cast("long").alias("w"),
+    ).filter(F.col("v").isNotNull())
+    wsort = Window.partitionBy("event_type").orderBy(
+        F.asc("v"), F.asc("w")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    cum = wtd.select(
+        "event_type",
+        "v",
+        F.sum("w").over(wsort).alias("_cum"),
+        F.sum("w").over(wall).alias("_tot"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy("event_type")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("_tot").alias("total_weight"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4739,4 +4815,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172_udaf_trimmed_mean": q172_udaf_trimmed_mean,
     "q173_minhash_estimation_audit": q173_minhash_estimation_audit,
     "q174_snapshot_diff": q174_snapshot_diff,
+    "q175_pareto_frontier": q175_pareto_frontier,
+    "q176_weighted_median": q176_weighted_median,
 }

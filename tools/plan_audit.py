@@ -167,6 +167,8 @@ NOTES = {
     "q172_udaf_trimmed_mean": "One Arrow grouped-agg pass (each group's values to one worker — declared order-statistic cost; q105 winsorized-decimal is the scale path) + a count agg joined on the ~5-row key set broadcast.",
     "q173_minhash_estimation_audit": "q21's signature/candidate shapes (one shingle shuffle, banded self-join on bucket keys) + two candidate-keyed joins for signatures and shingle sets — integer micro-unit comparison, linear in candidates.",
     "q174_snapshot_diff": "Two immutable snapshot writes + one full-outer join on the key over exactly the two compared versions (fingerprints computed in the scan stage) — linear, one shuffle; readers never replay a log.",
+    "q175_pareto_frontier": "The O(n²) dominance anti-join re-expressed as one dense-rank + two window maxes over the per-customer agg — linear, one shuffle; the oracle keeps the NOT EXISTS definition so the sweep's equivalence is what gets checked.",
+    "q176_weighted_median": "One per-group window sort with a running BIGINT weight sum; the 2·cum ≥ total pick stays in exact integers — no interpolation, same element on both engines.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
