@@ -997,3 +997,104 @@ def test_streaming_scd2_observed_frontier_gate(spark, tmp_path):
         for r in read_scd2_history(spark, state, "k", "attr").collect()
     )
     assert hist2 == [("A", 1), ("B", 2)]
+
+
+def test_property_merge_and_scd2_any_slicing_converges(spark, tmp_path):
+    """Property (hypothesis): for RANDOM batch slicings, orderings,
+    and duplicated (redelivered) slices, the bucketed LWW MERGE state
+    and the SCD2 change log both converge to the one-shot batch
+    answer — the exactly-once/idempotence claim under adversarial
+    delivery, not just the hand-picked slicings of the other tests."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdataflink_spark.operators.dedup import lww_dedup
+    from bigdataflink_spark.streaming.merge import merge_lww_bucketed, read_state
+    from bigdataflink_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        read_scd2_history,
+    )
+
+    rows = [(k % 7, f"v{(k * 13) % 5}", k) for k in range(40)]
+    schema = "k long, attr string, seq long"
+    one_shot = sorted(
+        tuple(r)
+        for r in lww_dedup(
+            spark.createDataFrame(rows, schema), ["k"], "seq"
+        ).collect()
+    )
+    from datetime import datetime, timedelta
+
+    # CDC contract: each key's observations arrive in nondecreasing
+    # event time — ts must be MONOTONE in seq or drop-late kicks in
+    scd_rows = [
+        (k, a, datetime(2024, 1, 1) + timedelta(hours=s), s)
+        for (k, a, s) in rows
+    ]
+    scd_schema = "k long, attr string, ts timestamp, seq long"
+    from bigdataflink_spark.operators.scd import scd2_history
+
+    scd_truth = sorted(
+        tuple(r)
+        for r in scd2_history(
+            spark.createDataFrame(scd_rows, scd_schema), "k", "attr", "ts", "seq"
+        ).collect()
+    )
+
+    case_n = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        cuts=st.lists(st.integers(0, 39), min_size=0, max_size=4),
+        redeliver=st.booleans(),
+        data=st.data(),
+    )
+    def check(cuts, redeliver, data):
+        case_n[0] += 1
+        bounds = sorted({0, 40, *cuts})
+        slices = [
+            list(range(lo, hi)) for lo, hi in zip(bounds, bounds[1:]) if hi > lo
+        ]
+        if redeliver and slices:
+            dup = data.draw(st.integers(0, len(slices) - 1))
+            slices.append(slices[dup])
+
+        mp = str(tmp_path / f"prop_merge_{case_n[0]}")
+        sp = str(tmp_path / f"prop_scd2_{case_n[0]}")
+        for sl in slices:
+            batch = [rows[i] for i in sl]
+            if not batch:
+                continue
+            merge_lww_bucketed(
+                spark,
+                spark.createDataFrame(batch, schema),
+                mp,
+                "k",
+                seq_col="seq",
+                num_buckets=4,
+            )
+            # CDC contract: within a delivery each key's observations
+            # are time-ordered — index order IS seq order here, and a
+            # redelivered slice replays old rows (idempotence path)
+            merge_scd2_batch(
+                spark,
+                spark.createDataFrame([scd_rows[i] for i in sl], scd_schema),
+                sp,
+                "k",
+                "attr",
+                "ts",
+                "seq",
+                num_buckets=4,
+            )
+        got = sorted(tuple(r) for r in read_state(spark, mp).collect())
+        assert got == one_shot
+        hist = sorted(
+            tuple(r) for r in read_scd2_history(spark, sp, "k", "attr").collect()
+        )
+        assert hist == scd_truth
+
+    check()
