@@ -181,3 +181,47 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
         assert j.count() == want > 0
     finally:
         _restore(spark, saved)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering (the non-partitioned twin of DPP):
+    a selective dim filter injects a BloomFilter aggregate whose
+    might_contain() guards the fact scan, so most probe rows die
+    BEFORE the join shuffle. Pinned here so the session is
+    demonstrably capable of it at 100 TB fact scale; results must
+    equal the unfiltered join exactly."""
+    saved = _with_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        },
+    )
+    try:
+        fact = spark.range(0, 200_000).select(
+            (F.col("id") % 5_000).alias("k"), F.col("id").alias("payload")
+        )
+        dim = spark.range(0, 5_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("attr"),
+        )
+        filtered_dim = dim.filter(F.col("attr") == 13)  # ~1% selective
+        joined = fact.join(filtered_dim, "k").groupBy().agg(
+            F.count("*").alias("n"), F.sum("payload").alias("s")
+        )
+        plan = _final_plan(joined)
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), (
+            "runtime bloom filter did not inject:\n" + plan[:2000]
+        )
+        got = joined.collect()[0]
+        want = (
+            fact.join(dim.filter(F.col("attr") == 13), "k")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+            .collect()[0]
+        )
+        assert tuple(got) == tuple(want)
+    finally:
+        _restore(spark, saved)
