@@ -3053,3 +3053,101 @@ SELECT event_type, MIN(v) AS weighted_median,
        CAST(MAX(t) AS BIGINT) AS total_weight
 FROM cum WHERE 2 * c >= t GROUP BY event_type
 """
+
+# q177: identical integer micro-unit pipeline in DuckDB list
+# comprehensions; |v| is quantized then re-signed because DuckDB's //
+# floors while Spark's DIV truncates (they agree on magnitudes).
+ORACLES["q177_int8_quantization_audit"] = """
+WITH vm AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+          FOR x IN embedding] AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+         list_max([abs(x) FOR x IN v]) AS max_abs_micro
+  FROM vm
+),
+q AS (
+  SELECT vec_id, v, max_abs_micro,
+         [CASE WHEN max_abs_micro = 0 THEN 0
+               ELSE CAST(sign(x) AS BIGINT) * ((abs(x) * 127) // max_abs_micro)
+          END FOR x IN v] AS qc
+  FROM m
+),
+d AS (
+  SELECT vec_id, v, max_abs_micro, qc,
+         [CASE WHEN max_abs_micro = 0 THEN 0
+               ELSE CAST(sign(c) AS BIGINT) * ((abs(c) * max_abs_micro) // 127)
+          END FOR c IN qc] AS deq
+  FROM q
+)
+SELECT vec_id, max_abs_micro,
+       CAST(list_sum([abs(v[i] - deq[i]) FOR i IN range(1, len(v) + 1)])
+            AS BIGINT) AS sum_abs_err_micro,
+       CAST(list_max([abs(v[i] - deq[i]) FOR i IN range(1, len(v) + 1)])
+            AS BIGINT) AS max_err_micro,
+       CAST(list_sum(qc) AS BIGINT) AS code_sum
+FROM d
+"""
+
+
+# q178: the SAME 3 integer-micro-unit PageRank rounds, unrolled —
+# every DIV floor reproduced, so ranks match bit-for-bit.
+ORACLES["q178_pagerank"] = """
+WITH e0 AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+e AS (SELECT src, dst, COUNT(*) AS w FROM e0 WHERE dst IS NOT NULL GROUP BY 1, 2),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+params AS (
+  SELECT COUNT(*) AS n,
+         (CAST(1000000 - 850000 AS BIGINT) * 1000000) // COUNT(*) // 1000000 AS base
+  FROM nodes
+),
+outs AS (SELECT src, SUM(w) AS w_out FROM e GROUP BY 1),
+s0 AS (
+  SELECT node, CAST(1000000 // (SELECT n FROM params) AS BIGINT) AS r
+  FROM nodes
+),
+c1 AS (
+  SELECT e.dst AS node, SUM((CAST(s0.r AS BIGINT) * e.w) // o.w_out) AS cs
+  FROM e JOIN s0 ON s0.node = e.src JOIN outs o ON o.src = e.src
+  GROUP BY 1
+),
+s1 AS (
+  SELECT n.node,
+         CAST((SELECT base FROM params)
+              + (CAST(850000 AS BIGINT) * COALESCE(c1.cs, 0)) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c1 USING (node)
+),c2 AS (
+  SELECT e.dst AS node, SUM((s1.r * e.w) // o.w_out) AS cs
+  FROM e JOIN s1 ON s1.node = e.src JOIN outs o ON o.src = e.src
+  GROUP BY 1
+),
+s2 AS (
+  SELECT n.node,
+         CAST((SELECT base FROM params)
+              + (CAST(850000 AS BIGINT) * COALESCE(c2.cs, 0)) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c2 USING (node)
+),c3 AS (
+  SELECT e.dst AS node, SUM((s2.r * e.w) // o.w_out) AS cs
+  FROM e JOIN s2 ON s2.node = e.src JOIN outs o ON o.src = e.src
+  GROUP BY 1
+),
+s3 AS (
+  SELECT n.node,
+         CAST((SELECT base FROM params)
+              + (CAST(850000 AS BIGINT) * COALESCE(c3.cs, 0)) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c3 USING (node)
+)
+SELECT node AS event_type, r AS rank_micro FROM s3
+"""

@@ -4489,11 +4489,13 @@ def q173_minhash_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     each). This is the audit a pipeline runs before trusting the
     sketch at a new shingle size/threshold — it quantifies estimator
     error on exactly the pairs the sketch surfaces. Linear: signatures
-    and shingle sets join only on the candidate set."""
+    and shingle sets join only on the candidate set; both are
+    persisted since two downstream legs reference each (the pushdown-
+    divergent-subtree rule from the plan-audit notes)."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    sigs = dedup.minhash_signatures(docs, num_hashes=16).persist()
     cands = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
-    sets_ = dedup.shingle_sets(docs, "doc_id", "text", 3)
+    sets_ = dedup.shingle_sets(docs, "doc_id", "text", 3).persist()
     a_sig = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{p}").alias(f"a{p}") for p in range(16)],
@@ -4640,6 +4642,84 @@ def q176_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").alias("weighted_median"),
             F.max("_tot").alias("total_weight"),
         )
+    )
+
+
+def q177_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 scalar quantization + reconstruction-error
+    audit (extension — the compression step an ANN serving layer runs
+    before shipping vectors): per vector, symmetric scale =
+    max|v|/127, quantized q_i = (v_i·127) / max|v| with ALL
+    arithmetic in floor(v·1e6) integer micro-units (the q154 clamp
+    pattern) so both engines compute identical codes — floats never
+    accumulate. Emits per-vector total/max reconstruction error in
+    micro-units plus the quantized-code checksum. Pure per-row
+    higher-order functions, zero shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vm = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * 1000000).cast("long")
+    )
+    with_m = emb.select("vec_id", vm.alias("_vm")).select(
+        "vec_id",
+        "_vm",
+        F.array_max(
+            F.transform("_vm", lambda x: F.abs(x))
+        ).alias("max_abs_micro"),
+    )
+    # integer quantize: Spark's DIV truncates toward zero, DuckDB's //
+    # floors — they differ on negatives, so quantize |v| and re-sign
+    # (magnitude division is the same truncation on both engines)
+    coded = with_m.withColumn(
+        "_q",
+        F.expr(
+            "transform(_vm, x -> CASE WHEN max_abs_micro = 0 THEN 0L "
+            "ELSE CAST(sign(x) AS BIGINT) * ((abs(x) * 127L) DIV max_abs_micro) END)"
+        ),
+    ).withColumn(
+        "_deq",
+        F.expr(
+            "transform(_q, c -> CASE WHEN max_abs_micro = 0 THEN 0L "
+            "ELSE CAST(sign(c) AS BIGINT) * ((abs(c) * max_abs_micro) DIV 127L) END)"
+        ),
+    )
+    return coded.select(
+        "vec_id",
+        "max_abs_micro",
+        F.expr("aggregate(zip_with(_vm, _deq, (a, b) -> abs(a - b)), 0L, (s, x) -> s + x)").alias(
+            "sum_abs_err_micro"
+        ),
+        F.expr("array_max(zip_with(_vm, _deq, (a, b) -> abs(a - b)))").alias(
+            "max_err_micro"
+        ),
+        F.expr("aggregate(_q, 0L, (s, x) -> s + x)").alias("code_sum"),
+    )
+
+
+def q178_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (extension; operators/graph.py — the
+    iterative-fixpoint family next to q72's label propagation and
+    q115's recursive walks): 3 rounds over the q137 event-transition
+    graph (nodes = event types, edge weight = transition count), all
+    arithmetic in BIGINT micro-units with DIV floors so the oracle
+    can UNROLL the identical iterations in SQL and match bit-for-bit
+    — a float PageRank never cross-checks this way. The operator is
+    generic: one |E|-keyed join + one dst-keyed sum per round, the
+    standard distributed shape."""
+    from bigdataflink_spark.operators.graph import pagerank_integer
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank_integer(edges, iterations=3, weight_col="w").select(
+        F.col("node").alias("event_type"), "rank_micro"
     )
 
 
@@ -4817,4 +4897,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q174_snapshot_diff": q174_snapshot_diff,
     "q175_pareto_frontier": q175_pareto_frontier,
     "q176_weighted_median": q176_weighted_median,
+    "q177_int8_quantization_audit": q177_int8_quantization_audit,
+    "q178_pagerank": q178_pagerank,
 }

@@ -169,6 +169,8 @@ NOTES = {
     "q174_snapshot_diff": "Two immutable snapshot writes + one full-outer join on the key over exactly the two compared versions (fingerprints computed in the scan stage) — linear, one shuffle; readers never replay a log.",
     "q175_pareto_frontier": "The O(n²) dominance anti-join re-expressed as one dense-rank + two window maxes over the per-customer agg — linear, one shuffle; the oracle keeps the NOT EXISTS definition so the sweep's equivalence is what gets checked.",
     "q176_weighted_median": "One per-group window sort with a running BIGINT weight sum; the 2·cum ≥ total pick stays in exact integers — no interpolation, same element on both engines.",
+    "q177_int8_quantization_audit": "Pure per-row higher-order functions over the embedding array — zero shuffles, zero joins; all arithmetic in BIGINT micro-units (|v| quantized then re-signed since Spark DIV truncates and DuckDB // floors).",
+    "q178_pagerank": "Driver loop of 3 rounds, each one |E|-keyed join + one dst-keyed sum (edges persisted once); integer micro-unit ranks so the unrolled-SQL oracle matches bit-for-bit. Linear in |E| per round — the standard distributed PageRank shape.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
