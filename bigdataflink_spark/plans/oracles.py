@@ -3151,3 +3151,60 @@ s3 AS (
 )
 SELECT node AS event_type, r AS rank_micro FROM s3
 """
+
+
+# q179: every rule's violation count recomputed from its definition.
+# DuckDB regexp_matches is RE2 but the clerk pattern is regex-dialect
+# neutral (anchors, literal, digit class).
+ORACLES["q179_expectations_audit"] = """
+WITH n AS (SELECT COUNT(*) AS n_checked FROM orders)
+SELECT 'custkey_not_null' AS rule, n.n_checked,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_violations,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) = 0 AS passed
+FROM n
+UNION ALL
+SELECT 'price_band', n.n_checked,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND NOT (o_totalprice BETWEEN 1000 AND 300000)),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND NOT (o_totalprice BETWEEN 1000 AND 300000)) = 0
+FROM n
+UNION ALL
+SELECT 'status_domain', n.n_checked,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O')),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O')) = 0
+FROM n
+UNION ALL
+SELECT 'priority_format', n.n_checked,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) = 0
+FROM n
+UNION ALL
+SELECT 'pk_unique', n.n_checked,
+       (SELECT COALESCE(SUM(c - 1), 0) FROM
+         (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) t
+        WHERE c > 1),
+       (SELECT COALESCE(SUM(c - 1), 0) FROM
+         (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) t
+        WHERE c > 1) = 0
+FROM n
+UNION ALL
+SELECT 'cust_fk', n.n_checked,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+FROM n
+"""

@@ -4723,6 +4723,46 @@ def q178_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q179_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (extension;
+    operators/expectations.py — the Great-Expectations shape): a
+    rule suite over orders (not_null, range, domain, regex, PK
+    uniqueness, customer FK) compiled into one scalar-agg scan plus
+    one keyed job per unique/fk rule, emitting exact violation counts
+    and a pass verdict per rule. Range/regex rules are deliberately
+    TIGHT so violations are non-zero and the counts carry signal; the
+    oracle recomputes every count from the rule definitions."""
+    from bigdataflink_spark.operators.expectations import check_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rules = [
+        {"rule": "custkey_not_null", "type": "not_null", "col": "o_custkey"},
+        {
+            "rule": "price_band",
+            "type": "range",
+            "col": "o_totalprice",
+            "lo": 1000,
+            "hi": 300000,
+        },
+        {
+            "rule": "status_domain",
+            "type": "values_in",
+            "col": "o_orderstatus",
+            "values": ["F", "O"],
+        },
+        {
+            "rule": "priority_format",
+            "type": "regex",
+            "col": "o_orderpriority",
+            "pattern": "^[1-5]-[A-Z ]+$",
+        },
+        {"rule": "pk_unique", "type": "unique", "cols": ["o_orderkey"]},
+        {"rule": "cust_fk", "type": "fk", "col": "o_custkey", "ref_col": "c_custkey"},
+    ]
+    return check_expectations(orders, rules, refs={"cust_fk": customer})
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4899,4 +4939,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_weighted_median": q176_weighted_median,
     "q177_int8_quantization_audit": q177_int8_quantization_audit,
     "q178_pagerank": q178_pagerank,
+    "q179_expectations_audit": q179_expectations_audit,
 }

@@ -681,3 +681,40 @@ def test_fuzzy_auto_q_derivation(spark):
         (r.did, r.id, r.dist) for r in qgram_match(dirty, clean, q=4).collect()
     }
     assert auto == pinned == {(10, 1, 1), (11, 3, 1)}
+
+
+def test_expectations_engine_catches_violations(spark):
+    """Each expectation type fires on crafted dirty data: dup PKs,
+    orphan FKs, nulls, out-of-range, bad domain, bad format."""
+    from bigdataflink_spark.operators.expectations import check_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", 5.0, "ok_1"),
+            (1, 10, "A", 5.0, "ok_2"),      # dup PK (1 extra row)
+            (2, 99, "B", -3.0, "bad fmt"),  # orphan FK, range, domain, regex
+            (3, None, "A", 5.0, "ok_3"),    # null FK (not an fk violation)
+        ],
+        "pk long, fk long, status string, v double, tag string",
+    )
+    ref = spark.createDataFrame([(10,), (11,)], "rk long")
+    rules = [
+        {"rule": "fk_not_null", "type": "not_null", "col": "fk"},
+        {"rule": "v_range", "type": "range", "col": "v", "lo": 0, "hi": 10},
+        {"rule": "status_dom", "type": "values_in", "col": "status", "values": ["A"]},
+        {"rule": "tag_fmt", "type": "regex", "col": "tag", "pattern": "^ok_[0-9]$"},
+        {"rule": "pk_uni", "type": "unique", "cols": ["pk"]},
+        {"rule": "fk_ref", "type": "fk", "col": "fk", "ref_col": "rk"},
+    ]
+    got = {
+        r["rule"]: (r["n_checked"], r["n_violations"], r["passed"])
+        for r in check_expectations(df, rules, refs={"fk_ref": ref}).collect()
+    }
+    assert got == {
+        "fk_not_null": (4, 1, False),
+        "v_range": (4, 1, False),
+        "status_dom": (4, 1, False),
+        "tag_fmt": (4, 1, False),
+        "pk_uni": (4, 1, False),
+        "fk_ref": (4, 1, False),
+    }
