@@ -3208,3 +3208,8 @@ SELECT 'cust_fk', n.n_checked,
                           WHERE c.c_custkey = o.o_custkey)) = 0
 FROM n
 """
+
+
+# q180: stream-state SCD2 history == one-shot batch scd2_history —
+# the oracle IS q99's SQL (identical output is the parity contract).
+ORACLES["q180_streaming_scd2"] = ORACLES["q99_scd2_history"]

@@ -4763,6 +4763,50 @@ def q179_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_expectations(orders, rules, refs={"cust_fk": customer})
 
 
+def q180_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract for the INCREMENTAL streaming SCD2 maintainer
+    (streaming/scd2.py — q169/q170's pattern applied to the change-log
+    state): events flow through the real merge_scd2_batch body in 3
+    batches sliced along the global (ts, event_id) row_number order
+    (the CDC delivery contract: per-key observations nondecreasing
+    across batches — ties split safely because the sort embeds the
+    tiebreak), and the read-time history must be bit-identical to
+    q99's one-shot batch scd2_history — the oracle IS q99's SQL.
+    The global row_number slicing is fixture machinery, not the
+    operator (production feeds arrive already time-ordered)."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        read_scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    n = ev.count()
+    ranked = ev.withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy(F.asc("ts"), F.asc("event_id"))),
+    ).persist()
+    state = tempfile.mkdtemp(prefix="q180_scd2_") + "/state"
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for lo, hi in zip(bounds, bounds[1:]):
+        merge_scd2_batch(
+            spark,
+            ranked.filter((F.col("_rn") > lo) & (F.col("_rn") <= hi)).drop(
+                "_rn"
+            ),
+            state,
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+        )
+    ranked.unpersist()
+    return read_scd2_history(spark, state, "user_id", "event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4940,4 +4984,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q177_int8_quantization_audit": q177_int8_quantization_audit,
     "q178_pagerank": q178_pagerank,
     "q179_expectations_audit": q179_expectations_audit,
+    "q180_streaming_scd2": q180_streaming_scd2,
 }
