@@ -3213,3 +3213,8 @@ FROM n
 # q180: stream-state SCD2 history == one-shot batch scd2_history —
 # the oracle IS q99's SQL (identical output is the parity contract).
 ORACLES["q180_streaming_scd2"] = ORACLES["q99_scd2_history"]
+
+
+# q181: compacted stream-rollup state == one-shot tumbling window —
+# the oracle IS q15's SQL (identical output is the parity contract).
+ORACLES["q181_continuous_rollup"] = ORACLES["q15_tumbling_window"]

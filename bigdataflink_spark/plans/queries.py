@@ -4807,6 +4807,31 @@ def q180_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_scd2_history(spark, state, "user_id", "event_type")
 
 
+def q181_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract for the continuous (hypertable-style) rollup
+    (streaming/rollup.py — the last state-family member without a
+    declared query): events flow through the real rollup_batch body
+    in 3 slices (additive DECIMAL partials — slicing-order-free,
+    unlike q180's CDC contract), the parts are then COMPACTED into
+    one pre-aggregated part (exercising the maintenance path), and
+    the final-merge read must equal q15's one-shot tumbling window —
+    the oracle IS q15's SQL."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        rollup_batch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    parts = tempfile.mkdtemp(prefix="q181_rollup_") + "/parts"
+    for i in range(3):
+        rollup_batch(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i), i, parts)
+    compact_rollup(spark, parts)
+    return read_rollup(spark, parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -4985,4 +5010,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_pagerank": q178_pagerank,
     "q179_expectations_audit": q179_expectations_audit,
     "q180_streaming_scd2": q180_streaming_scd2,
+    "q181_continuous_rollup": q181_continuous_rollup,
 }

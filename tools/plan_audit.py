@@ -173,6 +173,7 @@ NOTES = {
     "q178_pagerank": "Driver loop of 3 rounds, each one |E|-keyed join + one dst-keyed sum (edges persisted once); integer micro-unit ranks so the unrolled-SQL oracle matches bit-for-bit. Linear in |E| per round — the standard distributed PageRank shape.",
     "q179_expectations_audit": "All four scalar rules share ONE aggregate scan (map-side partials, 1-row result); pk-unique adds one keyed count, the FK one left-anti join (AQE broadcasts the dim). Rule-per-row output so a gate is filter(~passed).",
     "q180_streaming_scd2": "Three real change-log merges (dirty-bucket rewrites) + the lead() read — identical output to q104-style one-shot q99. The global row_number slice is fixture machinery only; production CDC feeds arrive time-ordered.",
+    "q181_continuous_rollup": "Three partial-aggregate part writes + one compaction rewrite + the final-merge agg — additive DECIMAL partials, so slicing and compaction are invisible to the result; the rollup never rescans raw events.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
