@@ -88,6 +88,16 @@ HEADLINE = [
     "q160_trailing_window_count",
     "q161_ewma",
     "q165_prefix_collisions",
+    # round-3 operator families: audio codec, sketch-accuracy audit,
+    # Pareto window sweep, int8 quantization, integer PageRank,
+    # expectations engine, compacted continuous rollup
+    "q166_audio_channel_stats",
+    "q173_minhash_estimation_audit",
+    "q175_pareto_frontier",
+    "q177_int8_quantization_audit",
+    "q178_pagerank",
+    "q179_expectations_audit",
+    "q181_continuous_rollup",
 ]
 
 
