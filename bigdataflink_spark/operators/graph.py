@@ -58,37 +58,50 @@ def pagerank_integer(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError(
+            "pagerank_integer: empty edge list (no nodes to rank)"
+        )
     out_tot = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     e_norm = e.join(out_tot, "src").persist()
-
-    base = (MICRO - damping_micro) * MICRO // n_nodes // MICRO
-    scores = nodes.select(
-        "node", F.lit(MICRO // n_nodes).cast("long").alias("rank_micro")
-    )
-    for _ in range(iterations):
-        contribs = (
-            e_norm.join(
-                scores.withColumnRenamed("node", "src"), "src"
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(rank_micro * w) DIV w_out").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("c_sum"))
+    try:
+        base = (MICRO - damping_micro) * MICRO // n_nodes // MICRO
+        scores = nodes.select(
+            "node", F.lit(MICRO // n_nodes).cast("long").alias("rank_micro")
         )
-        scores = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_micro}L * coalesce(c_sum, 0L)) DIV {MICRO}L"
-                    )
-                ).alias("rank_micro"),
+        for _ in range(iterations):
+            contribs = (
+                e_norm.join(
+                    scores.withColumnRenamed("node", "src"), "src"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("(rank_micro * w) DIV w_out").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c_sum"))
             )
-        )
-    return scores
+            # Cut lineage each round (same pattern as dedup_clusters /
+            # greedy_leader_filter): without this the plan re-derives
+            # every prior round's join+agg on any action, the classic
+            # iterative-Spark failure at convergence-level iteration
+            # counts. Truncation is plan-side only — values unchanged.
+            scores = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr(
+                            f"({damping_micro}L * coalesce(c_sum, 0L)) DIV {MICRO}L"
+                        )
+                    ).alias("rank_micro"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return scores
+    finally:
+        e_norm.unpersist()

@@ -21,11 +21,18 @@ Design points for 100 TB:
   state stores (streaming/merge.py) already cover incremental
   maintenance; snapshots exist for reproducibility pins — "train on
   the corpus exactly as it was".
-* The manifest is tiny (one JSON object per version) and written
-  LAST, so a crashed writer leaves an orphaned ``v=N`` directory but
-  never a manifest pointing at missing data — readers see the old
+* The commit log is APPEND-ONLY: one tiny JSON record per version
+  under ``_log/``, each written to a temp name and renamed into place
+  (rename to a fresh name — atomic on local FS and HDFS; never an
+  in-place overwrite, so no reader can ever observe a truncated log).
+  Data lands first, the commit record last: a crashed writer leaves
+  an orphaned ``v=N`` directory but never a record pointing at
+  missing data, and never a corrupted log — readers see the old
   latest until the commit record lands (single-writer discipline, the
-  same assumption the reference's batch loaders make).
+  same assumption the reference's batch loaders make). The next
+  writer reclaims an orphaned ``v=N`` dir by overwriting it (its
+  version was never committed, so immutability of committed
+  snapshots is preserved).
 * ``diff_versions`` is one full-outer join on the key — linear, one
   shuffle, and only over the two compared snapshots.
 
@@ -41,7 +48,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MANIFEST = "_manifest.json"
+LOG_DIR = "_log"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -52,24 +59,47 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _read_manifest(spark: SparkSession, table: str) -> dict:
-    fs, hpath, jvm = _fs(spark, f"{table}/{MANIFEST}")
-    if not fs.exists(hpath):
+    """Compose the commit log from the append-only ``_log/`` records
+    (one JSON object per committed version, oldest first)."""
+    fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
+    if not fs.exists(log_root):
         return {"versions": []}
-    stream = fs.open(hpath)
-    try:
-        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(raw)
+    records = []
+    for st in fs.listStatus(log_root):
+        name = st.getPath().getName()
+        if not (name.startswith("v-") and name.endswith(".json")):
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        records.append(json.loads(raw))
+    records.sort(key=lambda r: r["version"])
+    return {"versions": records}
 
 
-def _write_manifest(spark: SparkSession, table: str, manifest: dict) -> None:
-    fs, hpath, jvm = _fs(spark, f"{table}/{MANIFEST}")
-    out = fs.create(hpath, True)
+def _append_commit_record(spark: SparkSession, table: str, record: dict) -> None:
+    """Publish one version's commit record: write to a temp name, then
+    a single atomic rename to the (fresh, never-overwritten) final
+    name. A crash before the rename leaves only an invisible temp; a
+    reader can never observe a partial or truncated record."""
+    version = record["version"]
+    fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
+    fs.mkdirs(log_root)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{LOG_DIR}/.v-{version:08d}.json.tmp"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{LOG_DIR}/v-{version:08d}.json"
+    )
+    out = fs.create(tmp, True)
     try:
-        out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+        out.write(bytearray(json.dumps(record, indent=1).encode("utf-8")))
     finally:
         out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"snapshot commit rename failed for {final}")
 
 
 def list_versions(spark: SparkSession, table: str) -> list[dict]:
@@ -85,17 +115,21 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
     version = (
         manifest["versions"][-1]["version"] + 1 if manifest["versions"] else 0
     )
-    df.write.mode("errorifexists").parquet(f"{table}/v={version}")
+    # overwrite (not errorifexists): version numbers only ever advance
+    # past COMMITTED versions, so the only thing this can clobber is an
+    # orphaned uncommitted v=N dir left by a crashed prior attempt
+    df.write.mode("overwrite").parquet(f"{table}/v={version}")
     n_rows = spark.read.parquet(f"{table}/v={version}").count()
-    manifest["versions"].append(
+    _append_commit_record(
+        spark,
+        table,
         {
             "version": version,
             "n_rows": n_rows,
             "parent": version - 1 if version else None,
             "schema": df.schema.jsonValue(),
-        }
+        },
     )
-    _write_manifest(spark, table, manifest)
     return version
 
 

@@ -16,6 +16,35 @@ At 100 TB the parts stay small (one row per bucket×type per batch)
 and compaction is a periodic rewrite of old parts into one — the
 rollup never rescans raw events.
 
+Compaction is CRASH-ATOMIC and safe to run beside a live stream
+(single compactor, any number of stream triggers):
+
+* the merged partial lands in a fresh ``compacted/gen=G`` directory
+  first; the rollup state is untouched until a tiny commit record
+  (``_compactions/gen-G.json``, written to a temp name and renamed —
+  one atomic FS operation) declares generation G live, recording the
+  highest batch id it absorbed (``superseded_max_batch``);
+* readers resolve the newest committed generation and scan
+  ``compacted/gen=G`` plus only the batch dirs with id >
+  ``superseded_max_batch`` — so at every instant they see either the
+  old complete state or the new complete state, never half of one;
+* stale batch dirs / older generations are deleted only AFTER the
+  commit record lands; a crash anywhere leaves either an orphaned
+  uncommitted gen dir (invisible, overwritten by the next attempt)
+  or already-superseded dirs pending cleanup (invisible to readers,
+  removed by the next compaction).
+
+Concurrency contract with a live stream: micro-batch epoch ids are
+monotonically increasing under one checkpoint, so a running stream
+only creates batch dirs ABOVE every committed ``superseded_max_batch``
+— except a post-restart REPLAY of an already-compacted epoch, which
+rewrites its own (now ignored) ``batch_id=K`` dir with identical
+content: harmless by the same idempotence that makes replays safe
+pre-compaction. Both the reader and the compactor only consider batch
+dirs whose parquet commit marker (``_SUCCESS``) is present, so an
+in-flight trigger's half-written directory is never merged or
+double-counted.
+
 Partial sums accumulate in DECIMAL and are only rounded by the final
 reader, so the incremental result is bit-identical to a one-shot
 batch aggregation over the same events (verified in tests against
@@ -24,8 +53,19 @@ operators/windows.tumbling).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+COMMIT_DIR = "_compactions"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf), hpath, jvm
 
 
 def rollup_batch(
@@ -51,11 +91,58 @@ def rollup_batch(
     part.write.mode("overwrite").parquet(f"{parts_dir}/batch_id={batch_id}")
 
 
+def _live_state(spark: SparkSession, parts_dir: str):
+    """(gen_path_or_None, committed_gen, superseded_max_batch,
+    live_batch_dirs) — the committed view of the rollup state.
+
+    Listing is through the Hadoop FS API (works on HDFS/S3A the same
+    as local); only _SUCCESS-complete batch dirs count, so a trigger
+    writing concurrently is never half-read.
+    """
+    fs, root, jvm = _fs(spark, parts_dir)
+    gen, max_batch = -1, -1
+    commit_root = jvm.org.apache.hadoop.fs.Path(f"{parts_dir}/{COMMIT_DIR}")
+    if fs.exists(commit_root):
+        for st in fs.listStatus(commit_root):
+            name = st.getPath().getName()
+            if not (name.startswith("gen-") and name.endswith(".json")):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+            rec = json.loads(raw)
+            if rec["gen"] > gen:
+                gen, max_batch = rec["gen"], rec["superseded_max_batch"]
+    gen_path = f"{parts_dir}/compacted/gen={gen}" if gen >= 0 else None
+    live = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            bid = int(name.split("=", 1)[1])
+            if bid <= max_batch and gen >= 0:
+                continue  # absorbed into the committed generation
+            ok = jvm.org.apache.hadoop.fs.Path(
+                f"{parts_dir}/{name}/_SUCCESS"
+            )
+            if fs.exists(ok):
+                live.append((bid, f"{parts_dir}/{name}"))
+    live.sort()
+    return gen_path, gen, max_batch, live
+
+
 def read_rollup(spark: SparkSession, parts_dir: str) -> DataFrame:
-    """Final-merge view over all parts: same schema as
+    """Final-merge view over the committed state: same schema as
     operators/windows.tumbling (win_start_us, event_type, n,
     sum_value)."""
-    parts = spark.read.option("basePath", parts_dir).parquet(f"{parts_dir}/batch_id=*")
+    gen_path, _, _, live = _live_state(spark, parts_dir)
+    paths = ([gen_path] if gen_path else []) + [p for _, p in live]
+    if not paths:
+        raise ValueError(f"rollup at {parts_dir} has no committed parts")
+    parts = spark.read.parquet(*paths)
     return (
         parts.groupBy("win_start_us", "event_type")
         .agg(
@@ -65,29 +152,110 @@ def read_rollup(spark: SparkSession, parts_dir: str) -> DataFrame:
     )
 
 
+def _write_gen_data(spark: SparkSession, parts_dir: str) -> tuple[int, int] | None:
+    """Compaction phase 1: merge the committed state into a fresh
+    UNCOMMITTED ``compacted/gen=G+1`` directory. Returns (new_gen,
+    new_superseded_max_batch), or None when there is nothing to fold
+    (fewer than two live inputs). Crash after this phase leaves an
+    orphan dir that the next attempt overwrites."""
+    gen_path, gen, _, live = _live_state(spark, parts_dir)
+    n_inputs = (1 if gen_path else 0) + len(live)
+    if n_inputs < 2 or not live:
+        return None
+    new_gen = gen + 1
+    new_max = live[-1][0]
+    paths = ([gen_path] if gen_path else []) + [p for _, p in live]
+    merged = (
+        spark.read.parquet(*paths)
+        .groupBy("win_start_us", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value_dec").alias("sum_value_dec"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(
+        f"{parts_dir}/compacted/gen={new_gen}"
+    )
+    return new_gen, new_max
+
+
+def _commit_gen(
+    spark: SparkSession, parts_dir: str, new_gen: int, new_max: int
+) -> None:
+    """Compaction phase 2 — THE atomic step: publish the commit record
+    via create-temp + rename (rename to a fresh name is atomic on
+    local FS and HDFS; on S3A it is a metadata copy of a ~60-byte
+    object — still effectively a point switch)."""
+    fs, _, jvm = _fs(spark, parts_dir)
+    commit_root = jvm.org.apache.hadoop.fs.Path(f"{parts_dir}/{COMMIT_DIR}")
+    fs.mkdirs(commit_root)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{parts_dir}/{COMMIT_DIR}/.gen-{new_gen}.json.tmp"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{parts_dir}/{COMMIT_DIR}/gen-{new_gen}.json"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"gen": new_gen, "superseded_max_batch": new_max}
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"commit rename failed for {final}")
+
+
+def _cleanup_superseded(spark: SparkSession, parts_dir: str) -> None:
+    """Compaction phase 3 (lazy, idempotent): delete batch dirs and
+    generations the newest commit record has superseded. Safe to crash
+    anywhere — readers already ignore everything deleted here."""
+    fs, root, jvm = _fs(spark, parts_dir)
+    _, gen, max_batch, _ = _live_state(spark, parts_dir)
+    if gen < 0:
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) <= max_batch:
+            fs.delete(st.getPath(), True)
+    comp_root = jvm.org.apache.hadoop.fs.Path(f"{parts_dir}/compacted")
+    if fs.exists(comp_root):
+        for st in fs.listStatus(comp_root):
+            name = st.getPath().getName()
+            if name.startswith("gen=") and int(name.split("=", 1)[1]) < gen:
+                fs.delete(st.getPath(), True)
+    commit_root = jvm.org.apache.hadoop.fs.Path(f"{parts_dir}/{COMMIT_DIR}")
+    for st in fs.listStatus(commit_root):
+        name = st.getPath().getName()
+        if (
+            name.startswith("gen-")
+            and name.endswith(".json")
+            and int(name[4:-5]) < gen
+        ):
+            fs.delete(st.getPath(), False)
+
+
 def compact_rollup(spark: SparkSession, parts_dir: str) -> None:
-    """Fold all parts into a single pre-aggregated part.
+    """Fold the committed parts into a single pre-aggregated part.
 
-    Run while the stream is stopped (between availableNow runs /
-    during maintenance): replaces N per-batch partials with one
-    merged partial under ``batch_id=-1``, keeping DECIMAL partial
-    sums so the final reader's result is unchanged. Keeps the parts
-    listing O(1) instead of O(batches) on long-running rollups.
+    Crash-atomic (see module doc): merged data first, atomic commit
+    record second, deletion of superseded dirs last — at no point can
+    a crash lose or double-count rollup state, and readers always see
+    one complete generation. Keeps the parts listing O(1) instead of
+    O(batches) on long-running rollups. Safe beside a live stream
+    (single compactor; see the concurrency contract in the module
+    doc). DECIMAL partial sums are preserved, so the final reader's
+    result is unchanged.
     """
-    import shutil
-
-    parts = spark.read.option("basePath", parts_dir).parquet(f"{parts_dir}/batch_id=*")
-    merged = parts.groupBy("win_start_us", "event_type").agg(
-        F.sum("n").alias("n"),
-        F.sum("sum_value_dec").alias("sum_value_dec"),
-    )
-    tmp = f"{parts_dir}.compact_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(parts_dir)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(
-        f"{parts_dir}/batch_id=-1"
-    )
-    shutil.rmtree(tmp)
+    staged = _write_gen_data(spark, parts_dir)
+    if staged is None:
+        return
+    _commit_gen(spark, parts_dir, *staged)
+    _cleanup_superseded(spark, parts_dir)
 
 
 def run_continuous_rollup(

@@ -220,3 +220,32 @@ def test_snapshot_time_travel_and_diff(spark, tmp_path):
         ["k"],
     )
     assert fp.select("_fp").distinct().count() == 3
+
+
+def test_snapshot_commit_log_crash_safety(spark, tmp_path):
+    """A crashed writer (data written, commit record NOT yet renamed
+    into place) must leave readers on the old latest with an intact
+    log; the next writer reclaims the orphaned version dir. The log is
+    append-only — committing a version never rewrites prior records."""
+    import os
+
+    from bigdataflink_spark.sources import snapshots as sn
+
+    t = str(tmp_path / "crashy")
+    v0 = spark.range(5).withColumnRenamed("id", "k")
+    assert sn.write_snapshot(spark, v0, t) == 0
+    log_before = sorted(os.listdir(f"{t}/{sn.LOG_DIR}"))
+
+    # simulate the crash: data for v=1 lands, commit record never does
+    v1 = spark.range(9).withColumnRenamed("id", "k")
+    v1.write.mode("overwrite").parquet(f"{t}/v=1")
+    assert [v["version"] for v in sn.list_versions(spark, t)] == [0]
+    assert sn.read_snapshot(spark, t).count() == 5  # old latest intact
+
+    # recovery: the next committed write reuses and overwrites v=1
+    v1b = spark.range(7).withColumnRenamed("id", "k")
+    assert sn.write_snapshot(spark, v1b, t) == 1
+    assert sn.read_snapshot(spark, t, 1).count() == 7
+    assert sn.read_snapshot(spark, t, 0).count() == 5
+    # append-only: v0's record file is byte-identical to before
+    assert sorted(os.listdir(f"{t}/{sn.LOG_DIR}"))[0] == log_before[0]

@@ -1098,3 +1098,123 @@ def test_property_merge_and_scd2_any_slicing_converges(spark, tmp_path):
         assert hist == scd_truth
 
     check()
+
+
+def _rollup_totals(spark, parts_dir):
+    from bigdataflink_spark.streaming.rollup import read_rollup
+
+    return sorted(map(tuple, read_rollup(spark, parts_dir).collect()))
+
+
+@pytest.fixture()
+def rollup_parts(spark, workdir):
+    """Three batch partials over sf0.001 events, fresh per test."""
+    import shutil as _sh
+
+    from bigdataflink_spark.streaming.rollup import rollup_batch
+
+    d = f"{workdir}/rollup_crash_parts"
+    _sh.rmtree(d, ignore_errors=True)
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    for i in range(3):
+        rollup_batch(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i), i, d)
+    return d
+
+
+def test_rollup_compaction_crash_before_commit(spark, rollup_parts):
+    """Kill between writing the merged generation and committing it:
+    readers must still see the OLD complete state (the staged gen dir
+    is invisible), and a rerun of compaction must converge to the same
+    totals."""
+    from bigdataflink_spark.streaming.rollup import (
+        _write_gen_data,
+        compact_rollup,
+    )
+
+    before = _rollup_totals(spark, rollup_parts)
+    staged = _write_gen_data(spark, rollup_parts)  # crash here: no commit
+    assert staged == (0, 2)
+    assert _rollup_totals(spark, rollup_parts) == before
+    compact_rollup(spark, rollup_parts)  # recovery attempt
+    assert _rollup_totals(spark, rollup_parts) == before
+
+
+def test_rollup_compaction_crash_before_cleanup(spark, rollup_parts):
+    """Kill between the atomic commit and the deletion of superseded
+    parts: readers must see the NEW state exactly once (stale batch
+    dirs are ignored, never double-counted), and the lazy cleanup is
+    idempotent."""
+    import os
+
+    from bigdataflink_spark.streaming.rollup import (
+        _cleanup_superseded,
+        _commit_gen,
+        _write_gen_data,
+    )
+
+    before = _rollup_totals(spark, rollup_parts)
+    staged = _write_gen_data(spark, rollup_parts)
+    _commit_gen(spark, rollup_parts, *staged)  # crash here: no cleanup
+    # stale batch dirs still on disk, but excluded from the read
+    assert any(n.startswith("batch_id=") for n in os.listdir(rollup_parts))
+    assert _rollup_totals(spark, rollup_parts) == before
+    _cleanup_superseded(spark, rollup_parts)
+    assert not any(n.startswith("batch_id=") for n in os.listdir(rollup_parts))
+    assert _rollup_totals(spark, rollup_parts) == before
+
+
+def test_rollup_compaction_under_live_stream(spark, workdir):
+    """Inter-trigger compaction: availableNow run -> compact -> resume
+    from the SAME checkpoint over new files -> totals equal the
+    one-shot batch window; a replayed already-compacted epoch rewrites
+    its (ignored) batch dir without double-counting."""
+    import shutil as _sh
+
+    from bigdataflink_spark.operators.windows import tumbling
+    from bigdataflink_spark.streaming.rollup import (
+        compact_rollup,
+        rollup_batch,
+        run_continuous_rollup,
+    )
+
+    src = f"{workdir}/live_rollup_events"
+    parts = f"{workdir}/live_rollup_parts"
+    ckpt = f"{workdir}/live_rollup_ckpt"
+    for d in (src, parts, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_continuous_rollup(spark, stream, parts, ckpt)
+
+    run_stream()
+    compact_rollup(spark, parts)
+    mid = _rollup_totals(spark, parts)
+    batch_first = sorted(
+        map(tuple, tumbling(first, "10 minutes").collect())
+    )
+    assert mid == batch_first
+
+    # new files arrive; resume from the same checkpoint
+    second.write.mode("append").parquet(src)
+    run_stream()
+    want = sorted(map(tuple, tumbling(ev, "10 minutes").collect()))
+    assert _rollup_totals(spark, parts) == want
+
+    # replay of an already-compacted epoch (post-restart redelivery):
+    # same batch id, same data — rewrites an ignored dir, totals fixed
+    rollup_batch(first, 0, parts)
+    assert _rollup_totals(spark, parts) == want
+
+    # and compaction folds the post-resume batches into the next gen
+    compact_rollup(spark, parts)
+    assert _rollup_totals(spark, parts) == want
