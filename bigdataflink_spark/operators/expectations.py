@@ -132,3 +132,105 @@ def check_expectations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def check_snapshot_drift(
+    spark,
+    table: str,
+    rules: list[dict],
+    base_version: int,
+    cur_version: int | None = None,
+) -> DataFrame:
+    """Cross-snapshot (aggregate-level) expectations — the release
+    gate a real pipeline runs before publishing: compare the CURRENT
+    snapshot of a versioned table (sources/snapshots.py) against a
+    PINNED baseline version on corpus-level metrics, one row per rule:
+    (rule, base_value, cur_value, drift_ppm, passed).
+
+    Rule types (tolerances in exact parts-per-million — all
+    comparisons are integer/DECIMAL(38,0) cross-products with ONE
+    integral division for the reported ppm, so verdicts are
+    bit-identical across engines and partitionings):
+
+    * ``row_count_drift`` (max_rel_drift_ppm): |n_cur − n_base|
+      relative to n_base. base/cur_value are the row counts.
+    * ``null_rate_drift`` (col, max_drift_ppm): absolute difference
+      of the column's null RATE. base/cur_value are the rates in ppm.
+    * ``distinct_count_drift`` (col, max_rel_drift_ppm): relative
+      drift of the column's exact distinct count.
+
+    Cost: ONE aggregate scan per snapshot (all rules share it — the
+    same single-pass design as ``check_expectations``), then 1-row
+    arithmetic. A base snapshot with zero rows (or zero distinct)
+    passes only if the current side is also zero; drift_ppm is NULL
+    for that degenerate denominator.
+    """
+    from bigdataflink_spark.sources import snapshots as sn
+
+    base = sn.read_snapshot(spark, table, base_version)
+    cur = sn.read_snapshot(spark, table, cur_version)
+
+    def metrics(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias(f"n_{tag}")]
+        for r in rules:
+            if r["type"] == "null_rate_drift":
+                aggs.append(
+                    F.sum(F.when(F.col(r["col"]).isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"nul_{r['rule']}_{tag}")
+                )
+            elif r["type"] == "distinct_count_drift":
+                aggs.append(
+                    F.count_distinct(F.col(r["col"]))
+                    .cast("long")
+                    .alias(f"dst_{r['rule']}_{tag}")
+                )
+            elif r["type"] != "row_count_drift":
+                raise ValueError(f"unknown drift expectation type: {r['type']}")
+        return df.agg(*aggs)
+
+    one = metrics(base, "b").crossJoin(metrics(cur, "c"))
+
+    def rel_drift(rule: dict, b_col: str, c_col: str) -> DataFrame:
+        tol = int(rule["max_rel_drift_ppm"])
+        num = (
+            f"CAST(abs(CAST({c_col} AS DECIMAL(38,0)) - {b_col}) * 1000000 "
+            "AS DECIMAL(38,0))"
+        )
+        return one.selectExpr(
+            f"'{rule['rule']}' AS rule",
+            f"{b_col} AS base_value",
+            f"{c_col} AS cur_value",
+            f"CASE WHEN {b_col} > 0 THEN CAST({num} DIV {b_col} AS BIGINT) END AS drift_ppm",
+            f"CASE WHEN {b_col} > 0 THEN {num} <= CAST({tol} AS DECIMAL(38,0)) * {b_col} "
+            f"ELSE {c_col} = 0 END AS passed",
+        )
+
+    parts: list[DataFrame] = []
+    for r in rules:
+        if r["type"] == "row_count_drift":
+            parts.append(rel_drift(r, "n_b", "n_c"))
+        elif r["type"] == "distinct_count_drift":
+            parts.append(rel_drift(r, f"dst_{r['rule']}_b", f"dst_{r['rule']}_c"))
+        else:  # null_rate_drift: |nul_c/n_c − nul_b/n_b| as exact ppm
+            tol = int(r["max_drift_ppm"])
+            nb, nc = f"nul_{r['rule']}_b", f"nul_{r['rule']}_c"
+            num = (
+                f"CAST(abs(CAST({nc} AS DECIMAL(38,0)) * n_b - "
+                f"CAST({nb} AS DECIMAL(38,0)) * n_c) * 1000000 AS DECIMAL(38,0))"
+            )
+            den = "CAST(n_b AS DECIMAL(38,0)) * n_c"
+            parts.append(
+                one.selectExpr(
+                    f"'{r['rule']}' AS rule",
+                    f"CASE WHEN n_b > 0 THEN CAST(CAST({nb} AS DECIMAL(38,0)) * 1000000 DIV n_b AS BIGINT) END AS base_value",
+                    f"CASE WHEN n_c > 0 THEN CAST(CAST({nc} AS DECIMAL(38,0)) * 1000000 DIV n_c AS BIGINT) END AS cur_value",
+                    f"CASE WHEN n_b > 0 AND n_c > 0 THEN CAST({num} DIV ({den}) AS BIGINT) END AS drift_ppm",
+                    f"CASE WHEN n_b > 0 AND n_c > 0 THEN {num} <= CAST({tol} AS DECIMAL(38,0)) * ({den}) "
+                    f"ELSE {nb} = 0 AND {nc} = 0 END AS passed",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

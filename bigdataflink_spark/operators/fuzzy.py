@@ -6,13 +6,32 @@ candidates only, then deterministic resolution (best distance,
 smallest id).
 
 Blocking is a PREFIX FILTER (the AllPairs/PPJoin family): one edit
-changes at most ``q`` of a string's character q-grams, so two strings
-within ``max_dist`` edits share all but <= q·max_dist grams — under
-any canonical global gram ordering they must then share a gram among
-their first q·max_dist + 1. Ranking that order by ascending document
-frequency makes the kept prefix the RAREST grams, so the candidate
-join never keys on Zipf-hot grams. Recall for dist <= max_dist is
-exact (guaranteed by the bound, not a heuristic).
+changes at most ``q`` of a string's distinct character q-grams, so two
+strings within ``max_dist`` edits share all but <= q·max_dist grams —
+under any canonical global gram ordering they must then share a gram
+among their first q·max_dist + 1, PROVIDED at least one of the pair
+has more than q·max_dist distinct grams (the prefix lemma needs the
+implied intersection bound max(|G_s|,|G_t|) − q·max_dist to be >= 1).
+Ranking that order by ascending document frequency makes the kept
+prefix the RAREST grams, so the candidate join never keys on Zipf-hot
+grams.
+
+Strings BELOW that guarantee threshold — fewer than q·max_dist + 1
+distinct grams: shorter than ~q·(max_dist+1) chars, or degenerately
+repetitive ("aaaa…") — can share ZERO grams with a true match, so
+they are routed through a separate length-window fallback block
+(|len difference| <= max_dist is necessary for edit distance
+<= max_dist). A pair with at least one above-threshold member is
+always caught by the gram prefix block (the short side keeps ALL its
+grams, since it has fewer than the prefix length); a pair with both
+members below it is caught by the fallback. Recall for
+dist <= max_dist is therefore exact for EVERY length mix — the
+guarantee the round-3 version claimed but only delivered above the
+threshold. The fallback population is all-pairs within a length
+bucket: honest, because no character-gram scheme can block below the
+threshold — and it stays tiny on real corpora (only degenerate/short
+strings land there; ``auto_q`` additionally shrinks q on short-string
+corpora, which shrinks the fallback population).
 
 Same bucket-join discipline as the MinHash pipeline
 (operators/dedup.py): the shuffle keys on the gram, candidate pairs —
@@ -65,16 +84,77 @@ def _prefix_grams(
 
 
 def auto_q(n_clean: int, alphabet_size: int, min_len: int) -> int:
-    """Scale-safe gram width: smallest q with |A|^q >= 64·n (so the
-    expected per-gram bucket stays O(prefix_len/64) strings), clamped
-    to [4, min_len] — a gram longer than the shortest string would
-    silently drop it from blocking and break the exact-recall bound."""
+    """Scale-safe gram width: smallest q >= 4 with |A|^q >= 64·n (so
+    the expected per-gram bucket stays O(prefix_len/64) strings),
+    then clamped into [2, max(min_len, 2)] — a corpus of very short
+    strings gets a narrower gram so fewer strings fall below the
+    prefix-filter guarantee threshold and into the fallback block
+    (recall no longer depends on this clamp; see ``qgram_match``)."""
     a = max(alphabet_size, 2)
     target = 64 * max(n_clean, 1)
     want = 4
     while a**want < target:
         want += 1
     return max(2, min(want, max(min_len, 2)))
+
+
+def _fallback_candidates(
+    dirty: DataFrame,
+    clean: DataFrame,
+    dirty_id: str,
+    dirty_col: str,
+    clean_id: str,
+    clean_col: str,
+    d_grams: DataFrame,
+    c_grams: DataFrame,
+    q: int,
+    max_dist: int,
+) -> DataFrame:
+    """Candidate pairs for strings BELOW the prefix-filter guarantee
+    threshold (<= q·max_dist distinct grams — short or degenerately
+    repetitive): such a pair can share zero grams with a true match,
+    so gram blocking is replaced by a length-window block. A clean
+    string of length L lands in bucket L DIV (max_dist+1); a dirty
+    string probes every bucket its match could occupy (|Δlen| <=
+    max_dist spans <= 3 buckets). Within the degenerate population
+    this is all-pairs-per-bucket — the honest floor (no gram scheme
+    can block there), and a population that stays tiny on real data.
+    Pairs with at least one above-threshold member never need this
+    path: the gram block already guarantees them."""
+    thresh = q * max_dist
+    bw = max_dist + 1
+
+    def degenerate(base, id_col, s_col, grams):
+        cnt = grams.groupBy(id_col).agg(F.count("*").alias("_ng"))
+        return (
+            base.select(id_col, F.length(s_col).alias("_len"))
+            .join(cnt, id_col, "left")
+            .filter(F.coalesce("_ng", F.lit(0)) <= thresh)
+            .select(id_col, "_len")
+        )
+
+    d_deg = degenerate(dirty, dirty_id, dirty_col, d_grams)
+    c_deg = degenerate(clean, clean_id, clean_col, c_grams)
+    d_keys = d_deg.select(
+        dirty_id,
+        "_len",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(-max_dist), F.lit(max_dist)),
+                    lambda d: F.floor((F.col("_len") + d) / bw),
+                )
+            )
+        ).alias("_b"),
+    )
+    c_keys = c_deg.select(
+        clean_id, F.col("_len").alias("_clen"), F.floor(F.col("_len") / bw).alias("_b")
+    )
+    return (
+        d_keys.join(c_keys, "_b")
+        .filter(F.abs(F.col("_len") - F.col("_clen")) <= max_dist)
+        .select(dirty_id, clean_id)
+    )
 
 
 def qgram_match(
@@ -93,13 +173,26 @@ def qgram_match(
     found a candidate within ``max_dist``; best = smallest Levenshtein
     distance, ties to the smallest clean id. ``q=None`` derives the
     gram width from the clean corpus (see ``auto_q``); output is
-    q-independent by the exact-recall bound.
+    q-independent: pairs where either side has more than q·max_dist
+    distinct grams are guaranteed by the prefix filter, and pairs
+    where BOTH sides fall below that threshold go through the
+    length-window fallback block (module doc) — so recall for
+    dist <= max_dist is exact at any q.
     """
     if q is None:
         stats = clean.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(F.length(clean_col)).alias("min_len"),
         ).first()
+        if int(stats["n"]) == 0:
+            # empty reference set: nothing can resolve — empty result
+            # with the contract schema (was a TypeError on min_len)
+            return (
+                dirty.select(dirty_id)
+                .limit(0)
+                .crossJoin(clean.select(clean_id).limit(0))
+                .withColumn("dist", F.lit(None).cast("int"))
+            )
         # observed alphabet, distributed: map-side partials collapse to
         # <= |A| rows before the exchange — never a collected list
         alphabet = (
@@ -121,6 +214,12 @@ def qgram_match(
         _prefix_grams(d_grams, dirty_id, df_tab, prefix_len)
         .join(_prefix_grams(c_grams, clean_id, df_tab, prefix_len), "g")
         .select(dirty_id, clean_id)
+        .unionByName(
+            _fallback_candidates(
+                dirty, clean, dirty_id, dirty_col, clean_id, clean_col,
+                d_grams, c_grams, q, max_dist,
+            )
+        )
         .distinct()
     )
     verified = (

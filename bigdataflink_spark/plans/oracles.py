@@ -3218,3 +3218,50 @@ ORACLES["q180_streaming_scd2"] = ORACLES["q99_scd2_history"]
 # q181: compacted stream-rollup state == one-shot tumbling window —
 # the oracle IS q15's SQL (identical output is the parity contract).
 ORACLES["q181_continuous_rollup"] = ORACLES["q15_tumbling_window"]
+
+
+# q182: cross-snapshot drift gate — the oracle re-derives v0/v1 from
+# the mutation rules (delete %10, re-insert %7 shifted by span, NULL
+# lang on %4 of the FINAL ids) and reproduces the exact-HUGEINT ppm
+# arithmetic: |cross products| * 1e6 with one integral division, so
+# drift_ppm and every verdict match bit-for-bit.
+ORACLES["q182_snapshot_drift_gate"] = """
+WITH v0 AS (SELECT doc_id, source, lang FROM documents),
+span AS (SELECT MAX(doc_id) + 1 AS s FROM v0),
+v1 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS lang
+  FROM (
+    SELECT doc_id, source, lang FROM v0 WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id + (SELECT s FROM span), source, lang
+    FROM v0 WHERE doc_id % 7 = 0
+  )
+),
+mb AS (SELECT COUNT(*) AS n_b,
+              SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nul_b,
+              COUNT(DISTINCT source) AS dst_b FROM v0),
+mc AS (SELECT COUNT(*) AS n_c,
+              SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nul_c,
+              COUNT(DISTINCT source) AS dst_c FROM v1)
+SELECT 'rows_vs_v0' AS rule,
+       n_b AS base_value, n_c AS cur_value,
+       CAST(abs(CAST(n_c AS HUGEINT) - n_b) * 1000000 // n_b AS BIGINT) AS drift_ppm,
+       abs(CAST(n_c AS HUGEINT) - n_b) * 1000000 <= CAST(100000 AS HUGEINT) * n_b AS passed
+FROM mb, mc
+UNION ALL
+SELECT 'lang_nulls_vs_v0',
+       CAST(CAST(nul_b AS HUGEINT) * 1000000 // n_b AS BIGINT),
+       CAST(CAST(nul_c AS HUGEINT) * 1000000 // n_c AS BIGINT),
+       CAST(abs(CAST(nul_c AS HUGEINT) * n_b - CAST(nul_b AS HUGEINT) * n_c) * 1000000
+            // (CAST(n_b AS HUGEINT) * n_c) AS BIGINT),
+       abs(CAST(nul_c AS HUGEINT) * n_b - CAST(nul_b AS HUGEINT) * n_c) * 1000000
+         <= CAST(10000 AS HUGEINT) * (CAST(n_b AS HUGEINT) * n_c)
+FROM mb, mc
+UNION ALL
+SELECT 'source_domain_vs_v0',
+       dst_b, dst_c,
+       CAST(abs(CAST(dst_c AS HUGEINT) - dst_b) * 1000000 // dst_b AS BIGINT),
+       abs(CAST(dst_c AS HUGEINT) - dst_b) * 1000000 <= CAST(0 AS HUGEINT) * dst_b
+FROM mb, mc
+"""

@@ -4574,35 +4574,90 @@ def q175_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated on (max single-order price, order count) — no other
     customer is strictly better on one dimension and at least as good
     on the other (the two dims trade off: many small orders vs one
-    big one — a real frontier, not a correlated point). The naive formulation is an O(n²) dominance anti-join; in
-    2-D it is ONE window: sort by spend desc (custkey asc tiebreak),
-    keep a row iff its count exceeds the running max count of every
-    STRICTLY-higher-spend row — linear, one shuffle, scales like any
-    window. Spend stays exact decimal; the emitted frontier is
-    integer/decimal so both engines agree bit-for-bit."""
+    big one — a real frontier, not a correlated point). The naive
+    formulation is an O(n²) dominance anti-join; in 2-D it is a
+    running-max sweep over spend-descending order. A single global
+    window would move every per-customer row through one partition, so
+    the sweep is STAGED (the round-3 advice item): spend-range buckets
+    from broadcast quantile boundaries (the q144/q147 pattern —
+    boundaries affect performance only, never output; equal spends
+    always co-bucket because assignment is 'count of boundaries
+    strictly below'), a per-BUCKET windowed running max (partitioned —
+    parallel across the cluster), a B-row cross-bucket running max
+    broadcast back, and the frontier test against the greater of the
+    two. Rows in a higher bucket are strictly-higher-spend by
+    construction, so bucket-local + cross-bucket maxima together see
+    exactly the strict-dominator set the global window saw. Spend
+    stays exact decimal; the emitted frontier is integer/decimal so
+    both engines agree bit-for-bit."""
     orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
         F.count("*").alias("n_orders"),
     )
-    # dense rank of spend desc gives a numeric key where "strictly
-    # higher spend" = strictly smaller rank — the rangeBetween frame
-    # [unbounded, -1] over it is exactly the strict-dominator set
-    spend_rank = per.select(
-        "o_custkey", "spend", "n_orders",
-        F.dense_rank().over(Window.orderBy(F.desc("spend"))).alias("_r"),
+    # range buckets: ~32 spend quantiles, collected (bounded: 32
+    # values) and folded into the bucket expression
+    bnds = sorted(
+        {
+            str(b)
+            for b in per.agg(
+                F.expr(
+                    "approx_percentile(spend, array("
+                    + ",".join(str((i + 1) / 33.0) for i in range(32))
+                    + "), 10000)"
+                )
+            ).first()[0]
+            or []
+            if b is not None
+        }
     )
-    w_prev = Window.orderBy("_r").rangeBetween(Window.unboundedPreceding, -1)
-    w_same = Window.partitionBy("_r")
+    bucket = (
+        F.expr(
+            "size(filter(array("
+            + ",".join(f"CAST({b} AS DECIMAL(18,2))" for b in bnds)
+            + "), b -> spend > b))"
+        )
+        if bnds
+        else F.lit(0)
+    )
+    bucketed = per.withColumn("_bk", bucket)
+    # dense rank of spend desc WITHIN bucket: "strictly higher spend,
+    # same bucket" = strictly smaller rank — rangeBetween [unb, -1]
+    spend_rank = bucketed.select(
+        "o_custkey", "spend", "n_orders", "_bk",
+        F.dense_rank()
+        .over(Window.partitionBy("_bk").orderBy(F.desc("spend")))
+        .alias("_r"),
+    )
+    w_prev = (
+        Window.partitionBy("_bk")
+        .orderBy("_r")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("_bk", "_r")
+    # cross-bucket strict dominators: every row in a higher bucket.
+    # B rows total — the global window is over the bucket SUMMARY,
+    # never the data
+    per_bucket = bucketed.groupBy("_bk").agg(F.max("n_orders").alias("_bmax"))
+    w_higher = Window.orderBy(F.desc("_bk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    higher = per_bucket.select(
+        "_bk", F.max("_bmax").over(w_higher).alias("_highermax")
+    )
     return (
-        spend_rank.withColumn("_prevmax", F.max("n_orders").over(w_prev))
+        spend_rank.join(F.broadcast(higher), "_bk")
+        .withColumn("_prevmax", F.max("n_orders").over(w_prev))
+        .withColumn(
+            "_dommax", F.greatest(
+                F.coalesce("_prevmax", F.lit(-1)),
+                F.coalesce("_highermax", F.lit(-1)),
+            )
+        )
         .withColumn("_samemax", F.max("n_orders").over(w_same))
         .filter(
             # beat every strictly-higher-spend row on count…
-            (
-                F.col("_prevmax").isNull()
-                | (F.col("n_orders") > F.col("_prevmax"))
-            )
+            (F.col("n_orders") > F.col("_dommax"))
             # …and not beaten by an equal-spend row (equal spend +
             # higher count dominates; equal on both dims co-survives)
             & (F.col("n_orders") == F.col("_samemax"))
@@ -4832,6 +4887,48 @@ def q181_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rollup(spark, parts)
 
 
+def q182_snapshot_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot expectations (extension; ties q174's versioned
+    snapshots to q179's expectations engine — VERDICT r3 #8): commit
+    documents as v0, a deterministically drifted corpus as v1
+    (doc_id%10==0 deleted, doc_id%7==0 re-inserted shifted, lang
+    NULLed where doc_id%4==0), then gate v1 against the PINNED v0 on
+    aggregate-level rules: row-count drift <= 10%, lang null-rate
+    drift <= 1% (fails by construction — the injected nulls), source
+    domain drift = 0. All verdicts are exact integer/DECIMAL(38,0)
+    cross-products with one integral division for the reported ppm
+    (operators/expectations.check_snapshot_drift), so the oracle
+    re-derives the identical drift table from the mutation rules."""
+    import tempfile
+
+    from bigdataflink_spark.operators.expectations import check_snapshot_drift
+    from bigdataflink_spark.sources import snapshots as sn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    table = tempfile.mkdtemp(prefix="q182_drift_") + "/docs"
+    sn.write_snapshot(spark, docs, table)
+    span = docs.agg(F.max("doc_id")).first()[0] + 1
+    v1 = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(span)
+            )
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 4 == 0, F.lit(None)).otherwise(F.col("lang")),
+        )
+    )
+    sn.write_snapshot(spark, v1, table)
+    rules = [
+        {"rule": "rows_vs_v0", "type": "row_count_drift", "max_rel_drift_ppm": 100000},
+        {"rule": "lang_nulls_vs_v0", "type": "null_rate_drift", "col": "lang", "max_drift_ppm": 10000},
+        {"rule": "source_domain_vs_v0", "type": "distinct_count_drift", "col": "source", "max_rel_drift_ppm": 0},
+    ]
+    return check_snapshot_drift(spark, table, rules, base_version=0)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5011,4 +5108,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_expectations_audit": q179_expectations_audit,
     "q180_streaming_scd2": q180_streaming_scd2,
     "q181_continuous_rollup": q181_continuous_rollup,
+    "q182_snapshot_drift_gate": q182_snapshot_drift_gate,
 }

@@ -249,3 +249,51 @@ def test_snapshot_commit_log_crash_safety(spark, tmp_path):
     assert sn.read_snapshot(spark, t, 0).count() == 5
     # append-only: v0's record file is byte-identical to before
     assert sorted(os.listdir(f"{t}/{sn.LOG_DIR}"))[0] == log_before[0]
+
+
+def test_snapshot_drift_expectations(spark, tmp_path):
+    """check_snapshot_drift: pinned-baseline release gating with exact
+    ppm arithmetic, including the degenerate zero-denominator cases."""
+    from bigdataflink_spark.operators.expectations import check_snapshot_drift
+    from bigdataflink_spark.sources import snapshots as sn
+
+    t = str(tmp_path / "drifty")
+    v0 = spark.createDataFrame(
+        [(1, "a", "en"), (2, "a", "de"), (3, "b", None), (4, "b", "en")],
+        "k long, src string, lang string",
+    )
+    sn.write_snapshot(spark, v0, t)
+    # v1: one row dropped (-25% rows), one more NULL lang, same srcs
+    v1 = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "de"), (3, "b", None)],
+        "k long, src string, lang string",
+    )
+    sn.write_snapshot(spark, v1, t)
+    rules = [
+        {"rule": "rows", "type": "row_count_drift", "max_rel_drift_ppm": 300000},
+        {"rule": "rows_tight", "type": "row_count_drift", "max_rel_drift_ppm": 200000},
+        {"rule": "lang_nulls", "type": "null_rate_drift", "col": "lang", "max_drift_ppm": 500000},
+        {"rule": "src_domain", "type": "distinct_count_drift", "col": "src", "max_rel_drift_ppm": 0},
+    ]
+    got = {
+        r.rule: (r.base_value, r.cur_value, r.drift_ppm, r.passed)
+        for r in check_snapshot_drift(spark, t, rules, 0).collect()
+    }
+    assert got["rows"] == (4, 3, 250000, True)
+    assert got["rows_tight"] == (4, 3, 250000, False)
+    # null rate 1/4=250000ppm -> 2/3=666666ppm: drift |2*4-1*3|*1e6//12
+    assert got["lang_nulls"] == (250000, 666666, 416666, True)
+    assert got["src_domain"] == (2, 2, 0, True)
+
+    # degenerate: empty baseline passes only against an empty current
+    t2 = str(tmp_path / "empty_base")
+    empty = spark.createDataFrame([], "k long, src string, lang string")
+    sn.write_snapshot(spark, empty, t2)
+    sn.write_snapshot(spark, v1, t2)
+    got2 = {
+        r.rule: (r.drift_ppm, r.passed)
+        for r in check_snapshot_drift(
+            spark, t2, [{"rule": "rows", "type": "row_count_drift", "max_rel_drift_ppm": 0}], 0
+        ).collect()
+    }
+    assert got2["rows"] == (None, False)

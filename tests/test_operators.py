@@ -718,3 +718,78 @@ def test_expectations_engine_catches_violations(spark):
         "pk_uni": (4, 1, False),
         "fk_ref": (4, 1, False),
     }
+
+
+def test_qgram_match_short_string_recall(spark):
+    """The round-4 recall fix: strings below the prefix-filter
+    guarantee threshold (shorter than q·(max_dist+1), or with <=
+    q·max_dist distinct grams) must still resolve — the length-window
+    fallback block catches the pairs gram blocking provably cannot.
+    Verified against a driver-side brute-force Levenshtein reference
+    over every (dirty, clean) pair, at a deliberately oversized q."""
+    from bigdataflink_spark.operators.fuzzy import qgram_match
+
+    clean_rows = [
+        (1, "ab"),            # zero 4-grams
+        (2, "abc"),           # zero 4-grams
+        (3, "abcdef"),        # 3 grams <= q*k = 8: degenerate
+        (4, "aaaaaaaaaaaa"),  # long but 1 distinct gram: degenerate
+        (5, "kitten-sitting-mittens"),  # above threshold
+        (6, "zq"),            # short, far from everything dirty
+    ]
+    dirty_rows = [
+        (10, "ba"),            # ed("ba","ab")=2 -> 1
+        (11, "abcd"),          # ed 1 to "abc" (3), ed 2 to "ab"(1): best 3
+        (12, "abdcef"),        # ed 2 to "abcdef"
+        (13, "aaaaaaaaaa"),    # ed 2 to the a-run
+        (14, "kitten-sitting-mitten"),  # ed 1 to 5
+        (15, "qqqqqqqq"),      # no match within 2
+        (16, "a"),             # ed 1 to "ab": matches 1
+    ]
+    clean = spark.createDataFrame(clean_rows, "id long, name string")
+    dirty = spark.createDataFrame(dirty_rows, "did long, dname string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expect = {}
+    for did, dn in dirty_rows:
+        best = None
+        for cid, cn in clean_rows:
+            d = lev(dn, cn)
+            if d <= 2 and (best is None or (d, cid) < best):
+                best = (d, cid)
+        if best is not None:
+            expect[did] = (best[1], best[0])
+
+    got = {
+        r.did: (r.id, r.dist)
+        for r in qgram_match(dirty, clean, q=4, max_dist=2).collect()
+    }
+    assert got == expect
+    # and the auto-q path resolves the same corpus identically
+    got_auto = {
+        r.did: (r.id, r.dist)
+        for r in qgram_match(dirty, clean, max_dist=2).collect()
+    }
+    assert got_auto == expect
+
+
+def test_qgram_match_empty_clean_corpus(spark):
+    """q=None with an empty reference set: empty result with the
+    contract schema, not a TypeError on min_len."""
+    from bigdataflink_spark.operators.fuzzy import qgram_match
+
+    clean = spark.createDataFrame([], "id long, name string")
+    dirty = spark.createDataFrame([(1, "abc")], "did long, dname string")
+    out = qgram_match(dirty, clean)
+    assert out.columns == ["did", "id", "dist"]
+    assert out.count() == 0

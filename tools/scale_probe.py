@@ -216,6 +216,18 @@ def build_sf10(spark) -> None:
     _union_all([clone_vec(i) for i in range(COPIES100)]).write.mode("overwrite").parquet(
         f"{DST100}/embeddings.parquet"
     )
+    _build_sf10_events(spark)
+
+
+def _build_sf10_events(spark) -> None:
+    """events ×100 (round-4 addition for the state/iterative probes):
+    event_id key-shifted per clone, user_id/ts/type/value kept — user
+    keys get 100× hotter, the same skew stress as the fact tables."""
+    ev = load_table(spark, "events", SRC)
+    espan = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    _union_all(
+        [ev.withColumn("event_id", F.col("event_id") + F.lit(i * espan)) for i in range(COPIES100)]
+    ).write.mode("overwrite").parquet(f"{DST100}/events.parquet")
 
 
 def main_100() -> None:
@@ -254,6 +266,117 @@ def main_100() -> None:
     print(json.dumps({"copies": COPIES100, "queries": report}, indent=2))
 
 
+def main_state() -> None:
+    """Round-4 tier (VERDICT r3 #5): 100× posture of the state /
+    iterative family — snapshots, PageRank at real iteration counts,
+    the one-scan expectations engine, streaming SCD2, and the rollup's
+    parts-merge cost with the compaction payoff measured.
+
+    Run: python tools/scale_probe.py state
+    """
+    import shutil
+    import tempfile
+
+    spark = get_spark("scale-probe-state")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DST100}/lineitem.parquet"):
+        print("building synthetic sf10 ...", file=sys.stderr)
+        build_sf10(spark)
+    elif not os.path.exists(f"{DST100}/events.parquet"):
+        print("adding events to existing sf10 ...", file=sys.stderr)
+        _build_sf10_events(spark)
+    QUERIES["q02_revenue_by_region"](spark, SRC).count()  # warm
+    report = {}
+
+    def steady(fn, sf, reps=3):
+        n = fn(spark, sf).count()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf).count()
+            best = min(best, time.perf_counter() - t0)
+        return n, round(best, 3)
+
+    for name in (
+        "q174_snapshot_diff",
+        "q179_expectations_audit",
+        "q180_streaming_scd2",
+        "q181_continuous_rollup",
+    ):
+        n_small, t_small = steady(QUERIES[name], SRC)
+        n_big, t_big = steady(QUERIES[name], DST100)
+        report[name] = {
+            "sf0.1_s": t_small,
+            "sf10_s": t_big,
+            "x": round(t_big / t_small, 2) if t_small else None,
+            "rows0.1": n_small,
+            "rows10": n_big,
+        }
+        print(f"{name}: {report[name]}", file=sys.stderr)
+
+    # PageRank at real iteration counts on the sf10 event graph:
+    # post-lineage-fix, total time must be ~linear in iterations
+    # (flat per-round cost); pre-fix each extra round re-derived all
+    # prior rounds on any action.
+    from pyspark.sql.window import Window
+
+    from bigdataflink_spark.operators.graph import pagerank_integer
+
+    ev = load_table(spark, "events", DST100)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    pr = {}
+    for iters in (5, 10, 20):
+        t0 = time.perf_counter()
+        pagerank_integer(edges, iterations=iters, weight_col="w").count()
+        total = time.perf_counter() - t0
+        pr[iters] = {"total_s": round(total, 2), "s_per_iter": round(total / iters, 3)}
+        print(f"pagerank sf10 iters={iters}: {pr[iters]}", file=sys.stderr)
+    report["pagerank_iteration_sweep_sf10"] = pr
+
+    # Rollup: parts-merge cost vs batch count + compaction payoff.
+    from bigdataflink_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        rollup_batch,
+    )
+
+    ev10 = load_table(spark, "events", DST100)
+    parts = tempfile.mkdtemp(prefix="probe_rollup_") + "/parts"
+    n_batches = 30
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        rollup_batch(ev10.filter(F.pmod(F.col("event_id"), F.lit(n_batches)) == i), i, parts)
+    t_write = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    read_rollup(spark, parts).count()
+    t_read_parts = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compact_rollup(spark, parts)
+    t_compact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    read_rollup(spark, parts).count()
+    t_read_compacted = time.perf_counter() - t0
+    report["rollup_compaction_sf10"] = {
+        "n_batches": n_batches,
+        "write_partials_s": round(t_write, 2),
+        "read_30_parts_s": round(t_read_parts, 3),
+        "compact_s": round(t_compact, 2),
+        "read_compacted_s": round(t_read_compacted, 3),
+    }
+    print(f"rollup sf10: {report['rollup_compaction_sf10']}", file=sys.stderr)
+    shutil.rmtree(os.path.dirname(parts), ignore_errors=True)
+    print(json.dumps({"tier": "state", "copies": COPIES100, "queries": report}, indent=2))
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -274,4 +397,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main_100() if "100" in sys.argv[1:] else main()
+    if "state" in sys.argv[1:]:
+        main_state()
+    elif "100" in sys.argv[1:]:
+        main_100()
+    else:
+        main()
