@@ -98,6 +98,10 @@ HEADLINE = [
     "q178_pagerank",
     "q179_expectations_audit",
     "q181_continuous_rollup",
+    "q182_snapshot_drift_gate",
+    "q183_png_codec",
+    "q184_wav_container",
+    "q185_semantic_dedup",
 ]
 
 

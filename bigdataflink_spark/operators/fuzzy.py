@@ -44,10 +44,11 @@ width (the r3 100× probe measured exactly this: q=4 over 600k hex
 strings stalled on a ~4·10⁸-pair candidate join, while the auto
 q=6 run stays linear). Hence ``q=None`` (the default) DERIVES
 q = ⌈log_|A|(64·n)⌉ from the clean set's observed alphabet and corpus
-size, clamped to [4, min_string_len] — one tiny agg over the clean
-side the pipeline scans anyway. Because the prefix bound guarantees
-EXACT recall for dist <= max_dist at ANY q (<= every string's
-length), the derivation changes performance only, never output.
+size, clamped into [2, max(min_string_len, 2)] — one tiny agg over
+the clean side the pipeline scans anyway. Because above-threshold
+pairs are guaranteed by the prefix bound at ANY q and below-threshold
+pairs by the fallback block, the derivation changes performance only,
+never output.
 """
 
 from __future__ import annotations
@@ -105,8 +106,6 @@ def _fallback_candidates(
     dirty_col: str,
     clean_id: str,
     clean_col: str,
-    d_grams: DataFrame,
-    c_grams: DataFrame,
     q: int,
     max_dist: int,
 ) -> DataFrame:
@@ -124,17 +123,18 @@ def _fallback_candidates(
     thresh = q * max_dist
     bw = max_dist + 1
 
-    def degenerate(base, id_col, s_col, grams):
-        cnt = grams.groupBy(id_col).agg(F.count("*").alias("_ng"))
-        return (
-            base.select(id_col, F.length(s_col).alias("_len"))
-            .join(cnt, id_col, "left")
-            .filter(F.coalesce("_ng", F.lit(0)) <= thresh)
-            .select(id_col, "_len")
-        )
+    def degenerate(base, id_col, s_col):
+        # distinct-gram count as a SCAN-STAGE expression (size of the
+        # per-row gram array) — no shuffle, no join; the fallback
+        # population filter costs one extra projection of the corpus
+        return base.select(
+            id_col,
+            F.length(s_col).alias("_len"),
+            F.size(char_qgrams(s_col, q)).alias("_ng"),
+        ).filter(F.col("_ng") <= thresh).select(id_col, "_len")
 
-    d_deg = degenerate(dirty, dirty_id, dirty_col, d_grams)
-    c_deg = degenerate(clean, clean_id, clean_col, c_grams)
+    d_deg = degenerate(dirty, dirty_id, dirty_col)
+    c_deg = degenerate(clean, clean_id, clean_col)
     d_keys = d_deg.select(
         dirty_id,
         "_len",
@@ -217,7 +217,7 @@ def qgram_match(
         .unionByName(
             _fallback_candidates(
                 dirty, clean, dirty_id, dirty_col, clean_id, clean_col,
-                d_grams, c_grams, q, max_dist,
+                q, max_dist,
             )
         )
         .distinct()

@@ -13,11 +13,15 @@ Two codec tiers:
 * ``audio/x-raw-pcm16`` — REAL codec too (interleaved little-endian
   int16 is a frombuffer + reshape): decode, per-channel integer
   stats, mono downmix. Byte-exact oracle (q166) like the RGB tier.
-* compressed formats (JPEG/PNG/MP4…) — require PIL/ffmpeg, which this
-  container doesn't ship; those branches fall back to a clearly-marked
-  deterministic sha256 FAKE (features/frames) or raise (resize), with
-  the Spark-side plumbing — schemas, Arrow batch shapes, fan-out —
-  identical to what a real codec build runs.
+* ``image/png`` — a REAL compressed codec (round 4): full encoder +
+  decoder over stdlib zlib + numpy (DEFLATE, CRC-verified chunks, all
+  five scanline filters incl. Paeth) — see the PNG section below.
+  Byte-exact generative oracle (q183).
+* other compressed formats (JPEG/MP4…) — require PIL/ffmpeg, which
+  this container doesn't ship; those branches fall back to a
+  clearly-marked deterministic sha256 FAKE (features/frames) or raise
+  (resize), with the Spark-side plumbing — schemas, Arrow batch
+  shapes, fan-out — identical to what a real codec build runs.
 
 ``mapInPandas`` is the right vehicle: Arrow-batched (no per-row
 pickling), streaming iterator (a batch of decoded frames never has to
@@ -489,3 +493,367 @@ def frame_byte_stats(frames: DataFrame) -> DataFrame:
             )
 
     return frames.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# PNG: a REAL compressed-image codec with nothing but stdlib zlib +
+# numpy (round 4 — upgrades the compressed-format story: JPEG/MP4
+# still honestly require PIL/ffmpeg, but PNG is DEFLATE + per-scanline
+# filters, both fully implementable here). Spec: RFC 2083 / W3C PNG.
+# Encoder: 8-bit RGB (color type 2), non-interlaced, any of the five
+# scanline filter types. Decoder: full filter reconstruction
+# (None/Sub/Up/Average/Paeth), multi-IDAT, CRC-verified chunks.
+# ---------------------------------------------------------------------------
+
+PNG_IMAGE = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (operands int16+ to avoid wrap)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real PNG (8-bit RGB,
+    non-interlaced). ``filter_type`` applies one filter to every
+    scanline (0=None 1=Sub 2=Up 3=Average 4=Paeth) — byte-identical
+    output for identical input on any platform (zlib's deflate is
+    deterministic at a fixed level)."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    assert ch == 3 and img.dtype == np.uint8
+    bpp = 3
+    rows = img.reshape(h, w * bpp)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    out = []
+    for y in range(h):
+        cur = rows[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:  # Sub: left neighbor (same pixel offset)
+            left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+            filt = (cur.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:  # Up
+            filt = (cur.astype(np.int16) - prev).astype(np.uint8)
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+            avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            filt = (cur.astype(np.int16) - avg).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            filt = (cur.astype(np.int16) - _paeth(left, prev, upleft)).astype(
+                np.uint8
+            )
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        out.append(bytes([filter_type]) + filt.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(out), level)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode a real PNG (8-bit RGB, non-interlaced) to an (h, w, 3)
+    uint8 array: chunk walk with CRC verification, multi-IDAT inflate,
+    full scanline-filter reconstruction (None/Sub/Up/Average/Paeth —
+    per-scanline, as real encoders emit)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt_m, interlace = ihdr
+    if (depth, color, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "png_decode supports 8-bit RGB non-interlaced "
+            f"(got depth={depth} color={color} interlace={interlace})"
+        )
+    bpp = 3
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        off = y * (stride + 1) + 1
+        cur = bytearray(raw[off : off + stride])
+        # the left-neighbor recurrences (Sub/Average/Paeth) are
+        # inherently sequential along x — plain byte arithmetic, not
+        # numpy slicing, keeps the per-row cost ~microseconds
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        img[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prev = cur
+    return img.reshape(h, w, bpp)
+
+
+def synthetic_png_media(
+    docs: DataFrame, width: int = 16, height: int = 12, filter_type: int = 4
+) -> DataFrame:
+    """One REAL PNG per document row, encoding the same closed-form
+    pixels as synthetic_rgb_media (byte k of the raster is
+    ``(media_id * 31 + k) % 256``) — so a SQL oracle can recompute
+    the decoded channel stats without ever seeing a PNG. Paeth filter
+    by default: the decode path the audit exercises is the one real
+    encoders emit most."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height * 3
+        ks = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "image",
+                    "payload": pdf["doc_id"].map(
+                        lambda i: png_encode(
+                            ((int(i) * 31 + ks) % 256)
+                            .astype(np.uint8)
+                            .reshape(height, width, 3),
+                            filter_type=filter_type,
+                        )
+                    ),
+                    "mime": PNG_IMAGE,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def png_channel_stats(media: DataFrame) -> DataFrame:
+    """(media_id, channel, n_pixels, sum_val, min_val, max_val) from
+    DECODED PNG payloads — the compressed-image twin of
+    audio_channel_stats: decode is the real inflate+unfilter codec,
+    stats are exact integers."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("channel", IntegerType(), False),
+            StructField("n_pixels", LongType(), True),
+            StructField("sum_val", LongType(), True),
+            StructField("min_val", IntegerType(), True),
+            StructField("max_val", IntegerType(), True),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "channel", "n_pixels", "sum_val", "min_val", "max_val")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = png_decode(bytes(payload))
+                for c in range(3):
+                    ch = img[:, :, c].astype(np.int64)
+                    rows["media_id"].append(mid)
+                    rows["channel"].append(c)
+                    rows["n_pixels"].append(int(ch.size))
+                    rows["sum_val"].append(int(ch.sum()))
+                    rows["min_val"].append(int(ch.min()))
+                    rows["max_val"].append(int(ch.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF) container around PCM16 — real container parsing to pair
+# with the raw-PCM16 codec: RIFF/WAVE header, fmt chunk (PCM format
+# tag 1), chunk-walking decode that tolerates extra chunks (LIST,
+# fact, …) the way real files carry them.
+# ---------------------------------------------------------------------------
+
+WAV_AUDIO = "audio/wav"
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode an (n_samples, channels) int16 array as a canonical PCM
+    WAV file (RIFF little-endian, 16-bit, fmt + data chunks)."""
+    import struct
+
+    assert samples.dtype == np.int16 and samples.ndim == 2
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV file: RIFF walk (skipping unknown chunks,
+    honoring odd-length padding), fmt validation (PCM, 16-bit), data
+    reshape. Returns ((n_samples, channels) int16, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if riff_len + 8 > len(payload):
+        raise ValueError("RIFF length exceeds payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= riff_len + 8:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, ch, rate, _byte_rate, _align, bits = fmt
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"wav_decode supports PCM 16-bit (got format {tag}, {bits}-bit)"
+        )
+    a = np.frombuffer(data, dtype="<i2")
+    if ch > 1 and len(a) % ch:
+        raise ValueError(f"{len(a)} samples not divisible by {ch} channels")
+    return a.reshape(-1, ch), rate
+
+
+def synthetic_wav_media(
+    docs: DataFrame, n_samples: int = 400, channels: int = 2, sample_rate: int = 8000
+) -> DataFrame:
+    """One real WAV file per document wrapping the q166 closed-form
+    PCM16 samples (interleaved sample j = (id·31 + j) % 65536 −
+    32768) — container-parsing twin of synthetic_pcm_audio, same
+    generative oracle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_total = n_samples * channels
+        js = np.arange(n_total, dtype=np.int64)
+        dur = int(n_samples * 1000 / sample_rate)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "audio",
+                    "payload": pdf["doc_id"].map(
+                        lambda i: wav_encode(
+                            (((int(i) * 31 + js) % 65536) - 32768)
+                            .astype(np.int16)
+                            .reshape(-1, channels),
+                            sample_rate,
+                        )
+                    ),
+                    "mime": WAV_AUDIO,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array([dur] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def wav_channel_stats(media: DataFrame) -> DataFrame:
+    """audio_channel_stats over WAV payloads: the container walk +
+    PCM decode + the exact per-channel integer stats, one Arrow map
+    stage (schema identical to audio_channel_stats, so the q166
+    oracle applies verbatim)."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("channel", IntegerType(), False),
+            StructField("n_samples", LongType(), True),
+            StructField("sum_amp", LongType(), True),
+            StructField("min_amp", IntegerType(), True),
+            StructField("max_amp", IntegerType(), True),
+            StructField("energy", LongType(), True),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "channel", "n_samples", "sum_amp", "min_amp", "max_amp", "energy")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _rate = wav_decode(bytes(payload))
+                for c in range(arr.shape[1]):
+                    ch = arr[:, c].astype(np.int64)
+                    rows["media_id"].append(mid)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(int(ch.size))
+                    rows["sum_amp"].append(int(ch.sum()))
+                    rows["min_amp"].append(int(ch.min()))
+                    rows["max_amp"].append(int(ch.max()))
+                    rows["energy"].append(int((ch * ch).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, schema=schema)

@@ -448,3 +448,63 @@ def knn_label_vote(
     return winner.join(F.broadcast(own), "query_id").select(
         "query_id", "label", "pred_label", "votes"
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: a vector is DROPPED iff
+    some smaller-id vector in the SAME cell has cosine >= threshold
+    with it (first-arrival representative wins — deterministic, no
+    RNG). Output: (id, cell, dropped).
+
+    The cell assignment (here: the corpus's cluster/label column —
+    produce one with ``ivf`` centroids or any clustering upstream) is
+    what makes this scale: pairing is an equi-join ON THE CELL, so
+    the quadratic term is bounded by cell size, never the corpus —
+    exactly the published SemDeDup design (cluster with k-means, then
+    prune within clusters). Exact cosine on the within-cell pairs via
+    the same precomputed-norm JVM fold as every scorer here; the
+    round-to-6 canonicalization keeps the drop verdicts bit-identical
+    across engines."""
+    # project (id, vec, norm, cell) per side; cell carried through
+    left = corpus.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_norm"),
+        F.col(cell_col).alias("_cell"),
+    )
+    right = corpus.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_norm"),
+        F.col(cell_col).alias("_cell"),
+    )
+    dropped_ids = (
+        left.join(right, "_cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("b_id").alias("_did"))
+        .distinct()
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(cell_col).alias("cell")
+        )
+        .join(dropped_ids, F.col("id") == F.col("_did"), "left")
+        .select(
+            "id", "cell", F.col("_did").isNotNull().alias("dropped")
+        )
+    )

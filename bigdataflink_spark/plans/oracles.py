@@ -3265,3 +3265,46 @@ SELECT 'source_domain_vs_v0',
        abs(CAST(dst_c AS HUGEINT) - dst_b) * 1000000 <= CAST(0 AS HUGEINT) * dst_b
 FROM mb, mc
 """
+
+
+# q183: recompute the PNG codec's decoded pixels from the generative
+# closed form (raster byte k of media_id = (id*31 + k) % 256, channel
+# = k % 3) — the encode (Paeth + DEFLATE) → decode (inflate +
+# unfilter) pipeline must reproduce every raster byte exactly for the
+# stats to hash-match.
+ORACLES["q183_png_codec"] = """
+WITH ks AS (SELECT k FROM generate_series(0, 575) t(k)),
+s AS (
+  SELECT d.doc_id AS media_id,
+         CAST(k % 3 AS INT) AS channel,
+         (d.doc_id * 31 + k) % 256 AS v
+  FROM documents d CROSS JOIN ks
+)
+SELECT media_id, channel,
+       COUNT(*) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(MIN(v) AS INT) AS min_val,
+       CAST(MAX(v) AS INT) AS max_val
+FROM s GROUP BY 1, 2
+"""
+
+
+# q184: WAV-container decode must reproduce exactly the raw-PCM16
+# samples — the oracle IS q166's closed-form SQL (identical stats is
+# the container-round-trip contract).
+ORACLES["q184_wav_container"] = ORACLES["q166_audio_channel_stats"]
+
+
+# q185: SemDeDup drop verdicts from the EXISTS definition — vector i
+# is dropped iff a smaller-id vector in the same label cell has
+# round(cos, 6) >= 0.4 with it.
+ORACLES["q185_semantic_dedup"] = f"""
+WITH drops AS (
+  SELECT DISTINCT b.vec_id AS id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= 0.4
+)
+SELECT e.vec_id AS id, e.label AS cell, (d.id IS NOT NULL) AS dropped
+FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.id
+"""

@@ -4929,6 +4929,51 @@ def q182_snapshot_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_snapshot_drift(spark, table, rules, base_version=0)
 
 
+def q183_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image codec over binary columns (extension;
+    operators/multimodal.py PNG section — upgrades round 3's 'all
+    compressed formats honestly gated' story: PNG is DEFLATE +
+    scanline filters, both implementable on stdlib zlib + numpy, so it
+    gets the same full-codec treatment as raw RGB/PCM16): one real
+    Paeth-filtered PNG per document encoding the q71 closed-form
+    raster (byte k = (id·31 + k) % 256), decoded back through the
+    chunk-walking, CRC-verifying, filter-reconstructing decoder, then
+    exact per-channel integer stats. The oracle recomputes every pixel
+    from the closed form — if encode→compress→decompress→unfilter
+    drifts by one byte anywhere, the value hash fails."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_png_media(docs, width=16, height=12, filter_type=4)
+    return multimodal.png_channel_stats(media)
+
+
+def q184_wav_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container parsing (extension; operators/multimodal
+    WAV section — q183's PNG move applied to audio): each document's
+    q166 closed-form PCM16 samples are wrapped in a real RIFF/WAVE
+    file (fmt + data chunks, word-aligned chunk walk on decode,
+    unknown chunks skipped like real files carry them), decoded back
+    through the container parser, then the identical per-channel
+    integer stats — so the oracle IS q166's closed-form SQL: if the
+    container round-trip shifts one byte, the value hash fails."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_wav_media(docs, n_samples=400, channels=2)
+    return multimodal.wav_channel_stats(media)
+
+
+def q185_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (extension;
+    operators/similarity.semantic_dedup — the embedding-space member
+    of the dedup family next to q21's MinHash and q49's sign-LSH):
+    cluster-then-prune, with the corpus's label cells as the clusters
+    (the q26 IVF cell assignment) and first-arrival-wins drops at
+    cosine >= 0.4 WITHIN a cell. The within-cell equi-join bounds the
+    quadratic term by cell size — the published SemDeDup shape. The
+    oracle re-derives every drop verdict from the EXISTS definition
+    over the same rounded cosines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5109,4 +5154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q180_streaming_scd2": q180_streaming_scd2,
     "q181_continuous_rollup": q181_continuous_rollup,
     "q182_snapshot_drift_gate": q182_snapshot_drift_gate,
+    "q183_png_codec": q183_png_codec,
+    "q184_wav_container": q184_wav_container,
+    "q185_semantic_dedup": q185_semantic_dedup,
 }
