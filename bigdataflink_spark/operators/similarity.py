@@ -456,6 +456,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    bands: int = 4,
+    exact_cell_limit: int = 20_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: a vector is DROPPED iff
     some smaller-id vector in the SAME cell has cosine >= threshold
@@ -463,15 +465,26 @@ def semantic_dedup(
     RNG). Output: (id, cell, dropped).
 
     The cell assignment (here: the corpus's cluster/label column —
-    produce one with ``ivf`` centroids or any clustering upstream) is
-    what makes this scale: pairing is an equi-join ON THE CELL, so
-    the quadratic term is bounded by cell size, never the corpus —
-    exactly the published SemDeDup design (cluster with k-means, then
-    prune within clusters). Exact cosine on the within-cell pairs via
-    the same precomputed-norm JVM fold as every scorer here; the
-    round-to-6 canonicalization keeps the drop verdicts bit-identical
-    across engines."""
-    # project (id, vec, norm, cell) per side; cell carried through
+    produce one with ``ivf`` centroids or any clustering upstream)
+    bounds the pairing: the join keys on the cell, so the quadratic
+    term is cell size, never the corpus — the published SemDeDup
+    design (cluster with k-means, then prune within clusters).
+
+    CELLS THAT OUTGROW THEIR CLUSTERING are the constant-bucket-space
+    trap (a FIXED cell count makes within-cell pairs ∝ n²/cells — the
+    same law the 100× probes caught in fixed-width sign-LSH and
+    q-gram blocking). So when the largest cell exceeds
+    ``exact_cell_limit``, candidate generation auto-switches to
+    sign-LSH WITHIN the cell: band signatures at
+    ``auto_rows_per_band`` width derived from the max cell size,
+    candidates keyed on (cell, band, bsig), exact cosine on
+    candidates only. Below the limit (every test fixture) pairing is
+    exhaustive and the drop verdicts match the EXISTS oracle exactly;
+    above it recall follows the sign-LSH law (near-identical vectors
+    agree on all sign bits, so true semantic duplicates at high
+    thresholds are retained with probability ≈ bands·p^r) — the same
+    exact-below/derived-above tiering as q49's fixture pin.
+    """
     left = corpus.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
@@ -484,9 +497,62 @@ def semantic_dedup(
         norm(F.col(vec_col)).alias("b_norm"),
         F.col(cell_col).alias("_cell"),
     )
+    stats = (
+        corpus.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("mx"))
+        .first()
+    )
+    max_cell = int(stats["mx"] or 0)
+    if max_cell <= exact_cell_limit:
+        cand = (
+            left.select("a_id", "_cell")
+            .join(right.select("b_id", "_cell"), "_cell")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+    else:
+        dim = (
+            corpus.select(F.size(F.col(vec_col)).alias("d")).first() or {"d": 0}
+        )["d"] or 0
+        rpb = auto_rows_per_band(max_cell, dim, bands)
+        nbits = bands * rpb
+        bits = F.transform(
+            F.slice(F.col(vec_col), 1, nbits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        )
+        banded = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(cell_col).alias("_cell"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "", F.slice(bits, b * rpb + 1, rpb)
+                            ).alias("bsig"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "_cell", "bb.band", "bb.bsig")
+        cand = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x._cell") == F.col("y._cell"))
+                & (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bsig") == F.col("y.bsig"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+            .distinct()
+        )
     dropped_ids = (
-        left.join(right, "_cell")
-        .filter(F.col("a_id") < F.col("b_id"))
+        cand.join(left.drop("_cell"), "a_id")
+        .join(right.drop("_cell"), "b_id")
         .withColumn(
             "cos",
             F.round(
