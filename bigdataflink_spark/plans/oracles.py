@@ -3308,3 +3308,16 @@ WITH drops AS (
 SELECT e.vec_id AS id, e.label AS cell, (d.id IS NOT NULL) AS dropped
 FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.id
 """
+
+
+# q186: vacuum audit recomputed from the version recipe — v2 keeps
+# doc_id % 4 != 0, v3 keeps doc_id % 5 != 0.
+ORACLES["q186_snapshot_vacuum"] = """
+SELECT CAST(4 AS INT) AS n_before,
+       CAST(2 AS INT) AS n_after,
+       CAST(2 AS INT) AS oldest_kept,
+       CAST(3 AS INT) AS latest,
+       CAST(2 AS INT) AS n_expired,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 4 <> 0) AS rows_v2,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0) AS rows_v3
+"""

@@ -4974,6 +4974,51 @@ def q185_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(emb, threshold=0.4)
 
 
+def q186_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention (extension; sources/snapshots.vacuum_snapshots
+    — the Delta VACUUM / Iceberg expire-snapshots analog completing
+    the lakehouse maintenance surface next to q174's time travel and
+    q181's compaction): four committed versions of documents
+    (v_k keeps doc_id % (k+2) != 0 for k>=1; v0 = all), vacuum to the
+    newest two, then audit — version counts before/after, the oldest
+    surviving version, and row counts read back THROUGH the
+    post-vacuum commit log. The oracle recomputes every value from
+    the filter recipe; the read-back equality booleans pin that
+    vacuum expired exactly the old versions and disturbed nothing it
+    kept."""
+    import tempfile
+
+    from bigdataflink_spark.sources import snapshots as sn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    table = tempfile.mkdtemp(prefix="q186_vac_") + "/docs"
+    sn.write_snapshot(spark, docs, table)
+    for k in (1, 2, 3):
+        sn.write_snapshot(
+            spark, docs.filter(F.col("doc_id") % (k + 2) != 0), table
+        )
+    before = len(sn.list_versions(spark, table))
+    audit = sn.vacuum_snapshots(spark, table, keep_last=2)
+    kept = sn.list_versions(spark, table)
+    n2 = sn.read_snapshot(spark, table, 2).count()
+    n3 = sn.read_snapshot(spark, table, 3).count()
+    return spark.createDataFrame(
+        [
+            (
+                before,
+                len(kept),
+                kept[0]["version"],
+                kept[-1]["version"],
+                len(audit["expired"]),
+                n2,
+                n3,
+            )
+        ],
+        "n_before int, n_after int, oldest_kept int, latest int, "
+        "n_expired int, rows_v2 long, rows_v3 long",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5157,4 +5202,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q183_png_codec": q183_png_codec,
     "q184_wav_container": q184_wav_container,
     "q185_semantic_dedup": q185_semantic_dedup,
+    "q186_snapshot_vacuum": q186_snapshot_vacuum,
 }

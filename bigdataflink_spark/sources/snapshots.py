@@ -7,8 +7,10 @@ package.
 Layout::
 
     <table>/
-      _manifest.json          {"versions": [{"version": 0, "n_rows": …,
-                               "parent": null, "schema": …}, …]}
+      _log/v-00000000.json    append-only commit log: one record per
+      _log/v-00000001.json    version {"version", "n_rows", "parent",
+                              "schema"}, written via temp + atomic
+                              rename, deleted only by vacuum
       v=0/  part-*.parquet    immutable full snapshot
       v=1/  part-*.parquet
 
@@ -199,3 +201,51 @@ def diff_versions(
         .filter(F.col("change") != "unchanged")
         .select(*key_cols, "change")
     )
+
+
+def vacuum_snapshots(spark: SparkSession, table: str, keep_last: int) -> dict:
+    """Retention (the Delta VACUUM / Iceberg expire-snapshots analog):
+    keep the newest ``keep_last`` committed versions, expire the rest.
+    Returns {"expired": [...], "kept": [...]}.
+
+    Crash-safe ordering, mirroring the write path in reverse: a
+    version's COMMIT RECORD is deleted first — one atomic FS delete
+    makes it vanish from the log, so readers can never resolve a
+    version whose data is mid-delete — and its data directory after.
+    A crash in between leaves an orphaned ``v=N`` dir that the next
+    vacuum sweeps (any data dir with no commit record and a version
+    below the oldest kept one). ``read_snapshot`` of an expired
+    version fails the commit-log membership check with the same clear
+    error as a never-committed version.
+
+    Single-maintainer discipline (like compaction): don't run two
+    vacuums concurrently; concurrent READERS are safe at every point.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = [v["version"] for v in list_versions(spark, table)]
+    kept = versions[-keep_last:]
+    expired = [v for v in versions if v not in kept]
+    fs, root, jvm = _fs(spark, table)
+    for v in expired:
+        rec = jvm.org.apache.hadoop.fs.Path(
+            f"{table}/{LOG_DIR}/v-{v:08d}.json"
+        )
+        fs.delete(rec, False)  # atomic: the version leaves the log here
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/v={v}"), True)
+    # sweep orphans from crashed prior vacuums: data dirs with no
+    # commit record below the oldest kept version
+    oldest_kept = kept[0] if kept else -1
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("v="):
+                continue
+            v = int(name.split("=", 1)[1])
+            if v < oldest_kept and v not in kept:
+                rec = jvm.org.apache.hadoop.fs.Path(
+                    f"{table}/{LOG_DIR}/v-{v:08d}.json"
+                )
+                if not fs.exists(rec):
+                    fs.delete(st.getPath(), True)
+    return {"expired": expired, "kept": kept}

@@ -297,3 +297,38 @@ def test_snapshot_drift_expectations(spark, tmp_path):
         ).collect()
     }
     assert got2["rows"] == (None, False)
+
+
+def test_snapshot_vacuum_retention_and_crash_safety(spark, tmp_path):
+    """vacuum_snapshots: expired versions leave the commit log and
+    disk; kept versions read back unchanged; an expired version's
+    read fails the membership check; a crash between record-delete
+    and dir-delete leaves an orphan the next vacuum sweeps."""
+    import os
+
+    import pytest as _pytest
+
+    from bigdataflink_spark.sources import snapshots as sn
+
+    t = str(tmp_path / "vac")
+    for n in (3, 5, 7, 9):
+        sn.write_snapshot(
+            spark, spark.range(n).withColumnRenamed("id", "k"), t
+        )
+    audit = sn.vacuum_snapshots(spark, t, keep_last=2)
+    assert audit == {"expired": [0, 1], "kept": [2, 3]}
+    assert [v["version"] for v in sn.list_versions(spark, t)] == [2, 3]
+    assert sn.read_snapshot(spark, t, 2).count() == 7
+    assert sn.read_snapshot(spark, t).count() == 9
+    with _pytest.raises(ValueError, match="commit log"):
+        sn.read_snapshot(spark, t, 0)
+    assert not os.path.exists(f"{t}/v=0")
+
+    # simulated crash: record gone, data dir still present
+    fs, _, jvm = sn._fs(spark, t)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{t}/{sn.LOG_DIR}/v-00000002.json"), False)
+    # v=2's dir is now an orphan below the oldest kept version
+    audit2 = sn.vacuum_snapshots(spark, t, keep_last=1)
+    assert audit2["kept"] == [3]
+    assert not os.path.exists(f"{t}/v=2")
+    assert sn.read_snapshot(spark, t).count() == 9
