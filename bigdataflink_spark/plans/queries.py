@@ -50,6 +50,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _topk_ranked(df: DataFrame, k: int, *order: F.Column) -> DataFrame:
+    """Distributed top-k WITH a rank column: orderBy().limit(k) plans
+    as TakeOrderedAndProject (per-partition heaps merged at the
+    driver — no single-task sort of the full input), and the ranking
+    window then runs over only the k survivors. Replaces the
+    row_number-over-global-window + filter(rn <= k) shape, which
+    moved the ENTIRE input through one window task (the q175 staging
+    argument applied to every top-k; round 4). Identical output —
+    the order must be a total order (deterministic tiebreaks)."""
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+    )
+
+
 def _money(col) -> F.Column:
     """Deterministic 2dp money sum (exact decimal accumulate)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -2363,24 +2381,63 @@ def q114_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — the census you run BEFORE choosing salting
     (q42) / AQE skew-split strategies at 100 TB. One fact shuffle to
     per-key counts; the distribution stats then sort KEYS (vocabulary
-    scale, q97's argument), never facts. Gini accumulates rank×count
+    scale, q97's argument), never facts — and the Gini's global rank
+    is STAGED like q175's frontier sweep (round 4): count-range
+    buckets from broadcast quantile boundaries (equal counts
+    co-bucket, so ranks are exact), per-BUCKET ranking windows, and
+    B-row running offsets broadcast back — no single-task sort of the
+    key population. The top-10 share rides a distributed
+    TakeOrdered(10), not a global window. Gini accumulates rank×count
     in exact integers so both engines emit identical bits; entropy's
     double sum rounds at 6dp, far above parallel-order float drift."""
     orders = _t(spark, sf_dir, "orders")
-    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.asc("cnt"), F.asc("o_custkey"))
-    ranked = counts.select(
-        "cnt", F.row_number().over(w).alias("rk")
+    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt")).persist()
+    top10 = (
+        counts.orderBy(F.desc("cnt"), F.asc("o_custkey"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("_top10"))
     )
-    top = counts.select(
-        F.col("cnt"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("cnt"), F.asc("o_custkey")))
-        .alias("drk"),
+    bnds = sorted(
+        {
+            int(b)
+            for b in counts.agg(
+                F.expr(
+                    "approx_percentile(cnt, array("
+                    + ",".join(str((i + 1) / 33.0) for i in range(32))
+                    + "), 10000)"
+                )
+            ).first()[0]
+            or []
+            if b is not None
+        }
     )
-    top10 = top.agg(
-        F.sum(F.when(F.col("drk") <= 10, F.col("cnt")).otherwise(0)).alias(
-            "_top10"
+    bucket = (
+        F.expr(
+            "size(filter(array("
+            + ",".join(str(b) for b in bnds)
+            + "), b -> cnt > b))"
+        )
+        if bnds
+        else F.lit(0)
+    )
+    bucketed = counts.withColumn("_bk", bucket)
+    w_local = Window.partitionBy("_bk").orderBy(F.asc("cnt"), F.asc("o_custkey"))
+    w_off = Window.orderBy(F.asc("_bk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "_bk",
+            F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "_bk")
+        .select(
+            "cnt",
+            (F.row_number().over(w_local) + F.col("_off")).alias("rk"),
         )
     )
     stats = ranked.agg(
@@ -2688,11 +2745,8 @@ def q122_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("lift"), F.asc("bigram"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 20)
-        .select("bigram", "c_xy", "c_x", "c_y", "lift", "rn")
+    return _topk_ranked(scored, 20, F.desc("lift"), F.asc("bigram")).select(
+        "bigram", "c_xy", "c_x", "c_y", "lift", "rn"
     )
 
 
@@ -2700,35 +2754,43 @@ def q123_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction contract (the retrieval-layer
     shape): per term, document frequency, rational idf (n_docs/df,
     same no-libm rule as q46), and the first 8 postings as a sorted
-    array<doc_id>. One distinct-pair explode + one term-keyed agg;
-    posting arrays are built by sort_array(collect_list()) inside the
-    existing group agg and capped with slice() — per-term memory is
-    bounded by the cap only after the sort, so at 100 TB cap df per
-    term upstream (stopword cut at df/n_docs > 0.78 here,
-    tuned to the synthetic corpus's flat Zipf curve)."""
+    array<doc_id>. The cap lives IN the pipeline, not after it (the
+    round-3 plan-audit note, now implemented): df counts first, the
+    stopword cut (df/n_docs > 0.78, tuned to the synthetic corpus's
+    flat Zipf curve) prunes hot terms BEFORE any posting list exists,
+    and the surviving postings are bounded to 8 by a ranked filter —
+    so no term, however hot, ever materializes its full list in an
+    agg buffer. Pairs are persisted once and feed both passes."""
     docs = _t(spark, sf_dir, "documents")
     pairs = (
         docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
         .distinct()
+        .persist()
     )
     total = docs.agg(F.count("*").alias("n_docs"))
-    agg = pairs.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8).alias("postings"),
-    )
-    return (
-        agg.crossJoin(F.broadcast(total))
+    kept = (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(total))
         .filter(
             F.col("df").cast("double") / F.col("n_docs").cast("double") <= 0.78
         )
-        .select(
-            "term",
-            "df",
-            F.round(
-                F.col("n_docs").cast("double") / F.col("df").cast("double"), 6
-            ).alias("idf"),
-            "postings",
-        )
+    )
+    w8 = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    postings = (
+        pairs.join(kept.select("term"), "term", "left_semi")
+        .withColumn("_rn", F.row_number().over(w8))
+        .filter(F.col("_rn") <= 8)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return kept.join(postings, "term").select(
+        "term",
+        "df",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("df").cast("double"), 6
+        ).alias("idf"),
+        "postings",
     )
 
 
@@ -3224,10 +3286,8 @@ def q136_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 20)
+    return _topk_ranked(
+        scored, 20, F.desc("lift"), F.asc("brand_a"), F.asc("brand_b")
     )
 
 
@@ -3750,11 +3810,7 @@ def q150_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("pair"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 20)
-    )
+    return _topk_ranked(counts, 20, F.desc("n"), F.asc("pair"))
 
 
 def q151_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4083,11 +4139,7 @@ def q158_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = steps.groupBy("path").agg(F.count("*").alias("n_sessions"))
-    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        counts.withColumn("rn", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rn") <= 10)
-    )
+    return _topk_ranked(counts, 10, F.desc("n_sessions"), F.asc("path"))
 
 
 def q159_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
