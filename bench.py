@@ -102,6 +102,7 @@ HEADLINE = [
     "q183_png_codec",
     "q184_wav_container",
     "q185_semantic_dedup",
+    "q186_snapshot_vacuum",
 ]
 
 
