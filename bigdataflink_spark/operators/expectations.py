@@ -57,6 +57,8 @@ def check_expectations(
     Scalar rules share a single aggregate pass; ``unique`` and ``fk``
     rules each add one keyed job whose 1-row result unions in.
     """
+    if not rules:
+        raise ValueError("check_expectations: empty rules list")
     refs = refs or {}
     scalar = [r for r in rules if r["type"] in {"not_null", "range", "values_in", "regex"}]
     keyed = [r for r in rules if r["type"] in {"unique", "fk"}]
@@ -167,6 +169,8 @@ def check_snapshot_drift(
     """
     from bigdataflink_spark.sources import snapshots as sn
 
+    if not rules:
+        raise ValueError("check_snapshot_drift: empty rules list")
     base = sn.read_snapshot(spark, table, base_version)
     cur = sn.read_snapshot(spark, table, cur_version)
 
@@ -174,8 +178,13 @@ def check_snapshot_drift(
         aggs = [F.count(F.lit(1)).cast("long").alias(f"n_{tag}")]
         for r in rules:
             if r["type"] == "null_rate_drift":
+                # coalesce: F.sum over an EMPTY snapshot is NULL, which
+                # would poison the degenerate-denominator verdicts
                 aggs.append(
-                    F.sum(F.when(F.col(r["col"]).isNull(), 1).otherwise(0))
+                    F.coalesce(
+                        F.sum(F.when(F.col(r["col"]).isNull(), 1).otherwise(0)),
+                        F.lit(0),
+                    )
                     .cast("long")
                     .alias(f"nul_{r['rule']}_{tag}")
                 )

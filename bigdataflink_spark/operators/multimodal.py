@@ -113,12 +113,28 @@ def _rgb_features(payload: bytes, width: int, height: int) -> list[float]:
     ]
 
 
+def _png_features(payload: bytes) -> list[float]:
+    """REAL image features from a PNG decode (round-4 routing fix:
+    the real codec exists, so the shared feature dispatch must use
+    it, not the sha256 fake): same statistics as _rgb_features over
+    the inflated+unfiltered raster."""
+    img = png_decode(payload).astype(np.float64)
+    means = img.mean(axis=(0, 1)) / 255.0
+    stds = img.std(axis=(0, 1)) / 255.0
+    luma = img @ np.array([0.299, 0.587, 0.114])
+    return [
+        float(means[0]), float(means[1]), float(means[2]),
+        float(stds[0]), float(stds[1]), float(stds[2]),
+        float(luma.mean() / 255.0), float(luma.std() / 255.0),
+    ]
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """binary payload -> fixed-dim feature vector, Arrow-batched.
 
-    Raw-RGB images get REAL decoded statistics (_rgb_features);
-    everything else goes through the sha256 fake pending an external
-    codec.
+    Raw-RGB and PNG images get REAL decoded statistics
+    (_rgb_features / _png_features); everything else goes through the
+    sha256 fake pending an external codec.
     """
 
     def _feature(row) -> list[float] | None:
@@ -126,6 +142,8 @@ def extract_features(media: DataFrame) -> DataFrame:
             return None
         if row["modality"] == "image" and row["mime"] == RAW_RGB_IMAGE:
             return _rgb_features(row["payload"], int(row["width"]), int(row["height"]))
+        if row["modality"] == "image" and row["mime"] == PNG_IMAGE:
+            return _png_features(row["payload"])
         return _fake_decode(row["payload"])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,8 +228,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
     Raw-RGB payloads (mime ``image/x-raw-rgb``) are decoded and
     nearest-neighbor-resized with a REAL numpy codec — byte-exact,
-    oracle-checked in q71. Compressed formats need PIL/opencv (absent
-    in this container) and raise per-row; the Arrow plumbing around
+    oracle-checked in q71. PNG payloads round-trip through the real
+    codec too: inflate+unfilter → NN-resize → re-encode (Paeth).
+    Remaining compressed formats (JPEG…) need PIL/opencv (absent in
+    this container) and raise per-row; the Arrow plumbing around
     them is identical.
     """
 
@@ -221,14 +241,20 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             for i in pdf.index:
                 if pdf.at[i, "modality"] != "image" or pdf.at[i, "payload"] is None:
                     continue
-                if pdf.at[i, "mime"] != RAW_RGB_IMAGE:
+                if pdf.at[i, "mime"] == RAW_RGB_IMAGE:
+                    img = decode_raw_rgb(
+                        pdf.at[i, "payload"], int(pdf.at[i, "width"]), int(pdf.at[i, "height"])
+                    )
+                    out.at[i, "payload"] = _nn_resize(img, width, height).tobytes()
+                elif pdf.at[i, "mime"] == PNG_IMAGE:
+                    img = png_decode(bytes(pdf.at[i, "payload"]))
+                    out.at[i, "payload"] = png_encode(
+                        _nn_resize(img, width, height), filter_type=4
+                    )
+                else:
                     raise NotImplementedError(
                         f"resize of {pdf.at[i, 'mime']} requires PIL/opencv"
                     )
-                img = decode_raw_rgb(
-                    pdf.at[i, "payload"], int(pdf.at[i, "width"]), int(pdf.at[i, "height"])
-                )
-                out.at[i, "payload"] = _nn_resize(img, width, height).tobytes()
                 out.at[i, "width"] = width
                 out.at[i, "height"] = height
             yield out

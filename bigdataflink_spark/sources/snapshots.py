@@ -117,9 +117,19 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
     version = (
         manifest["versions"][-1]["version"] + 1 if manifest["versions"] else 0
     )
-    # overwrite (not errorifexists): version numbers only ever advance
-    # past COMMITTED versions, so the only thing this can clobber is an
-    # orphaned uncommitted v=N dir left by a crashed prior attempt
+    # A committed v=N must NEVER be overwritten: a stale writer (one
+    # that read the log before another writer committed this version)
+    # fails here instead of destroying committed data. Only an
+    # ORPHANED uncommitted v=N dir (crashed prior attempt — data
+    # present, commit record absent) is reclaimed by the overwrite.
+    fs, _, jvm = _fs(spark, table)
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{table}/{LOG_DIR}/v-{version:08d}.json")
+    ):
+        raise ValueError(
+            f"version {version} of {table} is already committed — "
+            "stale/concurrent writer (single-writer discipline)"
+        )
     df.write.mode("overwrite").parquet(f"{table}/v={version}")
     n_rows = spark.read.parquet(f"{table}/v={version}").count()
     _append_commit_record(

@@ -49,6 +49,14 @@ Partial sums accumulate in DECIMAL and are only rounded by the final
 reader, so the incremental result is bit-identical to a one-shot
 batch aggregation over the same events (verified in tests against
 operators/windows.tumbling).
+
+REQUIREMENT: parquet job commit markers must stay enabled
+(``mapreduce.fileoutputcommitter.marksuccessfuljobs=true`` — Spark's
+default): the reader and the compactor use ``_SUCCESS`` to tell a
+complete batch dir from one a trigger is mid-writing. Disabling the
+marker (sometimes suggested for object stores) would make the rollup
+state invisible to this module; on S3A prefer keeping the marker and
+using the magic committer.
 """
 
 from __future__ import annotations
@@ -221,7 +229,21 @@ def _cleanup_superseded(spark: SparkSession, parts_dir: str) -> None:
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if name.startswith("batch_id=") and int(name.split("=", 1)[1]) <= max_batch:
-            fs.delete(st.getPath(), True)
+            # skip dirs without a _SUCCESS marker: a restarted stream
+            # may be REWRITING this superseded dir right now (replay of
+            # an already-compacted epoch — mid-overwrite the marker is
+            # absent); deleting under the write would crash the stream.
+            # The finished replay's dir is ignored by readers and swept
+            # by the next compaction instead.
+            ok = jvm.org.apache.hadoop.fs.Path(
+                f"{parts_dir}/{name}/_SUCCESS"
+            )
+            if not fs.exists(ok):
+                continue
+            try:
+                fs.delete(st.getPath(), True)
+            except Exception:
+                pass  # lost a race with a replay rewrite; swept later
     comp_root = jvm.org.apache.hadoop.fs.Path(f"{parts_dir}/compacted")
     if fs.exists(comp_root):
         for st in fs.listStatus(comp_root):

@@ -929,3 +929,22 @@ def test_semantic_dedup_first_arrival_wins(spark):
         for r in semantic_dedup(emb, threshold=0.95).collect()
     }
     assert got == {1: False, 2: True, 3: False, 4: False, 5: True}
+
+
+def test_png_media_uses_real_codec_in_dispatch(spark):
+    """Round-4 routing fix: extract_features and resize_images must
+    send image/png through the real codec, not the sha256 fake."""
+    import numpy as np
+
+    media = multimodal.synthetic_png_media(_rgb_docs(spark, [9]), width=16, height=12)
+    feat = multimodal.extract_features(media).collect()[0].feature
+    img = ((9 * 31 + np.arange(16 * 12 * 3)) % 256).astype(np.uint8).reshape(12, 16, 3)
+    assert abs(feat[0] - img[:, :, 0].mean() / 255.0) < 1e-6
+    assert abs(feat[3] - img[:, :, 0].std() / 255.0) < 1e-6
+
+    small = multimodal.resize_images(media, width=7, height=5).collect()[0]
+    from bigdataflink_spark.operators.multimodal import png_decode
+
+    ys, xs = (np.arange(5) * 12) // 5, (np.arange(7) * 16) // 7
+    assert (png_decode(bytes(small.payload)) == img[np.ix_(ys, xs)]).all()
+    assert (small.width, small.height) == (7, 5)
