@@ -103,6 +103,7 @@ HEADLINE = [
     "q184_wav_container",
     "q185_semantic_dedup",
     "q186_snapshot_vacuum",
+    "q187_jpeg_roundtrip",
 ]
 
 

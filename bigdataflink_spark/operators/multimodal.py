@@ -17,11 +17,15 @@ Two codec tiers:
   decoder over stdlib zlib + numpy (DEFLATE, CRC-verified chunks, all
   five scanline filters incl. Paeth) — see the PNG section below.
   Byte-exact generative oracle (q183).
-* other compressed formats (JPEG/MP4…) — require PIL/ffmpeg, which
-  this container doesn't ship; those branches fall back to a
-  clearly-marked deterministic sha256 FAKE (features/frames) or raise
-  (resize), with the Spark-side plumbing — schemas, Arrow batch
-  shapes, fan-out — identical to what a real codec build runs.
+* ``image/jpeg`` — a REAL baseline codec too (round 4): sequential
+  DCT, 4:4:4, Huffman, full JFIF segment walk, numpy-only — see the
+  JPEG section below. Lossy, so correctness is pinned by round-trip
+  error contracts (q187) + an exact-DC constant-block test.
+* remaining compressed formats (video containers/MP4…) — require
+  ffmpeg, which this container doesn't ship; those branches fall back
+  to a clearly-marked deterministic sha256 FAKE (frames) or raise,
+  with the Spark-side plumbing — schemas, Arrow batch shapes,
+  fan-out — identical to what a real codec build runs.
 
 ``mapInPandas`` is the right vehicle: Arrow-batched (no per-row
 pickling), streaming iterator (a batch of decoded frames never has to
@@ -113,20 +117,24 @@ def _rgb_features(payload: bytes, width: int, height: int) -> list[float]:
     ]
 
 
-def _png_features(payload: bytes) -> list[float]:
-    """REAL image features from a PNG decode (round-4 routing fix:
-    the real codec exists, so the shared feature dispatch must use
-    it, not the sha256 fake): same statistics as _rgb_features over
-    the inflated+unfiltered raster."""
-    img = png_decode(payload).astype(np.float64)
-    means = img.mean(axis=(0, 1)) / 255.0
-    stds = img.std(axis=(0, 1)) / 255.0
-    luma = img @ np.array([0.299, 0.587, 0.114])
+def _decoded_features(img: np.ndarray) -> list[float]:
+    """Shared REAL feature math over any decoded (h, w, 3) raster."""
+    f = img.astype(np.float64)
+    means = f.mean(axis=(0, 1)) / 255.0
+    stds = f.std(axis=(0, 1)) / 255.0
+    luma = f @ np.array([0.299, 0.587, 0.114])
     return [
         float(means[0]), float(means[1]), float(means[2]),
         float(stds[0]), float(stds[1]), float(stds[2]),
         float(luma.mean() / 255.0), float(luma.std() / 255.0),
     ]
+
+
+def _png_features(payload: bytes) -> list[float]:
+    """REAL image features from a PNG decode (round-4 routing fix:
+    the real codec exists, so the shared feature dispatch must use
+    it, not the sha256 fake)."""
+    return _decoded_features(png_decode(payload))
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -144,6 +152,8 @@ def extract_features(media: DataFrame) -> DataFrame:
             return _rgb_features(row["payload"], int(row["width"]), int(row["height"]))
         if row["modality"] == "image" and row["mime"] == PNG_IMAGE:
             return _png_features(row["payload"])
+        if row["modality"] == "image" and row["mime"] == JPEG_IMAGE:
+            return _decoded_features(jpeg_decode(bytes(row["payload"])))
         return _fake_decode(row["payload"])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -250,6 +260,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     img = png_decode(bytes(pdf.at[i, "payload"]))
                     out.at[i, "payload"] = png_encode(
                         _nn_resize(img, width, height), filter_type=4
+                    )
+                elif pdf.at[i, "mime"] == JPEG_IMAGE:
+                    img = jpeg_decode(bytes(pdf.at[i, "payload"]))
+                    out.at[i, "payload"] = jpeg_encode(
+                        _nn_resize(img, width, height)
                     )
                 else:
                     raise NotImplementedError(
@@ -883,3 +898,425 @@ def wav_channel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: a REAL baseline codec (round 4) — sequential DCT, 8-bit,
+# 4:4:4, interleaved, Huffman entropy coding — implemented on numpy
+# only (ITU-T T.81). The emitted stream is a complete JFIF file: the
+# DQT/DHT segments carry the exact tables the scan was coded with, so
+# ANY compliant decoder reproduces this decoder's output — table
+# choice affects quality, never interoperability. Lossy by nature:
+# correctness is pinned by round-trip error contracts (q187) plus an
+# exact-DC test on constant blocks, not byte equality.
+# ---------------------------------------------------------------------------
+
+JPEG_IMAGE = "image/jpeg"
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+_QCHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_H_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_H_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_H_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_H_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, vals):
+    """value -> (code, length) from a (BITS, HUFFVAL) spec (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quant_tables(quality: int):
+    """libjpeg quality scaling of the Annex K tables."""
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def sc(tbl):
+        t = np.floor((tbl * scale + 50) / 100)
+        return np.clip(t, 1, 255)
+    return sc(_QLUM), sc(_QCHR)
+
+
+_DCT_C = None
+
+
+def _dct_mat():
+    """8x8 orthonormal DCT-II matrix (cached)."""
+    global _DCT_C
+    if _DCT_C is None:
+        x = np.arange(8)
+        C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+        C[0, :] *= 1 / np.sqrt(2)
+        _DCT_C = C
+    return _DCT_C
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _encode_block(coef, qtbl, dc_prev, dc_huff, ac_huff, bw):
+    """Quantize one DCT block and entropy-code it; returns its DC."""
+    q = np.round(coef / qtbl).astype(np.int64)
+    zz = q.flatten()[_ZIGZAG]
+    dc, diff = int(zz[0]), int(zz[0]) - dc_prev
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    s = cat(diff)
+    code, ln = dc_huff[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        if i > last_nz:
+            code, ln = ac_huff[0x00]  # EOB
+            bw.put(code, ln)
+            break
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_huff[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = cat(v)
+        code, ln = ac_huff[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return dc
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real baseline JFIF
+    JPEG (sequential DCT, 4:4:4, interleaved, Huffman). Deterministic
+    for identical input at a fixed quality."""
+    import struct
+
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    h, w = img.shape[:2]
+    qlum, qchr = _quant_tables(quality)
+
+    # RGB -> YCbCr (JFIF, float then clamp)
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+    planes = [np.clip(p, 0, 255) - 128.0 for p in (y, cb, cr)]
+
+    # pad to multiples of 8 (edge replicate)
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [
+        np.pad(p, ((0, H - h), (0, W - w)), mode="edge") for p in planes
+    ]
+
+    C = _dct_mat()
+    dc_l, dc_c = _huff_codes(*_H_DC_LUM), _huff_codes(*_H_DC_CHR)
+    ac_l, ac_c = _huff_codes(*_H_AC_LUM), _huff_codes(*_H_AC_CHR)
+    bw = _BitWriter()
+    dc_prev = [0, 0, 0]
+    qts = [qlum, qchr, qchr]
+    dhs = [dc_l, dc_c, dc_c]
+    ahs = [ac_l, ac_c, ac_c]
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            for ci in range(3):
+                blk = planes[ci][by : by + 8, bx : bx + 8]
+                coef = C @ blk @ C.T
+                dc_prev[ci] = _encode_block(
+                    coef, qts[ci], dc_prev[ci], dhs[ci], ahs[ci], bw
+                )
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, tbl):
+        return seg(0xDB, bytes([tid]) + bytes(int(v) for v in tbl.flatten()[_ZIGZAG]))
+
+    def dht(tc_th, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, qlum) + dqt(1, qchr)
+        + dht(0x00, _H_DC_LUM) + dht(0x10, _H_AC_LUM)
+        + dht(0x01, _H_DC_CHR) + dht(0x11, _H_AC_CHR)
+        + sof + sos + scan + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                # stuffed zero byte follows a literal 0xFF in the scan
+                if self.pos < len(self.d) and self.d[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits, vals):
+    """(code, length) -> value map for decoding."""
+    enc = _huff_codes(bits, vals)
+    return {(c, ln): v for v, (c, ln) in enc.items()}
+
+
+def _read_huff(br: _BitReader, table) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        if (code, ln) in table:
+            return table[(code, ln)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline JFIF JPEG (sequential DCT, Huffman, 8-bit,
+    no subsampling — what ``jpeg_encode`` emits) to an (h, w, 3)
+    uint8 RGB array: full segment walk, in-file DQT/DHT tables,
+    entropy decode with byte unstuffing, dequant + IDCT + color
+    conversion. Raises NotImplementedError for progressive scans or
+    subsampled components."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[int, dict] = {}
+    comps = None
+    h = w = 0
+    scan_comps = None
+    scan_data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                flat = np.zeros(64, dtype=np.float64)
+                flat[_ZIGZAG] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.float64)
+                qtables[tq] = flat.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc_th = body[b]
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                htables[tc_th] = _huff_decode_table(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 3:
+                raise NotImplementedError("8-bit 3-component only")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampling not supported")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cs, tables >> 4, tables & 0x0F))
+            scan_data = payload[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    if comps is None or scan_data is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    # strip the trailing EOI from the entropy stream
+    end = scan_data.rfind(b"\xff\xd9")
+    if end != -1:
+        scan_data = scan_data[:end]
+    br = _BitReader(scan_data)
+    C = _dct_mat()
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.zeros((H, W), dtype=np.float64) for _ in range(3)]
+    dc_prev = [0, 0, 0]
+    comp_q = {cid: qtables[tq] for cid, tq in comps}
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            for ci, (cs, td, ta) in enumerate(scan_comps):
+                dct = htables[0x00 | td]
+                act = htables[0x10 | ta]
+                zz = np.zeros(64, dtype=np.float64)
+                s = _read_huff(br, dct)
+                diff = _extend(br.bits(s), s) if s else 0
+                dc_prev[ci] += diff
+                zz[0] = dc_prev[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_huff(br, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[k] = _extend(br.bits(s), s)
+                    k += 1
+                q = np.zeros(64, dtype=np.float64)
+                q[_ZIGZAG] = zz
+                coef = q.reshape(8, 8) * comp_q[scan_comps[ci][0]]
+                blk = C.T @ coef @ C
+                planes[ci][by : by + 8, bx : bx + 8] = blk
+    y, cb, cr = (p[:h, :w] + 128.0 for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -3321,3 +3321,15 @@ SELECT CAST(4 AS INT) AS n_before,
        (SELECT COUNT(*) FROM documents WHERE doc_id % 4 <> 0) AS rows_v2,
        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0) AS rows_v3
 """
+
+
+# q187: JPEG is lossy — the oracle pins the round-trip CONTRACT
+# (exact dims + the per-image mean-abs-error bound TRUE), q19's
+# bounded-error design applied to a codec.
+ORACLES["q187_jpeg_roundtrip"] = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       TRUE AS err_ok
+FROM documents WHERE doc_id % 5 = 0
+"""

@@ -5071,6 +5071,60 @@ def q186_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q187_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG codec contract (extension;
+    operators/multimodal.py JPEG section — closes the last image
+    format behind the PIL gate): each document's q71 closed-form
+    raster is encoded as a real JFIF JPEG (sequential DCT, 4:4:4,
+    Huffman, quality 90) and decoded back through the full segment
+    walk + entropy decoder. JPEG is lossy, so the oracle pins the
+    CONTRACT, not bytes (q19's bounded-error design): exact decoded
+    dimensions plus a mean-absolute-error bound per image — a broken
+    DCT/Huffman/quantizer path blows the bound or the dims and fails
+    the value hash. One Arrow map stage: zero shuffles, zero joins.
+    Audited on the deterministic doc_id%5==0 fifth of the corpus
+    (declared, mirrored by the oracle): the contract is per-image, so
+    sampling changes audit cost only — the pure-Python Huffman coder
+    runs ~1.6 ms/image and the full corpus belongs in a scheduled
+    audit, not the bench hot path."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    width, height = 16, 12
+
+    def _batches(it):
+        import numpy as np
+
+        n = width * height * 3
+        ks = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            rows = {"media_id": [], "width": [], "height": [], "err_ok": []}
+            for i in pdf["doc_id"]:
+                src = (
+                    ((int(i) * 31 + ks) % 256)
+                    .astype(np.uint8)
+                    .reshape(height, width, 3)
+                )
+                back = jpeg_decode(jpeg_encode(src, quality=90))
+                err = np.abs(
+                    back.astype(np.int64) - src.astype(np.int64)
+                ).mean()
+                rows["media_id"].append(int(i))
+                rows["width"].append(back.shape[1])
+                rows["height"].append(back.shape[0])
+                rows["err_ok"].append(bool(err <= 12.0))
+            yield pd_.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="media_id long, width int, height int, err_ok boolean"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5255,4 +5309,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q184_wav_container": q184_wav_container,
     "q185_semantic_dedup": q185_semantic_dedup,
     "q186_snapshot_vacuum": q186_snapshot_vacuum,
+    "q187_jpeg_roundtrip": q187_jpeg_roundtrip,
 }

@@ -948,3 +948,62 @@ def test_png_media_uses_real_codec_in_dispatch(spark):
     ys, xs = (np.arange(5) * 12) // 5, (np.arange(7) * 16) // 7
     assert (png_decode(bytes(small.payload)) == img[np.ix_(ys, xs)]).all()
     assert (small.width, small.height) == (7, 5)
+
+
+def test_jpeg_codec_roundtrip_contracts():
+    """Real baseline JPEG: exact on constant blocks (DC-only), tight
+    error on smooth gradients, structurally valid JFIF, malformed
+    input rejected, odd (non-multiple-of-8) dims preserved."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdataflink_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    const = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert (jpeg_decode(jpeg_encode(const, 90)) == const).all()
+
+    y, x = np.mgrid[0:24, 0:32]
+    grad = np.stack([(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2).astype(np.uint8)
+    back = jpeg_decode(jpeg_encode(grad, 90))
+    assert back.shape == grad.shape
+    assert np.abs(back.astype(int) - grad.astype(int)).mean() < 2.0
+
+    rng = np.random.default_rng(5)
+    odd = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    back2 = jpeg_decode(jpeg_encode(odd, 95))
+    assert back2.shape == (17, 19, 3)
+    assert np.abs(back2.astype(int) - odd.astype(int)).mean() < 8.0
+
+    b = jpeg_encode(const)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x89PNG" + b[4:])
+
+
+def test_jpeg_dispatch_features_and_resize(spark):
+    """image/jpeg routes through the real codec in the shared
+    dispatch: decoded statistics (close to the source raster, unlike
+    the sha256 fake) and a real decode -> resize -> re-encode."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        JPEG_IMAGE,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    src = np.stack(
+        [np.tile(np.arange(0, 160, 10, dtype=np.uint8), (16, 1))] * 3, axis=2
+    )
+    payload = jpeg_encode(src, 95)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), JPEG_IMAGE, 16, 16, None)],
+        MEDIA_SCHEMA,
+    )
+    feat = multimodal.extract_features(media).collect()[0].feature
+    assert abs(feat[0] - src[:, :, 0].mean() / 255.0) < 0.02  # real stats
+
+    small = multimodal.resize_images(media, width=8, height=8).collect()[0]
+    out = jpeg_decode(bytes(small.payload))
+    assert out.shape == (8, 8, 3)
