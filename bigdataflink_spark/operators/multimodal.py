@@ -106,15 +106,7 @@ def _fake_decode(payload: bytes) -> list[float]:
 def _rgb_features(payload: bytes, width: int, height: int) -> list[float]:
     """REAL image features from a raw-RGB decode: per-channel mean and
     standard deviation, plus luma mean/std (8 floats, 0-1 scaled)."""
-    img = decode_raw_rgb(payload, width, height).astype(np.float64)
-    means = img.mean(axis=(0, 1)) / 255.0
-    stds = img.std(axis=(0, 1)) / 255.0
-    luma = img @ np.array([0.299, 0.587, 0.114])
-    return [
-        float(means[0]), float(means[1]), float(means[2]),
-        float(stds[0]), float(stds[1]), float(stds[2]),
-        float(luma.mean() / 255.0), float(luma.std() / 255.0),
-    ]
+    return _decoded_features(decode_raw_rgb(payload, width, height))
 
 
 def _decoded_features(img: np.ndarray) -> list[float]:
@@ -140,9 +132,10 @@ def _png_features(payload: bytes) -> list[float]:
 def extract_features(media: DataFrame) -> DataFrame:
     """binary payload -> fixed-dim feature vector, Arrow-batched.
 
-    Raw-RGB and PNG images get REAL decoded statistics
-    (_rgb_features / _png_features); everything else goes through the
-    sha256 fake pending an external codec.
+    Raw-RGB, PNG, and JPEG images get REAL decoded statistics
+    (shared _decoded_features math over each codec's raster);
+    everything else goes through the sha256 fake pending an external
+    codec.
     """
 
     def _feature(row) -> list[float] | None:
@@ -238,11 +231,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
     Raw-RGB payloads (mime ``image/x-raw-rgb``) are decoded and
     nearest-neighbor-resized with a REAL numpy codec — byte-exact,
-    oracle-checked in q71. PNG payloads round-trip through the real
-    codec too: inflate+unfilter → NN-resize → re-encode (Paeth).
-    Remaining compressed formats (JPEG…) need PIL/opencv (absent in
-    this container) and raise per-row; the Arrow plumbing around
-    them is identical.
+    oracle-checked in q71. PNG and JPEG payloads round-trip through
+    the real codecs too: decode → NN-resize → re-encode. Any other
+    compressed mime raises per-row; the Arrow plumbing around it is
+    identical.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

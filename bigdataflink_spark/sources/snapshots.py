@@ -117,21 +117,40 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
     version = (
         manifest["versions"][-1]["version"] + 1 if manifest["versions"] else 0
     )
-    # A committed v=N must NEVER be overwritten: a stale writer (one
-    # that read the log before another writer committed this version)
-    # fails here instead of destroying committed data. Only an
-    # ORPHANED uncommitted v=N dir (crashed prior attempt — data
-    # present, commit record absent) is reclaimed by the overwrite.
+    # A committed v=N must never be overwritten. The data is staged
+    # to a private dir FIRST (the slow part — seconds to minutes),
+    # and only then, after re-checking that no commit record landed
+    # meanwhile, swapped into place: a stale writer (one that read
+    # the log before another writer committed this version) fails at
+    # the metadata swap without having touched v=N. This narrows the
+    # stale-writer race from the full data-write duration to a
+    # metadata-op window — the same residual any filesystem-only
+    # table format has without a locking service; true mutual
+    # exclusion stays a single-writer discipline requirement.
     fs, _, jvm = _fs(spark, table)
-    if fs.exists(
-        jvm.org.apache.hadoop.fs.Path(f"{table}/{LOG_DIR}/v-{version:08d}.json")
-    ):
+    record = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{LOG_DIR}/v-{version:08d}.json"
+    )
+    if fs.exists(record):
         raise ValueError(
             f"version {version} of {table} is already committed — "
             "stale/concurrent writer (single-writer discipline)"
         )
-    df.write.mode("overwrite").parquet(f"{table}/v={version}")
-    n_rows = spark.read.parquet(f"{table}/v={version}").count()
+    stage = f"{table}/.stage-v={version}"
+    df.write.mode("overwrite").parquet(stage)
+    n_rows = spark.read.parquet(stage).count()
+    if fs.exists(record):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+        raise ValueError(
+            f"version {version} of {table} was committed concurrently — "
+            "aborting without touching it (single-writer discipline)"
+        )
+    final = jvm.org.apache.hadoop.fs.Path(f"{table}/v={version}")
+    if fs.exists(final):
+        # uncommitted orphan from a crashed prior attempt — reclaim
+        fs.delete(final, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), final):
+        raise IOError(f"snapshot data rename failed for {final}")
     _append_commit_record(
         spark,
         table,

@@ -228,13 +228,20 @@ def _cleanup_superseded(spark: SparkSession, parts_dir: str) -> None:
         return
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) <= max_batch:
-            # skip dirs without a _SUCCESS marker: a restarted stream
-            # may be REWRITING this superseded dir right now (replay of
-            # an already-compacted epoch — mid-overwrite the marker is
-            # absent); deleting under the write would crash the stream.
-            # The finished replay's dir is ignored by readers and swept
-            # by the next compaction instead.
+        if name.startswith("batch_id="):
+            bid = int(name.split("=", 1)[1])
+            # Only epochs the checkpoint has already committed PAST can
+            # never replay, and the checkpoint frontier is at most the
+            # HIGHEST absorbed id: a restart replays only its last
+            # uncommitted epoch, so dirs with id < max_batch are
+            # replay-proof, while id == max_batch may be mid-rewrite
+            # right now. Deleting strictly below the frontier closes
+            # the delete-under-replay race; the frontier dir itself is
+            # deferred one compaction cycle (ignored by readers until
+            # then). The _SUCCESS skip additionally avoids touching a
+            # dir whose rewrite already started.
+            if bid >= max_batch:
+                continue
             ok = jvm.org.apache.hadoop.fs.Path(
                 f"{parts_dir}/{name}/_SUCCESS"
             )
@@ -243,7 +250,8 @@ def _cleanup_superseded(spark: SparkSession, parts_dir: str) -> None:
             try:
                 fs.delete(st.getPath(), True)
             except Exception:
-                pass  # lost a race with a replay rewrite; swept later
+                pass  # best-effort: an undeletable dir stays ignored
+                # by readers and is retried by every later compaction
     comp_root = jvm.org.apache.hadoop.fs.Path(f"{parts_dir}/compacted")
     if fs.exists(comp_root):
         for st in fs.listStatus(comp_root):

@@ -364,9 +364,22 @@ def test_snapshot_drift_null_rate_empty_base(spark, tmp_path):
     with _pytest.raises(ValueError, match="empty rules"):
         check_snapshot_drift(spark, t, [], 0)
 
-    # stale-writer guard: a hand-built write targeting committed v=1
-    # must refuse before touching data (simulate by a direct call
-    # after deleting nothing — version 2 is free, so fake the race by
-    # checking the guard directly)
-    fs, _, jvm = sn._fs(spark, t)
-    assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{t}/{sn.LOG_DIR}/v-00000001.json"))
+    # stale-writer guard: simulate a writer whose manifest read
+    # predates v=1's commit (it would target version 1, which IS
+    # committed) — write_snapshot must refuse without touching the
+    # committed data
+    before_rows = sn.read_snapshot(spark, t, 1).count()
+    orig = sn._read_manifest
+    try:
+        stale = {
+            "versions": [
+                v for v in orig(spark, t)["versions"] if v["version"] == 0
+            ]
+        }
+        sn._read_manifest = lambda sp, tb: stale
+        with _pytest.raises(ValueError, match="already committed"):
+            sn.write_snapshot(spark, v1, t)
+    finally:
+        sn._read_manifest = orig
+    assert sn.read_snapshot(spark, t, 1).count() == before_rows
+    assert [v["version"] for v in sn.list_versions(spark, t)] == [0, 1]
