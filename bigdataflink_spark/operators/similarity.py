@@ -267,12 +267,24 @@ def sign_lsh_neardup_pairs(
     random projections (needed anyway once rows_per_band must exceed
     the dimension count) — the operator shape is identical.
     """
+    dim = (
+        corpus.select(F.size(F.col(vec_col)).alias("d")).first() or {"d": 0}
+    )["d"] or 0
     if rows_per_band is None:
         n = corpus.count()
-        dim = (
-            corpus.select(F.size(F.col(vec_col)).alias("d")).first() or {"d": 0}
-        )["d"] or 0
         rows_per_band = auto_rows_per_band(n, dim, bands)
+    if rows_per_band > dim:
+        raise ValueError(
+            f"sign-LSH cannot draw {rows_per_band} bits per band from "
+            f"{dim}-dim vectors — use fewer/narrower bands or exact pairing"
+        )
+    # nbits must never exceed the vector dimension: a band slicing past
+    # the end would yield bsig '' for EVERY vector, collapsing that
+    # band into one global bucket and degrading candidate generation to
+    # the quadratic all-pairs this scheme exists to avoid. Bands that
+    # don't fit are dropped (recall falls with the band count — the
+    # caller asked for more bits than the vectors carry).
+    bands = min(bands, dim // rows_per_band)
     nbits = bands * rows_per_band
     bits = F.transform(
         F.slice(F.col(vec_col), 1, nbits),
@@ -504,7 +516,18 @@ def semantic_dedup(
         .first()
     )
     max_cell = int(stats["mx"] or 0)
-    if max_cell <= exact_cell_limit:
+    dim = (
+        corpus.select(F.size(F.col(vec_col)).alias("d")).first() or {"d": 0}
+    )["d"] or 0
+    # Guard nbits <= dim for the LSH tier: with dim < bands the
+    # auto_rows_per_band clamp lands on rpb=1 and bands*rpb would
+    # slice past the vector end — every vector in a cell would share
+    # bsig '' for the overhanging bands, collapsing them into one
+    # global bucket and degrading candidate generation to exactly the
+    # quadratic within-cell pairing the LSH path exists to avoid. Too
+    # few dims to band over means sign-LSH has no signal at all, so
+    # such corpora stay on the exact path regardless of cell size.
+    if max_cell <= exact_cell_limit or dim < bands:
         cand = (
             left.select("a_id", "_cell")
             .join(right.select("b_id", "_cell"), "_cell")
@@ -512,10 +535,8 @@ def semantic_dedup(
             .select("a_id", "b_id")
         )
     else:
-        dim = (
-            corpus.select(F.size(F.col(vec_col)).alias("d")).first() or {"d": 0}
-        )["d"] or 0
         rpb = auto_rows_per_band(max_cell, dim, bands)
+        bands = min(bands, dim // rpb)  # drop bands that can't fit
         nbits = bands * rpb
         bits = F.transform(
             F.slice(F.col(vec_col), 1, nbits),

@@ -10,7 +10,14 @@ Layout::
       _log/v-00000000.json    append-only commit log: one record per
       _log/v-00000001.json    version {"version", "n_rows", "parent",
                               "schema"}, written via temp + atomic
-                              rename, deleted only by vacuum
+                              rename, deleted only by vacuum or a
+                              log checkpoint that folded it
+      _log/ckpt-00000001.json periodic log checkpoint: all records
+                              with version <= "upto" folded into one
+                              file {"seq", "upto", "versions"} — the
+                              Delta-style fix for O(versions) log
+                              reads; readers load the newest ckpt
+                              (by seq) + the tail of newer v-*.json
       v=0/  part-*.parquet    immutable full snapshot
       v=1/  part-*.parquet
 
@@ -60,25 +67,120 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(conf), hpath, jvm
 
 
-def _read_manifest(spark: SparkSession, table: str) -> dict:
-    """Compose the commit log from the append-only ``_log/`` records
-    (one JSON object per committed version, oldest first)."""
+# write_snapshot folds the tail into a fresh checkpoint once it grows
+# past this many records — keeps every log read at one listing + one
+# checkpoint open + a bounded handful of tail opens, instead of the
+# O(committed-versions) per-record open walk a long-lived table would
+# otherwise pay on every read_snapshot/list_versions/vacuum call.
+AUTO_CHECKPOINT_TAIL = 16
+
+
+def _read_json(fs, jvm, path) -> dict:
+    stream = fs.open(path)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(raw)
+
+
+def _log_state(spark: SparkSession, table: str) -> dict:
+    """One listing of ``_log/`` resolved into the committed view:
+    {"versions": merged records oldest-first, "ckpt_seq": newest
+    checkpoint's seq (-1 if none), "upto": highest version the
+    checkpoint folded (-1 if none), "n_tail": count of live v-*.json
+    tail records ABOVE the checkpoint}.
+
+    Tail records with version <= the checkpoint's ``upto`` are
+    duplicates left by a crash between checkpoint publish and tail
+    cleanup — ignored here (the checkpoint is authoritative for its
+    range; vacuum may have dropped expired versions from it), swept
+    by the next checkpoint."""
     fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
     if not fs.exists(log_root):
-        return {"versions": []}
-    records = []
+        return {"versions": [], "ckpt_seq": -1, "upto": -1, "n_tail": 0}
+    ckpt_path, ckpt_seq = None, -1
+    tails = []
     for st in fs.listStatus(log_root):
         name = st.getPath().getName()
-        if not (name.startswith("v-") and name.endswith(".json")):
-            continue
-        stream = fs.open(st.getPath())
-        try:
-            raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        records.append(json.loads(raw))
+        if name.startswith("ckpt-") and name.endswith(".json"):
+            seq = int(name[5:-5])
+            if seq > ckpt_seq:
+                ckpt_seq, ckpt_path = seq, st.getPath()
+        elif name.startswith("v-") and name.endswith(".json"):
+            tails.append((int(name[2:-5]), st.getPath()))
+    records, upto = [], -1
+    if ckpt_path is not None:
+        ckpt = _read_json(fs, jvm, ckpt_path)
+        records = list(ckpt["versions"])
+        upto = ckpt["upto"]
+    n_tail = 0
+    for version, path in sorted(tails):
+        if version <= upto:
+            continue  # superseded duplicate (see docstring)
+        records.append(_read_json(fs, jvm, path))
+        n_tail += 1
     records.sort(key=lambda r: r["version"])
-    return {"versions": records}
+    return {
+        "versions": records,
+        "ckpt_seq": ckpt_seq,
+        "upto": upto,
+        "n_tail": n_tail,
+    }
+
+
+def _read_manifest(spark: SparkSession, table: str) -> dict:
+    """Compose the commit log: newest checkpoint + the tail of
+    append-only ``_log/v-*.json`` records (oldest first)."""
+    return {"versions": _log_state(spark, table)["versions"]}
+
+
+def checkpoint_log(spark: SparkSession, table: str) -> int | None:
+    """Fold every committed record into a fresh ``ckpt-{seq+1}.json``
+    (temp + atomic rename, like every commit here), then clean up the
+    folded tail records and superseded checkpoints. Returns the new
+    checkpoint seq, or None when there is nothing to fold.
+
+    Crash-safe at every point: the new checkpoint is the ONLY step
+    readers depend on — a crash before the rename leaves the old
+    state; a crash after it leaves duplicate tail records / an old
+    checkpoint, both ignored by ``_log_state`` and swept by the next
+    checkpoint. Single-maintainer discipline, like vacuum."""
+    state = _log_state(spark, table)
+    if not state["versions"]:
+        return None
+    new_seq = state["ckpt_seq"] + 1
+    upto = state["versions"][-1]["version"]
+    fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{LOG_DIR}/.ckpt-{new_seq:08d}.json.tmp"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{LOG_DIR}/ckpt-{new_seq:08d}.json"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"seq": new_seq, "upto": upto, "versions": state["versions"]}
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"log checkpoint rename failed for {final}")
+    # cleanup (best-effort, idempotent): folded tail + older ckpts
+    for st in fs.listStatus(log_root):
+        name = st.getPath().getName()
+        if name.startswith("v-") and name.endswith(".json"):
+            if int(name[2:-5]) <= upto:
+                fs.delete(st.getPath(), False)
+        elif name.startswith("ckpt-") and name.endswith(".json"):
+            if int(name[5:-5]) < new_seq:
+                fs.delete(st.getPath(), False)
+    return new_seq
 
 
 def _append_commit_record(spark: SparkSession, table: str, record: dict) -> None:
@@ -131,7 +233,18 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
     record = jvm.org.apache.hadoop.fs.Path(
         f"{table}/{LOG_DIR}/v-{version:08d}.json"
     )
-    if fs.exists(record):
+
+    def _committed() -> bool:
+        # a committed version's tail record may have been folded into
+        # a log checkpoint, so the guard consults both
+        if fs.exists(record):
+            return True
+        return any(
+            v["version"] == version
+            for v in _read_manifest(spark, table)["versions"]
+        )
+
+    if _committed():
         raise ValueError(
             f"version {version} of {table} is already committed — "
             "stale/concurrent writer (single-writer discipline)"
@@ -139,7 +252,7 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
     stage = f"{table}/.stage-v={version}"
     df.write.mode("overwrite").parquet(stage)
     n_rows = spark.read.parquet(stage).count()
-    if fs.exists(record):
+    if _committed():
         fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
         raise ValueError(
             f"version {version} of {table} was committed concurrently — "
@@ -161,6 +274,10 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
             "schema": df.schema.jsonValue(),
         },
     )
+    # fold the tail once it outgrows the threshold — amortized O(1)
+    # per commit, and every later log read is checkpoint + short tail
+    if _log_state(spark, table)["n_tail"] >= AUTO_CHECKPOINT_TAIL:
+        checkpoint_log(spark, table)
     return version
 
 
@@ -248,30 +365,95 @@ def vacuum_snapshots(spark: SparkSession, table: str, keep_last: int) -> dict:
     error as a never-committed version.
 
     Single-maintainer discipline (like compaction): don't run two
-    vacuums concurrently; concurrent READERS are safe at every point.
+    vacuums concurrently. Concurrent readers never RESOLVE an expired
+    version after the log shrinks, but a reader that planned a
+    DataFrame against an expiring version BEFORE vacuum ran may still
+    scan lazily afterwards — the same in-flight exposure Delta VACUUM
+    has at retention 0. The retention contract is therefore
+    ``keep_last``: size it to cover the longest-lived reader pin
+    (e.g. keep_last >= versions committed during one training run),
+    exactly as Delta's retention-hours is sized to query duration.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    versions = [v["version"] for v in list_versions(spark, table)]
+    state = _log_state(spark, table)
+    records = state["versions"]
+    versions = [v["version"] for v in records]
     kept = versions[-keep_last:]
     expired = [v for v in versions if v not in kept]
     fs, root, jvm = _fs(spark, table)
+
+    # Phase 1 — shrink the LOG first (write path in reverse: a version
+    # must leave the log before its data may go). If any expired
+    # version lives inside the newest checkpoint, publish a successor
+    # checkpoint (same "upto", kept records only) that no longer
+    # carries it — one atomic rename, after which no reader resolves
+    # the expired version; older checkpoints are then superseded.
+    if state["ckpt_seq"] >= 0 and any(v <= state["upto"] for v in expired):
+        new_seq = state["ckpt_seq"] + 1
+        kept_records = [r for r in records if r["version"] in kept]
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{table}/{LOG_DIR}/.ckpt-{new_seq:08d}.json.tmp"
+        )
+        final = jvm.org.apache.hadoop.fs.Path(
+            f"{table}/{LOG_DIR}/ckpt-{new_seq:08d}.json"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(
+                bytearray(
+                    json.dumps(
+                        {
+                            "seq": new_seq,
+                            "upto": state["upto"],
+                            "versions": [
+                                r for r in kept_records
+                                if r["version"] <= state["upto"]
+                            ],
+                        }
+                    ).encode("utf-8")
+                )
+            )
+        finally:
+            out.close()
+        if not fs.rename(tmp, final):
+            raise IOError(f"vacuum checkpoint rename failed for {final}")
+        for s in range(state["ckpt_seq"], -1, -1):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{table}/{LOG_DIR}/ckpt-{s:08d}.json"
+                ),
+                False,
+            )
+
+    # Phase 2 — delete data ONLY for versions that provably left the
+    # log: the tail record's delete result is re-verified (an FS error
+    # or permission failure must NOT be followed by a data delete —
+    # that would leave a committed record pointing at missing data,
+    # the one invariant this module never breaks).
+    removed = []
     for v in expired:
         rec = jvm.org.apache.hadoop.fs.Path(
             f"{table}/{LOG_DIR}/v-{v:08d}.json"
         )
-        fs.delete(rec, False)  # atomic: the version leaves the log here
+        fs.delete(rec, False)
+        if fs.exists(rec):
+            continue  # record still committed — data stays; retry later
+        removed.append(v)
+    for v in removed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/v={v}"), True)
+    expired = removed  # a version whose record survived is NOT expired
     # sweep orphans from crashed prior vacuums: data dirs with no
-    # commit record below the oldest kept version
+    # commit-log membership below the oldest kept version
     oldest_kept = kept[0] if kept else -1
     if fs.exists(root):
+        live = set(versions)
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if not name.startswith("v="):
                 continue
             v = int(name.split("=", 1)[1])
-            if v < oldest_kept and v not in kept:
+            if v < oldest_kept and v not in live:
                 rec = jvm.org.apache.hadoop.fs.Path(
                     f"{table}/{LOG_DIR}/v-{v:08d}.json"
                 )

@@ -29,10 +29,14 @@ Compaction is CRASH-ATOMIC and safe to run beside a live stream
   ``superseded_max_batch`` — so at every instant they see either the
   old complete state or the new complete state, never half of one;
 * stale batch dirs / older generations are deleted only AFTER the
-  commit record lands; a crash anywhere leaves either an orphaned
-  uncommitted gen dir (invisible, overwritten by the next attempt)
-  or already-superseded dirs pending cleanup (invisible to readers,
-  removed by the next compaction).
+  commit record lands, and only once a LATER generation has also
+  superseded them (one-cycle grace — see ``_cleanup_superseded``:
+  a reader that eagerly resolved the gen=G view keeps every path it
+  planned until the compaction AFTER G+1 runs, so lazy Spark actions
+  never hit FileNotFound under a single concurrent compaction); a
+  crash anywhere leaves either an orphaned uncommitted gen dir
+  (invisible, overwritten by the next attempt) or already-superseded
+  dirs pending cleanup (invisible to readers, removed later).
 
 Concurrency contract with a live stream: micro-batch epoch ids are
 monotonically increasing under one checkpoint, so a running stream
@@ -87,7 +91,13 @@ def rollup_batch(
         batch.groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+            # pinned to decimal(38,2): every state dir (batch partial or
+            # compacted generation) must carry the IDENTICAL parquet
+            # type — Spark's sum() widens precision by 10 per fold, and
+            # mixed decimal widths across dirs fail the parquet reader
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_value_dec"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("win_start_us"),
@@ -178,7 +188,8 @@ def _write_gen_data(spark: SparkSession, parts_dir: str) -> tuple[int, int] | No
         .groupBy("win_start_us", "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("sum_value_dec").alias("sum_value_dec"),
+            # keep the pinned decimal(38,2) state type (see rollup_batch)
+            F.sum("sum_value_dec").cast("decimal(38,2)").alias("sum_value_dec"),
         )
     )
     merged.write.mode("overwrite").parquet(
@@ -220,12 +231,40 @@ def _commit_gen(
 
 def _cleanup_superseded(spark: SparkSession, parts_dir: str) -> None:
     """Compaction phase 3 (lazy, idempotent): delete batch dirs and
-    generations the newest commit record has superseded. Safe to crash
-    anywhere — readers already ignore everything deleted here."""
+    generations superseded by the PREVIOUS committed generation — a
+    one-compaction-cycle grace window for in-flight readers.
+
+    ``read_rollup`` resolves concrete paths eagerly but Spark scans
+    them lazily: a DataFrame planned against the gen=G view may run
+    its action after gen=G+1 commits. Deleting G's inputs the moment
+    G+1 lands would fail that reader with FileNotFound, so cleanup
+    deletes only state that BOTH of the two newest generations have
+    superseded: everything visible in the committed view at G stays
+    on disk until G+1 commits AND its cleanup runs (i.e. until the
+    next full compaction cycle). An in-flight plan would have to
+    straddle an entire later compaction to observe a deletion — the
+    documented retention contract. With fewer than two committed
+    generations nothing is old enough to delete."""
     fs, root, jvm = _fs(spark, parts_dir)
-    _, gen, max_batch, _ = _live_state(spark, parts_dir)
-    if gen < 0:
-        return
+    commit_root = jvm.org.apache.hadoop.fs.Path(f"{parts_dir}/{COMMIT_DIR}")
+    gens: dict[int, int] = {}  # gen -> superseded_max_batch
+    if fs.exists(commit_root):
+        for st in fs.listStatus(commit_root):
+            name = st.getPath().getName()
+            if not (name.startswith("gen-") and name.endswith(".json")):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+            rec = json.loads(raw)
+            gens[rec["gen"]] = rec["superseded_max_batch"]
+    if len(gens) < 2:
+        return  # grace: the newest generation's inputs are kept one cycle
+    ordered = sorted(gens)
+    g_prev = ordered[-2]
+    prev_max = gens[g_prev]
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if name.startswith("batch_id="):
@@ -233,14 +272,13 @@ def _cleanup_superseded(spark: SparkSession, parts_dir: str) -> None:
             # Only epochs the checkpoint has already committed PAST can
             # never replay, and the checkpoint frontier is at most the
             # HIGHEST absorbed id: a restart replays only its last
-            # uncommitted epoch, so dirs with id < max_batch are
-            # replay-proof, while id == max_batch may be mid-rewrite
-            # right now. Deleting strictly below the frontier closes
-            # the delete-under-replay race; the frontier dir itself is
-            # deferred one compaction cycle (ignored by readers until
-            # then). The _SUCCESS skip additionally avoids touching a
-            # dir whose rewrite already started.
-            if bid >= max_batch:
+            # uncommitted epoch, so dirs strictly below the PREVIOUS
+            # generation's frontier are both replay-proof and outside
+            # every reader's grace window; the frontier dir itself is
+            # deferred (ignored by readers anyway). The _SUCCESS skip
+            # additionally avoids touching a dir whose rewrite already
+            # started.
+            if bid >= prev_max:
                 continue
             ok = jvm.org.apache.hadoop.fs.Path(
                 f"{parts_dir}/{name}/_SUCCESS"
@@ -256,15 +294,14 @@ def _cleanup_superseded(spark: SparkSession, parts_dir: str) -> None:
     if fs.exists(comp_root):
         for st in fs.listStatus(comp_root):
             name = st.getPath().getName()
-            if name.startswith("gen=") and int(name.split("=", 1)[1]) < gen:
+            if name.startswith("gen=") and int(name.split("=", 1)[1]) < g_prev:
                 fs.delete(st.getPath(), True)
-    commit_root = jvm.org.apache.hadoop.fs.Path(f"{parts_dir}/{COMMIT_DIR}")
     for st in fs.listStatus(commit_root):
         name = st.getPath().getName()
         if (
             name.startswith("gen-")
             and name.endswith(".json")
-            and int(name[4:-5]) < gen
+            and int(name[4:-5]) < g_prev
         ):
             fs.delete(st.getPath(), False)
 

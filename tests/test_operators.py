@@ -1007,3 +1007,56 @@ def test_jpeg_dispatch_features_and_resize(spark):
     small = multimodal.resize_images(media, width=8, height=8).collect()[0]
     out = jpeg_decode(bytes(small.payload))
     assert out.shape == (8, 8, 3)
+
+
+def test_sign_lsh_nbits_never_exceeds_dim(spark):
+    """ADVICE r4: when the band layout can't fit the vector dimension,
+    overhanging bands must be DROPPED (never slice past the end — an
+    empty bsig collapses a band into one global quadratic bucket),
+    and a band width wider than the vectors is a refusal, not silent
+    degradation. semantic_dedup with dim < bands stays on the exact
+    within-cell path and its verdicts still match the EXISTS oracle."""
+    from bigdataflink_spark.operators.similarity import (
+        semantic_dedup,
+        sign_lsh_neardup_pairs,
+    )
+
+    # dim=8, bands=4 with an explicit width of 4 fits only 2 bands —
+    # the call still works and only ever compares real sign bits
+    emb8 = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]),
+            (2, [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]),
+            (3, [-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sign_lsh_neardup_pairs(
+            emb8, threshold=0.9, bands=4, rows_per_band=4
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+    with pytest.raises(ValueError, match="bits per band"):
+        sign_lsh_neardup_pairs(emb8, threshold=0.9, bands=1, rows_per_band=9)
+
+    # dim=2 < bands=4: a forced-LSH cell (exact_cell_limit=1) must
+    # fall back to exact pairing, not degrade to '' band signatures
+    emb2 = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "c"),
+            (2, [1.0, 0.01], "c"),
+            (3, [-1.0, 0.0], "c"),
+            (4, [0.0, 1.0], "d"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = {
+        r["id"]: r["dropped"]
+        for r in semantic_dedup(
+            emb2, threshold=0.95, exact_cell_limit=1
+        ).collect()
+    }
+    assert got == {1: False, 2: True, 3: False, 4: False}

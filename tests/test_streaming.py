@@ -1152,6 +1152,8 @@ def test_rollup_compaction_crash_before_cleanup(spark, rollup_parts):
         _write_gen_data,
     )
 
+    from bigdataflink_spark.streaming.rollup import rollup_batch
+
     before = _rollup_totals(spark, rollup_parts)
     staged = _write_gen_data(spark, rollup_parts)
     _commit_gen(spark, rollup_parts, *staged)  # crash here: no cleanup
@@ -1159,13 +1161,34 @@ def test_rollup_compaction_crash_before_cleanup(spark, rollup_parts):
     assert any(n.startswith("batch_id=") for n in os.listdir(rollup_parts))
     assert _rollup_totals(spark, rollup_parts) == before
     _cleanup_superseded(spark, rollup_parts)
-    # everything strictly below the checkpoint frontier is swept; the
-    # frontier dir (== superseded_max_batch) is deferred one cycle
-    # because a restarted stream may replay exactly that epoch
-    remaining = [
+    # ONE committed generation: everything it absorbed is kept a full
+    # compaction cycle as the in-flight-reader grace window (a reader
+    # that planned against the pre-compaction view still resolves its
+    # batch dirs) — nothing is deleted yet
+    remaining = sorted(
         n for n in os.listdir(rollup_parts) if n.startswith("batch_id=")
+    )
+    assert remaining == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    assert _rollup_totals(spark, rollup_parts) == before
+
+    # a second full cycle (empty 4th epoch, compact again) moves the
+    # grace frontier: dirs strictly below gen 0's frontier are swept,
+    # gen 0's own frontier dir and the new epoch stay
+    ev_schema = load_table(spark, "events", "/root/testdata/sf0.001")
+    rollup_batch(ev_schema.limit(0), 3, rollup_parts)
+    staged2 = _write_gen_data(spark, rollup_parts)
+    assert staged2 == (1, 3)
+    _commit_gen(spark, rollup_parts, *staged2)
+    _cleanup_superseded(spark, rollup_parts)
+    remaining2 = sorted(
+        n for n in os.listdir(rollup_parts) if n.startswith("batch_id=")
+    )
+    assert remaining2 == [f"batch_id={staged[1]}", "batch_id=3"]
+    # gen 0's data dir is likewise retained one more cycle
+    assert sorted(os.listdir(f"{rollup_parts}/compacted")) == [
+        "gen=0",
+        "gen=1",
     ]
-    assert remaining == [f"batch_id={staged[1]}"]
     assert _rollup_totals(spark, rollup_parts) == before
 
 
