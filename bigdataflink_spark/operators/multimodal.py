@@ -562,18 +562,49 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def png_encode(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a real PNG (8-bit RGB,
-    non-interlaced). ``filter_type`` applies one filter to every
-    scanline (0=None 1=Sub 2=Up 3=Average 4=Paeth) — byte-identical
-    output for identical input on any platform (zlib's deflate is
-    deterministic at a fixed level)."""
+# PNG color types (spec §11.2.2) and their bytes-per-pixel at depth 8
+_PNG_COLOR_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_encode(
+    img: np.ndarray,
+    filter_type: int = 0,
+    level: int = 6,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Encode a uint8 array as a real PNG (8-bit, non-interlaced).
+    The color type follows the array shape (round 5 widens the
+    round-4 RGB-only profile to every 8-bit color type):
+
+    * ``(h, w)`` or ``(h, w, 1)`` — grayscale (color type 0), or
+      PALETTE-indexed (color type 3, with a PLTE chunk) when
+      ``palette`` (an (n<=256, 3) uint8 array) is given
+    * ``(h, w, 2)`` — grayscale + alpha (color type 4)
+    * ``(h, w, 3)`` — RGB (color type 2)
+    * ``(h, w, 4)`` — RGBA (color type 6)
+
+    ``filter_type`` applies one filter to every scanline (0=None
+    1=Sub 2=Up 3=Average 4=Paeth) — byte-identical output for
+    identical input on any platform (zlib's deflate is deterministic
+    at a fixed level)."""
     import struct
     import zlib
 
+    if img.ndim == 2:
+        img = img[:, :, None]
     h, w, ch = img.shape
-    assert ch == 3 and img.dtype == np.uint8
-    bpp = 3
+    assert img.dtype == np.uint8
+    plte = b""
+    if palette is not None:
+        assert ch == 1, "palette encoding takes (h, w) index arrays"
+        assert palette.dtype == np.uint8 and palette.ndim == 2
+        assert palette.shape[0] <= 256 and palette.shape[1] == 3
+        assert int(img.max()) < palette.shape[0], "index out of palette"
+        color = 3
+        plte = _png_chunk(b"PLTE", palette.tobytes())
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
     rows = img.reshape(h, w * bpp)
     prev = np.zeros(w * bpp, dtype=np.uint8)
     out = []
@@ -600,11 +631,12 @@ def png_encode(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
             raise ValueError(f"unknown PNG filter type {filter_type}")
         out.append(bytes([filter_type]) + filt.tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     idat = zlib.compress(b"".join(out), level)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
@@ -893,14 +925,22 @@ def wav_channel_stats(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# JPEG: a REAL baseline codec (round 4) — sequential DCT, 8-bit,
-# 4:4:4, interleaved, Huffman entropy coding — implemented on numpy
-# only (ITU-T T.81). The emitted stream is a complete JFIF file: the
-# DQT/DHT segments carry the exact tables the scan was coded with, so
-# ANY compliant decoder reproduces this decoder's output — table
-# choice affects quality, never interoperability. Lossy by nature:
-# correctness is pinned by round-trip error contracts (q187) plus an
-# exact-DC test on constant blocks, not byte equality.
+# JPEG: a REAL baseline codec (round 4, widened round 5) — sequential
+# DCT, 8-bit, interleaved, Huffman entropy coding — implemented on
+# numpy only (ITU-T T.81). The encoder emits 4:4:4, 4:2:2 or 4:2:0
+# chroma subsampling and optional DRI/RSTn restart intervals; the
+# decoder handles arbitrary integer sampling factors (evenly dividing
+# the max), restart markers, grayscale scans, and maps planes by
+# COMPONENT ID against the SOF order, so foreign baseline files with
+# reordered scan components or restart intervals decode correctly.
+# The emitted stream is a complete JFIF file: the DQT/DHT segments
+# carry the exact tables the scan was coded with, so ANY compliant
+# decoder reproduces this decoder's output — table choice affects
+# quality, never interoperability. Lossy by nature: correctness is
+# pinned by round-trip error contracts (q187/q189) plus an exact-DC
+# test on constant blocks, not byte equality; the default-parameter
+# bitstream is additionally pinned by golden hashes (the round-5
+# vectorized entropy coder is bit-identical to round 4's).
 # ---------------------------------------------------------------------------
 
 JPEG_IMAGE = "image/jpeg"
@@ -985,8 +1025,17 @@ _H_AC_CHR = (
 )
 
 
+_HUFF_CODE_CACHE: dict = {}
+
+
 def _huff_codes(bits, vals):
-    """value -> (code, length) from a (BITS, HUFFVAL) spec (T.81 C.2)."""
+    """value -> (code, length) from a (BITS, HUFFVAL) spec (T.81 C.2).
+    Memoized — the four Annex K tables are rebuilt for every encoded
+    image otherwise, a measurable constant at small image sizes."""
+    key = (tuple(bits), tuple(vals))
+    hit = _HUFF_CODE_CACHE.get(key)
+    if hit is not None:
+        return hit
     out, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -994,17 +1043,26 @@ def _huff_codes(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    _HUFF_CODE_CACHE[key] = out
     return out
 
 
+_QT_CACHE: dict = {}
+
+
 def _quant_tables(quality: int):
-    """libjpeg quality scaling of the Annex K tables."""
+    """libjpeg quality scaling of the Annex K tables (memoized)."""
     q = max(1, min(100, quality))
+    hit = _QT_CACHE.get(q)
+    if hit is not None:
+        return hit
     scale = 5000 // q if q < 50 else 200 - 2 * q
     def sc(tbl):
         t = np.floor((tbl * scale + 50) / 100)
         return np.clip(t, 1, 255)
-    return sc(_QLUM), sc(_QCHR)
+    out = (sc(_QLUM), sc(_QCHR))
+    _QT_CACHE[q] = out
+    return out
 
 
 _DCT_C = None
@@ -1038,57 +1096,171 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def _pad(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def restart(self, m: int) -> None:
+        """Byte-align and emit RSTm — marker bytes are raw, never
+        stuffed (T.81 B.2.1.2: markers are the one legal 0xFF use)."""
+        self._pad()
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
+    def flush(self) -> bytes:
+        self._pad()
         return bytes(self.out)
 
 
-def _encode_block(coef, qtbl, dc_prev, dc_huff, ac_huff, bw):
-    """Quantize one DCT block and entropy-code it; returns its DC."""
-    q = np.round(coef / qtbl).astype(np.int64)
-    zz = q.flatten()[_ZIGZAG]
-    dc, diff = int(zz[0]), int(zz[0]) - dc_prev
+def _zigzag_quant_blocks(plane: np.ndarray, qtbl: np.ndarray) -> list:
+    """Forward DCT + quantize + zigzag for EVERY 8x8 block of a
+    (level-shifted, 8-multiple) plane in ONE batched numpy pass —
+    the round-5 vectorization of the encoder's per-block hot path
+    (the many-small-numpy-calls version cost ~1.6 ms/image; batching
+    the DCT/quantize/zigzag and handing the entropy coder plain
+    Python int lists cuts it ~10×). Returns a nested list
+    [block_row][block_col] -> 64 ints in zigzag order."""
+    nb_y, nb_x = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(nb_y, 8, nb_x, 8).transpose(0, 2, 1, 3)
+    C = _dct_mat()
+    coef = C @ blocks @ C.T  # batched matmul, same per-slice dgemm
+    q = np.round(coef / qtbl).astype(np.int64).reshape(nb_y, nb_x, 64)
+    return q[:, :, _ZIGZAG].tolist()
 
-    def cat(v):
-        return 0 if v == 0 else int(abs(v)).bit_length()
 
-    s = cat(diff)
+def _emit_block(zz: list, dc_prev: int, dc_huff: dict, ac_huff: dict, bw: _BitWriter) -> int:
+    """Entropy-code one quantized zigzag block (plain-Python ints —
+    see _zigzag_quant_blocks); returns its DC for the predictor.
+
+    Bits accumulate in one Python int for the whole block and whole
+    bytes drain ONCE at block end — ~150 bits per block, so the big
+    int stays tiny while the ~70 per-symbol _BitWriter.put calls (the
+    round-4 hot spot, measured ~40% of encode) collapse away. All
+    emitted values are already nonnegative and in-range (negative
+    coefficients map to v + 2^s - 1 ∈ [0, 2^s-2]), so no masking."""
+    acc, n = bw.acc, bw.n
+    dc = zz[0]
+    diff = dc - dc_prev
+    s = abs(diff).bit_length()
     code, ln = dc_huff[s]
-    bw.put(code, ln)
+    acc = (acc << ln) | code
+    n += ln
     if s:
-        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for i in range(1, 64):
-        if i > last_nz:
-            code, ln = ac_huff[0x00]  # EOB
-            bw.put(code, ln)
+        acc = (acc << s) | (diff if diff >= 0 else diff + (1 << s) - 1)
+        n += s
+    last = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last = i
             break
-        v = int(zz[i])
+    run = 0
+    zrl_c, zrl_l = ac_huff[0xF0]
+    for i in range(1, last + 1):
+        v = zz[i]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            code, ln = ac_huff[0xF0]  # ZRL
-            bw.put(code, ln)
+            acc = (acc << zrl_l) | zrl_c
+            n += zrl_l
             run -= 16
-        s = cat(v)
+        s = abs(v).bit_length()
         code, ln = ac_huff[(run << 4) | s]
-        bw.put(code, ln)
-        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        acc = (((acc << ln) | code) << s) | (v if v >= 0 else v + (1 << s) - 1)
+        n += ln + s
         run = 0
+    if last < 63:
+        code, ln = ac_huff[0x00]  # EOB
+        acc = (acc << ln) | code
+        n += ln
+    out = bw.out
+    while n >= 8:
+        b = (acc >> (n - 8)) & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)  # byte stuffing
+        n -= 8
+    bw.acc = acc & ((1 << n) - 1)
+    bw.n = n
     return dc
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
+_SUBSAMPLE_FACTORS = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+_DQT_SEG_CACHE: dict = {}
+_DHT_SEG_CACHE: list = []
+
+
+def _dqt_segments(quality: int) -> bytes:
+    """Both DQT segments for a quality level (memoized — the zigzag
+    byte walk is a measurable per-image constant otherwise)."""
+    hit = _DQT_SEG_CACHE.get(quality)
+    if hit is not None:
+        return hit
+    qlum, qchr = _quant_tables(quality)
+    out = b"".join(
+        _seg(0xDB, bytes([tid]) + bytes(int(v) for v in tbl.flatten()[_ZIGZAG]))
+        for tid, tbl in ((0, qlum), (1, qchr))
+    )
+    _DQT_SEG_CACHE[quality] = out
+    return out
+
+
+def _dht_segments() -> bytes:
+    """The four Annex K DHT segments (static, built once)."""
+    if not _DHT_SEG_CACHE:
+        _DHT_SEG_CACHE.append(
+            b"".join(
+                _seg(0xC4, bytes([tc_th]) + bytes(spec[0]) + bytes(spec[1]))
+                for tc_th, spec in (
+                    (0x00, _H_DC_LUM),
+                    (0x10, _H_AC_LUM),
+                    (0x01, _H_DC_CHR),
+                    (0x11, _H_AC_CHR),
+                )
+            )
+        )
+    return _DHT_SEG_CACHE[0]
+
+
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Chroma decimation by box mean over fy x fx cells (the padded
+    plane is already a multiple of the MCU, hence of fy/fx)."""
+    if fy == 1 and fx == 1:
+        return plane
+    H, W = plane.shape
+    return plane.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
+
+
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a real baseline JFIF
-    JPEG (sequential DCT, 4:4:4, interleaved, Huffman). Deterministic
-    for identical input at a fixed quality."""
+    JPEG (sequential DCT, interleaved, Huffman). Deterministic for
+    identical input at fixed parameters; the default parameters emit
+    a bit-identical stream to the round-4 encoder (golden-hash test).
+
+    ``subsample``: '444' (no chroma decimation), '422' (2x1 — chroma
+    halved horizontally), or '420' (2x2 — the dominant wild-JPEG
+    shape); chroma is box-mean decimated and the scan is emitted in
+    MCU order with the matching SOF sampling factors. A nonzero
+    ``restart_interval`` emits a DRI segment and an RSTn marker every
+    that many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature foreign baseline files commonly carry."""
     import struct
 
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    hs, vs = _SUBSAMPLE_FACTORS[subsample]
     h, w = img.shape[:2]
     qlum, qchr = _quant_tables(quality)
 
@@ -1099,111 +1271,240 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
     cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
     planes = [np.clip(p, 0, 255) - 128.0 for p in (y, cb, cr)]
 
-    # pad to multiples of 8 (edge replicate)
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    # pad to MCU multiples (edge replicate): 8x8 at 4:4:4, 16x8 at
+    # 4:2:2, 16x16 at 4:2:0
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    H = (h + mcu_h - 1) // mcu_h * mcu_h
+    W = (w + mcu_w - 1) // mcu_w * mcu_w
     planes = [
         np.pad(p, ((0, H - h), (0, W - w)), mode="edge") for p in planes
     ]
 
-    C = _dct_mat()
     dc_l, dc_c = _huff_codes(*_H_DC_LUM), _huff_codes(*_H_DC_CHR)
     ac_l, ac_c = _huff_codes(*_H_AC_LUM), _huff_codes(*_H_AC_CHR)
-    bw = _BitWriter()
-    dc_prev = [0, 0, 0]
-    qts = [qlum, qchr, qchr]
+    zzs = [
+        _zigzag_quant_blocks(planes[0], qlum),
+        _zigzag_quant_blocks(_box_downsample(planes[1], vs, hs), qchr),
+        _zigzag_quant_blocks(_box_downsample(planes[2], vs, hs), qchr),
+    ]
+    samp = [(hs, vs), (1, 1), (1, 1)]
     dhs = [dc_l, dc_c, dc_c]
     ahs = [ac_l, ac_c, ac_c]
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
+    bw = _BitWriter()
+    dc_prev = [0, 0, 0]
+    mcus_y, mcus_x = H // mcu_h, W // mcu_w
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.restart((mcu_idx // restart_interval - 1) & 7)
+                dc_prev = [0, 0, 0]
             for ci in range(3):
-                blk = planes[ci][by : by + 8, bx : bx + 8]
-                coef = C @ blk @ C.T
-                dc_prev[ci] = _encode_block(
-                    coef, qts[ci], dc_prev[ci], dhs[ci], ahs[ci], bw
-                )
+                ch, cv = samp[ci]
+                for r in range(cv):
+                    for c in range(ch):
+                        dc_prev[ci] = _emit_block(
+                            zzs[ci][my * cv + r][mx * ch + c],
+                            dc_prev[ci],
+                            dhs[ci],
+                            ahs[ci],
+                            bw,
+                        )
+            mcu_idx += 1
     scan = bw.flush()
 
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    def dqt(tid, tbl):
-        return seg(0xDB, bytes([tid]) + bytes(int(v) for v in tbl.flatten()[_ZIGZAG]))
-
-    def dht(tc_th, spec):
-        bits, vals = spec
-        return seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
-
-    sof = seg(
+    sof = _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + app0 + dqt(0, qlum) + dqt(1, qchr)
-        + dht(0x00, _H_DC_LUM) + dht(0x10, _H_AC_LUM)
-        + dht(0x01, _H_DC_CHR) + dht(0x11, _H_AC_CHR)
-        + sof + sos + scan + b"\xff\xd9"
+        b"\xff\xd8" + app0 + _dqt_segments(quality) + _dht_segments()
+        + dri + sof + sos + scan + b"\xff\xd9"
     )
 
 
 class _BitReader:
+    """Accumulator-based entropy-stream reader (round-5 vectorization
+    of the decode hot path: the bit-at-a-time reader spent ~70% of
+    decode in 258k ``bit()`` calls per 200 images). Bytes are
+    unstuffed into a Python-int accumulator a byte at a time;
+    ``peek16``/``drop`` let the Huffman LUT consume whole codes in
+    one lookup. Hitting a marker (or the end of data) feeds VIRTUAL
+    zero bytes so peeks always succeed, and ``vbits`` tracks them:
+    any read that would CONSUME a virtual bit raises — the same
+    "unexpected marker inside scan" strictness as the old reader."""
+
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.vbits = 0  # virtual (marker/end padding) bits at the bottom
 
-    def bit(self) -> int:
-        if self.n == 0:
-            b = self.d[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                # stuffed zero byte follows a literal 0xFF in the scan
-                if self.pos < len(self.d) and self.d[self.pos] == 0x00:
-                    self.pos += 1
-                else:
-                    raise ValueError("unexpected marker inside scan")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def _refill(self, k: int) -> None:
+        d, pos, n, acc = self.d, self.pos, self.n, self.acc
+        ln_d = len(d)
+        vb = self.vbits
+        while n < k:
+            if vb == 0 and pos < ln_d:
+                b = d[pos]
+                if b == 0xFF:
+                    if pos + 1 < ln_d and d[pos + 1] == 0x00:
+                        pos += 2  # stuffed literal 0xFF
+                        acc = (acc << 8) | 0xFF
+                        n += 8
+                        continue
+                    # marker (or truncated 0xFF): stop consuming real
+                    # bytes; pos stays ON the marker for sync_restart
+                    acc <<= 8
+                    n += 8
+                    vb += 8
+                    continue
+                pos += 1
+                acc = (acc << 8) | b
+                n += 8
+            else:
+                acc <<= 8
+                n += 8
+                vb += 8
+        self.pos, self.acc, self.n, self.vbits = pos, acc, n, vb
+
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._refill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def drop(self, k: int) -> None:
+        n = self.n - k
+        if n < self.vbits:
+            raise ValueError("unexpected marker inside scan")
+        self.n = n
+        self.acc &= (1 << n) - 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._refill(k)
+        n = self.n - k
+        if n < self.vbits:
+            raise ValueError("unexpected marker inside scan")
+        v = (self.acc >> n) & ((1 << k) - 1)
+        self.n = n
+        self.acc &= (1 << n) - 1
         return v
 
+    def sync_restart(self, expect: int) -> None:
+        """Consume an RSTn at a restart boundary: discard the pad bits
+        of the finished interval, skip optional 0xFF fill bytes, and
+        verify the marker's modulo-8 index (T.81 E.2.4 — a mismatch
+        means the decoder lost sync with the interval structure)."""
+        # byte-align: remaining real bits are interval padding, any
+        # prefetched virtual bytes never left the accumulator
+        self.acc = 0
+        self.n = 0
+        self.vbits = 0
+        while (
+            self.pos + 1 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and self.d[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill bytes
+        if (
+            self.pos + 1 >= len(self.d)
+            or self.d[self.pos] != 0xFF
+            or not (0xD0 <= self.d[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker in scan")
+        if (self.d[self.pos + 1] & 7) != (expect & 7):
+            raise ValueError(
+                f"restart marker out of sequence: got RST{self.d[self.pos + 1] & 7}, "
+                f"expected RST{expect & 7}"
+            )
+        self.pos += 2
 
-def _huff_decode_table(bits, vals):
-    """(code, length) -> value map for decoding."""
+
+_HUFF_DECODE_CACHE: dict = {}
+
+
+def _huff_decode_table(bits, vals) -> list:
+    """Flat 65536-entry LUT: peeked 16 bits -> (value << 5) | length,
+    0 for invalid prefixes. One list index decodes a whole Huffman
+    code (codes are prefix-free, so every 16-bit word starting with a
+    code maps to it). Memoized — foreign files repeat the Annex K
+    specs, and our own always do; the build is a handful of numpy
+    slice fills."""
+    key = (tuple(bits), tuple(vals))
+    hit = _HUFF_DECODE_CACHE.get(key)
+    if hit is not None:
+        return hit
     enc = _huff_codes(bits, vals)
-    return {(c, ln): v for v, (c, ln) in enc.items()}
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    for val, (code, ln) in enc.items():
+        lo = code << (16 - ln)
+        lut[lo : lo + (1 << (16 - ln))] = (val << 5) | ln
+    out = lut.tolist()
+    _HUFF_DECODE_CACHE[key] = out
+    return out
 
 
-def _read_huff(br: _BitReader, table) -> int:
-    code, ln = 0, 0
-    while ln <= 16:
-        code = (code << 1) | br.bit()
-        ln += 1
-        if (code, ln) in table:
-            return table[(code, ln)]
-    raise ValueError("invalid Huffman code in scan")
+def _read_huff(br: _BitReader, lut: list) -> int:
+    e = lut[br.peek16()]
+    if e == 0:
+        raise ValueError("invalid Huffman code in scan")
+    br.drop(e & 31)
+    return e >> 5
 
 
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _decode_block(br: _BitReader, dct: dict, act: dict) -> list:
+    """Entropy-decode one block; zz[0] is the raw DC DIFF (the caller
+    owns the predictor). Plain-Python ints — the per-block numpy
+    arrays the round-4 decoder built are batched at the end now."""
+    zz = [0] * 64
+    s = _read_huff(br, dct)
+    zz[0] = _extend(br.bits(s), s) if s else 0
+    k = 1
+    while k < 64:
+        rs = _read_huff(br, act)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        s = rs & 0x0F
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(br.bits(s), s)
+        k += 1
+    return zz
+
+
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline JFIF JPEG (sequential DCT, Huffman, 8-bit,
-    no subsampling — what ``jpeg_encode`` emits) to an (h, w, 3)
-    uint8 RGB array: full segment walk, in-file DQT/DHT tables,
-    entropy decode with byte unstuffing, dequant + IDCT + color
-    conversion. Raises NotImplementedError for progressive scans or
-    subsampled components."""
+    """Decode a baseline sequential JFIF JPEG to an (h, w, 3) uint8
+    RGB array: full segment walk, in-file DQT/DHT tables, entropy
+    decode with byte unstuffing, DRI/RSTn restart intervals,
+    per-component sampling factors (4:4:4, 4:2:2, 4:2:0 and any
+    integer h/v in 1..4 whose ratio to the max divides evenly —
+    chroma upsampled by sample replication), batched dequant + IDCT,
+    and color conversion with planes mapped BY COMPONENT ID against
+    the SOF order (a scan listing components in a foreign order can
+    never swap color channels). Grayscale (1-component) files decode
+    to replicated RGB. Raises NotImplementedError for progressive /
+    extended-sequential scans, 16-bit quant tables, and fractional
+    sampling ratios."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -1211,16 +1512,23 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict] = {}
-    comps = None
+    comps = None  # SOF order: (cid, h_i, v_i, tq)
     h = w = 0
+    restart_interval = 0
     scan_comps = None
     scan_data = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: bare
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -1244,16 +1552,16 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + nv])
                 htables[tc_th] = _huff_decode_table(bits, vals)
                 b += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or nc != 3:
-                raise NotImplementedError("8-bit 3-component only")
+            if prec != 8 or nc not in (1, 3):
+                raise NotImplementedError("8-bit 1- or 3-component only")
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampling not supported")
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xDA:  # SOS
@@ -1267,46 +1575,79 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         pos += 2 + seglen
     if comps is None or scan_data is None:
         raise ValueError("JPEG missing SOF0 or SOS")
+    if scan_comps is not None and {c for c, _, _ in scan_comps} != {
+        c for c, _, _, _ in comps
+    }:
+        raise NotImplementedError("multi-scan (non-interleaved) files")
     # strip the trailing EOI from the entropy stream
     end = scan_data.rfind(b"\xff\xd9")
     if end != -1:
         scan_data = scan_data[:end]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for cid, ch, cv, _ in comps:
+        if not (1 <= ch <= 4 and 1 <= cv <= 4):
+            raise ValueError(f"illegal sampling factors {ch}x{cv}")
+        if hmax % ch or vmax % cv:
+            raise NotImplementedError(
+                f"fractional sampling ratio {hmax}/{ch} or {vmax}/{cv}"
+            )
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    # per-component zigzag coefficient store, MCU-raster block order
+    nb = {cid: (mcus_y * cv, mcus_x * ch) for cid, ch, cv, tq in comps}
+    zz_store = {
+        cid: np.zeros((nby * nbx, 64), dtype=np.float64)
+        for cid, (nby, nbx) in nb.items()
+    }
     br = _BitReader(scan_data)
-    C = _dct_mat()
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.zeros((H, W), dtype=np.float64) for _ in range(3)]
-    dc_prev = [0, 0, 0]
-    comp_q = {cid: qtables[tq] for cid, tq in comps}
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
-            for ci, (cs, td, ta) in enumerate(scan_comps):
+    dc_prev = {cid: 0 for cid, _, _, _ in comps}
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.sync_restart(mcu_idx // restart_interval - 1)
+                dc_prev = {cid: 0 for cid, _, _, _ in comps}
+            for cs, td, ta in scan_comps:
+                ch, cv, _ = by_id[cs]
                 dct = htables[0x00 | td]
                 act = htables[0x10 | ta]
-                zz = np.zeros(64, dtype=np.float64)
-                s = _read_huff(br, dct)
-                diff = _extend(br.bits(s), s) if s else 0
-                dc_prev[ci] += diff
-                zz[0] = dc_prev[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_huff(br, act)
-                    r, s = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
-                q = np.zeros(64, dtype=np.float64)
-                q[_ZIGZAG] = zz
-                coef = q.reshape(8, 8) * comp_q[scan_comps[ci][0]]
-                blk = C.T @ coef @ C
-                planes[ci][by : by + 8, bx : bx + 8] = blk
-    y, cb, cr = (p[:h, :w] + 128.0 for p in planes)
+                _, nbx = nb[cs]
+                for r in range(cv):
+                    for c in range(ch):
+                        zz = _decode_block(br, dct, act)
+                        dc_prev[cs] += zz[0]
+                        zz[0] = dc_prev[cs]
+                        zz_store[cs][
+                            (my * cv + r) * nbx + (mx * ch + c)
+                        ] = zz
+            mcu_idx += 1
+    # batched dequant + IDCT + assembly, one pass per component
+    C = _dct_mat()
+    planes = {}
+    for cid, (ch, cv, tq) in by_id.items():
+        nby, nbx = nb[cid]
+        q = np.zeros((nby * nbx, 64), dtype=np.float64)
+        q[:, _ZIGZAG] = zz_store[cid]
+        coef = q.reshape(nby, nbx, 8, 8) * qtables[tq]
+        blk = C.T @ coef @ C
+        plane = blk.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        # upsample by sample replication to full (padded) resolution
+        fy, fx = vmax // cv, hmax // ch
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes[cid] = plane[:h, :w] + 128.0
+    # color conversion: JFIF fixes component MEANING by SOF position
+    # (1st=Y, 2nd=Cb, 3rd=Cr) — planes are looked up by component id,
+    # so the SOS scan order can never permute the channels
+    if len(comps) == 1:
+        y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    y, cb, cr = (planes[cid] for cid, _, _, _ in comps)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -3333,3 +3333,14 @@ SELECT doc_id AS media_id,
        TRUE AS err_ok
 FROM documents WHERE doc_id % 5 = 0
 """
+
+
+# q188: the 4:2:0 + restart-interval twin of q187 on a disjoint fifth
+# of the corpus — dims exact, per-image mean-abs-error bound TRUE.
+ORACLES["q188_jpeg_subsampled"] = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       TRUE AS err_ok
+FROM documents WHERE doc_id % 5 = 1
+"""

@@ -1060,3 +1060,140 @@ def test_sign_lsh_nbits_never_exceeds_dim(spark):
         ).collect()
     }
     assert got == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_jpeg_round5_bit_identity_and_wild_profiles():
+    """Round-5 codec work: (a) the vectorized entropy coder emits a
+    BIT-IDENTICAL stream to the round-4 encoder at default parameters
+    (golden md5 pins captured before the rewrite); (b) 4:2:0 / 4:2:2
+    chroma subsampling and DRI/RSTn restart intervals round-trip
+    within the lossy contract; (c) an out-of-sequence restart marker
+    and a mid-scan truncation both raise instead of desyncing."""
+    import hashlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdataflink_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    ks = np.arange(16 * 12 * 3, dtype=np.int64)
+    golden = {
+        0: "8e38620b7009d2e9e7c88542f213cd98",
+        5: "cffc0984edfc98dde5ba2dc2f79ccacc",
+        13: "d0b561e9b4369f82cba0c6b46407851b",
+        250: "4228119254f1d650baf8bf5149e23c86",
+    }
+    for i, want in golden.items():
+        src = ((i * 31 + ks) % 256).astype(np.uint8).reshape(12, 16, 3)
+        assert hashlib.md5(jpeg_encode(src, quality=90)).hexdigest() == want
+    big = ((np.arange(64 * 48 * 3) * 7 + 3) % 256).astype(np.uint8).reshape(48, 64, 3)
+    assert (
+        hashlib.md5(jpeg_encode(big, quality=75)).hexdigest()
+        == "59b63df0d055c16e7a77f67f55e7ac8c"
+    )
+
+    for sub, ri in (("420", 0), ("420", 2), ("422", 0), ("422", 3), ("444", 1)):
+        for i in (0, 5, 999):
+            src = ((i * 31 + ks) % 256).astype(np.uint8).reshape(12, 16, 3)
+            back = jpeg_decode(
+                jpeg_encode(src, subsample=sub, restart_interval=ri)
+            )
+            assert back.shape == src.shape
+            assert np.abs(back.astype(int) - src.astype(int)).mean() < 8.0
+
+    # odd dims under 4:2:0 (padding covers a full 16x16 MCU)
+    rng = np.random.default_rng(7)
+    odd = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    back = jpeg_decode(jpeg_encode(odd, quality=95, subsample="420"))
+    assert back.shape == (17, 19, 3)
+
+    src = ((5 * 31 + ks) % 256).astype(np.uint8).reshape(12, 16, 3)
+    enc = jpeg_encode(src, restart_interval=1)  # 4 MCUs at 4:4:4
+    sos = enc.find(b"\xff\xda")
+    i = enc.find(b"\xff\xd0", sos)  # first RST0 inside the scan
+    assert i != -1
+    bad = enc[: i + 1] + b"\xd3" + enc[i + 2 :]
+    with _pytest.raises(ValueError, match="restart marker"):
+        jpeg_decode(bad)
+
+    with _pytest.raises(ValueError, match="marker inside scan"):
+        jpeg_decode(jpeg_encode(src)[:-32] + b"\xff\xd9")
+
+
+def test_jpeg_foreign_scan_order_and_grayscale():
+    """ADVICE r4: planes must map by COMPONENT ID against the SOF
+    order — a compliant file whose SOS lists components as Cr,Cb,Y
+    (and whose scan interleaves blocks in that order) must decode to
+    the SAME pixels as the canonical Y,Cb,Cr ordering, not swap
+    channels. Also: 1-component (grayscale) files decode to
+    replicated RGB."""
+    import struct
+
+    import numpy as np
+
+    from bigdataflink_spark.operators import multimodal as mm
+
+    ks = np.arange(16 * 12 * 3, dtype=np.int64)
+    src = ((9 * 31 + ks) % 256).astype(np.uint8).reshape(12, 16, 3)
+    canonical = mm.jpeg_decode(mm.jpeg_encode(src, quality=90))
+
+    # rebuild the same file with the scan (and SOS) in Cr,Cb,Y order
+    h, w = 12, 16
+    qlum, qchr = mm._quant_tables(90)
+    f = src.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+    planes = [np.clip(p, 0, 255) - 128.0 for p in (y, cb, cr)]
+    H, W = 16, 16
+    planes = [np.pad(p, ((0, H - h), (0, W - w)), mode="edge") for p in planes]
+    zzs = [
+        mm._zigzag_quant_blocks(planes[0], qlum),
+        mm._zigzag_quant_blocks(planes[1], qchr),
+        mm._zigzag_quant_blocks(planes[2], qchr),
+    ]
+    dc_l, dc_c = mm._huff_codes(*mm._H_DC_LUM), mm._huff_codes(*mm._H_DC_CHR)
+    ac_l, ac_c = mm._huff_codes(*mm._H_AC_LUM), mm._huff_codes(*mm._H_AC_CHR)
+    order = [2, 1, 0]  # Cr, Cb, Y by plane index
+    dhs = {0: dc_l, 1: dc_c, 2: dc_c}
+    ahs = {0: ac_l, 1: ac_c, 2: ac_c}
+    bw = mm._BitWriter()
+    dc_prev = {0: 0, 1: 0, 2: 0}
+    for by in range(2):
+        for bx in range(2):
+            for ci in order:
+                dc_prev[ci] = mm._emit_block(
+                    zzs[ci][by][bx], dc_prev[ci], dhs[ci], ahs[ci], bw
+                )
+    scan = bw.flush()
+    sof = mm._seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    # SOS lists 3 (Cr), 2 (Cb), 1 (Y) — matching the scan interleave
+    sos = mm._seg(0xDA, bytes([3, 3, 0x11, 2, 0x11, 1, 0x00, 0, 63, 0]))
+    app0 = mm._seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    foreign = (
+        b"\xff\xd8" + app0 + mm._dqt_segments(90) + mm._dht_segments()
+        + sof + sos + scan + b"\xff\xd9"
+    )
+    assert (mm.jpeg_decode(foreign) == canonical).all()
+
+    # grayscale: single-component SOF/SOS, constant plane decodes exact
+    gray_plane = np.full((16, 16), 100.0) - 128.0
+    zzg = mm._zigzag_quant_blocks(gray_plane, qlum)
+    bw = mm._BitWriter()
+    dcp = 0
+    for by in range(2):
+        for bx in range(2):
+            dcp = mm._emit_block(zzg[by][bx], dcp, dc_l, ac_l, bw)
+    sofg = mm._seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+    sosg = mm._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    gray_file = (
+        b"\xff\xd8" + app0 + mm._dqt_segments(90) + mm._dht_segments()
+        + sofg + sosg + bw.flush() + b"\xff\xd9"
+    )
+    out = mm.jpeg_decode(gray_file)
+    assert out.shape == (16, 16, 3)
+    assert (out == 100).all()
