@@ -104,6 +104,7 @@ HEADLINE = [
     "q185_semantic_dedup",
     "q186_snapshot_vacuum",
     "q187_jpeg_roundtrip",
+    "q188_jpeg_subsampled",
 ]
 
 

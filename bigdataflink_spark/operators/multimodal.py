@@ -937,7 +937,7 @@ def wav_channel_stats(media: DataFrame) -> DataFrame:
 # carry the exact tables the scan was coded with, so ANY compliant
 # decoder reproduces this decoder's output — table choice affects
 # quality, never interoperability. Lossy by nature: correctness is
-# pinned by round-trip error contracts (q187/q189) plus an exact-DC
+# pinned by round-trip error contracts (q187/q188) plus an exact-DC
 # test on constant blocks, not byte equality; the default-parameter
 # bitstream is additionally pinned by golden hashes (the round-5
 # vectorized entropy coder is bit-identical to round 4's).

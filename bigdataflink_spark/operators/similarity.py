@@ -270,6 +270,13 @@ def sign_lsh_neardup_pairs(
     dim = (
         corpus.select(F.size(F.col(vec_col)).alias("d")).first() or {"d": 0}
     )["d"] or 0
+    if dim <= 0:
+        # empty corpus (or zero-length vectors): no pairs, by
+        # definition — short-circuit BEFORE the band-geometry checks,
+        # which would otherwise reject any rows_per_band against dim=0
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
     if rows_per_band is None:
         n = corpus.count()
         rows_per_band = auto_rows_per_band(n, dim, bands)

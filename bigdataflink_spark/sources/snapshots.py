@@ -95,38 +95,57 @@ def _log_state(spark: SparkSession, table: str) -> dict:
     duplicates left by a crash between checkpoint publish and tail
     cleanup — ignored here (the checkpoint is authoritative for its
     range; vacuum may have dropped expired versions from it), swept
-    by the next checkpoint."""
+    by the next checkpoint.
+
+    Concurrent-reader safety: list-then-open is not atomic against a
+    maintainer (checkpoint_log / vacuum) deleting a just-folded tail
+    record or superseded checkpoint between our listing and our open.
+    Any missing-file error therefore means the log advanced mid-read
+    — the fix is simply to re-list (the NEW checkpoint covers every
+    record the fold deleted), bounded to a handful of attempts so a
+    genuinely corrupt log still surfaces."""
     fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
-    if not fs.exists(log_root):
-        return {"versions": [], "ckpt_seq": -1, "upto": -1, "n_tail": 0}
-    ckpt_path, ckpt_seq = None, -1
-    tails = []
-    for st in fs.listStatus(log_root):
-        name = st.getPath().getName()
-        if name.startswith("ckpt-") and name.endswith(".json"):
-            seq = int(name[5:-5])
-            if seq > ckpt_seq:
-                ckpt_seq, ckpt_path = seq, st.getPath()
-        elif name.startswith("v-") and name.endswith(".json"):
-            tails.append((int(name[2:-5]), st.getPath()))
-    records, upto = [], -1
-    if ckpt_path is not None:
-        ckpt = _read_json(fs, jvm, ckpt_path)
-        records = list(ckpt["versions"])
-        upto = ckpt["upto"]
-    n_tail = 0
-    for version, path in sorted(tails):
-        if version <= upto:
-            continue  # superseded duplicate (see docstring)
-        records.append(_read_json(fs, jvm, path))
-        n_tail += 1
-    records.sort(key=lambda r: r["version"])
-    return {
-        "versions": records,
-        "ckpt_seq": ckpt_seq,
-        "upto": upto,
-        "n_tail": n_tail,
-    }
+    last_err: Exception | None = None
+    for _attempt in range(5):
+        try:
+            if not fs.exists(log_root):
+                return {"versions": [], "ckpt_seq": -1, "upto": -1, "n_tail": 0}
+            ckpt_path, ckpt_seq = None, -1
+            tails = []
+            for st in fs.listStatus(log_root):
+                name = st.getPath().getName()
+                if name.startswith("ckpt-") and name.endswith(".json"):
+                    seq = int(name[5:-5])
+                    if seq > ckpt_seq:
+                        ckpt_seq, ckpt_path = seq, st.getPath()
+                elif name.startswith("v-") and name.endswith(".json"):
+                    tails.append((int(name[2:-5]), st.getPath()))
+            records, upto = [], -1
+            if ckpt_path is not None:
+                ckpt = _read_json(fs, jvm, ckpt_path)
+                records = list(ckpt["versions"])
+                upto = ckpt["upto"]
+            n_tail = 0
+            for version, path in sorted(tails):
+                if version <= upto:
+                    continue  # superseded duplicate (see docstring)
+                records.append(_read_json(fs, jvm, path))
+                n_tail += 1
+            records.sort(key=lambda r: r["version"])
+            return {
+                "versions": records,
+                "ckpt_seq": ckpt_seq,
+                "upto": upto,
+                "n_tail": n_tail,
+            }
+        except Exception as exc:  # py4j surfaces java.io.FileNotFoundException
+            if "FileNotFoundException" not in str(exc):
+                raise
+            last_err = exc
+    raise IOError(
+        f"snapshot log for {table} kept vanishing under the reader "
+        "(5 re-list attempts) — corrupt log or runaway maintainer"
+    ) from last_err
 
 
 def _read_manifest(spark: SparkSession, table: str) -> dict:
@@ -275,9 +294,16 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
         },
     )
     # fold the tail once it outgrows the threshold — amortized O(1)
-    # per commit, and every later log read is checkpoint + short tail
-    if _log_state(spark, table)["n_tail"] >= AUTO_CHECKPOINT_TAIL:
-        checkpoint_log(spark, table)
+    # per commit, and every later log read is checkpoint + short tail.
+    # Best-effort: the version COMMIT above is already durable, so a
+    # failed fold (e.g. a ckpt-seq rename collision with a vacuum
+    # running beside us) must not surface as a failed write — the
+    # next commit or maintenance run retries the fold.
+    try:
+        if _log_state(spark, table)["n_tail"] >= AUTO_CHECKPOINT_TAIL:
+            checkpoint_log(spark, table)
+    except IOError:
+        pass
     return version
 
 

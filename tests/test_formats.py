@@ -519,3 +519,60 @@ def test_snapshot_auto_checkpoint_keeps_log_bounded(spark, tmp_path):
     assert [v["version"] for v in sn.list_versions(spark, t)] == list(
         range(n_commits)
     )
+
+
+def test_snapshot_log_reader_retries_vanished_record(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): list-then-open in _log_state races a
+    concurrent maintainer folding/deleting tail records. A reader that
+    listed BEFORE the fold must not crash on the vanished file — it
+    re-lists and resolves the (equivalent) post-fold state."""
+    from bigdataflink_spark.sources import snapshots as sn
+
+    t = str(tmp_path / "race_table")
+    for n in (2, 3, 4):
+        sn.write_snapshot(spark, spark.range(n).withColumnRenamed("id", "k"), t)
+    want = [(v["version"], v["n_rows"]) for v in sn.list_versions(spark, t)]
+
+    real_read = sn._read_json
+    state = {"fired": False}
+
+    def racing_read(fs, jvm, path):
+        # first open: a "concurrent maintainer" folds the whole tail
+        # into a checkpoint (deleting the listed records), then the
+        # open fails the way a vanished HDFS file does
+        if not state["fired"]:
+            state["fired"] = True
+            sn.checkpoint_log(spark, t)
+            raise IOError(
+                "java.io.FileNotFoundException: " + str(path) + " (race sim)"
+            )
+        return real_read(fs, jvm, path)
+
+    monkeypatch.setattr(sn, "_read_json", racing_read)
+    got = [(v["version"], v["n_rows"]) for v in sn.list_versions(spark, t)]
+    assert got == want and state["fired"]
+
+
+def test_write_snapshot_survives_failed_auto_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5 (low): the auto-fold after a commit is best-effort —
+    a ckpt rename collision (e.g. vacuum running beside the writer)
+    must NOT surface as a failed write when the commit record already
+    landed."""
+    from bigdataflink_spark.sources import snapshots as sn
+
+    t = str(tmp_path / "besteffort_table")
+    df = spark.range(2).withColumnRenamed("id", "k")
+    for _ in range(sn.AUTO_CHECKPOINT_TAIL):
+        sn.write_snapshot(spark, df, t)
+
+    def boom(*a, **k):
+        raise IOError("log checkpoint rename failed (collision sim)")
+
+    monkeypatch.setattr(sn, "checkpoint_log", boom)
+    v = sn.write_snapshot(spark, df, t)  # tail is past the threshold
+    assert v == sn.AUTO_CHECKPOINT_TAIL
+    assert [x["version"] for x in sn.list_versions(spark, t)] == list(
+        range(sn.AUTO_CHECKPOINT_TAIL + 1)
+    )

@@ -1197,3 +1197,15 @@ def test_jpeg_foreign_scan_order_and_grayscale():
     out = mm.jpeg_decode(gray_file)
     assert out.shape == (16, 16, 3)
     assert (out == 100).all()
+
+
+def test_sign_lsh_empty_corpus_short_circuits(spark):
+    """ADVICE r5 (low): an empty corpus (dim resolves to 0) returns an
+    empty pair frame — even with an explicit rows_per_band that the
+    dim guard would otherwise reject against dim=0."""
+    from bigdataflink_spark.operators.similarity import sign_lsh_neardup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = sign_lsh_neardup_pairs(empty, threshold=0.4, rows_per_band=4)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cos"]
