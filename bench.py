@@ -105,6 +105,7 @@ HEADLINE = [
     "q186_snapshot_vacuum",
     "q187_jpeg_roundtrip",
     "q188_jpeg_subsampled",
+    "q189_png_profiles",
 ]
 
 

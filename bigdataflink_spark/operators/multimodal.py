@@ -642,17 +642,38 @@ def png_encode(
     )
 
 
+# Below this scanline width the plain bytearray loops win (numpy call
+# overhead dominates on fixture-sized rows — measured ~13× in round 4);
+# above it the vectorized Sub/Up paths win and keep widening with w.
+_PNG_VEC_STRIDE = 256
+
+
 def png_decode(payload: bytes) -> np.ndarray:
-    """Decode a real PNG (8-bit RGB, non-interlaced) to an (h, w, 3)
-    uint8 array: chunk walk with CRC verification, multi-IDAT inflate,
-    full scanline-filter reconstruction (None/Sub/Up/Average/Paeth —
-    per-scanline, as real encoders emit)."""
+    """Decode a real PNG (8-bit, non-interlaced, any color type the
+    encoder emits — grayscale 0, RGB 2, palette 3, gray+alpha 4,
+    RGBA 6) to an (h, w, channels) uint8 array: chunk walk with CRC
+    verification, PLTE capture, multi-IDAT inflate, full
+    scanline-filter reconstruction (None/Sub/Up/Average/Paeth).
+
+    Palette images expand through PLTE to (h, w, 3) RGB — the
+    real-decoder semantic (the index array is a storage detail);
+    grayscale decodes to (h, w, 1), gray+alpha to (h, w, 2), RGBA to
+    (h, w, 4). 16-bit and Adam7-interlaced streams stay an honest
+    NotImplementedError (nothing in the repo emits them).
+
+    Unfilter cost: Up is pure numpy (uint8 wraparound add); Sub is a
+    per-pixel modular prefix sum, i.e. one cumsum over the row
+    reshaped (w, bpp); Average/Paeth are inherently sequential
+    byte recurrences (each byte needs the RECONSTRUCTED left
+    neighbor) and stay bytearray loops — below _PNG_VEC_STRIDE
+    everything stays on the loop path, where plain byte arithmetic
+    beats numpy's per-call overhead."""
     import struct
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
@@ -664,6 +685,10 @@ def png_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if length % 3 or length > 768:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -672,38 +697,62 @@ def png_decode(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt_m, interlace = ihdr
-    if (depth, color, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
+    if (
+        (depth, comp, filt_m, interlace) != (8, 0, 0, 0)
+        or color not in _PNG_COLOR_BPP
+    ):
         raise NotImplementedError(
-            "png_decode supports 8-bit RGB non-interlaced "
-            f"(got depth={depth} color={color} interlace={interlace})"
+            "png_decode supports 8-bit non-interlaced color types "
+            f"0/2/3/4/6 (got depth={depth} color={color} "
+            f"interlace={interlace})"
         )
-    bpp = 3
+    if color == 3 and plte is None:
+        raise ValueError("PNG color type 3 requires a PLTE chunk")
+    bpp = _PNG_COLOR_BPP[color]
     stride = w * bpp
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
+    vec = stride >= _PNG_VEC_STRIDE
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = bytearray(stride)
     for y in range(h):
         ft = raw[y * (stride + 1)]
         off = y * (stride + 1) + 1
-        cur = bytearray(raw[off : off + stride])
-        # the left-neighbor recurrences (Sub/Average/Paeth) are
-        # inherently sequential along x — plain byte arithmetic, not
-        # numpy slicing, keeps the per-row cost ~microseconds
         if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for x in range(stride):
-                cur[x] = (cur[x] + prev[x]) & 0xFF
-        elif ft == 3:  # Average
+            cur = bytearray(raw[off : off + stride])
+        elif ft == 1:  # Sub: modular prefix sum along x per pixel lane
+            if vec:
+                arr = np.cumsum(
+                    np.frombuffer(raw, np.uint8, stride, off)
+                    .reshape(w, bpp)
+                    .astype(np.uint32),
+                    axis=0,
+                )
+                cur = bytearray(
+                    (arr & 0xFF).astype(np.uint8).reshape(stride).tobytes()
+                )
+            else:
+                cur = bytearray(raw[off : off + stride])
+                for x in range(bpp, stride):
+                    cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 2:  # Up: elementwise, uint8 wraparound
+            if vec:
+                arr = np.frombuffer(
+                    raw, np.uint8, stride, off
+                ) + np.frombuffer(bytes(prev), np.uint8)
+                cur = bytearray(arr.tobytes())
+            else:
+                cur = bytearray(raw[off : off + stride])
+                for x in range(stride):
+                    cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average — sequential in x (needs decoded left)
+            cur = bytearray(raw[off : off + stride])
             for x in range(stride):
                 left = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
+        elif ft == 4:  # Paeth — sequential in x (needs decoded left)
+            cur = bytearray(raw[off : off + stride])
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
@@ -718,6 +767,11 @@ def png_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         img[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
         prev = cur
+    if color == 3:
+        idx = img.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of PLTE range")
+        return plte[idx]  # (h, w, 3) — real-decoder palette expansion
     return img.reshape(h, w, bpp)
 
 
@@ -778,7 +832,7 @@ def png_channel_stats(media: DataFrame) -> DataFrame:
             rows = {k: [] for k in ("media_id", "channel", "n_pixels", "sum_val", "min_val", "max_val")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 img = png_decode(bytes(payload))
-                for c in range(3):
+                for c in range(img.shape[2]):
                     ch = img[:, :, c].astype(np.int64)
                     rows["media_id"].append(mid)
                     rows["channel"].append(c)

@@ -3344,3 +3344,41 @@ SELECT doc_id AS media_id,
        TRUE AS err_ok
 FROM documents WHERE doc_id % 5 = 1
 """
+
+
+# q189: wild-profile PNG round trips are LOSSLESS, so every decoded
+# byte is recomputed from the generative closed forms — gray /
+# gray+alpha / RGBA rasters are byte k = (id*31 + k) % 256 over
+# h*w*channels bytes; the palette profile stores index (id*31+p)%64
+# per pixel and decodes through pal[j] = ((j*5+1)%256, (j*11+3)%256,
+# (j*23+7)%256). One byte of codec drift fails the value hash.
+ORACLES["q189_png_profiles"] = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 2),
+direct AS (
+  SELECT d.doc_id AS media_id, p.profile, p.channels,
+         (d.doc_id * 31 + t.k) % 256 AS v
+  FROM docs d
+  CROSS JOIN (VALUES ('gray', 1), ('gray_alpha', 2), ('rgba', 4))
+       p(profile, channels)
+  CROSS JOIN generate_series(0, 767) t(k)
+  WHERE t.k < 192 * p.channels
+),
+palette AS (
+  SELECT d.doc_id AS media_id, 'palette' AS profile, 3 AS channels,
+         CASE c
+           WHEN 0 THEN (((d.doc_id * 31 + p) % 64) * 5 + 1) % 256
+           WHEN 1 THEN (((d.doc_id * 31 + p) % 64) * 11 + 3) % 256
+           ELSE (((d.doc_id * 31 + p) % 64) * 23 + 7) % 256
+         END AS v
+  FROM docs d
+  CROSS JOIN generate_series(0, 191) tp(p)
+  CROSS JOIN generate_series(0, 2) tc(c)
+),
+s AS (SELECT * FROM direct UNION ALL SELECT * FROM palette)
+SELECT media_id, profile, CAST(channels AS INT) AS channels,
+       COUNT(*) AS n_vals,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(MIN(v) AS INT) AS min_val,
+       CAST(MAX(v) AS INT) AS max_val
+FROM s GROUP BY 1, 2, 3
+"""

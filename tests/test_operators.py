@@ -1209,3 +1209,79 @@ def test_sign_lsh_empty_corpus_short_circuits(spark):
     out = sign_lsh_neardup_pairs(empty, threshold=0.4, rows_per_band=4)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cos"]
+
+
+def test_png_wild_profile_roundtrips():
+    """Round-4 task #1 (PNG half): every 8-bit color type the encoder
+    emits round-trips byte-exactly through png_decode — grayscale (0),
+    RGB (2), palette (3, expanded through PLTE like a real decoder),
+    gray+alpha (4), RGBA (6) — under every scanline filter, on both
+    the loop path (fixture-width rows) and the vectorized Sub/Up path
+    (stride >= _PNG_VEC_STRIDE)."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        _PNG_VEC_STRIDE,
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    shapes = [(12, 16, 1), (12, 16, 2), (12, 16, 3), (12, 16, 4)]
+    wide = [(9, 130, ch) for ch in (1, 2, 3, 4)]  # stride past the cutover
+    assert 130 * 2 >= _PNG_VEC_STRIDE
+    for ft in range(5):
+        for shape in shapes + wide:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            dec = png_decode(png_encode(img, filter_type=ft))
+            assert dec.shape == shape and (dec == img).all(), (ft, shape)
+        # palette: stored indices, decoded through PLTE to RGB
+        for w in (16, 300):
+            idx = rng.randint(0, 64, (12, w, 1)).astype(np.uint8)
+            pal = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+            dec = png_decode(png_encode(idx, filter_type=ft, palette=pal))
+            assert dec.shape == (12, w, 3)
+            assert (dec == pal[idx[:, :, 0]]).all(), (ft, w)
+
+
+def test_png_decode_honest_gates():
+    """Missing PLTE for color type 3 and out-of-range palette indices
+    are errors; 16-bit / interlaced streams stay NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdataflink_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        png_decode,
+        png_encode,
+    )
+
+    # strip the PLTE chunk out of a palette PNG -> ValueError
+    idx = np.zeros((4, 4, 1), np.uint8)
+    pal = np.zeros((4, 3), np.uint8)
+    enc = png_encode(idx, palette=pal)
+    pos, out = 8, bytearray(_PNG_SIG)
+    while pos < len(enc):
+        (length,) = struct.unpack(">I", enc[pos : pos + 4])
+        typ = enc[pos + 4 : pos + 8]
+        if typ != b"PLTE":
+            out += enc[pos : pos + 12 + length]
+        pos += 12 + length
+    with _pytest.raises(ValueError, match="PLTE"):
+        png_decode(bytes(out))
+
+    # 16-bit depth -> honest NotImplementedError
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    raw = zlib.compress(bytes(13 * 2))
+    deep = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", raw)
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="color types"):
+        png_decode(deep)
