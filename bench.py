@@ -106,6 +106,7 @@ HEADLINE = [
     "q187_jpeg_roundtrip",
     "q188_jpeg_subsampled",
     "q189_png_profiles",
+    "q190_tvd_drift_gate",
 ]
 
 

@@ -160,6 +160,20 @@ def check_snapshot_drift(
       of the column's null RATE. base/cur_value are the rates in ppm.
     * ``distinct_count_drift`` (col, max_rel_drift_ppm): relative
       drift of the column's exact distinct count.
+    * ``tvd_drift`` (col, max_tvd_ppm, plus DECLARED buckets — either
+      ``edges`` [e1..ek] for a numeric histogram (k+1 range buckets)
+      or ``values`` [v1..vn] for a categorical domain (one bucket per
+      declared value + an 'other' bucket); NULLs are always their own
+      bucket): total variation distance between the two snapshots'
+      bucket distributions, TVD = ½ Σ_b |cnt_b^cur/n_cur −
+      cnt_b^base/n_base|, reported in exact ppm — the numerator is
+      Σ_b |cnt_b^cur·n_base − cnt_b^base·n_cur| in DECIMAL(38,0)
+      cross-products against the 2·n_base·n_cur denominator, ONE
+      integral division at the end. Declared (bounded) buckets are
+      what keep this inside the shared single-scan aggregate — each
+      bucket is one conditional SUM, never a groupBy on an unbounded
+      domain. base_value/cur_value report the snapshot row counts the
+      rates are taken over.
 
     Cost: ONE aggregate scan per snapshot (all rules share it — the
     same single-pass design as ``check_expectations``), then 1-row
@@ -173,6 +187,37 @@ def check_snapshot_drift(
         raise ValueError("check_snapshot_drift: empty rules list")
     base = sn.read_snapshot(spark, table, base_version)
     cur = sn.read_snapshot(spark, table, cur_version)
+
+    def tvd_buckets(rule: dict) -> list[str]:
+        """The rule's declared buckets as SQL boolean exprs (shared
+        verbatim by the Spark aggregate and any SQL oracle). NULL is
+        always its own bucket; conditions that evaluate to NULL count
+        as false (CASE WHEN semantics on both engines)."""
+        c = rule["col"]
+        if "edges" in rule:
+            edges = list(rule["edges"])
+            if edges != sorted(edges) or len(set(edges)) != len(edges):
+                raise ValueError(f"tvd_drift {rule['rule']}: edges must be strictly increasing")
+            conds = [f"{c} IS NOT NULL AND {c} < {edges[0]}"]
+            conds += [
+                f"{c} >= {lo} AND {c} < {hi}"
+                for lo, hi in zip(edges, edges[1:])
+            ]
+            conds.append(f"{c} >= {edges[-1]}")
+        elif "values" in rule:
+            quoted = [
+                "'" + str(v).replace("'", "''") + "'" for v in rule["values"]
+            ]
+            conds = [f"{c} = {q}" for q in quoted]
+            conds.append(
+                f"{c} IS NOT NULL AND {c} NOT IN ({', '.join(quoted)})"
+            )
+        else:
+            raise ValueError(
+                f"tvd_drift {rule['rule']}: declare buckets via 'edges' or 'values'"
+            )
+        conds.append(f"{c} IS NULL")
+        return conds
 
     def metrics(df: DataFrame, tag: str) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("long").alias(f"n_{tag}")]
@@ -194,6 +239,16 @@ def check_snapshot_drift(
                     .cast("long")
                     .alias(f"dst_{r['rule']}_{tag}")
                 )
+            elif r["type"] == "tvd_drift":
+                for i, cond in enumerate(tvd_buckets(r)):
+                    aggs.append(
+                        F.coalesce(
+                            F.sum(F.when(F.expr(cond), 1).otherwise(0)),
+                            F.lit(0),
+                        )
+                        .cast("long")
+                        .alias(f"tvd_{r['rule']}_{i}_{tag}")
+                    )
             elif r["type"] != "row_count_drift":
                 raise ValueError(f"unknown drift expectation type: {r['type']}")
         return df.agg(*aggs)
@@ -221,6 +276,29 @@ def check_snapshot_drift(
             parts.append(rel_drift(r, "n_b", "n_c"))
         elif r["type"] == "distinct_count_drift":
             parts.append(rel_drift(r, f"dst_{r['rule']}_b", f"dst_{r['rule']}_c"))
+        elif r["type"] == "tvd_drift":
+            tol = int(r["max_tvd_ppm"])
+            n_bk = len(tvd_buckets(r))
+            num = (
+                "CAST(("
+                + " + ".join(
+                    f"abs(CAST(tvd_{r['rule']}_{i}_c AS DECIMAL(38,0)) * n_b - "
+                    f"CAST(tvd_{r['rule']}_{i}_b AS DECIMAL(38,0)) * n_c)"
+                    for i in range(n_bk)
+                )
+                + ") * 1000000 AS DECIMAL(38,0))"
+            )
+            den = "(CAST(2 AS DECIMAL(38,0)) * n_b * n_c)"
+            parts.append(
+                one.selectExpr(
+                    f"'{r['rule']}' AS rule",
+                    "n_b AS base_value",
+                    "n_c AS cur_value",
+                    f"CASE WHEN n_b > 0 AND n_c > 0 THEN CAST({num} DIV {den} AS BIGINT) END AS drift_ppm",
+                    f"CASE WHEN n_b > 0 AND n_c > 0 THEN {num} <= CAST({tol} AS DECIMAL(38,0)) * {den} "
+                    "ELSE n_b = 0 AND n_c = 0 END AS passed",
+                )
+            )
         else:  # null_rate_drift: |nul_c/n_c − nul_b/n_b| as exact ppm
             tol = int(r["max_drift_ppm"])
             nb, nc = f"nul_{r['rule']}_b", f"nul_{r['rule']}_c"

@@ -3382,3 +3382,84 @@ SELECT media_id, profile, CAST(channels AS INT) AS channels,
        CAST(MAX(v) AS INT) AS max_val
 FROM s GROUP BY 1, 2, 3
 """
+
+
+# q190: TVD drift gate re-derived from the mutation recipe — v1 drops
+# every third 'en' doc and bumps n_chars by 500 on even doc_ids. Each
+# rule's TVD numerator is the exact HUGEINT cross-product sum
+# Σ_b |cnt_b_cur·n_b − cnt_b_base·n_c| · 1e6 over 2·n_b·n_c, floored
+# by // to match Spark's DECIMAL DIV.
+ORACLES["q190_tvd_drift_gate"] = """
+WITH v0 AS (SELECT lang, n_chars FROM documents),
+v1 AS (
+  SELECT lang,
+         CASE WHEN doc_id % 2 = 0 THEN n_chars + 500 ELSE n_chars END
+           AS n_chars
+  FROM documents
+  WHERE lang IS NULL OR NOT (lang = 'en' AND doc_id % 3 = 0)
+),
+b AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS l0,
+         SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS l1,
+         SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS l2,
+         SUM(CASE WHEN lang IS NOT NULL
+                   AND lang NOT IN ('en', 'es', 'zh') THEN 1 ELSE 0 END) AS l3,
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS l4,
+         SUM(CASE WHEN n_chars IS NOT NULL AND n_chars < 200 THEN 1 ELSE 0 END) AS h0,
+         SUM(CASE WHEN n_chars >= 200 AND n_chars < 350 THEN 1 ELSE 0 END) AS h1,
+         SUM(CASE WHEN n_chars >= 350 AND n_chars < 500 THEN 1 ELSE 0 END) AS h2,
+         SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS h3,
+         SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS h4
+  FROM v0
+),
+c AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS l0,
+         SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS l1,
+         SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS l2,
+         SUM(CASE WHEN lang IS NOT NULL
+                   AND lang NOT IN ('en', 'es', 'zh') THEN 1 ELSE 0 END) AS l3,
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS l4,
+         SUM(CASE WHEN n_chars IS NOT NULL AND n_chars < 200 THEN 1 ELSE 0 END) AS h0,
+         SUM(CASE WHEN n_chars >= 200 AND n_chars < 350 THEN 1 ELSE 0 END) AS h1,
+         SUM(CASE WHEN n_chars >= 350 AND n_chars < 500 THEN 1 ELSE 0 END) AS h2,
+         SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS h3,
+         SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS h4
+  FROM v1
+),
+nums AS (
+  SELECT b.n AS n_b, c.n AS n_c,
+         (abs(CAST(c.l0 AS HUGEINT) * b.n - CAST(b.l0 AS HUGEINT) * c.n)
+        + abs(CAST(c.l1 AS HUGEINT) * b.n - CAST(b.l1 AS HUGEINT) * c.n)
+        + abs(CAST(c.l2 AS HUGEINT) * b.n - CAST(b.l2 AS HUGEINT) * c.n)
+        + abs(CAST(c.l3 AS HUGEINT) * b.n - CAST(b.l3 AS HUGEINT) * c.n)
+        + abs(CAST(c.l4 AS HUGEINT) * b.n - CAST(b.l4 AS HUGEINT) * c.n))
+           * 1000000 AS lang_num,
+         (abs(CAST(c.h0 AS HUGEINT) * b.n - CAST(b.h0 AS HUGEINT) * c.n)
+        + abs(CAST(c.h1 AS HUGEINT) * b.n - CAST(b.h1 AS HUGEINT) * c.n)
+        + abs(CAST(c.h2 AS HUGEINT) * b.n - CAST(b.h2 AS HUGEINT) * c.n)
+        + abs(CAST(c.h3 AS HUGEINT) * b.n - CAST(b.h3 AS HUGEINT) * c.n)
+        + abs(CAST(c.h4 AS HUGEINT) * b.n - CAST(b.h4 AS HUGEINT) * c.n))
+           * 1000000 AS hist_num,
+         2 * b.n * c.n AS den
+  FROM b, c
+)
+SELECT 'lang_mix_vs_v0' AS rule,
+       CAST(n_b AS BIGINT) AS base_value, CAST(n_c AS BIGINT) AS cur_value,
+       CAST(lang_num // den AS BIGINT) AS drift_ppm,
+       lang_num <= 20000 * den AS passed
+FROM nums
+UNION ALL
+SELECT 'n_chars_hist_vs_v0',
+       CAST(n_b AS BIGINT), CAST(n_c AS BIGINT),
+       CAST(hist_num // den AS BIGINT),
+       hist_num <= 600000 * den
+FROM nums
+UNION ALL
+SELECT 'n_chars_hist_strict',
+       CAST(n_b AS BIGINT), CAST(n_c AS BIGINT),
+       CAST(hist_num // den AS BIGINT),
+       hist_num <= 100000 * den
+FROM nums
+"""

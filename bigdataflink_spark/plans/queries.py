@@ -5275,6 +5275,69 @@ def q189_png_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q190_tvd_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift release gate (extension; round-4 task #6 —
+    q182 pins count/null/distinct drift, real gates ALSO pin the
+    SHAPE of a distribution): documents commit as v0, then a
+    deterministically distribution-shifted v1 (every third 'en' doc
+    dropped — skews the language mix; n_chars bumped +500 on even
+    doc_ids — shifts half the corpus into the top histogram bucket),
+    and v1 is gated against the pinned v0 on total-variation distance
+    over DECLARED buckets (operators/expectations.check_snapshot_drift
+    'tvd_drift'): a categorical rule over the declared lang domain
+    {en, es, zh} + other + null, and two numeric-histogram rules over
+    n_chars edges [200, 350, 500] — one tolerant (60%, passes), one
+    strict (10%, fails by construction). TVD ppm is exact:
+    Σ_b |cnt_b^cur·n_b − cnt_b^base·n_c| DECIMAL(38,0) cross-products
+    over 2·n_b·n_c with ONE integral division, so the oracle
+    re-derives the identical table from the mutation recipe. Cost
+    stays q182's: the declared (bounded) buckets make every rule a
+    conditional SUM inside ONE aggregate scan per snapshot — no
+    groupBy, no extra shuffle."""
+    import tempfile
+
+    from bigdataflink_spark.operators.expectations import check_snapshot_drift
+    from bigdataflink_spark.sources import snapshots as sn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="q190_tvd_") + "/docs"
+    sn.write_snapshot(spark, docs, table)
+    v1 = docs.filter(
+        F.col("lang").isNull()
+        | ~((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
+    ).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("n_chars") + F.lit(500)
+        ).otherwise(F.col("n_chars")),
+    )
+    sn.write_snapshot(spark, v1, table)
+    rules = [
+        {
+            "rule": "lang_mix_vs_v0",
+            "type": "tvd_drift",
+            "col": "lang",
+            "values": ["en", "es", "zh"],
+            "max_tvd_ppm": 20000,
+        },
+        {
+            "rule": "n_chars_hist_vs_v0",
+            "type": "tvd_drift",
+            "col": "n_chars",
+            "edges": [200, 350, 500],
+            "max_tvd_ppm": 600000,
+        },
+        {
+            "rule": "n_chars_hist_strict",
+            "type": "tvd_drift",
+            "col": "n_chars",
+            "edges": [200, 350, 500],
+            "max_tvd_ppm": 100000,
+        },
+    ]
+    return check_snapshot_drift(spark, table, rules, base_version=0)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5462,4 +5525,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q187_jpeg_roundtrip": q187_jpeg_roundtrip,
     "q188_jpeg_subsampled": q188_jpeg_subsampled,
     "q189_png_profiles": q189_png_profiles,
+    "q190_tvd_drift_gate": q190_tvd_drift_gate,
 }

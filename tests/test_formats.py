@@ -576,3 +576,81 @@ def test_write_snapshot_survives_failed_auto_checkpoint(
     assert [x["version"] for x in sn.list_versions(spark, t)] == list(
         range(sn.AUTO_CHECKPOINT_TAIL + 1)
     )
+
+
+def test_snapshot_tvd_drift_rule(spark, tmp_path):
+    """Round-4 task #6: TVD over DECLARED buckets. A pinned fixture
+    distribution shift produces an exact, hand-computable TVD ppm;
+    identical snapshots give 0; empty-vs-nonempty fails; malformed
+    rules (no buckets, unsorted edges) are refusals."""
+    import pytest as _pytest
+
+    from bigdataflink_spark.operators.expectations import (
+        check_snapshot_drift,
+    )
+    from bigdataflink_spark.sources import snapshots as sn
+
+    t = str(tmp_path / "tvd_table")
+    # v0: 4×a, 4×b, 2×null | v1: 2×a, 6×b, 2×null  (n=10 both)
+    v0 = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 4 + [(None,)] * 2, "k string"
+    )
+    v1 = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 6 + [(None,)] * 2, "k string"
+    )
+    sn.write_snapshot(spark, v0, t)
+    sn.write_snapshot(spark, v1, t)
+    rule = {
+        "rule": "k_mix",
+        "type": "tvd_drift",
+        "col": "k",
+        "values": ["a", "b"],
+        "max_tvd_ppm": 150000,
+    }
+    row = check_snapshot_drift(spark, t, [rule], base_version=0).first()
+    # TVD = ½(|.2−.4| + |.6−.4| + 0 + 0) = 0.2 → 200000 ppm > 150000
+    assert (row["base_value"], row["cur_value"]) == (10, 10)
+    assert row["drift_ppm"] == 200000 and row["passed"] is False
+
+    # identical snapshots: zero drift, passes even at tolerance 0
+    same = check_snapshot_drift(
+        spark, t, [{**rule, "max_tvd_ppm": 0}], base_version=1, cur_version=1
+    ).first()
+    assert same["drift_ppm"] == 0 and same["passed"] is True
+
+    # numeric edges variant, exact ppm: v0 ints 1..10 vs v1 = v0+5
+    t2 = str(tmp_path / "tvd_edges")
+    sn.write_snapshot(
+        spark, spark.createDataFrame([(i,) for i in range(1, 11)], "x long"), t2
+    )
+    sn.write_snapshot(
+        spark, spark.createDataFrame([(i + 5,) for i in range(1, 11)], "x long"), t2
+    )
+    erule = {
+        "rule": "x_hist",
+        "type": "tvd_drift",
+        "col": "x",
+        "edges": [6, 11],
+        "max_tvd_ppm": 500000,
+    }
+    erow = check_snapshot_drift(spark, t2, [erule], base_version=0).first()
+    # buckets <6 / 6..10 / >=11: v0 (5,5,0)/10, v1 (0,5,5)/10 → TVD=0.5
+    assert erow["drift_ppm"] == 500000 and erow["passed"] is True
+
+    # empty base vs non-empty cur: fail, NULL ppm
+    t3 = str(tmp_path / "tvd_empty")
+    sn.write_snapshot(spark, v0.filter("k = 'zzz'"), t3)
+    sn.write_snapshot(spark, v0, t3)
+    zrow = check_snapshot_drift(spark, t3, [rule], base_version=0).first()
+    assert zrow["drift_ppm"] is None and zrow["passed"] is False
+
+    with _pytest.raises(ValueError, match="declare buckets"):
+        check_snapshot_drift(
+            spark, t, [{"rule": "r", "type": "tvd_drift", "col": "k", "max_tvd_ppm": 1}], 0
+        )
+    with _pytest.raises(ValueError, match="strictly increasing"):
+        check_snapshot_drift(
+            spark, t2,
+            [{"rule": "r", "type": "tvd_drift", "col": "x", "edges": [5, 5], "max_tvd_ppm": 1}],
+            0,
+        )
