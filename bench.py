@@ -107,6 +107,7 @@ HEADLINE = [
     "q188_jpeg_subsampled",
     "q189_png_profiles",
     "q190_tvd_drift_gate",
+    "q191_mp4_metadata",
 ]
 
 

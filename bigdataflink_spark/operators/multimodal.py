@@ -1707,3 +1707,336 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     out = np.stack([r, g, b], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO Base Media File Format (ISO/IEC 14496-12) — CONTAINER-level
+# support: a generative builder emitting real ftyp/mdat/moov trees and
+# a recursive box-walk parser extracting the metadata a 100-TB video
+# ingest needs before any frame is decoded (brands, movie/track
+# durations, handler types, codec fourcc, sample tables, chunk
+# offsets). Frame/codec DECODE stays honestly gated on ffmpeg — the
+# container layer is pure stdlib struct, like the WAV/RIFF walk.
+# Reference behavior: /root/reference treats media as opaque blobs;
+# this section follows the repo's own codec pattern (q183/q184/q187).
+# ---------------------------------------------------------------------------
+
+MP4_VIDEO = "video/mp4"
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _mp4_full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    import struct
+
+    return _mp4_box(typ, struct.pack(">B", version) + struct.pack(">I", flags)[1:] + payload)
+
+
+_MP4_MATRIX = (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def mp4_build(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
+    """Build a real (metadata-faithful) MP4: ``ftyp`` + one ``mdat``
+    carrying every track's samples back-to-back + a trailing ``moov``
+    with full mvhd / per-track tkhd+mdhd+hdlr+minf(stbl) trees —
+    stts/stsc/stsz/stco sample tables included, stco holding TRUE
+    absolute file offsets (one chunk per track). Track spec::
+
+        {"handler": "vide"|"soun", "codec": "avc1"|"mp4a"|...,
+         "timescale": int, "sample_delta": int,
+         "sample_sizes": [int, ...],        # one mdat blob per sample
+         "width": int, "height": int}       # video only
+
+    Sample PAYLOADS are deterministic filler (byte k of sample j is
+    (j*31 + k) % 256) — the container is the artifact here; supplying
+    real codec bitstreams is the caller's business. Codec-specific
+    config boxes (avcC/esds) are intentionally absent: this is
+    metadata-level fidelity, decode stays gated on ffmpeg."""
+    import struct
+
+    mdat_payload = bytearray()
+    chunk_offsets = []
+    for t in tracks:
+        chunk_offsets.append(len(mdat_payload))
+        for j, size in enumerate(t["sample_sizes"]):
+            ks = np.arange(size, dtype=np.int64)
+            mdat_payload += ((j * 31 + ks) % 256).astype(np.uint8).tobytes()
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat_start = len(ftyp)
+    payload_base = mdat_start + 8  # mdat header precedes the payload
+
+    def visual_entry(t: dict) -> bytes:
+        # VisualSampleEntry (§12.1.3): 6 reserved + data_ref_idx, then
+        # pre_defined/reserved, width/height, 72dpi 16.16, frame_count
+        # 1, 32-byte compressorname, depth 24, pre_defined -1
+        body = (
+            bytes(6)
+            + struct.pack(">H", 1)
+            + bytes(16)
+            + struct.pack(">HH", t["width"], t["height"])
+            + struct.pack(">II", 0x480000, 0x480000)
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)
+            + bytes(32)
+            + struct.pack(">Hh", 24, -1)
+        )
+        return _mp4_box(t["codec"].encode(), body)
+
+    def audio_entry(t: dict) -> bytes:
+        # AudioSampleEntry (§12.2.3): 6 reserved + data_ref_idx, 2×4
+        # reserved, channelcount 2, samplesize 16, pre_defined,
+        # reserved, samplerate (timescale << 16)
+        body = (
+            bytes(6)
+            + struct.pack(">H", 1)
+            + bytes(8)
+            + struct.pack(">HHHH", 2, 16, 0, 0)
+            + struct.pack(">I", t["timescale"] << 16)
+        )
+        return _mp4_box(t["codec"].encode(), body)
+
+    traks = []
+    max_dur_movie = 0
+    for track_id, t in enumerate(tracks, start=1):
+        n = len(t["sample_sizes"])
+        dur_media = n * t["sample_delta"]
+        dur_movie = dur_media * movie_timescale // t["timescale"]
+        max_dur_movie = max(max_dur_movie, dur_movie)
+        is_video = t["handler"] == "vide"
+        tkhd = _mp4_full(
+            b"tkhd",
+            0,
+            7,  # enabled | in_movie | in_preview
+            struct.pack(">II", 0, 0)
+            + struct.pack(">I", track_id)
+            + bytes(4)
+            + struct.pack(">I", dur_movie)
+            + bytes(8)
+            + struct.pack(">hhhh", 0, 0, 0 if is_video else 0x0100, 0)
+            + struct.pack(">9i", *_MP4_MATRIX)
+            + struct.pack(
+                ">II",
+                (t.get("width", 0)) << 16,
+                (t.get("height", 0)) << 16,
+            ),
+        )
+        mdhd = _mp4_full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", t["timescale"], dur_media)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _mp4_full(
+            b"hdlr",
+            0,
+            0,
+            struct.pack(">I", 0)
+            + t["handler"].encode()
+            + bytes(12)
+            + b"\x00",
+        )
+        stsd = _mp4_full(
+            b"stsd",
+            0,
+            0,
+            struct.pack(">I", 1)
+            + (visual_entry(t) if is_video else audio_entry(t)),
+        )
+        stts = _mp4_full(
+            b"stts", 0, 0, struct.pack(">III", 1, n, t["sample_delta"])
+        )
+        stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _mp4_full(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", 0, n)
+            + struct.pack(f">{n}I", *t["sample_sizes"]),
+        )
+        stco = _mp4_full(
+            b"stco",
+            0,
+            0,
+            struct.pack(
+                ">II", 1, payload_base + chunk_offsets[track_id - 1]
+            ),
+        )
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        dref = _mp4_full(
+            b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
+        )
+        dinf = _mp4_box(b"dinf", dref)
+        mhd = (
+            _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+            if is_video
+            else _mp4_full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        )
+        minf = _mp4_box(b"minf", mhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_mp4_box(b"trak", tkhd + mdia))
+    mvhd = _mp4_full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", movie_timescale, max_dur_movie)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)
+        + struct.pack(">9i", *_MP4_MATRIX)
+        + bytes(24)
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    moov = _mp4_box(b"moov", mvhd + b"".join(traks))
+    return ftyp + _mp4_box(b"mdat", bytes(mdat_payload)) + moov
+
+
+def _mp4_children(payload: bytes, base: int = 0) -> list[tuple[str, int, int]]:
+    """One level of box headers inside ``payload``: (type, body_start,
+    body_end) with 64-bit largesize support (size==1) and
+    to-end-of-file boxes (size==0)."""
+    import struct
+
+    out = []
+    pos = 0
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8].decode("latin-1")
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = len(payload) - pos
+        if size < 8 or pos + size > len(payload):
+            raise ValueError(f"mp4 box {typ!r} overruns its container")
+        out.append((typ, base + body, base + pos + size))
+        pos += size
+    return out
+
+
+def mp4_scan(payload: bytes) -> dict:
+    """Box-walk metadata extraction (no frame decode): returns
+    ``{"brand", "movie_timescale", "duration_ms", "n_tracks",
+    "tracks": [{"track_id", "handler", "codec", "timescale",
+    "n_samples", "total_sample_bytes", "duration_ms",
+    "width", "height", "chunk_offsets"}, ...]}``.
+
+    Handles v0 and v1 mvhd/tkhd/mdhd (64-bit times), 64-bit
+    largesize boxes, and unknown boxes (skipped by size — the same
+    tolerance the WAV walk applies to LIST/fact chunks)."""
+    import struct
+
+    def full(buf: bytes) -> tuple[int, bytes]:
+        return buf[0], buf[4:]
+
+    top = _mp4_children(payload)
+    meta = {"brand": None, "movie_timescale": None, "duration_ms": None}
+    tracks = []
+    for typ, s, e in top:
+        if typ == "ftyp":
+            meta["brand"] = payload[s : s + 4].decode("latin-1")
+        elif typ == "moov":
+            for btyp, bs, be in _mp4_children(payload[s:e], s):
+                body = payload[bs:be]
+                if btyp == "mvhd":
+                    v, b = full(body)
+                    if v == 1:
+                        ts, dur = struct.unpack(">IQ", b[16:28])
+                    else:
+                        ts, dur = struct.unpack(">II", b[8:16])
+                    meta["movie_timescale"] = ts
+                    meta["duration_ms"] = dur * 1000 // ts
+                elif btyp == "trak":
+                    tracks.append(_mp4_track(payload, bs, be))
+    meta["n_tracks"] = len(tracks)
+    meta["tracks"] = tracks
+    return meta
+
+
+def _mp4_track(payload: bytes, s: int, e: int) -> dict:
+    import struct
+
+    t = {
+        "track_id": None,
+        "handler": None,
+        "codec": None,
+        "timescale": None,
+        "n_samples": 0,
+        "total_sample_bytes": 0,
+        "duration_ms": None,
+        "width": 0,
+        "height": 0,
+        "chunk_offsets": [],
+    }
+
+    def walk(lo: int, hi: int) -> None:
+        for typ, bs, be in _mp4_children(payload[lo:hi], lo):
+            body = payload[bs:be]
+            if typ == "tkhd":
+                v = body[0]
+                if v == 1:
+                    (t["track_id"],) = struct.unpack(">I", body[20:24])
+                    off = 84
+                else:
+                    (t["track_id"],) = struct.unpack(">I", body[12:16])
+                    off = 76
+                w, h = struct.unpack(">II", body[off : off + 8])
+                t["width"], t["height"] = w >> 16, h >> 16
+            elif typ == "mdhd":
+                v, b = body[0], body[4:]
+                if v == 1:
+                    ts, dur = struct.unpack(">IQ", b[16:28])
+                else:
+                    ts, dur = struct.unpack(">II", b[8:16])
+                t["timescale"] = ts
+                t["duration_ms"] = dur * 1000 // ts
+            elif typ == "hdlr":
+                t["handler"] = body[8:12].decode("latin-1")
+            elif typ == "stsd":
+                entries = _mp4_children(body[8:], 0)
+                if entries:
+                    t["codec"] = entries[0][0]
+            elif typ == "stts":
+                (n_ent,) = struct.unpack(">I", body[4:8])
+                t["n_samples"] = sum(
+                    struct.unpack(">I", body[8 + 8 * i : 12 + 8 * i])[0]
+                    for i in range(n_ent)
+                )
+            elif typ == "stsz":
+                fixed, n = struct.unpack(">II", body[4:12])
+                t["total_sample_bytes"] = (
+                    fixed * n
+                    if fixed
+                    else sum(struct.unpack(f">{n}I", body[12 : 12 + 4 * n]))
+                )
+            elif typ == "stco":
+                (n_ent,) = struct.unpack(">I", body[4:8])
+                t["chunk_offsets"] = list(
+                    struct.unpack(f">{n_ent}I", body[8 : 8 + 4 * n_ent])
+                )
+            elif typ == "co64":
+                (n_ent,) = struct.unpack(">I", body[4:8])
+                t["chunk_offsets"] = list(
+                    struct.unpack(f">{n_ent}Q", body[8 : 8 + 8 * n_ent])
+                )
+            elif typ in ("mdia", "minf", "stbl"):
+                walk(bs, be)
+
+    walk(s, e)
+    return t
+
+
+def mp4_frame_decode(payload: bytes):  # pragma: no cover - honest gate
+    """Frame decode needs a real codec (ffmpeg/PyAV), which this
+    container doesn't ship — the box walk above is the supported
+    surface."""
+    raise NotImplementedError(
+        "mp4 frame decode requires ffmpeg/PyAV; mp4_scan provides the "
+        "container metadata surface"
+    )

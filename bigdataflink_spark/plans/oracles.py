@@ -3463,3 +3463,54 @@ SELECT 'n_chars_hist_strict',
        hist_num <= 100000 * den
 FROM nums
 """
+
+
+# q191: MP4 box-walk metadata recomputed from the generative closed
+# forms — sample-size sums via generate_series, floor-division
+# durations via //, and the stco chunk offsets pinned to the exact
+# byte layout (ftyp 28 + mdat header 8 = payload base 36; the audio
+# chunk starts right after the video chunk's bytes).
+ORACLES["q191_mp4_metadata"] = """
+WITH docs AS (
+  SELECT doc_id, 24 + doc_id % 48 AS n_vid, 50 + doc_id % 25 AS n_aud
+  FROM documents WHERE doc_id % 5 = 3
+),
+vbytes AS (
+  SELECT d.doc_id,
+         SUM(64 + (d.doc_id * 7 + j.j * 13) % 128) AS vid_total
+  FROM docs d JOIN generate_series(0, 71) j(j) ON j.j < d.n_vid
+  GROUP BY d.doc_id
+),
+abytes AS (
+  SELECT d.doc_id,
+         SUM(32 + (d.doc_id * 5 + j.j * 11) % 64) AS aud_total
+  FROM docs d JOIN generate_series(0, 74) j(j) ON j.j < d.n_aud
+  GROUP BY d.doc_id
+),
+base AS (
+  SELECT d.doc_id, d.n_vid, d.n_aud, v.vid_total, a.aud_total,
+         d.n_vid * 40 AS vid_ms,
+         (d.n_aud * 1024 * 1000) // 48000 AS aud_ms
+  FROM docs d
+  JOIN vbytes v ON v.doc_id = d.doc_id
+  JOIN abytes a ON a.doc_id = d.doc_id
+)
+SELECT doc_id AS media_id, CAST(1 AS INT) AS track_id,
+       'vide' AS handler, 'avc1' AS codec,
+       CAST(n_vid AS BIGINT) AS n_samples,
+       CAST(vid_total AS BIGINT) AS total_bytes,
+       CAST(vid_ms AS BIGINT) AS duration_ms,
+       CAST(GREATEST(vid_ms, aud_ms) AS BIGINT) AS movie_ms,
+       CAST(320 + (doc_id % 4) * 16 AS INT) AS width,
+       CAST(240 + (doc_id % 3) * 16 AS INT) AS height,
+       CAST(36 AS BIGINT) AS chunk_off
+FROM base
+UNION ALL
+SELECT doc_id, CAST(2 AS INT), 'soun', 'mp4a',
+       CAST(n_aud AS BIGINT), CAST(aud_total AS BIGINT),
+       CAST(aud_ms AS BIGINT),
+       CAST(GREATEST(vid_ms, aud_ms) AS BIGINT),
+       CAST(0 AS INT), CAST(0 AS INT),
+       CAST(36 + vid_total AS BIGINT)
+FROM base
+"""

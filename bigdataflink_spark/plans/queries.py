@@ -5338,6 +5338,93 @@ def q190_tvd_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_snapshot_drift(spark, table, rules, base_version=0)
 
 
+def q191_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO-BMFF container metadata extraction (extension;
+    round-4 task #4 — the last media family with NO container-level
+    support: operators/multimodal.py now carries a generative
+    ftyp/mdat/moov builder and a recursive box-walk parser, frame
+    decode staying honestly gated on ffmpeg): each sampled document
+    gets a two-track MP4 (avc1 video + mp4a audio) built from closed
+    forms — n_vid = 24 + id%48 samples of size 64 + (id·7+j·13)%128
+    at 25 fps, n_aud = 50 + id%25 samples of size 32 + (id·5+j·11)%64
+    at 48 kHz/1024-sample cadence — then the parser walks
+    mvhd/tkhd/mdhd/hdlr/stsd/stts/stsz/stco and emits one row per
+    track: ids, handler, codec fourcc, exact sample counts and byte
+    totals, media- and movie-level floor-division durations, and the
+    ABSOLUTE stco chunk offset, which the oracle pins to the
+    closed-form file layout (ftyp 28 bytes + mdat header 8 → payload
+    base 36; audio chunk starts at 36 + total video bytes): one byte
+    of drift anywhere in the box tree moves an offset or a total and
+    fails the value hash. Audited on the doc_id%5==3 fifth (disjoint
+    from q187/q188/q189's fifths). One Arrow map stage: zero
+    shuffles, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import mp4_build, mp4_scan
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 3)
+
+    def _batches(it):
+        import numpy as np_
+
+        cols = (
+            "media_id", "track_id", "handler", "codec", "n_samples",
+            "total_bytes", "duration_ms", "movie_ms", "width", "height",
+            "chunk_off",
+        )
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n_vid = 24 + i % 48
+                n_aud = 50 + i % 25
+                tracks = [
+                    {
+                        "handler": "vide",
+                        "codec": "avc1",
+                        "timescale": 1000,
+                        "sample_delta": 40,
+                        "sample_sizes": [
+                            64 + (i * 7 + j * 13) % 128 for j in range(n_vid)
+                        ],
+                        "width": 320 + (i % 4) * 16,
+                        "height": 240 + (i % 3) * 16,
+                    },
+                    {
+                        "handler": "soun",
+                        "codec": "mp4a",
+                        "timescale": 48000,
+                        "sample_delta": 1024,
+                        "sample_sizes": [
+                            32 + (i * 5 + j * 11) % 64 for j in range(n_aud)
+                        ],
+                    },
+                ]
+                meta = mp4_scan(mp4_build(tracks, movie_timescale=1000))
+                for t in meta["tracks"]:
+                    rows["media_id"].append(i)
+                    rows["track_id"].append(t["track_id"])
+                    rows["handler"].append(t["handler"])
+                    rows["codec"].append(t["codec"])
+                    rows["n_samples"].append(t["n_samples"])
+                    rows["total_bytes"].append(t["total_sample_bytes"])
+                    rows["duration_ms"].append(t["duration_ms"])
+                    rows["movie_ms"].append(meta["duration_ms"])
+                    rows["width"].append(t["width"])
+                    rows["height"].append(t["height"])
+                    rows["chunk_off"].append(t["chunk_offsets"][0])
+            yield pd_.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, track_id int, handler string, codec string, "
+            "n_samples long, total_bytes long, duration_ms long, "
+            "movie_ms long, width int, height int, chunk_off long"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5526,4 +5613,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q188_jpeg_subsampled": q188_jpeg_subsampled,
     "q189_png_profiles": q189_png_profiles,
     "q190_tvd_drift_gate": q190_tvd_drift_gate,
+    "q191_mp4_metadata": q191_mp4_metadata,
 }

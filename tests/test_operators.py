@@ -1285,3 +1285,83 @@ def test_png_decode_honest_gates():
     )
     with _pytest.raises(NotImplementedError, match="color types"):
         png_decode(deep)
+
+
+def test_mp4_container_walk():
+    """Round-4 task #4: the ISO-BMFF builder/parser round-trips real
+    box trees — exact sample tables, floor-division durations, TRUE
+    absolute stco offsets — and the walk tolerates what wild files
+    carry: unknown boxes (skipped by size), 64-bit largesize, v1
+    time boxes, co64 offsets. Frame decode stays an honest gate."""
+    import struct
+
+    import pytest as _pytest
+
+    from bigdataflink_spark.operators.multimodal import (
+        _mp4_box,
+        _mp4_full,
+        mp4_build,
+        mp4_frame_decode,
+        mp4_scan,
+    )
+
+    tracks = [
+        {
+            "handler": "vide", "codec": "avc1", "timescale": 1000,
+            "sample_delta": 40, "sample_sizes": [100, 120, 90],
+            "width": 320, "height": 240,
+        },
+        {
+            "handler": "soun", "codec": "mp4a", "timescale": 48000,
+            "sample_delta": 1024, "sample_sizes": [50, 60],
+        },
+    ]
+    buf = mp4_build(tracks)
+    m = mp4_scan(buf)
+    assert (m["brand"], m["movie_timescale"], m["n_tracks"]) == ("isom", 1000, 2)
+    assert m["duration_ms"] == 120  # max(3*40, floor(2*1024/48))
+    v, a = m["tracks"]
+    assert (v["handler"], v["codec"], v["n_samples"]) == ("vide", "avc1", 3)
+    assert (v["width"], v["height"], v["total_sample_bytes"]) == (320, 240, 310)
+    assert (a["handler"], a["codec"], a["duration_ms"]) == ("soun", "mp4a", 42)
+    # stco offsets are REAL file positions: the deterministic sample
+    # filler (byte k of sample j = (j*31+k)%256) sits exactly there
+    off = v["chunk_offsets"][0]
+    assert buf[off : off + 4] == bytes((0 * 31 + k) % 256 for k in range(4))
+    assert a["chunk_offsets"][0] == off + 310
+
+    # wild-file tolerance: an unknown top-level box + a free box inside
+    # moov must be skipped by size without disturbing the walk
+    ftyp_end = 28
+    wild = (
+        buf[:ftyp_end]
+        + _mp4_box(b"skip", b"\x00" * 11)
+        + buf[ftyp_end:]
+    )
+    m2 = mp4_scan(wild)
+    assert m2["n_tracks"] == 2 and m2["duration_ms"] == 120
+    # (offsets in stco now lag the inserted box — real remuxers
+    # rewrite stco; the PARSER must still report what the box says)
+    assert m2["tracks"][0]["chunk_offsets"][0] == off
+
+    # 64-bit largesize mdat + co64 offsets + v1 mvhd parse
+    big = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    payload = bytes(16)
+    mdat64 = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    mvhd1 = _mp4_full(
+        b"mvhd", 1, 0,
+        struct.pack(">QQ", 0, 0) + struct.pack(">IQ", 90000, 180000)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + bytes(8)
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + bytes(24) + struct.pack(">I", 1),
+    )
+    m3 = mp4_scan(big + mdat64 + _mp4_box(b"moov", mvhd1))
+    assert m3["movie_timescale"] == 90000 and m3["duration_ms"] == 2000
+    assert m3["n_tracks"] == 0
+
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        mp4_frame_decode(buf)
+
+    # truncated box is a refusal, not a silent partial parse
+    with _pytest.raises(ValueError, match="overruns"):
+        mp4_scan(buf[: len(buf) - 40])
