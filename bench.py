@@ -108,6 +108,7 @@ HEADLINE = [
     "q189_png_profiles",
     "q190_tvd_drift_gate",
     "q191_mp4_metadata",
+    "q192_streaming_semdedup",
 ]
 
 

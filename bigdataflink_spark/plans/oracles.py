@@ -3514,3 +3514,9 @@ SELECT doc_id, CAST(2 AS INT), 'soun', 'mp4a',
        CAST(36 + vid_total AS BIGINT)
 FROM base
 """
+
+
+# q192: stream-over-slices == batch semantic_dedup (the parity
+# contract of tests/test_streaming_semdedup.py), so the oracle IS
+# q185's EXISTS oracle.
+ORACLES["q192_streaming_semdedup"] = ORACLES["q185_semantic_dedup"]

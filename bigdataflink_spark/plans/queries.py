@@ -5425,6 +5425,40 @@ def q191_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q192_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online SemDeDup (extension; streaming/semdedup.py — round-4
+    task #3: q185 was batch-only while MinHash near-dup had a
+    parity-tested streaming twin): the embeddings corpus arrives as
+    three id-ordered micro-batches through ``accept_batch``, each new
+    vector accepted or dropped against EVERY previously seen vector
+    in its cell (dropped vectors still drop later arrivals — the
+    SemDeDup EXISTS rule, unlike greedy near-dup), with cell-keyed
+    parquet state between batches. Stream-over-slices ≡ batch
+    ``semantic_dedup`` exactly (the parity contract of
+    tests/test_streaming_semdedup.py), so the oracle IS q185's EXISTS
+    oracle — a full value-hash twin for a stateful streaming
+    operator. Per batch: one cell-keyed join against state, exact
+    cosine on candidates only, one state append; at scale the state
+    directory partitions by cell and the join never shuffles the
+    state side."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.semdedup import accept_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    state = tempfile.mkdtemp(prefix="q192_semdedup_") + "/state"
+    hi = emb.agg(F.max("vec_id")).first()[0] or 0
+    cuts = [0, (hi + 1) // 3, 2 * (hi + 1) // 3, hi + 1]
+    parts = []
+    for lo, up in zip(cuts, cuts[1:]):
+        chunk = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < up))
+        parts.append(accept_batch(spark, chunk, state, threshold=0.4))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5614,4 +5648,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q189_png_profiles": q189_png_profiles,
     "q190_tvd_drift_gate": q190_tvd_drift_gate,
     "q191_mp4_metadata": q191_mp4_metadata,
+    "q192_streaming_semdedup": q192_streaming_semdedup,
 }
