@@ -1365,3 +1365,42 @@ def test_mp4_container_walk():
     # truncated box is a refusal, not a silent partial parse
     with _pytest.raises(ValueError, match="overruns"):
         mp4_scan(buf[: len(buf) - 40])
+
+
+def test_png_decode_batch_equivalence():
+    """png_decode_batch ≡ png_decode byte-for-byte over a shuffled mix
+    of cohorts (all color types × all filters × two shapes, palette
+    files carrying per-image PLTEs), including the <8-image scalar
+    fallback path."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        png_decode,
+        png_decode_batch,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    payloads, want = [], []
+    for ft in range(5):
+        for shape in [(12, 16, 1), (12, 16, 2), (12, 16, 3), (12, 16, 4), (9, 130, 3)]:
+            for _ in range(3):
+                img = rng.randint(0, 256, shape).astype(np.uint8)
+                payloads.append(png_encode(img, filter_type=ft))
+                want.append(img)
+        idx = rng.randint(0, 64, (12, 16, 1)).astype(np.uint8)
+        pal = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+        payloads.append(png_encode(idx, filter_type=ft, palette=pal))
+        want.append(pal[idx[:, :, 0]])
+    order = rng.permutation(len(payloads))
+    got = png_decode_batch([payloads[i] for i in order])
+    for g, i in zip(got, order):
+        assert g.shape == want[i].shape and (g == want[i]).all()
+    # big single cohort (the q183 shape) crosses the batch threshold
+    imgs = [
+        ((i * 31 + np.arange(576)) % 256).astype(np.uint8).reshape(12, 16, 3)
+        for i in range(64)
+    ]
+    ps = [png_encode(im, filter_type=4) for im in imgs]
+    for a, b in zip(png_decode_batch(ps), (png_decode(p) for p in ps)):
+        assert (a == b).all()
