@@ -109,6 +109,7 @@ HEADLINE = [
     "q190_tvd_drift_gate",
     "q191_mp4_metadata",
     "q192_streaming_semdedup",
+    "q193_fmp4_fragments",
 ]
 
 

@@ -2058,6 +2058,8 @@ def mp4_scan(payload: bytes) -> dict:
     top = _mp4_children(payload)
     meta = {"brand": None, "movie_timescale": None, "duration_ms": None}
     tracks = []
+    trex_defaults: dict[int, tuple[int, int]] = {}  # id -> (delta, size)
+    n_fragments = 0
     for typ, s, e in top:
         if typ == "ftyp":
             meta["brand"] = payload[s : s + 4].decode("latin-1")
@@ -2074,7 +2076,82 @@ def mp4_scan(payload: bytes) -> dict:
                     meta["duration_ms"] = dur * 1000 // ts
                 elif btyp == "trak":
                     tracks.append(_mp4_track(payload, bs, be))
+                elif btyp == "mvex":
+                    for xt, xs, xe in _mp4_children(payload[bs:be], bs):
+                        if xt == "trex":
+                            tid, _desc, ddelta, dsize, _fl = struct.unpack(
+                                ">IIIII", payload[xs + 4 : xs + 24]
+                            )
+                            trex_defaults[tid] = (ddelta, dsize)
+        elif typ == "moof":
+            n_fragments += 1
+            moof_start = s - 8  # trun offsets are moof-start-relative
+            by_id = {t["track_id"]: t for t in tracks}
+            for btyp, bs, be in _mp4_children(payload[s:e], s):
+                if btyp != "traf":
+                    continue
+                tfhd_id, base_is_moof, def_size = None, False, None
+                for ft, fs, fe in _mp4_children(payload[bs:be], bs):
+                    fbody = payload[fs:fe]
+                    if ft == "tfhd":
+                        flags = int.from_bytes(fbody[1:4], "big")
+                        (tfhd_id,) = struct.unpack(">I", fbody[4:8])
+                        base_is_moof = bool(flags & 0x020000)
+                        pos = 8
+                        if flags & 0x1:  # base-data-offset
+                            pos += 8
+                        if flags & 0x2:  # sample-description-index
+                            pos += 4
+                        if flags & 0x8:  # default-sample-duration
+                            pos += 4
+                        if flags & 0x10:  # default-sample-size
+                            (def_size,) = struct.unpack(
+                                ">I", fbody[pos : pos + 4]
+                            )
+                    elif ft == "trun":
+                        flags = int.from_bytes(fbody[1:4], "big")
+                        (count,) = struct.unpack(">I", fbody[4:8])
+                        pos = 8
+                        data_off = None
+                        if flags & 0x1:
+                            (data_off,) = struct.unpack(
+                                ">i", fbody[pos : pos + 4]
+                            )
+                            pos += 4
+                        if flags & 0x4:  # first-sample-flags
+                            pos += 4
+                        per = sum(
+                            4
+                            for bit in (0x100, 0x200, 0x400, 0x800)
+                            if flags & bit
+                        )
+                        sizes = []
+                        for k in range(count):
+                            row = fbody[pos + k * per : pos + (k + 1) * per]
+                            rp = 0
+                            if flags & 0x100:
+                                rp += 4
+                            if flags & 0x200:
+                                sizes.append(
+                                    struct.unpack(">I", row[rp : rp + 4])[0]
+                                )
+                        t = by_id.get(tfhd_id)
+                        if t is None:
+                            continue
+                        t["n_samples"] += count
+                        if sizes:
+                            t["total_sample_bytes"] += sum(sizes)
+                        else:
+                            fallback = (
+                                def_size
+                                if def_size is not None
+                                else trex_defaults.get(tfhd_id, (0, 0))[1]
+                            )
+                            t["total_sample_bytes"] += fallback * count
+                        if data_off is not None and base_is_moof:
+                            t["chunk_offsets"].append(moof_start + data_off)
     meta["n_tracks"] = len(tracks)
+    meta["n_fragments"] = n_fragments
     meta["tracks"] = tracks
     return meta
 
@@ -2160,3 +2237,196 @@ def mp4_frame_decode(payload: bytes):  # pragma: no cover - honest gate
         "mp4 frame decode requires ffmpeg/PyAV; mp4_scan provides the "
         "container metadata surface"
     )
+
+
+def mp4_build_fragmented(
+    tracks: list[dict],
+    samples_per_fragment: int = 8,
+    movie_timescale: int = 1000,
+) -> bytes:
+    """Fragmented-MP4 (fMP4/CMAF — the DASH/HLS wire shape) builder:
+    ``ftyp`` + ``moov`` whose sample tables are EMPTY (the fragmented
+    contract: stts/stsz/stco carry zero entries; an ``mvex`` with one
+    ``trex`` per track declares defaults instead) + a sequence of
+    ``moof``+``mdat`` pairs, each moof carrying mfhd (sequence
+    number) and one ``traf`` per track with tfhd
+    (default-base-is-moof), tfdt (base media decode time) and trun
+    (sample count, data offset RELATIVE TO MOOF START, per-sample
+    sizes). Same track-spec dicts as ``mp4_build``."""
+    import struct
+
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso5cmfc"
+    )
+
+    def empty_stbl(t: dict, is_video: bool) -> bytes:
+        stsd = _mp4_full(
+            b"stsd",
+            0,
+            0,
+            struct.pack(">I", 1)
+            + (
+                _mp4_box(
+                    t["codec"].encode(),
+                    bytes(6)
+                    + struct.pack(">H", 1)
+                    + bytes(16)
+                    + struct.pack(">HH", t.get("width", 0), t.get("height", 0))
+                    + struct.pack(">II", 0x480000, 0x480000)
+                    + struct.pack(">I", 0)
+                    + struct.pack(">H", 1)
+                    + bytes(32)
+                    + struct.pack(">Hh", 24, -1)
+                )
+                if is_video
+                else _mp4_box(
+                    t["codec"].encode(),
+                    bytes(6)
+                    + struct.pack(">H", 1)
+                    + bytes(8)
+                    + struct.pack(">HHHH", 2, 16, 0, 0)
+                    + struct.pack(">I", t["timescale"] << 16),
+                )
+            ),
+        )
+        return _mp4_box(
+            b"stbl",
+            stsd
+            + _mp4_full(b"stts", 0, 0, struct.pack(">I", 0))
+            + _mp4_full(b"stsc", 0, 0, struct.pack(">I", 0))
+            + _mp4_full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+            + _mp4_full(b"stco", 0, 0, struct.pack(">I", 0)),
+        )
+
+    traks, trexs = [], []
+    for track_id, t in enumerate(tracks, start=1):
+        is_video = t["handler"] == "vide"
+        n = len(t["sample_sizes"])
+        dur_media = n * t["sample_delta"]
+        dur_movie = dur_media * movie_timescale // t["timescale"]
+        tkhd = _mp4_full(
+            b"tkhd",
+            0,
+            7,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">I", track_id)
+            + bytes(4)
+            + struct.pack(">I", dur_movie)
+            + bytes(8)
+            + struct.pack(">hhhh", 0, 0, 0 if is_video else 0x0100, 0)
+            + struct.pack(">9i", *_MP4_MATRIX)
+            + struct.pack(
+                ">II", t.get("width", 0) << 16, t.get("height", 0) << 16
+            ),
+        )
+        mdhd = _mp4_full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", t["timescale"], dur_media)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _mp4_full(
+            b"hdlr",
+            0,
+            0,
+            struct.pack(">I", 0) + t["handler"].encode() + bytes(12) + b"\x00",
+        )
+        mhd = (
+            _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+            if is_video
+            else _mp4_full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        )
+        dinf = _mp4_box(
+            b"dinf",
+            _mp4_full(
+                b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
+            ),
+        )
+        minf = _mp4_box(b"minf", mhd + dinf + empty_stbl(t, is_video))
+        traks.append(
+            _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr + minf))
+        )
+        trexs.append(
+            _mp4_full(
+                b"trex",
+                0,
+                0,
+                struct.pack(">IIIII", track_id, 1, t["sample_delta"], 0, 0),
+            )
+        )
+    max_dur = max(
+        (
+            len(t["sample_sizes"])
+            * t["sample_delta"]
+            * movie_timescale
+            // t["timescale"]
+        )
+        for t in tracks
+    )
+    mvhd = _mp4_full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", movie_timescale, max_dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)
+        + struct.pack(">9i", *_MP4_MATRIX)
+        + bytes(24)
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    moov = _mp4_box(b"moov", mvhd + b"".join(traks) + _mp4_box(b"mvex", b"".join(trexs)))
+
+    out = bytearray(ftyp + moov)
+    n_frag = max(
+        (len(t["sample_sizes"]) + samples_per_fragment - 1)
+        // samples_per_fragment
+        for t in tracks
+    )
+    seq = 0
+    for f in range(n_frag):
+        seq += 1
+        trafs_spec = []
+        frag_payload = bytearray()
+        for track_id, t in enumerate(tracks, start=1):
+            lo = f * samples_per_fragment
+            sizes = t["sample_sizes"][lo : lo + samples_per_fragment]
+            if not sizes:
+                continue
+            trafs_spec.append(
+                (track_id, lo * t["sample_delta"], sizes, len(frag_payload))
+            )
+            for j, size in enumerate(sizes, start=lo):
+                ks = np.arange(size, dtype=np.int64)
+                frag_payload += (
+                    ((j * 31 + ks) % 256).astype(np.uint8).tobytes()
+                )
+        # trun data_offset is relative to MOOF START (tfhd flag
+        # default-base-is-moof) — so the moof must be sized before
+        # offsets are final: build twice with a fixed-size layout
+        # (every field here is fixed-width given the sample counts)
+        def build_moof(payload_gap: int) -> bytes:
+            trafs = []
+            for track_id, tfdt_time, sizes, rel in trafs_spec:
+                tfhd = _mp4_full(
+                    b"tfhd", 0, 0x020000, struct.pack(">I", track_id)
+                )
+                tfdt = _mp4_full(b"tfdt", 1, 0, struct.pack(">Q", tfdt_time))
+                trun = _mp4_full(
+                    b"trun",
+                    0,
+                    0x000201,  # data-offset + sample-size present
+                    struct.pack(">I", len(sizes))
+                    + struct.pack(">i", payload_gap + rel)
+                    + struct.pack(f">{len(sizes)}I", *sizes),
+                )
+                trafs.append(_mp4_box(b"traf", tfhd + tfdt + trun))
+            mfhd = _mp4_full(b"mfhd", 0, 0, struct.pack(">I", seq))
+            return _mp4_box(b"moof", mfhd + b"".join(trafs))
+
+        moof_size = len(build_moof(0))
+        out += build_moof(moof_size + 8)  # gap = moof + mdat header
+        out += _mp4_box(b"mdat", bytes(frag_payload))
+    return bytes(out)

@@ -3520,3 +3520,47 @@ FROM base
 # contract of tests/test_streaming_semdedup.py), so the oracle IS
 # q185's EXISTS oracle.
 ORACLES["q192_streaming_semdedup"] = ORACLES["q185_semantic_dedup"]
+
+
+# q193: fMP4 fragment-accumulation arithmetic from the q191 closed
+# forms — n_frags = ceil(max(n_vid, n_aud) / 8) shared by both
+# tracks; totals/durations identical to the progressive layout
+# (fragmentation must not change them).
+ORACLES["q193_fmp4_fragments"] = """
+WITH docs AS (
+  SELECT doc_id, 24 + doc_id % 48 AS n_vid, 50 + doc_id % 25 AS n_aud
+  FROM documents WHERE doc_id % 5 = 4
+),
+vbytes AS (
+  SELECT d.doc_id,
+         SUM(64 + (d.doc_id * 7 + j.j * 13) % 128) AS vid_total
+  FROM docs d JOIN generate_series(0, 71) j(j) ON j.j < d.n_vid
+  GROUP BY d.doc_id
+),
+abytes AS (
+  SELECT d.doc_id,
+         SUM(32 + (d.doc_id * 5 + j.j * 11) % 64) AS aud_total
+  FROM docs d JOIN generate_series(0, 74) j(j) ON j.j < d.n_aud
+  GROUP BY d.doc_id
+),
+base AS (
+  SELECT d.doc_id, d.n_vid, d.n_aud, v.vid_total, a.aud_total,
+         (GREATEST(d.n_vid, d.n_aud) + 7) // 8 AS n_frags
+  FROM docs d
+  JOIN vbytes v ON v.doc_id = d.doc_id
+  JOIN abytes a ON a.doc_id = d.doc_id
+)
+SELECT doc_id AS media_id, CAST(1 AS INT) AS track_id,
+       'vide' AS handler, 'avc1' AS codec,
+       CAST(n_vid AS BIGINT) AS n_samples,
+       CAST(vid_total AS BIGINT) AS total_bytes,
+       CAST(n_vid * 40 AS BIGINT) AS duration_ms,
+       CAST(n_frags AS INT) AS n_frags
+FROM base
+UNION ALL
+SELECT doc_id, CAST(2 AS INT), 'soun', 'mp4a',
+       CAST(n_aud AS BIGINT), CAST(aud_total AS BIGINT),
+       CAST((n_aud * 1024 * 1000) // 48000 AS BIGINT),
+       CAST(n_frags AS INT)
+FROM base
+"""

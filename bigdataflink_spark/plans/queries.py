@@ -5459,6 +5459,89 @@ def q192_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q193_fmp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented-MP4 (fMP4/CMAF — the DASH/HLS wire shape) metadata
+    walk (extension; completes the ISO-BMFF surface beyond q191's
+    progressive layout): the same closed-form two-track recipe as
+    q191, but laid out as empty-moov + mvex/trex + moof/traf/trun
+    fragments of 8 samples (``mp4_build_fragmented``), so the sample
+    counts and byte totals exist ONLY in the per-fragment trun tables
+    and the parser must accumulate them across fragments. Output per
+    track: exact accumulated sample count and byte total, media
+    duration, and the fragment count ceil(max_samples/8) shared by
+    both tracks. The byte-exact moof-relative chunk-offset contract
+    is pinned by the unit test (offsets resolve to the true sample
+    filler bytes); this query pins the accumulation arithmetic
+    against the closed forms. Audited on the doc_id%5==4 fifth — the
+    five codec/container contracts (q187/q188/q189/q191/q193) now
+    cover ALL five disjoint fifths of the corpus per round. One
+    Arrow map stage: zero shuffles, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        mp4_build_fragmented,
+        mp4_scan,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 4)
+
+    def _batches(it):
+        cols = (
+            "media_id", "track_id", "handler", "codec", "n_samples",
+            "total_bytes", "duration_ms", "n_frags",
+        )
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n_vid = 24 + i % 48
+                n_aud = 50 + i % 25
+                tracks = [
+                    {
+                        "handler": "vide",
+                        "codec": "avc1",
+                        "timescale": 1000,
+                        "sample_delta": 40,
+                        "sample_sizes": [
+                            64 + (i * 7 + j * 13) % 128 for j in range(n_vid)
+                        ],
+                        "width": 320 + (i % 4) * 16,
+                        "height": 240 + (i % 3) * 16,
+                    },
+                    {
+                        "handler": "soun",
+                        "codec": "mp4a",
+                        "timescale": 48000,
+                        "sample_delta": 1024,
+                        "sample_sizes": [
+                            32 + (i * 5 + j * 11) % 64 for j in range(n_aud)
+                        ],
+                    },
+                ]
+                meta = mp4_scan(
+                    mp4_build_fragmented(tracks, samples_per_fragment=8)
+                )
+                for t in meta["tracks"]:
+                    rows["media_id"].append(i)
+                    rows["track_id"].append(t["track_id"])
+                    rows["handler"].append(t["handler"])
+                    rows["codec"].append(t["codec"])
+                    rows["n_samples"].append(t["n_samples"])
+                    rows["total_bytes"].append(t["total_sample_bytes"])
+                    rows["duration_ms"].append(t["duration_ms"])
+                    rows["n_frags"].append(meta["n_fragments"])
+            yield pd_.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, track_id int, handler string, codec string, "
+            "n_samples long, total_bytes long, duration_ms long, "
+            "n_frags int"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5649,4 +5732,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_tvd_drift_gate": q190_tvd_drift_gate,
     "q191_mp4_metadata": q191_mp4_metadata,
     "q192_streaming_semdedup": q192_streaming_semdedup,
+    "q193_fmp4_fragments": q193_fmp4_fragments,
 }

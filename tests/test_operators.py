@@ -1404,3 +1404,41 @@ def test_png_decode_batch_equivalence():
     ps = [png_encode(im, filter_type=4) for im in imgs]
     for a, b in zip(png_decode_batch(ps), (png_decode(p) for p in ps)):
         assert (a == b).all()
+
+
+def test_mp4_fragmented_walk():
+    """fMP4/CMAF (the DASH/HLS wire shape): empty moov sample tables +
+    mvex/trex defaults, samples carried by moof/traf/trun — the walk
+    accumulates counts, bytes, and moof-relative chunk offsets across
+    fragments, byte-exactly."""
+    from bigdataflink_spark.operators.multimodal import (
+        mp4_build_fragmented,
+        mp4_scan,
+    )
+
+    tracks = [
+        {
+            "handler": "vide", "codec": "avc1", "timescale": 1000,
+            "sample_delta": 40,
+            "sample_sizes": [100 + j for j in range(20)],
+            "width": 320, "height": 240,
+        },
+        {
+            "handler": "soun", "codec": "mp4a", "timescale": 48000,
+            "sample_delta": 1024,
+            "sample_sizes": [50 + j for j in range(11)],
+        },
+    ]
+    buf = mp4_build_fragmented(tracks, samples_per_fragment=8)
+    m = mp4_scan(buf)
+    assert m["n_fragments"] == 3  # ceil(20/8)
+    v, a = m["tracks"]
+    assert (v["n_samples"], v["total_sample_bytes"]) == (20, sum(100 + j for j in range(20)))
+    assert (a["n_samples"], a["total_sample_bytes"]) == (11, sum(50 + j for j in range(11)))
+    assert len(v["chunk_offsets"]) == 3 and len(a["chunk_offsets"]) == 2
+    # trun data offsets resolve against MOOF START to the true sample
+    # bytes: fragment 2's first video sample is j=8 of the filler
+    off = v["chunk_offsets"][1]
+    assert buf[off : off + 4] == bytes((8 * 31 + k) % 256 for k in range(4))
+    # mdhd still carries full durations (this builder writes them)
+    assert v["duration_ms"] == 800 and a["duration_ms"] == 234
