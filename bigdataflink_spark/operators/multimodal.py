@@ -566,47 +566,27 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 _PNG_COLOR_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def png_encode(
-    img: np.ndarray,
-    filter_type: int = 0,
-    level: int = 6,
-    palette: np.ndarray | None = None,
-) -> bytes:
-    """Encode a uint8 array as a real PNG (8-bit, non-interlaced).
-    The color type follows the array shape (round 5 widens the
-    round-4 RGB-only profile to every 8-bit color type):
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass — the
+# deinterlace scatter/gather and per-pass raw sizing both derive from
+# this one table.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    * ``(h, w)`` or ``(h, w, 1)`` — grayscale (color type 0), or
-      PALETTE-indexed (color type 3, with a PLTE chunk) when
-      ``palette`` (an (n<=256, 3) uint8 array) is given
-    * ``(h, w, 2)`` — grayscale + alpha (color type 4)
-    * ``(h, w, 3)`` — RGB (color type 2)
-    * ``(h, w, 4)`` — RGBA (color type 6)
 
-    ``filter_type`` applies one filter to every scanline (0=None
-    1=Sub 2=Up 3=Average 4=Paeth) — byte-identical output for
-    identical input on any platform (zlib's deflate is deterministic
-    at a fixed level)."""
-    import struct
-    import zlib
-
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ch = img.shape
-    assert img.dtype == np.uint8
-    plte = b""
-    if palette is not None:
-        assert ch == 1, "palette encoding takes (h, w) index arrays"
-        assert palette.dtype == np.uint8 and palette.ndim == 2
-        assert palette.shape[0] <= 256 and palette.shape[1] == 3
-        assert int(img.max()) < palette.shape[0], "index out of palette"
-        color = 3
-        plte = _png_chunk(b"PLTE", palette.tobytes())
-    else:
-        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bpp = ch
-    rows = img.reshape(h, w * bpp)
-    prev = np.zeros(w * bpp, dtype=np.uint8)
+def _png_filter_rows(rows: np.ndarray, bpp: int, filter_type: int) -> list[bytes]:
+    """Filter an (h, stride) uint8 array into PNG scanlines (filter
+    byte + filtered payload per row). The prev-row context starts at
+    zero — callers filtering Adam7 passes reset it per pass, exactly
+    as the spec treats each pass as an independent image."""
+    h = rows.shape[0]
+    prev = np.zeros(rows.shape[1], dtype=np.uint8)
     out = []
     for y in range(h):
         cur = rows[y]
@@ -631,7 +611,66 @@ def png_encode(
             raise ValueError(f"unknown PNG filter type {filter_type}")
         out.append(bytes([filter_type]) + filt.tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return out
+
+
+def png_encode(
+    img: np.ndarray,
+    filter_type: int = 0,
+    level: int = 6,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a uint8 array as a real PNG (8-bit). The color type
+    follows the array shape (round 5 widens the round-4 RGB-only
+    profile to every 8-bit color type):
+
+    * ``(h, w)`` or ``(h, w, 1)`` — grayscale (color type 0), or
+      PALETTE-indexed (color type 3, with a PLTE chunk) when
+      ``palette`` (an (n<=256, 3) uint8 array) is given
+    * ``(h, w, 2)`` — grayscale + alpha (color type 4)
+    * ``(h, w, 3)`` — RGB (color type 2)
+    * ``(h, w, 4)`` — RGBA (color type 6)
+
+    ``filter_type`` applies one filter to every scanline (0=None
+    1=Sub 2=Up 3=Average 4=Paeth) — byte-identical output for
+    identical input on any platform (zlib's deflate is deterministic
+    at a fixed level). ``interlace`` emits the Adam7 layout: seven
+    sub-images in spec pass order, each filtered independently
+    (prev-row context resets per pass)."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    assert img.dtype == np.uint8
+    plte = b""
+    if palette is not None:
+        assert ch == 1, "palette encoding takes (h, w) index arrays"
+        assert palette.dtype == np.uint8 and palette.ndim == 2
+        assert palette.shape[0] <= 256 and palette.shape[1] == 3
+        assert int(img.max()) < palette.shape[0], "index out of palette"
+        color = 3
+        plte = _png_chunk(b"PLTE", palette.tobytes())
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    out = []
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx, :]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            out += _png_filter_rows(
+                np.ascontiguousarray(sub).reshape(ph, pw * bpp),
+                bpp,
+                filter_type,
+            )
+    else:
+        out = _png_filter_rows(img.reshape(h, w * bpp), bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     idat = zlib.compress(b"".join(out), level)
     return (
         _PNG_SIG
@@ -682,21 +721,35 @@ def _png_parse(payload: bytes) -> tuple[tuple, "np.ndarray | None", bytes]:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt_m, interlace = ihdr
     if (
-        (depth, comp, filt_m, interlace) != (8, 0, 0, 0)
+        (depth, comp, filt_m) != (8, 0, 0)
+        or interlace not in (0, 1)
         or color not in _PNG_COLOR_BPP
     ):
         raise NotImplementedError(
-            "png decode supports 8-bit non-interlaced color types "
-            f"0/2/3/4/6 (got depth={depth} color={color} "
+            "png decode supports 8-bit color types 0/2/3/4/6, "
+            f"interlace 0/1 (got depth={depth} color={color} "
             f"interlace={interlace})"
         )
     if color == 3 and plte is None:
         raise ValueError("PNG color type 3 requires a PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * _PNG_COLOR_BPP[color]
-    if len(raw) != h * (stride + 1):
+    bpp = _PNG_COLOR_BPP[color]
+    if interlace:
+        want = sum(
+            ph * (1 + pw * bpp)
+            for pw, ph in (_adam7_pass_size(w, h, p) for p in _ADAM7)
+            if pw and ph
+        )
+    else:
+        want = h * (w * bpp + 1)
+    if len(raw) != want:
         raise ValueError("PNG IDAT length mismatch")
     return ihdr, plte, raw
+
+
+def _adam7_pass_size(w: int, h: int, grid: tuple) -> tuple[int, int]:
+    x0, y0, dx, dy = grid
+    return max(0, (w - x0 + dx - 1) // dx), max(0, (h - y0 + dy - 1) // dy)
 
 
 def _png_palette_expand(img: np.ndarray, plte: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -726,10 +779,12 @@ def png_decode_batch(payloads: list[bytes]) -> list[np.ndarray]:
     for i, (ihdr, _, _) in enumerate(parsed):
         cohorts.setdefault(ihdr, []).append(i)
     for ihdr, idxs in cohorts.items():
-        w, h, _depth, color, _c, _f, _i = ihdr
+        w, h, _depth, color, _c, _f, interlace = ihdr
         bpp = _PNG_COLOR_BPP[color]
         stride = w * bpp
-        if len(idxs) < 8:
+        if len(idxs) < 8 or interlace:
+            # small cohorts can't amortize the batch setup; Adam7
+            # streams use the pass-layout scalar path
             for i in idxs:
                 out[i] = png_decode(payloads[i])
             continue
@@ -815,8 +870,10 @@ def png_decode(payload: bytes) -> np.ndarray:
     Palette images expand through PLTE to (h, w, 3) RGB — the
     real-decoder semantic (the index array is a storage detail);
     grayscale decodes to (h, w, 1), gray+alpha to (h, w, 2), RGBA to
-    (h, w, 4). 16-bit and Adam7-interlaced streams stay an honest
-    NotImplementedError (nothing in the repo emits them).
+    (h, w, 4). Adam7-interlaced streams deinterlace through the
+    seven-pass scatter (each pass an independent sub-image, as the
+    spec defines); 16-bit depth stays an honest NotImplementedError
+    (nothing in the repo emits it).
 
     Unfilter cost: Up is pure numpy (uint8 wraparound add); Sub is a
     per-pixel modular prefix sum, i.e. one cumsum over the row
@@ -828,15 +885,38 @@ def png_decode(payload: bytes) -> np.ndarray:
     files, ``png_decode_batch`` amortizes those recurrences across
     images instead."""
     ihdr, plte, raw = _png_parse(payload)
-    w, h, _depth, color, _comp, _filt_m, _interlace = ihdr
+    w, h, _depth, color, _comp, _filt_m, interlace = ihdr
     bpp = _PNG_COLOR_BPP[color]
+    if interlace:
+        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for grid in _ADAM7:
+            pw, ph = _adam7_pass_size(w, h, grid)
+            if not pw or not ph:
+                continue
+            sub = _png_unfilter(raw, off, ph, pw, bpp)
+            x0, y0, dx, dy = grid
+            out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            off += ph * (1 + pw * bpp)
+        img = out.reshape(h, w * bpp)
+    else:
+        img = _png_unfilter(raw, 0, h, w, bpp)
+    if color == 3:
+        return _png_palette_expand(img, plte, h, w)
+    return img.reshape(h, w, bpp)
+
+
+def _png_unfilter(raw: bytes, base: int, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reconstruct an (h, w*bpp) sub-image from PNG scanlines starting
+    at ``base`` in the inflated stream (the shared core of plain and
+    Adam7-pass decoding)."""
     stride = w * bpp
     vec = stride >= _PNG_VEC_STRIDE
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = bytearray(stride)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        off = y * (stride + 1) + 1
+        ft = raw[base + y * (stride + 1)]
+        off = base + y * (stride + 1) + 1
         if ft == 0:
             cur = bytearray(raw[off : off + stride])
         elif ft == 1:  # Sub: modular prefix sum along x per pixel lane
@@ -885,12 +965,7 @@ def png_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         img[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
         prev = cur
-    if color == 3:
-        idx = img.reshape(h, w)
-        if int(idx.max(initial=0)) >= plte.shape[0]:
-            raise ValueError("PNG palette index out of PLTE range")
-        return plte[idx]  # (h, w, 3) — real-decoder palette expansion
-    return img.reshape(h, w, bpp)
+    return img
 
 
 def synthetic_png_media(

@@ -2046,13 +2046,20 @@ def q101_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q102_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch contract: Datasketches HLL partials built per
-    event_type, unioned WITHOUT rescanning, must (a) reproduce the
-    direct whole-column sketch estimate exactly — sketch union is an
-    elementwise register max, so partial+merge ≡ direct by
-    construction, the property that lets 1000 executors sketch locally
-    and merge at the driver — and (b) land within 5% of the exact
-    distinct count. Both are emitted as booleans so a broken sketch
-    fails the value-hash gate (same design as q19)."""
+    event_type, unioned WITHOUT rescanning, must be ACCURACY-
+    equivalent to the direct whole-column sketch — the property that
+    lets 1000 executors sketch locally and merge at the driver.
+    Equivalence is pinned as bounds, not byte equality: the round-6
+    sf0.1 sweep caught the original ``merged == direct`` claim being
+    false past coupon-mode cardinalities (merged 1488 vs direct 1499
+    at 1500 exact — the HLL_4 union path routes through an HLL_8
+    gadget and downconverts, landing registers a hair differently
+    than the direct sketch; Datasketches only guarantees the union
+    keeps the target type's error bounds). So the contract is:
+    merged estimate within 5% of the exact count, direct estimate
+    within 5%, and merged within 2% of direct — all booleans, so a
+    genuinely broken sketch or union still fails the value-hash gate
+    (q19's bounded-error design)."""
     events = _t(spark, sf_dir, "events")
     partials = events.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
@@ -2069,11 +2076,21 @@ def q102_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.crossJoin(direct).select(
         "n_types",
         "exact_users",
-        (F.col("_est_merged") == F.col("_est_direct")).alias("merge_eq_direct"),
         (
             F.abs(F.col("_est_merged").cast("double") - F.col("exact_users"))
             <= F.lit(0.05) * F.col("exact_users")
-        ).alias("approx_ok"),
+        ).alias("merged_ok"),
+        (
+            F.abs(F.col("_est_direct").cast("double") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("direct_ok"),
+        (
+            F.abs(
+                F.col("_est_merged").cast("double")
+                - F.col("_est_direct").cast("double")
+            )
+            <= F.lit(0.02) * F.col("exact_users")
+        ).alias("merge_close"),
     )
 
 
@@ -5194,10 +5211,11 @@ def q189_png_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder could read it): each sampled document's closed-form
     raster is encoded AND decoded in every non-RGB 8-bit color type —
     grayscale (type 0, Sub filter), gray+alpha (type 4, Up filter),
-    RGBA (type 6, Paeth filter), and PLTE-indexed palette (type 3,
+    RGBA (type 6, Paeth filter), PLTE-indexed palette (type 3,
     Average filter, decoded through the real-decoder palette
-    expansion to RGB) — then exact integer stats over every decoded
-    sample. PNG is lossless, so unlike the JPEG contracts the oracle
+    expansion to RGB), and an Adam7-INTERLACED RGB stream (Paeth,
+    deinterlaced through the seven-pass scatter) — then exact
+    integer stats over every decoded sample. PNG is lossless, so unlike the JPEG contracts the oracle
     recomputes every decoded byte from the closed form: one byte of
     drift anywhere in encode → deflate → inflate → unfilter →
     palette-expand fails the value hash. Audited on the deterministic
@@ -5241,10 +5259,11 @@ def q189_png_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             for i in pdf["doc_id"]:
                 i = int(i)
-                for profile, ch, ft in (
-                    ("gray", 1, 1),
-                    ("gray_alpha", 2, 2),
-                    ("rgba", 4, 4),
+                for profile, ch, ft, ilace in (
+                    ("gray", 1, 1, False),
+                    ("gray_alpha", 2, 2, False),
+                    ("rgba", 4, 4, False),
+                    ("adam7", 3, 4, True),
                 ):
                     ks = np.arange(width * height * ch, dtype=np.int64)
                     src = (
@@ -5252,7 +5271,13 @@ def q189_png_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .astype(np.uint8)
                         .reshape(height, width, ch)
                     )
-                    emit(i, profile, png_decode(png_encode(src, filter_type=ft)))
+                    emit(
+                        i,
+                        profile,
+                        png_decode(
+                            png_encode(src, filter_type=ft, interlace=ilace)
+                        ),
+                    )
                 ks = np.arange(width * height, dtype=np.int64)
                 idx = (
                     ((i * 31 + ks) % 64)

@@ -1442,3 +1442,51 @@ def test_mp4_fragmented_walk():
     assert buf[off : off + 4] == bytes((8 * 31 + k) % 256 for k in range(4))
     # mdhd still carries full durations (this builder writes them)
     assert v["duration_ms"] == 800 and a["duration_ms"] == 234
+
+
+def test_png_adam7_interlace_roundtrips():
+    """Adam7 deinterlacing: the seven-pass scatter reconstructs every
+    profile byte-exactly at sizes that exercise empty and partial
+    passes (dims < 8, single pixel), and the 7 pass grids tile an 8x8
+    block exactly once."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        _ADAM7,
+        png_decode,
+        png_decode_batch,
+        png_encode,
+    )
+
+    cover = np.zeros((8, 8), int)
+    for x0, y0, dx, dy in _ADAM7:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all()
+
+    rng = np.random.RandomState(5)
+    shapes = [
+        (12, 16, 1), (12, 16, 2), (12, 16, 3), (12, 16, 4),
+        (7, 5, 3), (1, 1, 3), (3, 9, 2), (9, 3, 4), (33, 130, 3),
+    ]
+    for ft in range(5):
+        for shape in shapes:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            dec = png_decode(png_encode(img, filter_type=ft, interlace=True))
+            assert dec.shape == shape and (dec == img).all(), (ft, shape)
+        idx = rng.randint(0, 64, (12, 16, 1)).astype(np.uint8)
+        pal = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+        dec = png_decode(
+            png_encode(idx, filter_type=ft, palette=pal, interlace=True)
+        )
+        assert (dec == pal[idx[:, :, 0]]).all()
+    # the batch decoder routes interlaced cohorts to the pass-layout path
+    ps = [
+        png_encode(
+            rng.randint(0, 256, (12, 16, 3)).astype(np.uint8),
+            filter_type=4,
+            interlace=True,
+        )
+        for _ in range(12)
+    ]
+    for a, b in zip(png_decode_batch(ps), (png_decode(p) for p in ps)):
+        assert (a == b).all()

@@ -196,7 +196,7 @@ NOTES = {
     "q45_having": "HAVING is a post-agg filter on the single hash-agg pass — one exchange, predicate on the aggregated row only.",
     "q50_string_funcs": "The F1-F11 scalar battery (concat_ws/trim/nullif/initcap…) is all scan-stage codegen — zero exchanges beyond the output collect.",
     "q51_running_total": "Monthly agg first (one exchange), then the cumulative ROWS frame rides a window over the AGGREGATED rows partitioned by priority — the running sum sorts months-per-priority, never raw orders.",
-    "q102_hll_mergeable": "Per-type HLL partials + one union-merge agg + the direct sketch — the mergeable-sketch contract (partial+merge ≡ direct) measured with two tiny aggs; exact counts share the same passes.",
+    "q102_hll_mergeable": "Per-type HLL partials + one union-merge agg + the direct sketch — the mergeable-sketch contract pinned as ACCURACY bounds (both estimates in the 5% band, merged within 2% of direct), not byte equality: the HLL_4 union path lands registers differently than the direct sketch past coupon mode (caught by the round-6 sf0.1 sweep).",
     "q115_recursive_hierarchy": "Spark 4 recursive CTE: the frontier shrinks 10× per step (parent = key DIV 10), so the walk is n·log₁₀(n) total rows of keyed projection — bounded recursion, no joins against raw fact data.",
     "q187_jpeg_roundtrip": "ONE Arrow map stage (raster -> real JFIF encode -> full segment-walk decode -> error contract): zero shuffles, zero joins — the embarrassingly-parallel codec shape; lossy, so the oracle pins dims + bounded-error booleans, never bytes.",
     "q188_jpeg_subsampled": "q187's shape (ONE Arrow map stage, zero shuffles/joins) over the wild-profile path: 4:2:0 chroma subsampling + DRI/RSTn restart intervals through the generalized MCU decoder; disjoint doc_id%5==1 fifth, bounded-error contract like every lossy codec here.",
