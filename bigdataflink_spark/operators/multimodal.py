@@ -637,16 +637,21 @@ def png_encode(
     identical input on any platform (zlib's deflate is deterministic
     at a fixed level). ``interlace`` emits the Adam7 layout: seven
     sub-images in spec pass order, each filtered independently
-    (prev-row context resets per pass)."""
+    (prev-row context resets per pass). A ``uint16`` array encodes
+    as bit depth 16 (big-endian sample bytes, per spec; filters
+    operate on BYTES regardless of depth — §9.2); palette stays
+    8-bit-index only, as the spec requires."""
     import struct
     import zlib
 
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
-    assert img.dtype == np.uint8
+    assert img.dtype in (np.uint8, np.uint16)
+    depth = 16 if img.dtype == np.uint16 else 8
     plte = b""
     if palette is not None:
+        assert depth == 8, "PNG palette images are 8-bit-index only"
         assert ch == 1, "palette encoding takes (h, w) index arrays"
         assert palette.dtype == np.uint8 and palette.ndim == 2
         assert palette.shape[0] <= 256 and palette.shape[1] == 3
@@ -655,22 +660,24 @@ def png_encode(
         plte = _png_chunk(b"PLTE", palette.tobytes())
     else:
         color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bpp = ch
+    sbpp = ch * (depth // 8)
+
+    def to_bytes(a: np.ndarray) -> np.ndarray:
+        a = np.ascontiguousarray(a)
+        if depth == 16:
+            return a.astype(">u2").view(np.uint8).reshape(a.shape[0], -1)
+        return a.reshape(a.shape[0], -1)
+
     out = []
     if interlace:
         for x0, y0, dx, dy in _ADAM7:
             sub = img[y0::dy, x0::dx, :]
             if sub.size == 0:
                 continue
-            ph, pw = sub.shape[:2]
-            out += _png_filter_rows(
-                np.ascontiguousarray(sub).reshape(ph, pw * bpp),
-                bpp,
-                filter_type,
-            )
+            out += _png_filter_rows(to_bytes(sub), sbpp, filter_type)
     else:
-        out = _png_filter_rows(img.reshape(h, w * bpp), bpp, filter_type)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+        out = _png_filter_rows(to_bytes(img), sbpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     idat = zlib.compress(b"".join(out), level)
     return (
         _PNG_SIG
@@ -721,27 +728,29 @@ def _png_parse(payload: bytes) -> tuple[tuple, "np.ndarray | None", bytes]:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt_m, interlace = ihdr
     if (
-        (depth, comp, filt_m) != (8, 0, 0)
+        (comp, filt_m) != (0, 0)
+        or depth not in (8, 16)
         or interlace not in (0, 1)
         or color not in _PNG_COLOR_BPP
+        or (color == 3 and depth == 16)  # spec: palette depth <= 8
     ):
         raise NotImplementedError(
-            "png decode supports 8-bit color types 0/2/3/4/6, "
-            f"interlace 0/1 (got depth={depth} color={color} "
-            f"interlace={interlace})"
+            "png decode supports 8/16-bit color types 0/2/3/4/6 "
+            f"(palette 8-bit), interlace 0/1 (got depth={depth} "
+            f"color={color} interlace={interlace})"
         )
     if color == 3 and plte is None:
         raise ValueError("PNG color type 3 requires a PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    bpp = _PNG_COLOR_BPP[color]
+    sbpp = _PNG_COLOR_BPP[color] * (depth // 8)
     if interlace:
         want = sum(
-            ph * (1 + pw * bpp)
+            ph * (1 + pw * sbpp)
             for pw, ph in (_adam7_pass_size(w, h, p) for p in _ADAM7)
             if pw and ph
         )
     else:
-        want = h * (w * bpp + 1)
+        want = h * (w * sbpp + 1)
     if len(raw) != want:
         raise ValueError("PNG IDAT length mismatch")
     return ihdr, plte, raw
@@ -779,12 +788,12 @@ def png_decode_batch(payloads: list[bytes]) -> list[np.ndarray]:
     for i, (ihdr, _, _) in enumerate(parsed):
         cohorts.setdefault(ihdr, []).append(i)
     for ihdr, idxs in cohorts.items():
-        w, h, _depth, color, _c, _f, interlace = ihdr
+        w, h, depth, color, _c, _f, interlace = ihdr
         bpp = _PNG_COLOR_BPP[color]
         stride = w * bpp
-        if len(idxs) < 8 or interlace:
-            # small cohorts can't amortize the batch setup; Adam7
-            # streams use the pass-layout scalar path
+        if len(idxs) < 8 or interlace or depth != 8:
+            # small cohorts can't amortize the batch setup; Adam7 and
+            # 16-bit streams use the scalar paths
             for i in idxs:
                 out[i] = png_decode(payloads[i])
             continue
@@ -872,8 +881,9 @@ def png_decode(payload: bytes) -> np.ndarray:
     grayscale decodes to (h, w, 1), gray+alpha to (h, w, 2), RGBA to
     (h, w, 4). Adam7-interlaced streams deinterlace through the
     seven-pass scatter (each pass an independent sub-image, as the
-    spec defines); 16-bit depth stays an honest NotImplementedError
-    (nothing in the repo emits it).
+    spec defines); 16-bit streams return native uint16 arrays
+    (big-endian sample bytes per spec — filters ran on bytes);
+    sub-byte depths (1/2/4) stay an honest NotImplementedError.
 
     Unfilter cost: Up is pure numpy (uint8 wraparound add); Sub is a
     per-pixel modular prefix sum, i.e. one cumsum over the row
@@ -885,25 +895,35 @@ def png_decode(payload: bytes) -> np.ndarray:
     files, ``png_decode_batch`` amortizes those recurrences across
     images instead."""
     ihdr, plte, raw = _png_parse(payload)
-    w, h, _depth, color, _comp, _filt_m, interlace = ihdr
-    bpp = _PNG_COLOR_BPP[color]
+    w, h, depth, color, _comp, _filt_m, interlace = ihdr
+    ch = _PNG_COLOR_BPP[color]
+    sbpp = ch * (depth // 8)
     if interlace:
-        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        out = np.zeros((h, w, sbpp), dtype=np.uint8)
         off = 0
         for grid in _ADAM7:
             pw, ph = _adam7_pass_size(w, h, grid)
             if not pw or not ph:
                 continue
-            sub = _png_unfilter(raw, off, ph, pw, bpp)
+            sub = _png_unfilter(raw, off, ph, pw, sbpp)
             x0, y0, dx, dy = grid
-            out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
-            off += ph * (1 + pw * bpp)
-        img = out.reshape(h, w * bpp)
+            out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, sbpp)
+            off += ph * (1 + pw * sbpp)
+        img = out.reshape(h, w * sbpp)
     else:
-        img = _png_unfilter(raw, 0, h, w, bpp)
+        img = _png_unfilter(raw, 0, h, w, sbpp)
     if color == 3:
         return _png_palette_expand(img, plte, h, w)
-    return img.reshape(h, w, bpp)
+    if depth == 16:
+        # big-endian sample bytes -> native uint16 (h, w, channels)
+        return (
+            np.ascontiguousarray(img)
+            .reshape(-1)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w, ch)
+        )
+    return img.reshape(h, w, ch)
 
 
 def _png_unfilter(raw: bytes, base: int, h: int, w: int, bpp: int) -> np.ndarray:

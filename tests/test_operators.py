@@ -1274,17 +1274,29 @@ def test_png_decode_honest_gates():
     with _pytest.raises(ValueError, match="PLTE"):
         png_decode(bytes(out))
 
-    # 16-bit depth -> honest NotImplementedError
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    raw = zlib.compress(bytes(13 * 2))
+    # sub-byte depth (4-bit palette) -> honest NotImplementedError
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
+    raw = zlib.compress(bytes(4))
     deep = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(12))
         + _png_chunk(b"IDAT", raw)
         + _png_chunk(b"IEND", b"")
     )
     with _pytest.raises(NotImplementedError, match="color types"):
         png_decode(deep)
+    # 16-bit PALETTE is spec-invalid and refused
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr16p)
+        + _png_chunk(b"PLTE", bytes(12))
+        + _png_chunk(b"IDAT", raw)
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="palette 8-bit"):
+        png_decode(bad)
 
 
 def test_mp4_container_walk():
@@ -1487,6 +1499,41 @@ def test_png_adam7_interlace_roundtrips():
             interlace=True,
         )
         for _ in range(12)
+    ]
+    for a, b in zip(png_decode_batch(ps), (png_decode(p) for p in ps)):
+        assert (a == b).all()
+
+
+def test_png_16bit_roundtrips():
+    """16-bit depth: uint16 arrays encode as big-endian sample bytes
+    (filters operate on bytes regardless of depth, spec §9.2) and
+    round-trip exactly — every color type, every filter, plain and
+    Adam7; the batch decoder routes 16-bit cohorts to the scalar
+    path."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        png_decode,
+        png_decode_batch,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(9)
+    for ft in range(5):
+        for ch in (1, 2, 3, 4):
+            for ilace in (False, True):
+                img = rng.randint(0, 65536, (12, 16, ch)).astype(np.uint16)
+                dec = png_decode(
+                    png_encode(img, filter_type=ft, interlace=ilace)
+                )
+                assert dec.dtype == np.uint16 and dec.shape == img.shape
+                assert (dec == img).all(), (ft, ch, ilace)
+    ps = [
+        png_encode(
+            rng.randint(0, 65536, (12, 16, 3)).astype(np.uint16),
+            filter_type=4,
+        )
+        for _ in range(10)
     ]
     for a, b in zip(png_decode_batch(ps), (png_decode(p) for p in ps)):
         assert (a == b).all()
