@@ -253,7 +253,14 @@ def check_snapshot_drift(
                 raise ValueError(f"unknown drift expectation type: {r['type']}")
         return df.agg(*aggs)
 
-    one = metrics(base, "b").crossJoin(metrics(cur, "c"))
+    # materialize the 1-row metrics product ONCE: every rule leg below
+    # references it, and a plain union would re-execute the aggregate
+    # scans per leg (the round-6 plan audit showed v=0/v=1 scanned
+    # once per rule) — the eager checkpoint makes "one aggregate scan
+    # per snapshot" physically true, not just logically
+    one = metrics(base, "b").crossJoin(metrics(cur, "c")).localCheckpoint(
+        eager=True
+    )
 
     def rel_drift(rule: dict, b_col: str, c_col: str) -> DataFrame:
         tol = int(rule["max_rel_drift_ppm"])
