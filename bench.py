@@ -110,6 +110,7 @@ HEADLINE = [
     "q191_mp4_metadata",
     "q192_streaming_semdedup",
     "q193_fmp4_fragments",
+    "q194_gif_codec",
 ]
 
 

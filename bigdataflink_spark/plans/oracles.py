@@ -3569,3 +3569,48 @@ SELECT doc_id, CAST(2 AS INT), 'soun', 'mp4a',
        CAST(n_frags AS INT)
 FROM base
 """
+
+
+# q194: GIF is lossless, so the oracle recomputes every decoded RGB
+# byte from the closed forms — anim frame f pixel p channel c derives
+# from idx=(doc*31+f*7+p)%64 through the same 64-entry palette
+# formula as q189; twocolor from idx=(doc+p)%2 through {black,white}.
+# wsum_val weights by the flattened position p*3+c, making row
+# permutations (a wrong deinterlace) value-visible.
+ORACLES["q194_gif_codec"] = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+anim AS (
+  SELECT d.doc_id AS media_id, 'anim' AS variant, f.f AS frame_idx,
+         tp.p * 3 + tc.c AS pos,
+         CASE tc.c
+           WHEN 0 THEN (((d.doc_id * 31 + f.f * 7 + tp.p) % 64) * 5 + 1) % 256
+           WHEN 1 THEN (((d.doc_id * 31 + f.f * 7 + tp.p) % 64) * 11 + 3) % 256
+           ELSE (((d.doc_id * 31 + f.f * 7 + tp.p) % 64) * 23 + 7) % 256
+         END AS v
+  FROM docs d
+  CROSS JOIN generate_series(0, 2) f(f)
+  CROSS JOIN generate_series(0, 191) tp(p)
+  CROSS JOIN generate_series(0, 2) tc(c)
+),
+il AS (
+  SELECT media_id, 'interlaced' AS variant, frame_idx, pos, v
+  FROM anim WHERE frame_idx = 0
+),
+bw AS (
+  SELECT d.doc_id AS media_id, 'twocolor' AS variant, 0 AS frame_idx,
+         tp.p * 3 + tc.c AS pos,
+         CASE WHEN (d.doc_id + tp.p) % 2 = 1 THEN 255 ELSE 0 END AS v
+  FROM docs d
+  CROSS JOIN generate_series(0, 191) tp(p)
+  CROSS JOIN generate_series(0, 2) tc(c)
+),
+s AS (SELECT * FROM anim UNION ALL SELECT * FROM il
+      UNION ALL SELECT * FROM bw)
+SELECT media_id, variant, CAST(frame_idx AS INT) AS frame_idx,
+       COUNT(*) AS n_vals,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(SUM(CAST(pos AS BIGINT) * v) AS BIGINT) AS wsum_val,
+       CAST(MIN(v) AS INT) AS min_val,
+       CAST(MAX(v) AS INT) AS max_val
+FROM s GROUP BY 1, 2, 3
+"""

@@ -5567,6 +5567,99 @@ def q193_fmp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q194_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a round-trip contract (extension; completes the lossless
+    image family beside PNG q183/q189 — GIF is the palette+LZW wire
+    shape wild image corpora actually contain): each sampled
+    document's closed-form rasters are encoded AND decoded through
+    the real codec (``operators/multimodal.py`` GIF section:
+    variable-code-size LZW with growth/reset, sub-block framing,
+    NETSCAPE looping, GCE delays) in three variants — a 3-frame
+    ANIMATION (multi-frame container path), a 4-pass row-INTERLACED
+    single frame (spec appendix E permutation), and a TWOCOLOR frame
+    (pins the spec's minimum-code-size >= 2 floor for 2-entry
+    palettes) — then exact integer stats over every palette-expanded
+    RGB sample. GIF is lossless, so the oracle recomputes every
+    decoded byte from the closed form; ``wsum_val`` weights each
+    value by its flattened position, so even a stats-invariant row
+    PERMUTATION (a wrong deinterlace) fails the value hash. Audited
+    on the deterministic doc_id%7==3 seventh. One Arrow map stage:
+    zero shuffles, zero joins — at 100 TB the encode half is
+    replaced by a binary-column scan and decode parallelizes
+    per-file."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        gif_decode,
+        gif_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3)
+    width, height = 16, 12
+
+    def _batches(it):
+        import numpy as np
+
+        js = np.arange(64, dtype=np.int64)
+        pal = (
+            np.stack(
+                [(js * 5 + 1) % 256, (js * 11 + 3) % 256, (js * 23 + 7) % 256],
+                axis=1,
+            ).astype(np.uint8)
+        )
+        pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        cols = (
+            "media_id", "variant", "frame_idx", "n_vals", "sum_val",
+            "wsum_val", "min_val", "max_val",
+        )
+        ks = np.arange(width * height, dtype=np.int64)
+        for pdf in it:
+            rows = {k: [] for k in cols}
+
+            def emit(mid, variant, frames_idx, palette):
+                rgb = palette[frames_idx].astype(np.int64)
+                flat = rgb.reshape(rgb.shape[0], -1)
+                pos = np.arange(flat.shape[1], dtype=np.int64)
+                for f in range(flat.shape[0]):
+                    rows["media_id"].append(mid)
+                    rows["variant"].append(variant)
+                    rows["frame_idx"].append(f)
+                    rows["n_vals"].append(int(flat.shape[1]))
+                    rows["sum_val"].append(int(flat[f].sum()))
+                    rows["wsum_val"].append(int((flat[f] * pos).sum()))
+                    rows["min_val"].append(int(flat[f].min()))
+                    rows["max_val"].append(int(flat[f].max()))
+
+            for i in pdf["doc_id"]:
+                i = int(i)
+                anim = [
+                    ((i * 31 + f * 7 + ks) % 64)
+                    .astype(np.uint8)
+                    .reshape(height, width)
+                    for f in range(3)
+                ]
+                dec, dpal, _ = gif_decode(
+                    gif_encode(anim, pal, delays_cs=[4, 4, 4])
+                )
+                emit(i, "anim", dec, dpal[:64])
+                dec, dpal, _ = gif_decode(
+                    gif_encode(anim[0], pal, interlace=True)
+                )
+                emit(i, "interlaced", dec, dpal[:64])
+                bw = ((i + ks) % 2).astype(np.uint8).reshape(height, width)
+                dec, dpal, _ = gif_decode(gif_encode(bw, pal2))
+                emit(i, "twocolor", dec, dpal[:2])
+            yield pd_.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, variant string, frame_idx int, n_vals long, "
+            "sum_val long, wsum_val long, min_val int, max_val int"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5758,4 +5851,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_mp4_metadata": q191_mp4_metadata,
     "q192_streaming_semdedup": q192_streaming_semdedup,
     "q193_fmp4_fragments": q193_fmp4_fragments,
+    "q194_gif_codec": q194_gif_codec,
 }
