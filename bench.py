@@ -111,6 +111,7 @@ HEADLINE = [
     "q192_streaming_semdedup",
     "q193_fmp4_fragments",
     "q194_gif_codec",
+    "q195_flac_codec",
 ]
 
 

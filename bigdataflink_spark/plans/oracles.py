@@ -3614,3 +3614,51 @@ SELECT media_id, variant, CAST(frame_idx AS INT) AS frame_idx,
        CAST(MAX(v) AS INT) AS max_val
 FROM s GROUP BY 1, 2, 3
 """
+
+
+# q195: FLAC is lossless, so the oracle recomputes every decoded
+# sample from the closed forms — stereo interleaved t: channel t%2,
+# index t//2, v=(id*31+t)%65536-32768 (q166's form); mono
+# v=(id*31+j*j)%65536-32768; noise v=xor((id*2654435761+j*40503)%65536,
+# (j*j*1103515245)%65536)-32768. wsum_amp weights by the in-channel
+# index so frame-reassembly order bugs are value-visible.
+# compressed_smaller pins the compression contract: the structured
+# variants MUST beat raw PCM, the hash-noise variant MUST NOT
+# (verbatim frames + container overhead) — both deterministic
+# consequences of exact-cost subframe selection.
+ORACLES["q195_flac_codec"] = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 5),
+st AS (
+  SELECT d.doc_id AS media_id, 'stereo' AS variant,
+         CAST(t.t % 2 AS INT) AS channel, t.t // 2 AS pos,
+         ((d.doc_id * 31 + t.t) % 65536) - 32768 AS v,
+         TRUE AS compressed_smaller
+  FROM docs d CROSS JOIN generate_series(0, 799) t(t)
+),
+mo AS (
+  SELECT d.doc_id AS media_id, 'mono' AS variant,
+         CAST(0 AS INT) AS channel, j.j AS pos,
+         ((d.doc_id * 31 + j.j * j.j) % 65536) - 32768 AS v,
+         TRUE AS compressed_smaller
+  FROM docs d CROSS JOIN generate_series(0, 399) j(j)
+),
+nz AS (
+  SELECT d.doc_id AS media_id, 'noise' AS variant,
+         CAST(0 AS INT) AS channel, j.j AS pos,
+         xor((d.doc_id * 2654435761 + j.j * 40503) % 65536,
+             (j.j * j.j * 1103515245) % 65536) - 32768 AS v,
+         FALSE AS compressed_smaller
+  FROM docs d CROSS JOIN generate_series(0, 399) j(j)
+),
+s AS (SELECT * FROM st UNION ALL SELECT * FROM mo
+      UNION ALL SELECT * FROM nz)
+SELECT media_id, variant, channel,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(CAST(pos AS BIGINT) * v) AS BIGINT) AS wsum_amp,
+       CAST(MIN(v) AS INT) AS min_amp,
+       CAST(MAX(v) AS INT) AS max_amp,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       compressed_smaller
+FROM s GROUP BY 1, 2, 3, 10
+"""

@@ -5660,6 +5660,110 @@ def q194_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q195_flac_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC round-trip contract (extension; completes the audio
+    family with real COMPRESSION: raw PCM16 q166 -> RIFF/WAV
+    container q184 -> Rice-coded FLAC q195): each sampled document's
+    closed-form PCM is encoded AND decoded through the real codec
+    (``operators/multimodal.py`` FLAC section: fixed polynomial
+    predictors 0-4 with exact-cost selection, per-partition Rice
+    parameter search, mid/side stereo decorrelation chosen by
+    measured cost, CRC-8 headers, CRC-16 footers, STREAMINFO MD5
+    verified on decode) in three variants — an interleaved STEREO
+    ramp (q166's closed form; exercises inter-channel decorrelation
+    and the short last frame), a MONO quadratic (order-2 predictor
+    territory), and hash NOISE (forces the verbatim path; pins that
+    the encoder honestly does NOT claim compression on
+    incompressible input) — then exact integer stats per decoded
+    channel. FLAC is lossless, so the oracle recomputes every
+    decoded sample from the closed forms; ``wsum_amp`` weights each
+    sample by its index, so a frame-reassembly ORDER bug fails the
+    value hash even when the multiset of samples survives.
+    ``compressed_smaller`` certifies real compression (stereo/mono
+    TRUE, noise FALSE) — a constant-size container would fail it.
+    Audited on the deterministic doc_id%7==5 seventh. One Arrow map
+    stage fed by a tiny doc-id fan-out repartition (the audit corpus
+    parquet is a single small file, so without it the whole encode
+    stage lands on ONE core — FLAC at ~5 ms/doc is the heaviest
+    per-row codec in the suite and, unlike the ~1 ms/doc image
+    codecs, is worth one 8-byte-row shuffle to spread); zero joins —
+    at 100 TB the encode half is replaced by a binary-column scan
+    that arrives pre-partitioned and the fan-out disappears."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        flac_decode,
+        flac_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 5)
+    n = 400
+
+    def _batches(it):
+        import numpy as np
+
+        js2 = np.arange(2 * n, dtype=np.int64)
+        js = np.arange(n, dtype=np.int64)
+        pos = js
+        cols = (
+            "media_id", "variant", "channel", "n_samples", "sum_amp",
+            "wsum_amp", "min_amp", "max_amp", "energy",
+            "compressed_smaller",
+        )
+        for pdf in it:
+            rows = {k: [] for k in cols}
+
+            def emit(mid, variant, pcm, rate, bs):
+                enc = flac_encode(pcm, rate, bs)
+                dec, drate = flac_decode(enc)
+                assert drate == rate
+                for c in range(dec.shape[1]):
+                    ch = dec[:, c].astype(np.int64)
+                    rows["media_id"].append(mid)
+                    rows["variant"].append(variant)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(int(ch.size))
+                    rows["sum_amp"].append(int(ch.sum()))
+                    rows["wsum_amp"].append(int((ch * pos).sum()))
+                    rows["min_amp"].append(int(ch.min()))
+                    rows["max_amp"].append(int(ch.max()))
+                    rows["energy"].append(int((ch * ch).sum()))
+                    rows["compressed_smaller"].append(
+                        len(enc) < pcm.nbytes
+                    )
+
+            for i in pdf["doc_id"]:
+                i = int(i)
+                st = (
+                    (((i * 31 + js2) % 65536) - 32768)
+                    .astype(np.int16)
+                    .reshape(-1, 2)
+                )
+                emit(i, "stereo", st, 8000, 256)
+                mo = (
+                    (((i * 31 + js * js) % 65536) - 32768)
+                    .astype(np.int16)
+                    .reshape(-1, 1)
+                )
+                emit(i, "mono", mo, 8000, 256)
+                a = (i * 2654435761 + js * 40503) % 65536
+                b = (js * js * 1103515245) % 65536
+                nz = ((a ^ b) - 32768).astype(np.int16).reshape(-1, 1)
+                emit(i, "noise", nz, 8000, 256)
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, variant string, channel int, n_samples long, "
+            "sum_amp long, wsum_amp long, min_amp int, max_amp int, "
+            "energy long, compressed_smaller boolean"
+        ),
+    )
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -5852,4 +5956,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q192_streaming_semdedup": q192_streaming_semdedup,
     "q193_fmp4_fragments": q193_fmp4_fragments,
     "q194_gif_codec": q194_gif_codec,
+    "q195_flac_codec": q195_flac_codec,
 }

@@ -1723,3 +1723,185 @@ def test_gif_decode_wild_files():
 
     with _pytest.raises(ValueError):
         gif_decode(enc[: len(enc) // 2])
+
+
+def test_flac_stream_contract():
+    """Structural contract of the emitted FLAC stream: magic,
+    STREAMINFO fields, frame sync, real compression on structured
+    signals, honest non-compression (verbatim) on noise, and a
+    near-empty stream for constant input."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        _FBitReader,
+        flac_decode,
+        flac_encode,
+    )
+
+    js = np.arange(800, dtype=np.int64)
+    ramp = (((9 * 31 + js) % 65536) - 32768).astype(np.int16).reshape(-1, 2)
+    enc = flac_encode(ramp, 8000, 256)
+    assert enc[:4] == b"fLaC"
+    assert enc[4] == 0x80 and enc[5:8] == b"\x00\x00\x22"  # last, 34 B
+    sr = _FBitReader(enc[8:])
+    assert sr.read(16) == 256 and sr.read(16) == 256  # min/max block
+    sr.read(24), sr.read(24)
+    assert sr.read(20) == 8000
+    assert sr.read(3) + 1 == 2 and sr.read(5) + 1 == 16
+    assert sr.read(36) == 400
+    assert enc[42] == 0xFF and enc[43] & 0xFC == 0xF8  # frame sync
+    # real compression on the ramp (400x2 int16 = 1600 raw bytes)
+    assert len(enc) < ramp.nbytes // 4
+    # honest verbatim on hash noise: larger than raw, never lossy
+    a = (5 * 2654435761 + js[:400] * 40503) % 65536
+    b = (js[:400] ** 2 * 1103515245) % 65536
+    noise = ((a ^ b) - 32768).astype(np.int16).reshape(-1, 1)
+    enc_n = flac_encode(noise, 8000, 256)
+    assert len(enc_n) > noise.nbytes
+    assert np.array_equal(flac_decode(enc_n)[0], noise)
+    # constant input: one CONSTANT subframe per frame, stream is tiny
+    const = np.full((1000, 1), 77, dtype=np.int16)
+    assert len(flac_encode(const, 8000, 250)) < 100
+
+
+def test_flac_stereo_modes_and_partitions():
+    """Every stereo channel assignment decodes (the flac -m/-M
+    matrix), and the Rice partition-order search engages on signals
+    whose local statistics vary (half smooth / half noisy)."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        _flac_plan_subframe,
+        flac_decode,
+        flac_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    l = (np.sin(np.arange(1024) / 7) * 12000).astype(np.int16)
+    r = (l.astype(np.int64) + rng.randint(-5, 6, 1024)).astype(np.int16)
+    pcm = np.stack([l, r], axis=1)
+    sizes = {}
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        enc = flac_encode(pcm, 44100, 256, stereo_mode=mode)
+        dec, _ = flac_decode(enc)
+        assert np.array_equal(dec, pcm), mode
+        sizes[mode] = len(enc)
+    # correlated channels: every decorrelated mode beats independent,
+    # and auto (cost-based) matches the best forced mode
+    assert all(sizes[m] < sizes["independent"]
+               for m in ("left_side", "right_side", "mid_side"))
+    assert len(flac_encode(pcm, 44100, 256)) == min(sizes.values())
+
+    # half-smooth / half-noisy block: partitioned Rice must beat a
+    # single parameter, and the stream still round-trips
+    smooth = np.arange(256, dtype=np.int64) * 3
+    noisy = rng.randint(-20000, 20000, 256)
+    x = np.concatenate([smooth, noisy])
+    plan = _flac_plan_subframe(x, 16)
+    assert plan["type"] == "fixed" and plan["porder"] > 0
+    pcm2 = x.astype(np.int16).reshape(-1, 1)
+    assert np.array_equal(
+        flac_decode(flac_encode(pcm2, 8000, 512))[0], pcm2
+    )
+
+
+def test_flac_decode_wild_structures():
+    """Foreign-file structures the encoder never emits: extra
+    metadata blocks (padding + vorbis-comment), the 5-bit Rice2
+    residual method, ESCAPE partitions (raw residuals), wasted bits,
+    and a 16-bit end-of-header blocksize — hand-built at the bit
+    level per spec, then decoded."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        _FBitWriter,
+        _flac_crc8,
+        _flac_crc16,
+        _flac_utf8,
+        flac_decode,
+        flac_encode,
+    )
+
+    def build(subframe_bits, n, extra_meta=False):
+        """Minimal mono 16-bit stream with one frame of n samples."""
+        import hashlib
+        sw = _FBitWriter()
+        sw.write(n, 16), sw.write(n, 16)
+        sw.write(0, 24), sw.write(0, 24)
+        sw.write(8000, 20), sw.write(0, 3), sw.write(15, 5)
+        sw.write(n, 36)
+        md5 = hashlib.md5(
+            build.expect.astype("<i2").tobytes()
+        ).digest()
+        streaminfo = sw.getvalue() + md5
+        out = bytearray(b"fLaC")
+        if extra_meta:
+            out += bytes([0x00]) + (34).to_bytes(3, "big") + streaminfo
+            out += bytes([0x04]) + (8).to_bytes(3, "big") + b"\x00" * 8
+            out += bytes([0x81]) + (2).to_bytes(3, "big") + b"\x00\x00"
+        else:
+            out += bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo
+        fw = _FBitWriter()
+        fw.write(0b11111111111110, 14)
+        fw.write(0, 2)
+        fw.write(7, 4)          # blocksize: 16-bit at end of header
+        fw.write(4, 4)          # 8 kHz
+        fw.write(0, 4)          # mono
+        fw.write(0b100, 3), fw.write(0, 1)
+        for by in _flac_utf8(0):
+            fw.write(by, 8)
+        fw.write(n - 1, 16)
+        fw.write(_flac_crc8(bytes(fw.buf)), 8)
+        subframe_bits(fw)
+        fw.align()
+        fw.write(_flac_crc16(bytes(fw.buf)), 16)
+        return bytes(out) + fw.getvalue()
+
+    # 1. ESCAPE partition: order-0 fixed subframe, raw 9-bit residuals
+    vals = np.arange(-100, 100, dtype=np.int64)  # fits in 9 bits
+
+    def sub_escape(fw):
+        fw.write(0, 1), fw.write(0b001000, 6), fw.write(0, 1)
+        fw.write(0, 2)          # method 0 (4-bit params)
+        fw.write(0, 4)          # partition order 0
+        fw.write(0b1111, 4)     # ESCAPE
+        fw.write(9, 5)          # raw width
+        for v in vals:
+            fw.write(int(v), 9)
+
+    build.expect = vals.astype(np.int16).reshape(-1, 1)
+    dec, rate = flac_decode(build(sub_escape, vals.size, extra_meta=True))
+    assert rate == 8000 and np.array_equal(dec, build.expect)
+
+    # 2. Rice2 (method 1, 5-bit params) + wasted bits (samples
+    #    stored >>2, shifted back on decode)
+    raw = (np.arange(64, dtype=np.int64) * 4 - 128)  # all multiples of 4
+
+    def sub_rice2_wasted(fw):
+        fw.write(0, 1), fw.write(0b001001, 6)   # fixed order 1
+        fw.write(1, 1)
+        fw.unary(1)             # wasted bits = 2 (unary 1 + 1)
+        fw.write(int(raw[0]) >> 2, 14)          # warmup at bps-2
+        fw.write(1, 2)          # method 1: 5-bit params
+        fw.write(0, 4)
+        fw.write(1, 5)          # rice param k=1
+        res = np.diff(raw >> 2)                  # constant 1
+        for v in res:
+            u = int((v << 1) ^ (v >> 63))
+            fw.unary(u >> 1)
+            fw.write(u & 1, 1)
+
+    build.expect = raw.astype(np.int16).reshape(-1, 1)
+    dec, _ = flac_decode(build(sub_rice2_wasted, raw.size))
+    assert np.array_equal(dec, build.expect)
+
+    # 3. corruption anywhere -> ValueError, never silent garbage
+    good = flac_encode(build.expect, 8000, 64)
+    for pos in (4, 20, 44, len(good) - 2):
+        bad = bytearray(good)
+        bad[pos] ^= 0x10
+        try:
+            flac_decode(bytes(bad))
+            raise AssertionError(f"corruption at {pos} undetected")
+        except (ValueError, NotImplementedError):
+            pass
