@@ -112,6 +112,7 @@ HEADLINE = [
     "q193_fmp4_fragments",
     "q194_gif_codec",
     "q195_flac_codec",
+    "q196_warc_ingest",
 ]
 
 

@@ -3662,3 +3662,24 @@ SELECT media_id, variant, channel,
        compressed_smaller
 FROM s GROUP BY 1, 2, 3, 10
 """
+
+# q196: the WARC ingest contract's per-document facts are all
+# recomputable straight from the documents table — md5(text) hashes
+# the same UTF-8 bytes the shard payload carries, octet_length of the
+# encoded text is the payload length, and rec_index is the rank of
+# doc_id within its 1024-doc shard (the builder packs in doc_id
+# order after the warcinfo record).
+ORACLES["q196_warc_ingest"] = """
+SELECT doc_id,
+       CAST(doc_id // 1024 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id // 1024 ORDER BY doc_id
+       ) AS BIGINT) AS rec_index,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS INT)
+           AS http_status,
+       CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_http_headers
+FROM documents
+"""

@@ -5763,6 +5763,91 @@ def q195_flac_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q196_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC shard ingest contract (extension; the archive format
+    web-scale training corpora actually arrive in): the full corpus
+    is packed into Common-Crawl-layout ``.warc.gz`` shards
+    (``sources/warc.py``: one gzip member PER record so shards split
+    at member boundaries and records fetch by (offset, length); a
+    leading ``warcinfo`` record per shard; each document wrapped as
+    an ``application/http;msgtype=response`` record), then parsed
+    back through the real ingest path — gzip member walk with CRC
+    verification, WARC header + Content-Length + closing-CRLF
+    validation, HTTP status/header/payload extraction — and reduced
+    to exact per-document facts. ``payload_md5`` pins byte-exact
+    payload recovery (DuckDB's md5(text) hashes the same UTF-8
+    bytes); ``rec_index`` is the record's 1-based position AFTER the
+    warcinfo record within its shard, so a member-split miscount or
+    reordered walk fails the hash; ``http_status`` (404 on the
+    doc_id%10==7 tenth) and ``n_http_headers`` (parity-dependent
+    extra header) pin that the HTTP section is actually parsed, not
+    skipped. Shards hold ≤1024 docs each (``doc_id DIV 1024``), so
+    shard COUNT grows with the corpus and per-shard work is bounded
+    — one keyed shuffle of (doc_id, text), no joins. At 100 TB the
+    build half disappears (shards already exist as binary files) and
+    the parse half is an embarrassingly parallel map over them."""
+    import pandas as pd_
+
+    from bigdataflink_spark.sources.warc import (
+        iter_warc_records,
+        warc_build_shard,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("shard", F.expr("CAST(doc_id DIV 1024 AS INT)"))
+    )
+
+    def _shard(key, pdf):
+        import hashlib
+
+        shard = int(key[0])
+        recs = []
+        for doc_id, text in sorted(
+            zip(pdf["doc_id"], pdf["text"]), key=lambda t: int(t[0])
+        ):
+            doc_id = int(doc_id)
+            status = 404 if doc_id % 10 == 7 else 200
+            extra = (
+                [("X-Doc-Parity", "even")] if doc_id % 2 == 0 else []
+            )
+            uri = f"https://corpus.example/doc/{doc_id}"
+            recs.append((uri, status, extra, text.encode("utf-8")))
+        blob = warc_build_shard(recs, shard)
+
+        from bigdataflink_spark.sources.warc import parse_http_response
+
+        rows = {k: [] for k in (
+            "doc_id", "shard", "rec_index", "payload_len",
+            "payload_md5", "http_status", "n_http_headers",
+        )}
+        idx = 0
+        for _off, _len, rec in iter_warc_records(blob):
+            if rec["type"] != "response":
+                continue
+            idx += 1
+            status, headers, payload = parse_http_response(rec["body"])
+            uri = rec["headers"]["warc-target-uri"]
+            rows["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+            rows["shard"].append(shard)
+            rows["rec_index"].append(idx)
+            rows["payload_len"].append(len(payload))
+            rows["payload_md5"].append(
+                hashlib.md5(payload).hexdigest()
+            )
+            rows["http_status"].append(status)
+            rows["n_http_headers"].append(len(headers))
+        return pd_.DataFrame(rows)
+
+    return docs.groupBy("shard").applyInPandas(
+        _shard,
+        schema=(
+            "doc_id long, shard int, rec_index long, payload_len long, "
+            "payload_md5 string, http_status int, n_http_headers long"
+        ),
+    )
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -5957,4 +6042,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q193_fmp4_fragments": q193_fmp4_fragments,
     "q194_gif_codec": q194_gif_codec,
     "q195_flac_codec": q195_flac_codec,
+    "q196_warc_ingest": q196_warc_ingest,
 }
