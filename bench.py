@@ -113,6 +113,7 @@ HEADLINE = [
     "q194_gif_codec",
     "q195_flac_codec",
     "q196_warc_ingest",
+    "q197_flac_lpc",
 ]
 
 

@@ -3150,11 +3150,88 @@ def _flac_partition_plan(
     return best
 
 
-def _flac_plan_subframe(x: "np.ndarray", bps: int) -> dict:
+_FLAC_QLP_PRECISION = 14  # coefficient bits (field stores precision-1)
+
+
+def _flac_lpc_coeff_sets(x: "np.ndarray", max_order: int) -> list:
+    """Levinson-Durbin over the block's Welch-windowed
+    autocorrelation: float coefficient vectors for orders
+    1..max_order. The window (parabolic — one of libFLAC's standard
+    apodizations, and libm-free) suppresses the edge leakage that
+    biases rectangular autocorrelation badly on near-periodic blocks
+    (unwindowed, a pure sinusoid's order-2 estimate lands at
+    (1.72, -0.75) instead of (2cos w, -1) and loses to FIXED). Float
+    is confined to CHOOSING coefficients — the emitted predictor is
+    the quantized integer form and the residual is computed exactly
+    from it, so encode output is deterministic and decode is
+    integer-exact regardless of the float path."""
+    n = x.size
+    xf = x.astype(np.float64)
+    if n > 1:
+        half = (n - 1) / 2.0
+        t = (np.arange(n) - half) / half
+        xf = xf * (1.0 - t * t)
+    r = np.array(
+        [np.dot(xf[: n - lag], xf[lag:]) for lag in range(max_order + 1)]
+    )
+    if r[0] <= 0.0:
+        return []
+    err = r[0]
+    a = np.zeros(max_order + 1)
+    sets = []
+    for m in range(1, max_order + 1):
+        acc = r[m] - np.dot(a[1:m], r[1:m][::-1])
+        k = acc / err
+        a[1:m] = a[1:m] - k * a[1:m][::-1]  # reflection: a'[i]=a[i]-k·a[m-i]
+        a[m] = k
+        err *= 1.0 - k * k
+        sets.append((a[1 : m + 1].copy(), max(err, 1e-9)))
+        if err <= 0.0:
+            break
+    return sets
+
+
+def _flac_quantize_lpc(coeffs: "np.ndarray") -> "tuple | None":
+    """Quantize float LPC coefficients to _FLAC_QLP_PRECISION-bit
+    integers with a common right-shift (spec §9.4.4): pick the
+    largest shift ≤ 15 that keeps every rounded coefficient inside
+    the signed precision range. Returns (qcoefs int64, shift)."""
+    import math
+
+    cmax = float(np.abs(coeffs).max())
+    if cmax == 0.0 or not np.isfinite(cmax):
+        return None
+    lim = 1 << (_FLAC_QLP_PRECISION - 1)
+    # analytic start: cmax·2^s needs < lim, and cmax ∈ [2^(e-1), 2^e)
+    start = min(15, _FLAC_QLP_PRECISION - 1 - math.frexp(cmax)[1])
+    for shift in range(max(start, 0), -1, -1):
+        qc = np.round(coeffs * (1 << shift)).astype(np.int64)
+        if (qc > -lim - 1).all() and (qc < lim).all() and qc.any():
+            return qc, shift
+    return None
+
+
+def _flac_lpc_residual(
+    d: "np.ndarray", qc: "np.ndarray", shift: int
+) -> "np.ndarray":
+    """Exact integer LPC residual: res[i] = x[i] - ((Σ qc[j]·x[i-1-j])
+    >> shift) for i ≥ order, vectorized via convolution (int64 exact;
+    >> is the spec's arithmetic shift)."""
+    order = qc.size
+    pred = np.convolve(d, qc)[order - 1 : d.size - 1] >> shift
+    return d[order:] - pred
+
+
+def _flac_plan_subframe(
+    x: "np.ndarray", bps: int, max_lpc_order: int = 8
+) -> dict:
     """Pick the cheapest subframe encoding for one channel of one
-    frame: CONSTANT / VERBATIM / FIXED order 0-4, by exact bit
-    cost — the compression decision a real fixed-predictor encoder
-    makes."""
+    frame: CONSTANT / VERBATIM / FIXED order 0-4 / LPC order
+    1..max_lpc_order, by EXACT bit cost — every candidate's residual
+    is actually computed and Rice-planned, so the float
+    autocorrelation only proposes coefficients and never decides
+    (the compression decision a real ``flac -l 8`` encoder makes;
+    ``max_lpc_order=0`` is ``flac -l 0`` fixed-predictor parity)."""
     n = x.size
     if n and bool((x == x[0]).all()):
         return {"type": "constant", "cost": bps}
@@ -3171,6 +3248,39 @@ def _flac_plan_subframe(x: "np.ndarray", bps: int) -> dict:
                 "type": "fixed", "order": order, "res": res,
                 "porder": porder, "ks": ks, "cost": cost,
             }
+    if max_lpc_order > 0:
+        sets = _flac_lpc_coeff_sets(d, min(max_lpc_order, n - 1))
+        if sets:
+            # Order selection by Levinson's prediction-error estimate
+            # (~(n-m)/2·log2(err_m/n) residual bits + header), the
+            # standard real-encoder shortcut: ONE exact evaluation
+            # instead of eight. Float here only picks the candidate;
+            # the exact bit cost below still arbitrates against
+            # fixed/verbatim, so a bad estimate costs compression,
+            # never correctness.
+            def _estimate(item):
+                coeffs, err = item
+                m = coeffs.size
+                rbits = max(0.0, 0.5 * np.log2(err / n)) * (n - m)
+                return m * (bps + _FLAC_QLP_PRECISION) + 9 + rbits
+
+            coeffs, _err = min(sets, key=_estimate)
+            q = _flac_quantize_lpc(coeffs)
+            if q is not None:
+                qc, shift = q
+                order = qc.size
+                res = _flac_lpc_residual(d, qc, shift)
+                porder, ks, rbits = _flac_partition_plan(res, n, order)
+                cost = (
+                    order * bps + 4 + 5
+                    + order * _FLAC_QLP_PRECISION + rbits
+                )
+                if cost < best["cost"]:
+                    best = {
+                        "type": "lpc", "order": order, "res": res,
+                        "qc": qc, "shift": shift,
+                        "porder": porder, "ks": ks, "cost": cost,
+                    }
     return best
 
 
@@ -3190,10 +3300,20 @@ def _flac_write_subframe(
             bw.write(int(v), bps)
         return
     order = plan["order"]
-    bw.write(0b001000 | order, 6)
-    bw.write(0, 1)
-    for v in x[:order]:  # warmup
-        bw.write(int(v), bps)
+    if plan["type"] == "lpc":
+        bw.write(0b100000 | (order - 1), 6)
+        bw.write(0, 1)
+        for v in x[:order]:  # warmup
+            bw.write(int(v), bps)
+        bw.write(_FLAC_QLP_PRECISION - 1, 4)
+        bw.write(plan["shift"], 5)
+        for c in plan["qc"]:
+            bw.write(int(c), _FLAC_QLP_PRECISION)
+    else:
+        bw.write(0b001000 | order, 6)
+        bw.write(0, 1)
+        for v in x[:order]:  # warmup
+            bw.write(int(v), bps)
     bw.write(0, 2)  # residual coding method 0: 4-bit Rice
     bw.write(plan["porder"], 4)
     res = plan["res"]
@@ -3216,6 +3336,7 @@ def flac_encode(
     sample_rate: int = 8000,
     block_size: int = 256,
     stereo_mode: "str | None" = None,
+    max_lpc_order: int = 8,
 ) -> bytes:
     """Encode an (n_samples, channels) int16 array as a real FLAC
     stream: fLaC magic, STREAMINFO (with MD5 of the raw stream),
@@ -3223,7 +3344,10 @@ def flac_encode(
     Stereo frames pick the cheapest of independent / left-side /
     right-side / mid-side decorrelation by measured cost;
     ``stereo_mode`` pins one assignment (the flac -m/-M switches:
-    "independent" | "left_side" | "right_side" | "mid_side")."""
+    "independent" | "left_side" | "right_side" | "mid_side").
+    Subframes choose among CONSTANT/VERBATIM/FIXED 0-4/LPC
+    1..``max_lpc_order`` by exact bit cost (``flac -l N``;
+    ``max_lpc_order=0`` pins the fixed-predictor profile)."""
     import hashlib
     import struct
 
@@ -3241,10 +3365,10 @@ def flac_encode(
         if ch == 2:
             left, right = blk[:, 0], blk[:, 1]
             mid, side = (left + right) >> 1, left - right
-            pl = _flac_plan_subframe(left, bps)
-            pr = _flac_plan_subframe(right, bps)
-            pm = _flac_plan_subframe(mid, bps)
-            ps = _flac_plan_subframe(side, bps + 1)
+            pl = _flac_plan_subframe(left, bps, max_lpc_order)
+            pr = _flac_plan_subframe(right, bps, max_lpc_order)
+            pm = _flac_plan_subframe(mid, bps, max_lpc_order)
+            ps = _flac_plan_subframe(side, bps + 1, max_lpc_order)
             options = {
                 "independent": (pl["cost"] + pr["cost"], 0b0001,
                                 [(left, pl, bps), (right, pr, bps)]),
@@ -3264,7 +3388,9 @@ def flac_encode(
         else:
             ch_assign = ch - 1
             subs = [
-                (blk[:, c], _flac_plan_subframe(blk[:, c], bps), bps)
+                (blk[:, c],
+                 _flac_plan_subframe(blk[:, c], bps, max_lpc_order),
+                 bps)
                 for c in range(ch)
             ]
 
@@ -3339,11 +3465,18 @@ def _flac_read_residual(
 
 
 def _flac_read_subframe(
-    br: "_FBitReader", bs: int, bps: int
+    br: "_FBitReader", bs: int, bps: int,
+    types_out: "list | None" = None,
 ) -> "np.ndarray":
     if br.read(1):
         raise ValueError("subframe pad bit set")
     typ = br.read(6)
+    if types_out is not None:
+        types_out.append(
+            "constant" if typ == 0 else "verbatim" if typ == 1
+            else "fixed" if 8 <= typ <= 12 else "lpc" if typ >= 32
+            else f"reserved{typ}"
+        )
     if br.read(1):  # wasted-bits flag (spec §9.4.2)
         wasted = br.unary() + 1
         bps -= wasted
@@ -3369,16 +3502,35 @@ def _flac_read_subframe(
             cur = np.concatenate([seed[:1], cur]).cumsum()
         x = cur
     elif typ >= 32:
-        raise NotImplementedError(
-            "LPC subframes need windowed float autocorrelation "
-            "(fixed-predictor profile only; flac -l 0 parity)"
-        )
+        order = (typ & 0x1F) + 1
+        warm = [br.sread(bps) for _ in range(order)]
+        prec_field = br.read(4)
+        if prec_field == 0b1111:
+            raise ValueError("invalid qlp precision escape 0b1111")
+        prec = prec_field + 1
+        shift = br.read(5)
+        if shift & 0x10:
+            raise ValueError("negative qlp shift is forbidden")
+        qc = [br.sread(prec) for _ in range(order)]
+        res = _flac_read_residual(br, bs, order)
+        # Sequential IIR reconstruction (inherently order-recursive):
+        # x[i] = res[i] + ((Σ qc[j]·x[i-1-j]) >> shift). Plain-int
+        # loop — Python's >> is the same arithmetic shift.
+        out = list(warm)
+        for r_ in res.tolist():
+            acc = 0
+            for j in range(order):
+                acc += qc[j] * out[-1 - j]
+            out.append(r_ + (acc >> shift))
+        x = np.array(out, dtype=np.int64)
     else:
         raise ValueError(f"reserved subframe type {typ:#08b}")
     return x << wasted if wasted else x
 
 
-def flac_decode(payload: bytes) -> tuple["np.ndarray", int]:
+def flac_decode(
+    payload: bytes, types_out: "list | None" = None
+) -> tuple["np.ndarray", int]:
     """Decode a FLAC stream (fixed-predictor profile): metadata block
     walk, per-frame sync + CRC-8 + CRC-16 verification, subframe
     reconstruction (constant/verbatim/fixed 0-4, wasted bits),
@@ -3461,21 +3613,21 @@ def flac_decode(payload: bytes) -> tuple["np.ndarray", int]:
         if ch_assign <= 7:
             if ch_assign + 1 != ch:
                 raise ValueError("frame/STREAMINFO channel mismatch")
-            cols = [_flac_read_subframe(br, bs, bps) for _ in range(ch)]
+            cols = [_flac_read_subframe(br, bs, bps, types_out) for _ in range(ch)]
         else:
             if ch != 2:
                 raise ValueError("decorrelated frame in non-stereo stream")
             if ch_assign == 8:    # left/side
-                left = _flac_read_subframe(br, bs, bps)
-                side = _flac_read_subframe(br, bs, bps + 1)
+                left = _flac_read_subframe(br, bs, bps, types_out)
+                side = _flac_read_subframe(br, bs, bps + 1, types_out)
                 cols = [left, left - side]
             elif ch_assign == 9:  # right/side
-                side = _flac_read_subframe(br, bs, bps + 1)
-                right = _flac_read_subframe(br, bs, bps)
+                side = _flac_read_subframe(br, bs, bps + 1, types_out)
+                right = _flac_read_subframe(br, bs, bps, types_out)
                 cols = [right + side, right]
             elif ch_assign == 10:  # mid/side
-                mid = _flac_read_subframe(br, bs, bps)
-                side = _flac_read_subframe(br, bs, bps + 1)
+                mid = _flac_read_subframe(br, bs, bps, types_out)
+                side = _flac_read_subframe(br, bs, bps + 1, types_out)
                 lr_sum = (mid << 1) | (side & 1)
                 left = (lr_sum + side) >> 1
                 cols = [left, left - side]
@@ -3497,3 +3649,16 @@ def flac_decode(payload: bytes) -> tuple["np.ndarray", int]:
     if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
         raise ValueError("decoded stream fails STREAMINFO MD5")
     return out, sample_rate
+
+
+def flac_subframe_histogram(payload: bytes) -> dict[str, int]:
+    """Decode a stream and count subframe types — the inspector
+    behind q197's ``lpc_used`` contract column (a codec claim that
+    LPC engaged must be checkable from the BYTES, not the planner's
+    intent)."""
+    types: list[str] = []
+    flac_decode(payload, types_out=types)
+    hist: dict[str, int] = {}
+    for t in types:
+        hist[t] = hist.get(t, 0) + 1
+    return hist

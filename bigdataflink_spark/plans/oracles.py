@@ -3683,3 +3683,56 @@ SELECT doc_id,
            AS n_http_headers
 FROM documents
 """
+
+# q197: the LPC audit signals are period-6 linear recurrences
+# x[i] = x[i-1] - x[i-2] — a doc-seeded 6-entry pattern indexed by
+# i % 6, so every decoded sample is recomputable exactly; lpc_used /
+# compressed_smaller are the deterministic contract booleans (LPC
+# always beats fixed on these signals by construction; noise is
+# always verbatim).
+ORACLES["q197_flac_lpc"] = """
+WITH docs AS (
+  SELECT doc_id FROM documents WHERE doc_id % 7 = 2
+),
+osc_params AS (
+  SELECT d.doc_id AS media_id, v.variant, v.channel,
+         CASE v.seed
+           WHEN 0 THEN (d.doc_id * 7) % 1000 + 100
+           WHEN 1 THEN (d.doc_id * 11) % 1000 - 300
+           ELSE (d.doc_id * 19) % 1000 - 250 END AS a,
+         CASE v.seed
+           WHEN 0 THEN (d.doc_id * 13) % 1000 - 500
+           WHEN 1 THEN (d.doc_id * 17) % 1000 + 50
+           ELSE (d.doc_id * 23) % 1000 + 125 END AS b
+  FROM docs d
+  CROSS JOIN (VALUES ('stereo_osc', 0, 0), ('stereo_osc', 1, 1),
+                     ('mono_osc', 0, 2)) v(variant, channel, seed)
+),
+osc AS (
+  SELECT p.media_id, p.variant, CAST(p.channel AS INT) AS channel,
+         j.j AS pos,
+         CASE (j.j % 6)
+           WHEN 0 THEN a WHEN 1 THEN b WHEN 2 THEN b - a
+           WHEN 3 THEN -a WHEN 4 THEN -b ELSE a - b END AS v,
+         TRUE AS compressed_smaller, TRUE AS lpc_used
+  FROM osc_params p CROSS JOIN generate_series(0, 479) j(j)
+),
+nz AS (
+  SELECT d.doc_id AS media_id, 'noise' AS variant,
+         CAST(0 AS INT) AS channel, j.j AS pos,
+         xor((d.doc_id * 2246822519 + j.j * 2654435761) % 65536,
+             (j.j * j.j * 97) % 65536) - 32768 AS v,
+         FALSE AS compressed_smaller, FALSE AS lpc_used
+  FROM docs d CROSS JOIN generate_series(0, 479) j(j)
+),
+s AS (SELECT * FROM osc UNION ALL SELECT * FROM nz)
+SELECT media_id, variant, channel,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(CAST(pos AS BIGINT) * v) AS BIGINT) AS wsum_amp,
+       CAST(MIN(v) AS INT) AS min_amp,
+       CAST(MAX(v) AS INT) AS max_amp,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       compressed_smaller, lpc_used
+FROM s GROUP BY 1, 2, 3, 10, 11
+"""

@@ -5714,7 +5714,9 @@ def q195_flac_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in cols}
 
             def emit(mid, variant, pcm, rate, bs):
-                enc = flac_encode(pcm, rate, bs)
+                # fixed-predictor profile pinned (flac -l 0 parity;
+                # LPC subframes get their own contract in q197)
+                enc = flac_encode(pcm, rate, bs, max_lpc_order=0)
                 dec, drate = flac_decode(enc)
                 assert drate == rate
                 for c in range(dec.shape[1]):
@@ -5760,6 +5762,117 @@ def q195_flac_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_amp long, wsum_amp long, min_amp int, max_amp int, "
             "energy long, compressed_smaller boolean"
         ),
+    )
+
+
+def q197_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC LPC-subframe contract (extension; un-gates the one
+    remaining ``NotImplementedError`` in the FLAC codec — q195 pins
+    the fixed-predictor profile, this pins real linear-predictive
+    coding: Welch-windowed autocorrelation + Levinson-Durbin
+    proposes coefficients, spec-quantized to 14-bit integers with a
+    common shift, and EXACT bit cost decides against
+    constant/verbatim/fixed — ``flac -l 8`` behavior). The audit
+    signals are period-6 linear recurrences x[i]=x[i-1]-x[i-2]
+    (closed form: a doc-seeded 6-entry pattern indexed by i%6, so
+    DuckDB recomputes every sample exactly) — the family fixed
+    polynomial differencing can NEVER whiten (diff of a period-6
+    signal is period-6 at the same magnitude) but an order-2 LPC
+    predictor kills, in stereo (decorrelation interplay: the side
+    channel is itself period-6) and mono, plus a hash-noise variant
+    (verbatim honesty must survive LPC being available).
+    ``lpc_used`` is read back from the STREAM BYTES
+    (``flac_subframe_histogram``), not the planner's intent — TRUE
+    for both recurrence variants, FALSE for noise — and
+    ``compressed_smaller`` pins that LPC delivers actual
+    compression. Same fan-out shape as q195 (one 8-byte-row shuffle,
+    zero joins); audited on the doc_id%7==2 seventh, disjoint from
+    q195's."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        flac_decode,
+        flac_encode,
+        flac_subframe_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
+    n = 480
+
+    def _batches(it):
+        import numpy as np
+
+        js = np.arange(n, dtype=np.int64)
+        pos = js
+        cols = (
+            "media_id", "variant", "channel", "n_samples", "sum_amp",
+            "wsum_amp", "min_amp", "max_amp", "energy",
+            "compressed_smaller", "lpc_used",
+        )
+
+        def osc(a, b):
+            pat = np.array([a, b, b - a, -a, -b, a - b], dtype=np.int64)
+            return pat[js % 6]
+
+        for pdf in it:
+            rows = {k: [] for k in cols}
+
+            def emit(mid, variant, pcm, bs):
+                enc = flac_encode(pcm, 8000, bs)
+                dec, drate = flac_decode(enc)
+                assert drate == 8000
+                hist = flac_subframe_histogram(enc)
+                lpc_used = hist.get("lpc", 0) > 0
+                for c in range(dec.shape[1]):
+                    ch = dec[:, c].astype(np.int64)
+                    rows["media_id"].append(mid)
+                    rows["variant"].append(variant)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(int(ch.size))
+                    rows["sum_amp"].append(int(ch.sum()))
+                    rows["wsum_amp"].append(int((ch * pos).sum()))
+                    rows["min_amp"].append(int(ch.min()))
+                    rows["max_amp"].append(int(ch.max()))
+                    rows["energy"].append(int((ch * ch).sum()))
+                    rows["compressed_smaller"].append(
+                        len(enc) < pcm.nbytes
+                    )
+                    rows["lpc_used"].append(lpc_used)
+
+            for i in pdf["doc_id"]:
+                i = int(i)
+                left = osc((i * 7) % 1000 + 100, (i * 13) % 1000 - 500)
+                right = osc((i * 11) % 1000 - 300, (i * 17) % 1000 + 50)
+                st = (
+                    np.stack([left, right], axis=1)
+                    .astype(np.int16)
+                )
+                emit(i, "stereo_osc", st, 240)
+                mo = (
+                    osc((i * 19) % 1000 - 250, (i * 23) % 1000 + 125)
+                    .astype(np.int16)
+                    .reshape(-1, 1)
+                )
+                emit(i, "mono_osc", mo, 240)
+                a = (i * 2246822519 + js * 2654435761) % 65536
+                b = (js * js * 97) % 65536
+                nz = ((a ^ b) - 32768).astype(np.int16).reshape(-1, 1)
+                emit(i, "noise", nz, 240)
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(fanout)
+        .mapInPandas(
+            _batches,
+            schema=(
+                "media_id long, variant string, channel int, "
+                "n_samples long, sum_amp long, wsum_amp long, "
+                "min_amp int, max_amp int, energy long, "
+                "compressed_smaller boolean, lpc_used boolean"
+            ),
+        )
     )
 
 
@@ -6043,4 +6156,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q194_gif_codec": q194_gif_codec,
     "q195_flac_codec": q195_flac_codec,
     "q196_warc_ingest": q196_warc_ingest,
+    "q197_flac_lpc": q197_flac_lpc,
 }

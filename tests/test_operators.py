@@ -1782,7 +1782,12 @@ def test_flac_stereo_modes_and_partitions():
     pcm = np.stack([l, r], axis=1)
     sizes = {}
     for mode in ("independent", "left_side", "right_side", "mid_side"):
-        enc = flac_encode(pcm, 44100, 256, stereo_mode=mode)
+        # fixed profile pinned: LPC shrinks the independent channels
+        # enough that the "every decorrelated mode wins" invariant
+        # below only holds for the predictor family this test is
+        # about (test_flac_lpc_subframes covers the LPC family)
+        enc = flac_encode(pcm, 44100, 256, stereo_mode=mode,
+                          max_lpc_order=0)
         dec, _ = flac_decode(enc)
         assert np.array_equal(dec, pcm), mode
         sizes[mode] = len(enc)
@@ -1790,7 +1795,8 @@ def test_flac_stereo_modes_and_partitions():
     # and auto (cost-based) matches the best forced mode
     assert all(sizes[m] < sizes["independent"]
                for m in ("left_side", "right_side", "mid_side"))
-    assert len(flac_encode(pcm, 44100, 256)) == min(sizes.values())
+    assert len(flac_encode(pcm, 44100, 256, max_lpc_order=0)) \
+        == min(sizes.values())
 
     # half-smooth / half-noisy block: partitioned Rice must beat a
     # single parameter, and the stream still round-trips
@@ -1905,3 +1911,107 @@ def test_flac_decode_wild_structures():
             raise AssertionError(f"corruption at {pos} undetected")
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_flac_lpc_subframes():
+    """LPC subframe contract: (1) on a period-6 linear recurrence —
+    which fixed differencing can never whiten — the encoder picks
+    LPC, beats the fixed-only profile, and round-trips exactly;
+    (2) a foreign LPC subframe with a coefficient precision the
+    encoder never emits (12-bit) decodes per spec; (3) the invalid
+    precision escape and the forbidden negative shift raise."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        _FBitWriter,
+        _flac_crc8,
+        _flac_crc16,
+        _flac_utf8,
+        flac_decode,
+        flac_encode,
+        flac_subframe_histogram,
+    )
+
+    pat = np.array([900, -400, -1300, -900, 400, 1300], dtype=np.int64)
+    x = pat[np.arange(1200) % 6].astype(np.int16).reshape(-1, 1)
+    enc = flac_encode(x, 8000, 256)
+    enc_fixed = flac_encode(x, 8000, 256, max_lpc_order=0)
+    dec, _ = flac_decode(enc)
+    assert np.array_equal(dec, x)
+    hist = flac_subframe_histogram(enc)
+    assert hist.get("lpc", 0) > 0 and "fixed" not in hist
+    assert len(enc) < len(enc_fixed) // 2  # LPC whitens, diffs don't
+    assert "lpc" not in flac_subframe_histogram(enc_fixed)
+
+    # stereo: the side channel of two recurrences is itself period-6
+    st = np.stack(
+        [pat[np.arange(480) % 6], pat[(np.arange(480) + 2) % 6]], axis=1
+    ).astype(np.int16)
+    enc_st = flac_encode(st, 8000, 240)
+    dec_st, _ = flac_decode(enc_st)
+    assert np.array_equal(dec_st, st)
+    assert flac_subframe_histogram(enc_st).get("lpc", 0) > 0
+
+    # hand-built foreign stream: order-1 LPC, 12-bit precision,
+    # shift 3, qc = [8] (i.e. predictor = x[i-1] exactly)
+    import hashlib
+
+    n = 16
+    vals = np.arange(100, 100 + 3 * n, 3, dtype=np.int64)  # step 3
+
+    def build(subframe_bits, expect):
+        sw = _FBitWriter()
+        sw.write(n, 16), sw.write(n, 16)
+        sw.write(0, 24), sw.write(0, 24)
+        sw.write(8000, 20), sw.write(0, 3), sw.write(15, 5)
+        sw.write(n, 36)
+        md5 = hashlib.md5(expect.astype("<i2").tobytes()).digest()
+        out = bytearray(b"fLaC")
+        out += bytes([0x80]) + (34).to_bytes(3, "big") + sw.getvalue() + md5
+        fw = _FBitWriter()
+        fw.write(0b11111111111110, 14)
+        fw.write(0, 2)
+        fw.write(6, 4)          # blocksize: 8-bit at end of header
+        fw.write(4, 4)          # 8 kHz
+        fw.write(0, 4)          # mono
+        fw.write(0b100, 3), fw.write(0, 1)
+        for by in _flac_utf8(0):
+            fw.write(by, 8)
+        fw.write(n - 1, 8)
+        fw.write(_flac_crc8(bytes(fw.buf)), 8)
+        subframe_bits(fw)
+        fw.align()
+        fw.write(_flac_crc16(bytes(fw.buf)), 16)
+        return bytes(out) + fw.getvalue()
+
+    def sub_lpc(fw, prec_field=11, shift=3):
+        fw.write(0, 1)
+        fw.write(0b100000, 6)   # LPC order 1
+        fw.write(0, 1)          # no wasted bits
+        fw.write(int(vals[0]), 16)   # warmup
+        fw.write(prec_field, 4)      # precision-1 = 11 -> 12-bit
+        fw.write(shift, 5)
+        fw.write(8, 12)         # qc = [8]: (8*x[i-1]) >> 3 = x[i-1]
+        fw.write(0, 2)          # 4-bit Rice
+        fw.write(0, 4)          # partition order 0
+        fw.write(2, 4)          # k=2
+        for _ in range(n - 1):  # residual constant 3 -> zigzag 6
+            fw.unary(6 >> 2)
+            fw.write(6 & 3, 2)
+
+    expect = vals.astype(np.int16).reshape(-1, 1)
+    dec2, rate = flac_decode(build(sub_lpc, expect))
+    assert rate == 8000 and np.array_equal(dec2, expect)
+
+    # invalid precision escape 0b1111
+    try:
+        flac_decode(build(lambda fw: sub_lpc(fw, prec_field=15), expect))
+        raise AssertionError("precision escape undetected")
+    except ValueError as e:
+        assert "precision" in str(e)
+    # negative shift (5-bit two's complement, sign bit set)
+    try:
+        flac_decode(build(lambda fw: sub_lpc(fw, shift=0x1F), expect))
+        raise AssertionError("negative shift undetected")
+    except ValueError as e:
+        assert "shift" in str(e)
