@@ -114,6 +114,7 @@ HEADLINE = [
     "q195_flac_codec",
     "q196_warc_ingest",
     "q197_flac_lpc",
+    "q198_wds_tar_ingest",
 ]
 
 

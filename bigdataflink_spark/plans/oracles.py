@@ -3736,3 +3736,21 @@ SELECT media_id, variant, channel,
        compressed_smaller, lpc_used
 FROM s GROUP BY 1, 2, 3, 10, 11
 """
+
+# q198: every per-sample fact is recomputable from the documents
+# table — the tar + JSON round-trip must reproduce text (md5), lang,
+# and n_chars exactly, and sample_index is the doc's rank within its
+# 1024-doc shard (the builder packs samples in doc_id order).
+ORACLES["q198_wds_tar_ingest"] = """
+SELECT doc_id,
+       CAST(doc_id // 1024 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id // 1024 ORDER BY doc_id
+       ) AS BIGINT) AS sample_index,
+       CAST(2 AS BIGINT) AS n_members,
+       CAST(octet_length(encode(text)) AS BIGINT) AS txt_len,
+       md5(text) AS txt_md5,
+       lang AS meta_lang,
+       CAST(n_chars AS BIGINT) AS meta_n_chars
+FROM documents
+"""

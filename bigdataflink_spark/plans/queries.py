@@ -5876,6 +5876,89 @@ def q197_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q198_wds_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingest contract (extension; the OTHER
+    archive format training corpora arrive in — multimodal datasets
+    ship as tar shards where one sample is a run of ADJACENT members
+    sharing a key prefix: ``{key}.txt`` + ``{key}.json`` here). The
+    full corpus is packed into 1024-doc shards through
+    ``sources/wds.py`` (POSIX ustar headers built from the spec —
+    octal fields, space-summed checksums, 512-byte blocks — NOT the
+    tarfile module, though tests pin two-way stdlib-tarfile interop)
+    and parsed back through the real ingest path: header checksum
+    verification, size-vs-bounds checks, sample grouping with the
+    adjacency contract enforced. Per-sample facts: ``txt_md5`` pins
+    byte-exact text-member recovery (DuckDB md5(text)),
+    ``meta_lang``/``meta_n_chars`` pin that the JSON sidecar member
+    is recovered AND parsed (values must round-trip through the tar
+    + JSON encode/decode to match the table's own columns), and
+    ``sample_index`` pins member grouping and walk order. Same scale
+    shape as q196: one keyed shuffle into count-scales-with-corpus
+    shards, zero joins; at 100 TB the build half disappears and the
+    parse half maps over existing shard files."""
+    import pandas as pd_
+
+    from bigdataflink_spark.sources.wds import (
+        iter_wds_samples,
+        wds_build_shard,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .withColumn("shard", F.expr("CAST(doc_id DIV 1024 AS INT)"))
+    )
+
+    def _shard(key, pdf):
+        import hashlib
+        import json
+
+        shard = int(key[0])
+        samples = []
+        for doc_id, text, lang, n_chars in sorted(
+            zip(pdf["doc_id"], pdf["text"], pdf["lang"], pdf["n_chars"]),
+            key=lambda t: int(t[0]),
+        ):
+            meta = json.dumps(
+                {"doc_id": int(doc_id), "lang": str(lang),
+                 "n_chars": int(n_chars)},
+                sort_keys=True, separators=(",", ":"),
+            ).encode()
+            samples.append((
+                f"{int(doc_id):012d}",
+                [("json", meta), ("txt", str(text).encode("utf-8"))],
+            ))
+        blob = wds_build_shard(samples)
+
+        rows = {k: [] for k in (
+            "doc_id", "shard", "sample_index", "n_members",
+            "txt_len", "txt_md5", "meta_lang", "meta_n_chars",
+        )}
+        idx = 0
+        for skey, members in iter_wds_samples(blob):
+            idx += 1
+            meta = json.loads(members["json"])
+            txt = members["txt"]
+            rows["doc_id"].append(int(skey))
+            rows["shard"].append(shard)
+            rows["sample_index"].append(idx)
+            rows["n_members"].append(len(members))
+            rows["txt_len"].append(len(txt))
+            rows["txt_md5"].append(hashlib.md5(txt).hexdigest())
+            rows["meta_lang"].append(meta["lang"])
+            rows["meta_n_chars"].append(int(meta["n_chars"]))
+        return pd_.DataFrame(rows)
+
+    return docs.groupBy("shard").applyInPandas(
+        _shard,
+        schema=(
+            "doc_id long, shard int, sample_index long, n_members long, "
+            "txt_len long, txt_md5 string, meta_lang string, "
+            "meta_n_chars long"
+        ),
+    )
+
+
 def q196_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC shard ingest contract (extension; the archive format
     web-scale training corpora actually arrive in): the full corpus
@@ -6157,4 +6240,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q195_flac_codec": q195_flac_codec,
     "q196_warc_ingest": q196_warc_ingest,
     "q197_flac_lpc": q197_flac_lpc,
+    "q198_wds_tar_ingest": q198_wds_tar_ingest,
 }
