@@ -115,6 +115,7 @@ HEADLINE = [
     "q196_warc_ingest",
     "q197_flac_lpc",
     "q198_wds_tar_ingest",
+    "q199_html_extract",
 ]
 
 

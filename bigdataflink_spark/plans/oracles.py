@@ -3754,3 +3754,52 @@ SELECT doc_id,
        CAST(n_chars AS BIGINT) AS meta_n_chars
 FROM documents
 """
+
+# q199: the extracted body text is reconstructed token-for-token in
+# SQL — heading line ('Doc &' || id || '>'), 10-token paragraph
+# lines, the href-less decoy anchor's text line, then one link-text
+# line per href anchor, newline-joined; md5 of that string must
+# match what the real HTML tokenizer extracted (any script leak,
+# swallowed entity, or missed block boundary shifts the hash).
+ORACLES["q199_html_extract"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS lst FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(lst) AS tok,
+         unnest(range(1, array_length(lst) + 1)) AS i
+  FROM toks
+),
+chunk AS (
+  SELECT doc_id, (i - 1) // 10 AS ci,
+         string_agg(tok, ' ' ORDER BY i) AS line
+  FROM tok GROUP BY doc_id, (i - 1) // 10
+),
+paras AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ci) AS para_block,
+         COUNT(*) AS n_chunks
+  FROM chunk GROUP BY doc_id
+),
+linkm AS (
+  SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS m FROM documents
+),
+links AS (
+  SELECT doc_id,
+         string_agg('next ' || m, chr(10) ORDER BY m) AS link_block
+  FROM linkm GROUP BY doc_id
+),
+built AS (
+  SELECT p.doc_id, p.n_chunks,
+         'Doc &' || p.doc_id || '>' || chr(10) || p.para_block
+           || chr(10) || 'skip me' || chr(10) || l.link_block AS body
+  FROM paras p JOIN links l USING (doc_id)
+)
+SELECT doc_id,
+       'Doc ' || doc_id || ' & friends' AS title,
+       CAST(doc_id % 3 + 1 AS INT) AS n_links,
+       CAST(doc_id % 2 + 1 AS INT) AS n_scripts,
+       CAST(2 + n_chunks + doc_id % 3 + 1 AS BIGINT) AS n_lines,
+       CAST(octet_length(encode(body)) AS BIGINT) AS body_len,
+       md5(body) AS body_md5
+FROM built
+"""

@@ -5876,6 +5876,88 @@ def q197_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q199_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text-extraction contract (extension; the pipeline stage
+    between archive ingest and the text battery — a web-scale corpus
+    is WARC shards of HTML, and training text is what survives
+    boilerplate stripping). Each document is wrapped in a generative
+    HTML page exercising the extractor's hazards — entity references
+    in both title and body (&amp;/&gt;), a <style> whose body
+    contains a bare '>', quoted attributes containing '>',
+    <a> tags WITH and WITHOUT href, and <script> bodies containing
+    literal '</p>' — then pushed through the real single-pass
+    tokenizer (``operators/html.py``: quote-aware tag scanning,
+    raw-text element exclusion, block-line flushing, entity
+    decoding). ``body_md5`` hashes the EXTRACTED text, which the
+    oracle reconstructs token-for-token in SQL (heading line +
+    10-token paragraph lines + link-text lines, newline-joined) — a
+    single leaked script byte, swallowed entity, or missed block
+    boundary fails the hash. ``n_links`` counts only href-carrying
+    anchors (doc_id%3+1 of them beside one href-less decoy);
+    ``n_scripts`` = doc_id%2+1. One fan-out Arrow map stage, zero
+    joins — at 100 TB this runs over q196's parsed WARC payloads."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.html import html_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _batches(it):
+        import hashlib
+
+        cols = (
+            "doc_id", "title", "n_links", "n_scripts", "n_lines",
+            "body_len", "body_md5",
+        )
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i, text = int(i), str(text)
+                toks = text.split(" ")
+                chunks = [
+                    " ".join(toks[j:j + 10])
+                    for j in range(0, len(toks), 10)
+                ]
+                nl, ns = i % 3 + 1, i % 2 + 1
+                html = (
+                    f"<!DOCTYPE html><html><head>"
+                    f"<title>Doc {i} &amp; friends</title>"
+                    f"<style>p {{ margin > 0 }}</style></head><body>"
+                    f"<h1>Doc &amp;{i}&gt;</h1>"
+                    + "".join(f"<p>{c}</p>" for c in chunks)
+                    + '<p><a name="decoy">skip me</a></p>'
+                    + "".join(
+                        f'<p><a href="/doc/{i}/{m}" title="a > b">'
+                        f"next {m}</a></p>"
+                        for m in range(nl)
+                    )
+                    + "".join(
+                        f'<script>var x{k} = "</p>";</script>'
+                        for k in range(ns)
+                    )
+                    + "</body></html>"
+                )
+                r = html_extract(html)
+                body = r["text"].encode("utf-8")
+                rows["doc_id"].append(i)
+                rows["title"].append(r["title"])
+                rows["n_links"].append(r["n_links"])
+                rows["n_scripts"].append(r["n_scripts"])
+                rows["n_lines"].append(len(r["text"].split("\n")))
+                rows["body_len"].append(len(body))
+                rows["body_md5"].append(hashlib.md5(body).hexdigest())
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, title string, n_links int, n_scripts int, "
+            "n_lines long, body_len long, body_md5 string"
+        ),
+    )
+
+
 def q198_wds_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard ingest contract (extension; the OTHER
     archive format training corpora arrive in — multimodal datasets
@@ -6241,4 +6323,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q196_warc_ingest": q196_warc_ingest,
     "q197_flac_lpc": q197_flac_lpc,
     "q198_wds_tar_ingest": q198_wds_tar_ingest,
+    "q199_html_extract": q199_html_extract,
 }
