@@ -116,6 +116,7 @@ HEADLINE = [
     "q197_flac_lpc",
     "q198_wds_tar_ingest",
     "q199_html_extract",
+    "q200_cc_pipeline",
 ]
 
 

@@ -3803,3 +3803,41 @@ SELECT doc_id,
        md5(body) AS body_md5
 FROM built
 """
+
+# q200: the end-to-end pipeline's extracted body is reconstructed
+# from the documents table alone — heading line, 12-token paragraph
+# lines, the link-text line — so a byte lost at ANY seam (warc
+# framing, gzip, http parse, tag tokenizer) fails body_md5; token
+# and line counts mirror the Spark side's declarative split/size.
+ORACLES["q200_cc_pipeline"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS lst FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(lst) AS tok,
+         unnest(range(1, array_length(lst) + 1)) AS i
+  FROM toks
+),
+chunk AS (
+  SELECT doc_id, (i - 1) // 12 AS ci,
+         string_agg(tok, ' ' ORDER BY i) AS line,
+         COUNT(*) AS ntok
+  FROM tok GROUP BY doc_id, (i - 1) // 12
+),
+built AS (
+  SELECT doc_id,
+         'Doc ' || doc_id || chr(10)
+           || string_agg(line, chr(10) ORDER BY ci)
+           || chr(10) || 'next' AS body,
+         COUNT(*) AS n_chunks,
+         SUM(ntok) AS body_toks
+  FROM chunk GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(doc_id // 1024 AS INT) AS shard,
+       'Doc ' || doc_id AS title,
+       CAST(2 + n_chunks AS BIGINT) AS n_lines,
+       CAST(3 + body_toks AS BIGINT) AS n_tokens,
+       md5(body) AS body_md5
+FROM built
+"""

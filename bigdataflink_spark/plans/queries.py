@@ -5958,6 +5958,95 @@ def q199_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q200_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Common-Crawl-shape pipeline contract (extension;
+    q196 + q199 chained END TO END, because a pipeline whose stages
+    only pass their own unit contracts can still lose bytes at the
+    seams): each document becomes an HTML page, pages are packed
+    into real ``.warc.gz`` shards (``sources/warc.py``), the shards
+    are parsed back through the ingest path, the recovered HTTP
+    payloads go through the real HTML tokenizer
+    (``operators/html.py``), and the EXTRACTED text leaves the
+    Python stage raw — every downstream fact (line count, token
+    count, md5) is computed by JVM Catalyst expressions
+    (split/size/md5/encode), so the final hop is whole-stage-codegen
+    DataFrame work, not more Python. The oracle reconstructs the
+    extracted text from the documents table alone; a byte lost at
+    ANY seam (warc framing, gzip, http parse, tag tokenizer) fails
+    ``body_md5``. One keyed shuffle into 1024-doc shards + one
+    projection stage, zero joins. At 100 TB the build half
+    disappears and this IS the ingest DAG: binaryFile scan of
+    existing shards → parse/extract map → declarative text stats."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.html import html_extract
+    from bigdataflink_spark.sources.warc import (
+        iter_warc_records,
+        parse_http_response,
+        warc_build_shard,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("shard", F.expr("CAST(doc_id DIV 1024 AS INT)"))
+    )
+
+    def _shard(key, pdf):
+        shard = int(key[0])
+        recs = []
+        for doc_id, text in sorted(
+            zip(pdf["doc_id"], pdf["text"]), key=lambda t: int(t[0])
+        ):
+            doc_id, text = int(doc_id), str(text)
+            toks = text.split(" ")
+            chunks = [
+                " ".join(toks[j:j + 12])
+                for j in range(0, len(toks), 12)
+            ]
+            page = (
+                f"<!DOCTYPE html><html><head><title>Doc {doc_id}"
+                f"</title></head><body><h1>Doc {doc_id}</h1>"
+                + "".join(f"<p>{c}</p>" for c in chunks)
+                + f'<p><a href="/doc/{doc_id + 1}">next</a></p>'
+                + "</body></html>"
+            )
+            recs.append((
+                f"https://corpus.example/doc/{doc_id}", 200, [],
+                page.encode("utf-8"),
+            ))
+        blob = warc_build_shard(recs, shard)
+
+        rows = {k: [] for k in ("doc_id", "shard", "title", "body")}
+        for _off, _len, rec in iter_warc_records(blob):
+            if rec["type"] != "response":
+                continue
+            status, _headers, payload = parse_http_response(rec["body"])
+            assert status == 200
+            ex = html_extract(payload.decode("utf-8"))
+            uri = rec["headers"]["warc-target-uri"]
+            rows["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+            rows["shard"].append(shard)
+            rows["title"].append(ex["title"])
+            rows["body"].append(ex["text"])
+        return pd_.DataFrame(rows)
+
+    extracted = docs.groupBy("shard").applyInPandas(
+        _shard, schema="doc_id long, shard int, title string, body string"
+    )
+    # downstream stats are DECLARATIVE — Catalyst expressions over the
+    # extracted text, not more Python
+    return extracted.select(
+        "doc_id",
+        "shard",
+        "title",
+        F.size(F.split(F.col("body"), "\n")).cast("long").alias("n_lines"),
+        F.size(F.split(F.col("body"), "[ \n]")).cast("long")
+        .alias("n_tokens"),
+        F.md5(F.encode(F.col("body"), "UTF-8")).alias("body_md5"),
+    )
+
+
 def q198_wds_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard ingest contract (extension; the OTHER
     archive format training corpora arrive in — multimodal datasets
@@ -6324,4 +6413,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q197_flac_lpc": q197_flac_lpc,
     "q198_wds_tar_ingest": q198_wds_tar_ingest,
     "q199_html_extract": q199_html_extract,
+    "q200_cc_pipeline": q200_cc_pipeline,
 }
