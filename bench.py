@@ -117,6 +117,7 @@ HEADLINE = [
     "q198_wds_tar_ingest",
     "q199_html_extract",
     "q200_cc_pipeline",
+    "q201_warc_stream_ingest",
 ]
 
 

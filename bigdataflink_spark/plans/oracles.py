@@ -3841,3 +3841,9 @@ SELECT doc_id,
        md5(body) AS body_md5
 FROM built
 """
+
+# q201: the streaming shard-tail must land EXACTLY q196's facts —
+# same oracle, certifying stream path == batch facts value-for-value
+# (rare for a streaming query: the parquet sink the driver hashes IS
+# the streamed state).
+ORACLES["q201_warc_stream_ingest"] = ORACLES["q196_warc_ingest"]

@@ -6047,6 +6047,41 @@ def q200_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q201_warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING archive ingest contract (extension; q196's
+    streaming twin — how a 100 TB crawl actually lands: shards
+    appear in storage over time and the ingest job is a checkpointed
+    file-source stream, not a batch rescan). The corpus is packed
+    into real ``.warc.gz`` shard FILES by executors
+    (``streaming/shards.py::write_warc_shards`` — rename-to-final so
+    the file source never sees partials), then a ``binaryFile``
+    Structured Stream tails the directory (availableNow), parses
+    each shard through the SAME ``sources/warc.py`` machinery, reads
+    shard identity from the in-band warcinfo record rather than the
+    file name, and appends per-document facts to a parquet sink.
+    The returned frame reads that sink, so what the driver hashes IS
+    the streamed state — and the oracle is q196's exact SQL, making
+    this one of the streaming queries with a FULL value-hash oracle
+    (stream path ≡ batch facts, not just row counts). Restart
+    incrementality (rerun after new shards processes only the new
+    ones) is pinned by ``tests/test_streaming_shards.py``. State
+    lands in throwaway dirs (q169/q174 pattern)."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.shards import (
+        read_ingested,
+        stream_warc_ingest,
+        write_warc_shards,
+    )
+
+    root = tempfile.mkdtemp(prefix="q201_warc_stream_")
+    in_dir, out_dir = f"{root}/in", f"{root}/out"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    write_warc_shards(docs, in_dir)
+    stream_warc_ingest(spark, in_dir, out_dir, f"{root}/ckpt")
+    return read_ingested(spark, out_dir)
+
+
 def q198_wds_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard ingest contract (extension; the OTHER
     archive format training corpora arrive in — multimodal datasets
@@ -6414,4 +6449,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q198_wds_tar_ingest": q198_wds_tar_ingest,
     "q199_html_extract": q199_html_extract,
     "q200_cc_pipeline": q200_cc_pipeline,
+    "q201_warc_stream_ingest": q201_warc_stream_ingest,
 }
