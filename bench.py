@@ -118,6 +118,7 @@ HEADLINE = [
     "q199_html_extract",
     "q200_cc_pipeline",
     "q201_warc_stream_ingest",
+    "q202_url_normalize",
 ]
 
 

@@ -3847,3 +3847,65 @@ FROM built
 # (rare for a streaming query: the parquet sink the driver hashes IS
 # the streamed state).
 ORACLES["q201_warc_stream_ingest"] = ORACLES["q196_warc_ingest"]
+
+# q202: the oracle builds the SAME urls and applies the SAME
+# normalization policy in DuckDB — the pinned contract is
+# cross-engine parity of the regex/string-op normalizers (Java regex
+# vs RE2), the actual risk surface of expression-based URL work.
+ORACLES["q202_url_normalize"] = """
+WITH built AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Site' || (doc_id % 40)
+    || (CASE doc_id % 5 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.example.COM'
+         WHEN 2 THEN '.Example.com.' WHEN 3 THEN '.org'
+         ELSE '.ac.uk' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END)
+    || '/a%20b/' || doc_id
+    || '?ref=' || (doc_id % 9) || '&x=1'
+    || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      AS scheme,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_replace(
+          regexp_replace(
+            regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+            '^[^@]*@', ''),
+          ':[0-9]+$', '')),
+        '\\.$', ''),
+      '^www\\.', '') AS host,
+    regexp_extract(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      ':([0-9]+)$', 1) AS port_s,
+    regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query,
+    regexp_extract(url, '#(.*)$', 1) AS fragment
+  FROM built
+)
+SELECT doc_id, url, scheme, host,
+  CAST(CASE WHEN port_s <> '' THEN CAST(port_s AS INT)
+            WHEN scheme = 'https' THEN 443
+            WHEN scheme = 'http' THEN 80 ELSE -1 END AS INT) AS port,
+  CASE WHEN regexp_matches(host,
+            '\\.(co|com|org|net|ac|gov)\\.(uk|au|jp|in|br|nz)$')
+        AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+       THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+       ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
+    AS reg_domain,
+  replace(replace(replace(replace(replace(
+    replace(replace(replace(replace(replace(path,
+    '%20', ' '), '%2D', '-'), '%2E', '.'), '%5F', '_'), '%7E', '~'),
+    '%2d', '-'), '%2e', '.'), '%5f', '_'), '%7e', '~'),
+    '%20', ' ') AS path_dec,
+  regexp_extract(query, '(^|&)ref=([^&]*)', 2) AS ref,
+  fragment
+FROM parts
+"""

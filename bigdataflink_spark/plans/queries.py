@@ -6082,6 +6082,58 @@ def q201_warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ingested(spark, out_dir)
 
 
+def q202_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse/normalize battery contract (extension; crawl
+    pipelines filter, quota, and dedupe BY DOMAIN, so these
+    normalizers run per-row over billions of URLs — which is why
+    ``functions/urls.py`` is pure Column expressions: the whole
+    query is ONE whole-stage-codegen projection, zero Python, zero
+    shuffles). Each doc_id builds a deterministic URL exercising the
+    hazard matrix — mixed-case scheme/host, optional ``WWW.``
+    prefix, five TLD shapes including multi-part (``co.uk``/
+    ``ac.uk``) and a trailing-dot host, optional explicit port
+    beside scheme-default ports, percent-escaped path, query
+    params, optional fragment — then the battery extracts
+    scheme/host/port/registrable-domain/decoded-path/param/fragment.
+    The oracle builds the SAME URLs and applies the SAME
+    normalization in DuckDB SQL, so the contract pinned is
+    cross-engine regex/string-op parity — exactly the risk surface
+    of expression-based normalizers (Java regex vs RE2)."""
+    from bigdataflink_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    scheme = F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS"))
+    suffix = (
+        F.when(i % 5 == 0, F.lit(".CO.UK"))
+        .when(i % 5 == 1, F.lit(".example.COM"))
+        .when(i % 5 == 2, F.lit(".Example.com."))
+        .when(i % 5 == 3, F.lit(".org"))
+        .otherwise(F.lit(".ac.uk"))
+    )
+    url = F.concat(
+        scheme, F.lit("://"),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), s(i % 40), suffix,
+        F.when(i % 7 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/a%20b/"), s(i),
+        F.lit("?ref="), s(i % 9), F.lit("&x=1"),
+        F.when(i % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        U.url_scheme(url).alias("scheme"),
+        U.url_host(url).alias("host"),
+        U.url_port(url).alias("port"),
+        U.registrable_domain(url).alias("reg_domain"),
+        U.percent_decode_basic(U.url_path(url)).alias("path_dec"),
+        U.url_query_param(url, "ref").alias("ref"),
+        U.url_fragment(url).alias("fragment"),
+    )
+
+
 def q198_wds_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard ingest contract (extension; the OTHER
     archive format training corpora arrive in — multimodal datasets
@@ -6450,4 +6502,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q199_html_extract": q199_html_extract,
     "q200_cc_pipeline": q200_cc_pipeline,
     "q201_warc_stream_ingest": q201_warc_stream_ingest,
+    "q202_url_normalize": q202_url_normalize,
 }
