@@ -119,6 +119,7 @@ HEADLINE = [
     "q200_cc_pipeline",
     "q201_warc_stream_ingest",
     "q202_url_normalize",
+    "q203_robots_decisions",
 ]
 
 

@@ -3909,3 +3909,24 @@ SELECT doc_id, url, scheme, host,
   fragment
 FROM parts
 """
+
+# q203: every decision is recomputable from the deterministic rule
+# construction — TrainBot on even sites hits the specific group
+# (whose rules don't match /doc/ paths -> allowed, no pattern,
+# delay 5); everyone else falls to the '*' group where the longer
+# Allow /doc/*0$ overrides Disallow /doc/ exactly when the id ends
+# in 0 (delay 2); one sitemap per file.
+ORACLES["q203_robots_decisions"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'TrainBot' ELSE 'fetchly' END
+         AS agent,
+       CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN TRUE
+            ELSE doc_id % 10 = 0 END AS allowed,
+       CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ''
+            WHEN doc_id % 10 = 0 THEN '/doc/*0$'
+            ELSE '/doc/' END AS matched_rule,
+       CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 5
+                 ELSE 2 END AS INT) AS crawl_delay,
+       CAST(1 AS BIGINT) AS n_sitemaps
+FROM documents
+"""

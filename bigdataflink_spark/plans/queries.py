@@ -6134,6 +6134,87 @@ def q202_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q203_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt decision contract (extension; the crawl-politeness
+    half of the web-ingest family — RFC 9309 parsing + per-URL
+    access decisions, ``operators/robots.py``). Each doc's site
+    (doc_id%40) gets a deterministic robots.txt exercising the spec
+    hazards: a ``*`` group whose ``Disallow: /doc/`` is OVERRIDDEN
+    for paths ending in 0 by a longer ``Allow: /doc/*0$`` rule
+    (wildcard + end-anchor + longest-match precedence), and on even
+    sites a specific ``trainbot`` group (multi-agent lines,
+    case-insensitive match beats ``*``, its own crawl-delay) whose
+    rules DON'T match the probe path — pinning that group selection
+    stops rule fallthrough to ``*``. Robots bodies are parsed once
+    per site (memoized inside the map stage — the per-cohort
+    amortization a billion-row decision join needs); decisions per
+    doc: agent TrainBot on i%3==0 else fetchly, path /doc/{i}. The
+    oracle recomputes every decision from the rule construction
+    directly. One fan-out Arrow map, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.robots import (
+        parse_robots,
+        robots_decision,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _robots_text(site: int) -> str:
+        base = (
+            f"# robots for site {site}\r\n"
+            "User-Agent: *\r\n"
+            "Disallow: /doc/\r\n"
+            "Allow: /doc/*0$\r\n"
+            "Crawl-Delay: 2\r\n"
+            "Unknown-Field: ignored\r\n"
+            f"Sitemap: https://site{site}.example/sitemap.xml\r\n"
+        )
+        if site % 2 == 0:
+            base += (
+                "\r\nUser-agent: trainbot\r\n"
+                "User-agent: backupbot\r\n"
+                "Disallow: /private/\r\n"
+                "Crawl-delay: 5\r\n"
+            )
+        return base
+
+    def _batches(it):
+        cache: dict[int, tuple] = {}
+        cols = ("doc_id", "agent", "allowed", "matched_rule",
+                "crawl_delay", "n_sitemaps")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                site = i % 40
+                if site not in cache:
+                    cache[site] = parse_robots(_robots_text(site))
+                groups, sitemaps = cache[site]
+                agent = "TrainBot" if i % 3 == 0 else "fetchly"
+                allowed, pattern, delay = robots_decision(
+                    groups, agent, f"/doc/{i}"
+                )
+                rows["doc_id"].append(i)
+                rows["agent"].append(agent)
+                rows["allowed"].append(allowed)
+                rows["matched_rule"].append(pattern)
+                rows["crawl_delay"].append(
+                    -1 if delay is None else delay
+                )
+                rows["n_sitemaps"].append(len(sitemaps))
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, agent string, allowed boolean, "
+            "matched_rule string, crawl_delay int, n_sitemaps long"
+        ),
+    )
+
+
 def q198_wds_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard ingest contract (extension; the OTHER
     archive format training corpora arrive in — multimodal datasets
@@ -6503,4 +6584,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q200_cc_pipeline": q200_cc_pipeline,
     "q201_warc_stream_ingest": q201_warc_stream_ingest,
     "q202_url_normalize": q202_url_normalize,
+    "q203_robots_decisions": q203_robots_decisions,
 }
