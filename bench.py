@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+the per-query detail line followed by ONE compact JSON summary line
+(the LAST line of stdout, sized to survive a 2 KB output-tail capture):
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "headline_suite_wall", "value": N, "unit": "sec",
+     "sf": ..., "calib_sec": ..., "r1_set_subtotal": ..., "n_queries": ...}
+
+The full per-query map is also written to BENCH_DETAIL.json.
 
 Each query is forced with a full-result count (no collect of payload;
 the driver measures plan+execute wall time). A warmup query absorbs
@@ -170,16 +174,38 @@ def main() -> None:
     ]
     r1_subtotal = round(sum(times[q] for q in r1_set if q in times), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    # The driver captures only the LAST ~2 KB of stdout; with 80+ query
+    # entries the full map no longer fits, so round 6's headline was
+    # truncated away ("parsed": null). Emit the per-query detail FIRST
+    # (and mirror it to BENCH_DETAIL.json for humans), then a compact
+    # final line with no "queries" dict so the parseable record always
+    # lands inside the tail capture.
+    detail = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else None,
+        "calib_sec": calib,
+        "r1_set_subtotal": r1_subtotal,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout copy above still has it
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": float(sf) if sf else None,
                 "calib_sec": calib,
                 "r1_set_subtotal": r1_subtotal,
+                "n_queries": len(times),
             }
         )
     )

@@ -109,15 +109,11 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4
+def _banded(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band.
-
-    Docs are exploded to `bands` rows keyed by (band index, band
-    signature); the self-join on that key touches only same-bucket
-    docs. Band signature = comma-joined row hashes.
-    """
+    """(id, band, sig): one row per doc per band; band signature =
+    comma-joined row hashes."""
     rows_per_band = num_hashes // bands
     sigs = [
         F.concat_ws(
@@ -125,7 +121,42 @@ def lsh_candidate_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = signatures.select(F.col(id_col), F.posexplode(F.array(*sigs)).alias("band", "sig"))
+    return signatures.select(F.col(id_col), F.posexplode(F.array(*sigs)).alias("band", "sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Docs are exploded to `bands` rows keyed by (band index, band
+    signature); the self-join on that key touches only same-bucket
+    docs.
+
+    ``max_bucket`` is the hot-bucket guard (VERDICT r6 #4): a bucket
+    of k same-band docs yields k²/2 pairs, and a boilerplate cluster
+    at 100 TB (k ~ 10⁶) melts the verify join. With a cap, only the
+    ``max_bucket`` smallest ids per (band, sig) bucket enter the
+    self-join (deterministic; the others may still pair via their
+    other bands). Recall loss is confined to over-cap buckets — audit
+    them with :func:`lsh_bucket_census` before trusting a cap. The
+    exact path (None) is for fixture-scale oracle parity; pipelines
+    should collapse exact-duplicate fingerprints FIRST
+    (minhash_dedup_pairs(collapse_exact=True)) so identical docs
+    never inflate a bucket to begin with.
+    """
+    banded = _banded(signatures, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "sig").orderBy(id_col)
+        banded = (
+            banded.withColumn("_bn", F.row_number().over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -137,6 +168,40 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_census(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Per-band audit of LSH bucket sizes — the overflow counter that
+    makes a ``max_bucket`` cap honest (q165's prefix-collision census
+    applied to the band space): (band, n_buckets, max_bucket_size,
+    n_overflow_buckets, n_docs_beyond_cap). Non-zero overflow means
+    the cap is dropping candidates in that band; size the cap (or add
+    bands) until it reads zero, or accept and document the recall
+    loss."""
+    cap = F.lit(max_bucket) if max_bucket is not None else None
+    sizes = (
+        _banded(signatures, id_col, num_hashes, bands)
+        .groupBy("band", "sig")
+        .agg(F.count("*").alias("k"))
+    )
+    over = (F.col("k") > cap) if cap is not None else F.lit(False)
+    beyond = (
+        F.when(over, F.col("k") - cap).otherwise(F.lit(0))
+        if cap is not None
+        else F.lit(0)
+    )
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("k").alias("max_bucket_size"),
+        F.sum(over.cast("long")).alias("n_overflow_buckets"),
+        F.sum(beyond).cast("long").alias("n_docs_beyond_cap"),
     )
 
 
@@ -177,11 +242,83 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    collapse_exact: bool = True,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
-    """Full MinHash→LSH→exact-verify near-dup pipeline."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return jaccard_verify(cands, docs, id_col, text_col, threshold)
+    """Full MinHash→LSH→exact-verify near-dup pipeline.
+
+    ``collapse_exact`` (the VERDICT r6 #4 hardening, on by default) is
+    the hot-bucket fix for EXACT duplicates: docs with identical token
+    sequences share every shingle, every signature, and every band, so
+    a k-clone boilerplate cluster used to put k rows in one band
+    bucket (k²/2 candidate pairs through the band join AND the verify
+    join, ×bands). Instead:
+
+    1. group docs by token fingerprint (one md5 of the token stream —
+       q33's machinery); only the min-id REPRESENTATIVE of each group
+       enters the signature/LSH/verify pipeline, so the expensive path
+       is linear in DISTINCT content;
+    2. expand back exactly: intra-group pairs are jaccard 1.0 by
+       construction (identical token streams ⇒ identical shingle
+       sets), and a cross-group pair (x∈A, y∈B) shares a band iff the
+       reps do and has jaccard(x,y) == jaccard(rep_A, rep_B) — so the
+       rep-level verified pairs expand to member pairs by two joins.
+
+    The expansion is output-bound (those pairs ARE the answer a pair
+    list owes its caller); the candidate/verify work no longer is.
+    Result set is IDENTICAL to the uncollapsed pipeline — pinned by
+    tests/test_dedup_scale.py on a mixed clone/near-dup corpus.
+
+    ``max_bucket`` guards the residual case (near-identical but
+    distinct boilerplate): after the collapse, only distinct-content
+    docs remain in any bucket, and the cap bounds the self-join at
+    cap·k per bucket. Fixture buckets sit far under 4096, so oracle
+    answers are unchanged; audit real corpora with lsh_bucket_census.
+    """
+    if not collapse_exact:
+        sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+        cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket)
+        return jaccard_verify(cands, docs, id_col, text_col, threshold)
+
+    # token fingerprint: docs with < n tokens have empty shingle sets
+    # and never reach the signature table — exclude them so the
+    # expansion can't invent pairs the direct pipeline wouldn't emit
+    ngram = 3  # matches shingle_sets/minhash_signatures default
+    members = (
+        docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+        .filter(F.size("_tk") >= ngram)
+        .select(F.col(id_col), md5_int(F.concat_ws(" ", "_tk")).alias("_fp"))
+    )
+    groups = members.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
+    mem = members.join(groups, "_fp").select(F.col(id_col), "_fp", "_rep")
+    rep_docs = docs.join(
+        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    sigs = minhash_signatures(rep_docs, id_col, text_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket)
+    rep_pairs = jaccard_verify(cands, rep_docs, id_col, text_col, threshold)
+
+    ma = mem.select(F.col(id_col).alias("_ia"), F.col("_fp"), F.col("_rep"))
+    mb = mem.select(F.col(id_col).alias("_ib"), F.col("_fp"), F.col("_rep"))
+    intra = (
+        ma.join(mb, "_fp")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    cross = (
+        rep_pairs.join(ma.withColumnRenamed("_rep", "id_a"), "id_a")
+        .join(mb.withColumnRenamed("_rep", "id_b"), "id_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def dedup_clusters(
@@ -212,6 +349,7 @@ def dedup_clusters(
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.b == labels.node)
@@ -234,7 +372,16 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # same silent-truncation law as greedy_leader_filter: a
+        # component wider than the cap would get SPLIT labels
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still moving) — component diameter "
+            f"exceeds the cap; pass a larger max_iters"
+        )
     return labels.select(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_rep"),
@@ -327,7 +474,7 @@ def simhash(
 
 
 def greedy_leader_filter(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 50
 ) -> DataFrame:
     """Arrival-order greedy near-dup resolution: a doc is KEPT iff no
     verified near-dup pair connects it to a smaller-id doc that is
@@ -344,6 +491,14 @@ def greedy_leader_filter(
     the loop; everything else is kept by construction, so the iterated
     frontier is the (small) candidate set, not the corpus.
 
+    Convergence is ASSERTED, not assumed (VERDICT r6 #3): the round
+    count needed is the longest blocked chain, and a boilerplate
+    corpus at 100× can build chains a fixed cap silently truncates —
+    which would return a wrong keep-set with no signal. If the cap
+    exits before a fixed point (``changed == 0``), this raises instead
+    of returning; callers with legitimately deep chains pass a larger
+    ``max_iters``.
+
     Returns docs + boolean ``keep`` column.
     """
     fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -355,7 +510,8 @@ def greedy_leader_filter(
     )
     # start optimistic: everyone kept; blocked rows flip per round
     kept = cand_ids.select("id", F.lit(True).alias("keep")).localCheckpoint(eager=True)
-    for _ in range(25):
+    converged = False
+    for _ in range(max_iters):
         blockers = kept.filter(F.col("keep")).select(F.col("id").alias("a"))
         blocked = fwd.join(blockers, "a").select(F.col("b").alias("id")).distinct()
         new_kept = (
@@ -371,7 +527,15 @@ def greedy_leader_filter(
         )
         kept = new_kept
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"greedy_leader_filter did not reach a fixed point in "
+            f"{max_iters} rounds ({changed} rows still flipping) — the "
+            f"candidate graph has a blocked chain longer than the cap; "
+            f"pass a larger max_iters rather than trusting this keep-set"
+        )
     return (
         docs.join(kept.withColumnRenamed("id", id_col), id_col, "left")
         .withColumn("keep", F.coalesce("keep", F.lit(True)))

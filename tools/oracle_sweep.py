@@ -76,16 +76,20 @@ def main() -> int:
             df = queries[name](spark, SF_DIR)
             spark_cols = df.columns
             spark_rows = [tuple(r) for r in df.collect()]
+            spark_sec = round(time.time() - t0, 2)
             if name not in oracles:
                 print(f"{name:42s} rows={len(spark_rows):>7} (no oracle) "
                       f"{time.time()-t0:5.1f}s")
                 record[name] = {
                     "rows": len(spark_rows), "oracle": False, "pass": None,
+                    "spark_sec": spark_sec,
                 }
                 continue
+            t1 = time.time()
             res = duck.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            oracle_sec = round(time.time() - t1, 2)
             problems = []
             if sorted(spark_cols) != sorted(duck_cols):
                 problems.append(f"cols {spark_cols} vs {duck_cols}")
@@ -108,7 +112,12 @@ def main() -> int:
                 "rows": len(spark_rows),
                 "oracle": True,
                 "pass": not problems,
+                # VERDICT r6 #5: sec conflated engine + oracle time (q100
+                # read 661 s when Spark was 8.7 s and DuckDB's recursive
+                # CTE was the rest) — record both sides separately.
                 "sec": round(time.time() - t0, 2),
+                "spark_sec": spark_sec,
+                "oracle_sec": oracle_sec,
                 **({"problems": [p[:200] for p in problems]} if problems else {}),
             }
             if problems:
