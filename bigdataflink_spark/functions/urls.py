@@ -68,7 +68,10 @@ def url_path(url: Column) -> Column:
 
 
 def url_query(url: Column) -> Column:
-    return F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchored so a '?' that first appears inside the FRAGMENT can't
+    # masquerade as a query (RFC 3986: the query ends at '#'): consume
+    # the query-less prefix, require the '?' before any '#' (ADVICE r6)
+    return F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
 
 
 def url_fragment(url: Column) -> Column:

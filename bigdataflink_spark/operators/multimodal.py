@@ -2884,11 +2884,16 @@ def gif_decode(
             fmeta["local_indices"] = idx
             fmeta["local_table"] = local
         region = canvas[top : top + lh, left : left + lw]
-        if transparent is not None:
-            mask = idx != transparent
-            region[mask] = idx[mask]
-        elif local is None:
-            region[:] = idx
+        # frames with a LOCAL color table index a different palette —
+        # compositing their indices onto the globally-indexed canvas
+        # would mix palettes (they ride in meta['local_indices'] only);
+        # the guard applies to the transparency branch too (ADVICE r6)
+        if local is None:
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = idx[mask]
+            else:
+                region[:] = idx
         frames.append(canvas.copy())
         meta.append(fmeta)
         if disposal == 2:

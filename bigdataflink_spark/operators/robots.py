@@ -86,19 +86,38 @@ def parse_robots(text: str) -> tuple[list[RobotsGroup], list[str]]:
     return groups, sitemaps
 
 
+def _merge(matched: list[RobotsGroup]) -> "RobotsGroup | None":
+    if not matched:
+        return None
+    if len(matched) == 1:
+        return matched[0]
+    merged = RobotsGroup()
+    for g in matched:
+        merged.agents.extend(g.agents)
+        merged.rules.extend(g.rules)
+        if g.crawl_delay is not None and (
+            merged.crawl_delay is None or g.crawl_delay < merged.crawl_delay
+        ):
+            merged.crawl_delay = g.crawl_delay
+    return merged
+
+
 def select_group(
     groups: list[RobotsGroup], agent: str
 ) -> "RobotsGroup | None":
     """Exact (case-insensitive) agent-token match beats the ``*``
-    group; no match → None (everything allowed)."""
+    group; no match → None (everything allowed).
+
+    RFC 9309 §2.2.1: a crawler obeys the UNION of the rules of every
+    group whose agent list matches, so multiple ``User-agent: foo``
+    (or multiple ``*``) groups merge — rules concatenated, strictest
+    (minimum) crawl-delay kept — rather than first-group-wins
+    (ADVICE r6)."""
     agent = agent.lower()
-    star = None
-    for g in groups:
-        if agent in g.agents:
-            return g
-        if star is None and "*" in g.agents:
-            star = g
-    return star
+    exact = _merge([g for g in groups if agent in g.agents])
+    if exact is not None:
+        return exact
+    return _merge([g for g in groups if "*" in g.agents])
 
 
 def robots_decision(

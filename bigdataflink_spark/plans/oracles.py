@@ -3896,7 +3896,7 @@ parts AS (
       ':([0-9]+)$', 1) AS port_s,
     regexp_extract(url,
       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-    regexp_extract(url, '\\?([^#]*)', 1) AS query,
+    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query,
     regexp_extract(url, '#(.*)$', 1) AS fragment
   FROM built
 )

@@ -6259,7 +6259,10 @@ def q198_wds_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             key=lambda t: int(t[0]),
         ):
             meta = json.dumps(
-                {"doc_id": int(doc_id), "lang": str(lang),
+                # NULL lang must round-trip as JSON null, not the
+                # string 'None' — the oracle reads the table column
+                {"doc_id": int(doc_id),
+                 "lang": None if pd_.isna(lang) else str(lang),
                  "n_chars": int(n_chars)},
                 sort_keys=True, separators=(",", ":"),
             ).encode()

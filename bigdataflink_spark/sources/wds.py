@@ -139,17 +139,21 @@ def iter_wds_samples(
 ) -> Iterator[tuple[str, dict[str, bytes]]]:
     """Group a shard's members into WebDataset samples:
     ``(key, {ext: payload})`` per run of adjacent members sharing the
-    key (basename up to the FIRST dot, so ``x.seg.png`` is ext
-    ``seg.png``). Enforces adjacency — a key that reappears later in
-    the shard raises."""
+    key — the member path up to the FIRST dot of the basename, so
+    ``d/x.seg.png`` is key ``d/x`` with ext ``seg.png`` (real
+    WebDataset keys include the directory, and two samples in
+    different directories sharing a basename are distinct; ADVICE r6).
+    Enforces adjacency — a key that reappears later in the shard
+    raises."""
     seen: set[str] = set()
     cur_key: str | None = None
     cur: dict[str, bytes] = {}
     for name, payload in iter_tar_members(data):
-        base = name.rsplit("/", 1)[-1]
-        key, dot, ext = base.partition(".")
+        dirpart, _, base = name.rpartition("/")
+        stem, dot, ext = base.partition(".")
         if not dot:
             raise ValueError(f"member {name!r} has no extension")
+        key = f"{dirpart}/{stem}" if dirpart else stem
         if key != cur_key:
             if cur_key is not None:
                 yield cur_key, cur

@@ -60,3 +60,30 @@ def test_gif_lzw_roundtrip_property(mcs, seed, n):
     rng = np.random.RandomState(seed)
     data = rng.randint(0, 1 << mcs, n).astype(np.uint8).tobytes()
     assert bytes(_gif_lzw_decode(_gif_lzw_encode(data, mcs), mcs)) == data
+
+
+def test_local_palette_frame_never_composites_onto_global_canvas():
+    # a frame with BOTH a local color table and a GCE transparent
+    # index must stay out of the globally-indexed canvas (its indices
+    # mean different colors) — it rides in meta only (ADVICE r6)
+    import struct
+
+    from bigdataflink_spark.operators.multimodal import _gif_subblocks
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 2, 1)             # 2x1 canvas
+    out += bytes([0xF0, 0, 0])                  # GCT present, 2 entries
+    out += bytes([0, 0, 0, 255, 255, 255])      # global palette
+    out += b"\x21\xf9\x04" + bytes([1])         # GCE: transparency on
+    out += struct.pack("<H", 0) + bytes([0, 0])  # delay, transp idx 0
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1)
+    out += bytes([0x80])                        # LOCAL table, 2 entries
+    out += bytes([255, 0, 0, 0, 255, 0])        # local palette
+    out += bytes([2]) + _gif_subblocks(_gif_lzw_encode(bytes([0, 1]), 2))
+    out += b"\x3b"
+    frames, pal, meta = gif_decode(bytes(out))
+    assert (frames[0] == 0).all()               # canvas untouched
+    assert meta[0]["local_palette"] is True
+    assert (meta[0]["local_indices"] == np.array([[0, 1]])).all()
+    assert (meta[0]["local_table"] == np.array(
+        [[255, 0, 0], [0, 255, 0]], dtype=np.uint8)).all()

@@ -87,3 +87,37 @@ def test_wild_file_tolerance():
     g2, _ = parse_robots(txt2)
     assert len(g2) == 2
     assert robots_decision(g2, "b", "/x")[0] is True
+
+
+def test_multiple_matching_groups_merge():
+    # RFC 9309 §2.2.1: ALL groups matching the agent merge — rules
+    # from a second 'User-agent: foo' group must not be ignored
+    txt = """
+User-agent: FooBot
+Disallow: /a/
+
+User-agent: Other
+Disallow: /
+
+User-agent: FooBot
+Crawl-delay: 9
+Disallow: /b/
+"""
+    assert _decide(txt, "foobot", "/a/x")[0] is False
+    assert _decide(txt, "foobot", "/b/x")[0] is False  # second group's rule
+    assert _decide(txt, "foobot", "/c")[0] is True
+    assert _decide(txt, "foobot", "/b/x")[2] == 9  # delay from either group
+
+    # multiple '*' groups merge too, and min crawl-delay wins
+    txt2 = """
+User-agent: *
+Crawl-delay: 5
+Disallow: /one
+
+User-agent: *
+Crawl-delay: 3
+Disallow: /two
+"""
+    assert _decide(txt2, "anybot", "/one")[0] is False
+    assert _decide(txt2, "anybot", "/two")[0] is False
+    assert _decide(txt2, "anybot", "/three")[2] == 3

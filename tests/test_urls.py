@@ -68,3 +68,12 @@ def test_path_query_fragment_and_params(spark):
     assert _one(
         spark, "https://h/a%2db%7e", lambda c: U.percent_decode_basic(U.url_path(c))
     ) == "/a-b~"
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    # RFC 3986: the query ends at '#'; a '?' first appearing inside
+    # the fragment must not leak back out as a query (ADVICE r6)
+    u = "http://h/p#a?b=1"
+    assert _one(spark, u, U.url_query) == ""
+    assert _one(spark, u, lambda c: U.url_query_param(c, "b")) == ""
+    assert _one(spark, u, U.url_fragment) == "a?b=1"

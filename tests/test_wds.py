@@ -58,7 +58,8 @@ def test_we_read_stdlib_tarfile_shards():
     got = list(iter_tar_members(buf.getvalue()))
     assert got == members
     samples = dict(iter_wds_samples(buf.getvalue()))
-    assert samples["000001"] == {"txt": b"alpha", "json": b'{"a":1}'}
+    # keys carry the directory (real WebDataset key semantics)
+    assert samples["s/000001"] == {"txt": b"alpha", "json": b'{"a":1}'}
 
 
 def test_long_names_via_prefix_field():
@@ -130,3 +131,22 @@ def test_property_wds_round_trip(samples):
     with tarfile.open(fileobj=io.BytesIO(shard)) as tf:
         names = [m.name for m in tf.getmembers()]
     assert names == [f"{k}.{e}" for k, exts in keyed for e, _ in exts]
+
+
+def test_same_basename_in_different_dirs_are_distinct_samples():
+    # real WebDataset keys include the directory: d1/s.txt and
+    # d2/s.txt are two samples, not a non-adjacent reappearance
+    shard = tar_build_shard([
+        ("d1/s.txt", b"1"), ("d1/s.json", b"{}"), ("d2/s.txt", b"2"),
+    ])
+    samples = list(iter_wds_samples(shard))
+    assert samples == [
+        ("d1/s", {"txt": b"1", "json": b"{}"}),
+        ("d2/s", {"txt": b"2"}),
+    ]
+    # the SAME dir+key reappearing non-adjacently still raises
+    bad = tar_build_shard([
+        ("d1/a.x", b"1"), ("d2/a.x", b"2"), ("d1/a.y", b"3"),
+    ])
+    with pytest.raises(ValueError, match="non-adjacent"):
+        list(iter_wds_samples(bad))
