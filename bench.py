@@ -124,6 +124,7 @@ HEADLINE = [
     "q201_warc_stream_ingest",
     "q202_url_normalize",
     "q203_robots_decisions",
+    "q204_jpeg_progressive",
 ]
 
 

@@ -1512,6 +1512,40 @@ def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
     return plane.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
 
 
+def _jpeg_quantized_planes(
+    img: np.ndarray, quality: int, hs: int, vs: int
+) -> tuple:
+    """Shared encoder front half (baseline AND progressive emit the
+    same coefficients — only the entropy-coding order differs): RGB →
+    YCbCr, MCU-multiple edge padding, chroma box decimation, batched
+    DCT/quantize/zigzag. Returns ([comp][by][bx] -> 64 zigzag ints,
+    padded H, padded W)."""
+    h, w = img.shape[:2]
+    qlum, qchr = _quant_tables(quality)
+
+    # RGB -> YCbCr (JFIF, float then clamp)
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+    planes = [np.clip(p, 0, 255) - 128.0 for p in (y, cb, cr)]
+
+    # pad to MCU multiples (edge replicate): 8x8 at 4:4:4, 16x8 at
+    # 4:2:2, 16x16 at 4:2:0
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    H = (h + mcu_h - 1) // mcu_h * mcu_h
+    W = (w + mcu_w - 1) // mcu_w * mcu_w
+    planes = [
+        np.pad(p, ((0, H - h), (0, W - w)), mode="edge") for p in planes
+    ]
+    zzs = [
+        _zigzag_quant_blocks(planes[0], qlum),
+        _zigzag_quant_blocks(_box_downsample(planes[1], vs, hs), qchr),
+        _zigzag_quant_blocks(_box_downsample(planes[2], vs, hs), qchr),
+    ]
+    return zzs, H, W
+
+
 def jpeg_encode(
     img: np.ndarray,
     quality: int = 90,
@@ -1535,37 +1569,15 @@ def jpeg_encode(
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
     hs, vs = _SUBSAMPLE_FACTORS[subsample]
     h, w = img.shape[:2]
-    qlum, qchr = _quant_tables(quality)
-
-    # RGB -> YCbCr (JFIF, float then clamp)
-    f = img.astype(np.float64)
-    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
-    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
-    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
-    planes = [np.clip(p, 0, 255) - 128.0 for p in (y, cb, cr)]
-
-    # pad to MCU multiples (edge replicate): 8x8 at 4:4:4, 16x8 at
-    # 4:2:2, 16x16 at 4:2:0
-    mcu_w, mcu_h = 8 * hs, 8 * vs
-    H = (h + mcu_h - 1) // mcu_h * mcu_h
-    W = (w + mcu_w - 1) // mcu_w * mcu_w
-    planes = [
-        np.pad(p, ((0, H - h), (0, W - w)), mode="edge") for p in planes
-    ]
-
+    zzs, H, W = _jpeg_quantized_planes(img, quality, hs, vs)
     dc_l, dc_c = _huff_codes(*_H_DC_LUM), _huff_codes(*_H_DC_CHR)
     ac_l, ac_c = _huff_codes(*_H_AC_LUM), _huff_codes(*_H_AC_CHR)
-    zzs = [
-        _zigzag_quant_blocks(planes[0], qlum),
-        _zigzag_quant_blocks(_box_downsample(planes[1], vs, hs), qchr),
-        _zigzag_quant_blocks(_box_downsample(planes[2], vs, hs), qchr),
-    ]
     samp = [(hs, vs), (1, 1), (1, 1)]
     dhs = [dc_l, dc_c, dc_c]
     ahs = [ac_l, ac_c, ac_c]
     bw = _BitWriter()
     dc_prev = [0, 0, 0]
-    mcus_y, mcus_x = H // mcu_h, W // mcu_w
+    mcus_y, mcus_x = H // (8 * vs), W // (8 * hs)
     mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -1602,6 +1614,216 @@ def jpeg_encode(
         b"\xff\xd8" + app0 + _dqt_segments(quality) + _dht_segments()
         + dri + sof + sos + scan + b"\xff\xd9"
     )
+
+
+# libjpeg's standard 10-scan progressive script: DC first at Al=1,
+# spectral-selection AC bands coarse-to-fine, then one successive-
+# approximation refinement chain per coefficient down to Al=0.
+# Entries: (component indices, Ss, Se, Ah, Al).
+_PROGRESSIVE_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _enc_ac_first_block(
+    bw: _BitWriter, ac_huff: dict, blk: list, ss: int, se: int, al: int
+) -> None:
+    """Progressive AC first pass for one block (T.81 G.1.2.2).
+    EOB runs are kept per-block (plain 0x00 EOB, never EOBn with
+    r > 0) so the Annex K tables — which lack the EOBn symbols —
+    stay sufficient; costs a little compression, changes no pixels."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = blk[k]
+        t2 = (t if t >= 0 else -t) >> al
+        if t2 == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_huff[0xF0]
+            bw.put(c, ln)
+            r -= 16
+        s = t2.bit_length()
+        c, ln = ac_huff[(r << 4) | s]
+        bw.put(c, ln)
+        bw.put(t2 if t >= 0 else -t2 + (1 << s) - 1, s)
+        r = 0
+    if r:
+        c, ln = ac_huff[0x00]
+        bw.put(c, ln)
+
+
+def _enc_ac_refine_block(
+    bw: _BitWriter, ac_huff: dict, blk: list, ss: int, se: int, ah: int, al: int
+) -> None:
+    """Progressive AC refinement pass for one block (T.81 G.1.2.3 /
+    libjpeg encode_mcu_AC_refine): run lengths count zero-HISTORY
+    positions; already-significant coefficients buffer a correction
+    bit that flushes after the next emitted symbol. ZRLs are emitted
+    eagerly at the first nonzero coefficient once r > 15 — but only
+    while a newly-significant coefficient is still ahead (trailing
+    runs fold into EOB) — which is exactly what keeps the buffered
+    correction bits aligned with the decoder's traversal."""
+    if ah != al + 1:
+        raise ValueError("refinement scans must step Al one bit at a time")
+    # last newly-significant position: ZRLs are pointless beyond it
+    eob_pos = ss - 1
+    for k in range(ss, se + 1):
+        a = abs(blk[k]) >> al
+        if a == 1:
+            eob_pos = k
+    r = 0
+    be: list[int] = []
+    for k in range(ss, se + 1):
+        a = abs(blk[k]) >> al
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_pos:
+            c, ln = ac_huff[0xF0]
+            bw.put(c, ln)
+            r -= 16
+            for b in be:
+                bw.put(b, 1)
+            be = []
+        if a > 1:  # already significant: one correction bit
+            be.append(a & 1)
+            continue
+        # newly significant (a == 1 since Ah == Al+1): sign + flush
+        c, ln = ac_huff[(r << 4) | 1]
+        bw.put(c, ln)
+        bw.put(1 if blk[k] > 0 else 0, 1)
+        for b in be:
+            bw.put(b, 1)
+        be = []
+        r = 0
+    if r or be:
+        c, ln = ac_huff[0x00]
+        bw.put(c, ln)
+        for b in be:
+            bw.put(b, 1)
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    script: "tuple | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PROGRESSIVE JFIF JPEG
+    (SOF2, T.81 Annex G): spectral selection + successive
+    approximation over the SAME quantized coefficients the baseline
+    encoder emits — so ``jpeg_decode(jpeg_encode_progressive(x))``
+    is pixel-identical to ``jpeg_decode(jpeg_encode(x))`` at equal
+    (quality, subsample), which is the test/oracle contract.
+
+    ``script`` overrides the default libjpeg-style 10-scan script
+    with (comps, Ss, Se, Ah, Al) tuples — any T.81-legal order works
+    (DC-first-per-component before its AC; Ah chains stepping one
+    bit). A nonzero ``restart_interval`` emits a DRI segment and RSTn
+    markers every that many MCUs in EVERY scan (for single-component
+    scans an MCU is one block)."""
+    import struct
+
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    hs, vs = _SUBSAMPLE_FACTORS[subsample]
+    h, w = img.shape[:2]
+    zzs, H, W = _jpeg_quantized_planes(img, quality, hs, vs)
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    mcus_y, mcus_x = H // (8 * vs), W // (8 * hs)
+    # non-interleaved (single-component scan) grids: the component's
+    # own ceil dims, NOT the MCU-padded grid (T.81 A.2.2)
+    comp_bdims = [
+        (
+            (-(-(h * cv) // vs) + 7) // 8,
+            (-(-(w * ch) // hs) + 7) // 8,
+        )
+        for ch, cv in samp
+    ]
+    dc_huff = [_huff_codes(*_H_DC_LUM)] + [_huff_codes(*_H_DC_CHR)] * 2
+    ac_huff = [_huff_codes(*_H_AC_LUM)] + [_huff_codes(*_H_AC_CHR)] * 2
+    if script is None:
+        script = _PROGRESSIVE_SCRIPT
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_segments(quality)
+    out += _dht_segments()
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for comps_s, ss, se, ah, al in script:
+        ns = len(comps_s)
+        if ss > 0 and ns != 1:
+            raise ValueError("AC scans must be single-component")
+        sosb = bytes([ns])
+        for ci in comps_s:
+            t = 0 if ci == 0 else 1
+            sosb += bytes([ci + 1, (t << 4) | t])
+        sosb += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sosb)
+
+        if ns == 1:
+            ci = comps_s[0]
+            nby, nbx = comp_bdims[ci]
+            units = [
+                [(ci, by, bx)] for by in range(nby) for bx in range(nbx)
+            ]
+        else:
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for ci in comps_s:
+                        ch, cv = samp[ci]
+                        for r in range(cv):
+                            for c in range(ch):
+                                unit.append((ci, my * cv + r, mx * ch + c))
+                    units.append(unit)
+
+        bw = _BitWriter()
+        dc_prev = {ci: 0 for ci in comps_s}
+        for mcu_idx, unit in enumerate(units):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.restart((mcu_idx // restart_interval - 1) & 7)
+                dc_prev = {ci: 0 for ci in comps_s}
+            for ci, by, bx in unit:
+                blk = zzs[ci][by][bx]
+                if ss == 0:
+                    if ah == 0:  # DC first: diff-code dc >> Al
+                        t = blk[0] >> al
+                        diff = t - dc_prev[ci]
+                        dc_prev[ci] = t
+                        s = abs(diff).bit_length()
+                        code, ln = dc_huff[ci][s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+                    else:  # DC refine: one raw bit per block
+                        bw.put((blk[0] >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first_block(bw, ac_huff[ci], blk, ss, se, al)
+                else:
+                    _enc_ac_refine_block(bw, ac_huff[ci], blk, ss, se, ah, al)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 class _BitReader:
@@ -1765,19 +1987,192 @@ def _decode_block(br: _BitReader, dct: dict, act: dict) -> list:
     return zz
 
 
+def _ac_first(
+    br: _BitReader, act: list, blk: list, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC scan, first pass (Ah == 0, T.81 G.1.2.2): the
+    band's coefficients at precision Al, with EOBn codes encoding
+    end-of-band RUNS across blocks. Returns the remaining eobrun."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block ends the band...
+            if r:
+                eobrun += br.bits(r)  # ...plus 2^r-1+ext more blocks
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows spectral band")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(
+    br: _BitReader, act: list, blk: list, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC scan, refinement pass (Ah > 0, T.81 G.1.2.3):
+    newly significant coefficients arrive as ±2^Al; every already-
+    nonzero coefficient traversed consumes one correction bit. The
+    run lengths in R/S codes count ZERO-history positions only."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn — INCLUDES this block: the sweep
+                    # below must still consume this block's remaining
+                    # correction bits, then decrement (libjpeg's
+                    # EOBRUN = 1<<r ... EOBRUN-- structure)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: r == 15 zero-history positions skipped below
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan code with s != 1")
+                val = p1 if br.bits(1) else m1
+            while k <= se:
+                c = blk[k]
+                if c != 0:
+                    if br.bits(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # end-of-band: corrections only
+            c = blk[k]
+            if c != 0:
+                if br.bits(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(
+    br: _BitReader,
+    scan_comps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    htables: dict,
+    store: dict,
+    nb: dict,
+    comp_blocks: dict,
+    by_id: dict,
+    mcus_y: int,
+    mcus_x: int,
+    restart_interval: int,
+) -> None:
+    """Decode ONE entropy-coded scan into the coefficient store.
+
+    Sequential scans (full spectral range) run _decode_block;
+    progressive scans dispatch on (Ss, Ah) per T.81 Annex G: DC
+    first/refine (interleaved allowed), AC first/refine (single
+    component only, cross-block EOB runs). A single-component scan is
+    non-interleaved: MCU = one block, raster over the component's own
+    ceil grid (T.81 A.2.2) — NOT the MCU-padded grid."""
+    ns = len(scan_comps)
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("sequential scan with progressive parameters")
+
+    if ns == 1:
+        cs, td, ta = scan_comps[0]
+        nby, nbx_c = comp_blocks[cs]
+        _, nbx = nb[cs]
+        blocks = [by * nbx + bx for by in range(nby) for bx in range(nbx_c)]
+        units = [[(cs, td, ta, idx)] for idx in blocks]
+    else:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for cs, td, ta in scan_comps:
+                    ch, cv, _ = by_id[cs]
+                    _, nbx = nb[cs]
+                    for r in range(cv):
+                        for c in range(ch):
+                            unit.append(
+                                (cs, td, ta, (my * cv + r) * nbx + (mx * ch + c))
+                            )
+                units.append(unit)
+
+    dc_prev = {cs: 0 for cs, _, _ in scan_comps}
+    eobrun = 0
+    for mcu_idx, unit in enumerate(units):
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            br.sync_restart(mcu_idx // restart_interval - 1)
+            dc_prev = {cs: 0 for cs, _, _ in scan_comps}
+            eobrun = 0
+        for cs, td, ta, idx in unit:
+            blk = store[cs][idx]
+            if not progressive:
+                zz = _decode_block(br, htables[0x00 | td], htables[0x10 | ta])
+                dc_prev[cs] += zz[0]
+                zz[0] = dc_prev[cs]
+                store[cs][idx] = zz
+            elif ss == 0:  # DC scan
+                if ah == 0:
+                    s = _read_huff(br, htables[0x00 | td])
+                    dc_prev[cs] += _extend(br.bits(s), s) if s else 0
+                    blk[0] = dc_prev[cs] << al
+                else:  # refinement: one raw bit per block
+                    blk[0] |= br.bits(1) << al
+            else:  # AC scan
+                act = htables[0x10 | ta]
+                if ah == 0:
+                    eobrun = _ac_first(br, act, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, act, blk, ss, se, al, eobrun)
+
+
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF JPEG to an (h, w, 3) uint8
-    RGB array: full segment walk, in-file DQT/DHT tables, entropy
-    decode with byte unstuffing, DRI/RSTn restart intervals,
-    per-component sampling factors (4:4:4, 4:2:2, 4:2:0 and any
-    integer h/v in 1..4 whose ratio to the max divides evenly —
-    chroma upsampled by sample replication), batched dequant + IDCT,
-    and color conversion with planes mapped BY COMPONENT ID against
-    the SOF order (a scan listing components in a foreign order can
-    never swap color channels). Grayscale (1-component) files decode
-    to replicated RGB. Raises NotImplementedError for progressive /
-    extended-sequential scans, 16-bit quant tables, and fractional
-    sampling ratios."""
+    """Decode a JFIF JPEG to an (h, w, 3) uint8 RGB array: full
+    segment walk, in-file DQT/DHT tables, entropy decode with byte
+    unstuffing, DRI/RSTn restart intervals, per-component sampling
+    factors (4:4:4, 4:2:2, 4:2:0 and any integer h/v in 1..4 whose
+    ratio to the max divides evenly — chroma upsampled by sample
+    replication), batched dequant + IDCT, and color conversion with
+    planes mapped BY COMPONENT ID against the SOF order (a scan
+    listing components in a foreign order can never swap color
+    channels). Grayscale (1-component) files decode to replicated
+    RGB.
+
+    Supports baseline sequential (SOF0) — interleaved or per-
+    component multi-scan — and PROGRESSIVE (SOF2, T.81 Annex G):
+    spectral selection, successive approximation (DC first/refine,
+    AC first/refine with cross-block EOB runs), scans in any legal
+    order, per-scan DRI changes. Coefficients accumulate across
+    scans in one integer store and the reconstruction shares the
+    sequential path's batched IDCT. Raises NotImplementedError for
+    extended-sequential/lossless SOFs, 16-bit quant tables, and
+    fractional sampling ratios."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -1786,10 +2181,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict] = {}
     comps = None  # SOF order: (cid, h_i, v_i, tq)
+    progressive = False
     h = w = 0
     restart_interval = 0
-    scan_comps = None
-    scan_data = None
+    saw_scan = False
+    # allocated at first SOS
+    by_id = nb = comp_blocks = store = None
+    hmax = vmax = mcus_x = mcus_y = 0
+
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -1825,9 +2224,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + nv])
                 htables[tc_th] = _huff_decode_table(bits, vals)
                 b += 17 + nv
-        elif marker == 0xDD:  # DRI
+        elif marker == 0xDD:  # DRI (may change between scans)
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8 or nc not in (1, 3):
                 raise NotImplementedError("8-bit 1- or 3-component only")
@@ -1835,75 +2235,85 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential (SOF0)")
-        elif marker == 0xDA:  # SOS
+        elif marker in (0xC1, 0xC3):
+            raise NotImplementedError(
+                "extended-sequential/lossless SOF not supported"
+            )
+        elif marker == 0xDA:  # SOS — decode this scan in place
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            if store is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                for cid, ch, cv, _ in comps:
+                    if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                        raise ValueError(f"illegal sampling factors {ch}x{cv}")
+                    if hmax % ch or vmax % cv:
+                        raise NotImplementedError(
+                            f"fractional sampling ratio {hmax}/{ch} or {vmax}/{cv}"
+                        )
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+                # MCU-padded store; single-component (non-interleaved)
+                # scans address the component's OWN ceil grid inside it
+                nb = {cid: (mcus_y * cv, mcus_x * ch) for cid, ch, cv, _ in comps}
+                comp_blocks = {
+                    cid: (
+                        (-(-(h * cv) // vmax) + 7) // 8,
+                        (-(-(w * ch) // hmax) + 7) // 8,
+                    )
+                    for cid, ch, cv, _ in comps
+                }
+                store = {
+                    cid: [[0] * 64 for _ in range(nby * nbx)]
+                    for cid, (nby, nbx) in nb.items()
+                }
             ns = body[0]
             scan_comps = []
             for i in range(ns):
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((cs, tables >> 4, tables & 0x0F))
-            scan_data = payload[pos + 2 + seglen :]
-            break
-        pos += 2 + seglen
-    if comps is None or scan_data is None:
-        raise ValueError("JPEG missing SOF0 or SOS")
-    if scan_comps is not None and {c for c, _, _ in scan_comps} != {
-        c for c, _, _, _ in comps
-    }:
-        raise NotImplementedError("multi-scan (non-interleaved) files")
-    # strip the trailing EOI from the entropy stream
-    end = scan_data.rfind(b"\xff\xd9")
-    if end != -1:
-        scan_data = scan_data[:end]
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for cid, ch, cv, _ in comps:
-        if not (1 <= ch <= 4 and 1 <= cv <= 4):
-            raise ValueError(f"illegal sampling factors {ch}x{cv}")
-        if hmax % ch or vmax % cv:
-            raise NotImplementedError(
-                f"fractional sampling ratio {hmax}/{ch} or {vmax}/{cv}"
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            entropy = payload[pos + 2 + seglen :]
+            br = _BitReader(entropy)
+            _jpeg_decode_scan(
+                br, scan_comps, ss, se, ah, al, progressive, htables,
+                store, nb, comp_blocks, by_id, mcus_y, mcus_x,
+                restart_interval,
             )
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
-    # per-component zigzag coefficient store, MCU-raster block order
-    nb = {cid: (mcus_y * cv, mcus_x * ch) for cid, ch, cv, tq in comps}
-    zz_store = {
-        cid: np.zeros((nby * nbx, 64), dtype=np.float64)
-        for cid, (nby, nbx) in nb.items()
-    }
-    br = _BitReader(scan_data)
-    dc_prev = {cid: 0 for cid, _, _, _ in comps}
-    mcu_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                br.sync_restart(mcu_idx // restart_interval - 1)
-                dc_prev = {cid: 0 for cid, _, _, _ in comps}
-            for cs, td, ta in scan_comps:
-                ch, cv, _ = by_id[cs]
-                dct = htables[0x00 | td]
-                act = htables[0x10 | ta]
-                _, nbx = nb[cs]
-                for r in range(cv):
-                    for c in range(ch):
-                        zz = _decode_block(br, dct, act)
-                        dc_prev[cs] += zz[0]
-                        zz[0] = dc_prev[cs]
-                        zz_store[cs][
-                            (my * cv + r) * nbx + (mx * ch + c)
-                        ] = zz
-            mcu_idx += 1
+            saw_scan = True
+            # advance to the next marker after the consumed entropy
+            # bytes (skipping stuffed FF00 pairs and FF fill bytes)
+            p = br.pos
+            while True:
+                nxt = entropy.find(b"\xff", p)
+                if nxt == -1 or nxt + 1 >= len(entropy):
+                    p = len(entropy)
+                    break
+                b2 = entropy[nxt + 1]
+                if b2 == 0x00:
+                    p = nxt + 2
+                    continue
+                if b2 == 0xFF:
+                    p = nxt + 1
+                    continue
+                p = nxt
+                break
+            pos = pos + 2 + seglen + p
+            continue
+        pos += 2 + seglen
+    if comps is None or not saw_scan:
+        raise ValueError("JPEG missing SOF or SOS")
+
     # batched dequant + IDCT + assembly, one pass per component
     C = _dct_mat()
     planes = {}
     for cid, (ch, cv, tq) in by_id.items():
         nby, nbx = nb[cid]
         q = np.zeros((nby * nbx, 64), dtype=np.float64)
-        q[:, _ZIGZAG] = zz_store[cid]
+        q[:, _ZIGZAG] = np.array(store[cid], dtype=np.float64)
         coef = q.reshape(nby, nbx, 8, 8) * qtables[tq]
         blk = C.T @ coef @ C
         plane = blk.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)

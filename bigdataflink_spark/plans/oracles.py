@@ -3940,3 +3940,20 @@ SELECT doc_id,
        CAST(1 AS BIGINT) AS n_sitemaps
 FROM documents
 """
+
+
+# q204: progressive JPEG is a pure reordering of the baseline's
+# quantized coefficients, so the oracle pins the STRONG contract —
+# progressive decode pixel-identical to baseline decode, reordered
+# scan script identical to the default script — plus exact dims and
+# the q188-style source-error floor, on the declared doc_id%7==3
+# slice.
+ORACLES["q204_jpeg_progressive"] = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       TRUE AS prog_exact,
+       TRUE AS reorder_exact,
+       TRUE AS err_ok
+FROM documents WHERE doc_id % 7 = 3
+"""
