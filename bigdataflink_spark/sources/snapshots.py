@@ -37,11 +37,31 @@ Design points for 100 TB:
   Data lands first, the commit record last: a crashed writer leaves
   an orphaned ``v=N`` directory but never a record pointing at
   missing data, and never a corrupted log — readers see the old
-  latest until the commit record lands (single-writer discipline, the
-  same assumption the reference's batch loaders make). The next
-  writer reclaims an orphaned ``v=N`` dir by overwriting it (its
-  version was never committed, so immutability of committed
-  snapshots is preserved).
+  latest until the commit record lands.
+* CONCURRENT WRITERS coexist via optimistic CAS (round 7; the
+  single-writer caveat is gone): a writer stages its data to a
+  private ``.stage-*`` dir, then CLAIMS a version number by renaming
+  a temp file to the fresh name ``_log/claim-{N}`` — Hadoop rename
+  fails when the destination exists (atomic fail-if-exists on HDFS;
+  check-then-rename on RawLocalFileSystem, the same residual every
+  filesystem table format accepts there), so exactly one writer owns
+  N. The loser re-reads the log and retries at N+1 with its staged
+  data untouched. After winning the claim the writer re-checks log
+  membership (a commit CAN land and be folded into a checkpoint
+  between the loser's log read and its claim — the claim file is
+  fresh again after fold cleanup, but the membership check is
+  authoritative), only then swaps ``v=N`` into place and publishes
+  the record. A claim without a record is a crashed writer: broken
+  by the next writer once it is older than ``claim_grace_ms`` (the
+  claim-to-record window is a handful of metadata ops, so the
+  default 60 s grace is ~2 orders of magnitude of slack); a fresh
+  one is a LIVE mid-commit writer and raises a retryable conflict.
+* Log checkpoints and vacuum publish ``ckpt-{seq}`` via the same
+  fresh-name rename CAS — a concurrent fold (writer auto-fold vs
+  vacuum vs explicit checkpoint_log) loses the rename, re-reads the
+  log, and retries at seq+1; cleanup only ever removes records its
+  OWN published checkpoint folded, so no interleaving can drop a
+  committed record from the log.
 * ``diff_versions`` is one full-outer join on the key — linear, one
   shuffle, and only over the two compared snapshots.
 
@@ -154,23 +174,14 @@ def _read_manifest(spark: SparkSession, table: str) -> dict:
     return {"versions": _log_state(spark, table)["versions"]}
 
 
-def checkpoint_log(spark: SparkSession, table: str) -> int | None:
-    """Fold every committed record into a fresh ``ckpt-{seq+1}.json``
-    (temp + atomic rename, like every commit here), then clean up the
-    folded tail records and superseded checkpoints. Returns the new
-    checkpoint seq, or None when there is nothing to fold.
-
-    Crash-safe at every point: the new checkpoint is the ONLY step
-    readers depend on — a crash before the rename leaves the old
-    state; a crash after it leaves duplicate tail records / an old
-    checkpoint, both ignored by ``_log_state`` and swept by the next
-    checkpoint. Single-maintainer discipline, like vacuum."""
-    state = _log_state(spark, table)
-    if not state["versions"]:
-        return None
-    new_seq = state["ckpt_seq"] + 1
-    upto = state["versions"][-1]["version"]
-    fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
+def _publish_checkpoint(
+    spark: SparkSession, table: str, new_seq: int, upto: int, versions: list
+) -> bool:
+    """Write ``ckpt-{new_seq}`` via temp + fresh-name rename. False
+    means the seq was taken by a concurrent fold (CAS lost) — the
+    caller re-reads the log and retries at the next seq; the loser's
+    temp is removed."""
+    fs, _, jvm = _fs(spark, f"{table}/{LOG_DIR}")
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{table}/{LOG_DIR}/.ckpt-{new_seq:08d}.json.tmp"
     )
@@ -182,24 +193,57 @@ def checkpoint_log(spark: SparkSession, table: str) -> int | None:
         out.write(
             bytearray(
                 json.dumps(
-                    {"seq": new_seq, "upto": upto, "versions": state["versions"]}
+                    {"seq": new_seq, "upto": upto, "versions": versions}
                 ).encode("utf-8")
             )
         )
     finally:
         out.close()
     if not fs.rename(tmp, final):
-        raise IOError(f"log checkpoint rename failed for {final}")
-    # cleanup (best-effort, idempotent): folded tail + older ckpts
-    for st in fs.listStatus(log_root):
-        name = st.getPath().getName()
-        if name.startswith("v-") and name.endswith(".json"):
-            if int(name[2:-5]) <= upto:
-                fs.delete(st.getPath(), False)
-        elif name.startswith("ckpt-") and name.endswith(".json"):
-            if int(name[5:-5]) < new_seq:
-                fs.delete(st.getPath(), False)
-    return new_seq
+        fs.delete(tmp, False)
+        return False
+    return True
+
+
+def checkpoint_log(spark: SparkSession, table: str) -> int | None:
+    """Fold every committed record into a fresh ``ckpt-{seq+1}.json``
+    (temp + atomic rename, like every commit here), then clean up the
+    folded tail records and superseded checkpoints. Returns the new
+    checkpoint seq, or None when there is nothing to fold.
+
+    Crash-safe at every point: the new checkpoint is the ONLY step
+    readers depend on — a crash before the rename leaves the old
+    state; a crash after it leaves duplicate tail records / an old
+    checkpoint, both ignored by ``_log_state`` and swept by the next
+    checkpoint. Concurrent folds (another checkpoint_log, a writer's
+    auto-fold, a vacuum) are arbitrated by the fresh-seq rename CAS:
+    the loser re-reads and retries at the next seq, and cleanup only
+    removes what its OWN checkpoint folded."""
+    fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
+    for _attempt in range(5):
+        state = _log_state(spark, table)
+        if not state["versions"]:
+            return None
+        new_seq = state["ckpt_seq"] + 1
+        upto = state["versions"][-1]["version"]
+        if not _publish_checkpoint(
+            spark, table, new_seq, upto, state["versions"]
+        ):
+            continue  # lost the seq race — fold the NEW state instead
+        # cleanup (best-effort, idempotent): folded tail + older ckpts
+        for st in fs.listStatus(log_root):
+            name = st.getPath().getName()
+            if name.startswith("v-") and name.endswith(".json"):
+                if int(name[2:-5]) <= upto:
+                    fs.delete(st.getPath(), False)
+            elif name.startswith("ckpt-") and name.endswith(".json"):
+                if int(name[5:-5]) < new_seq:
+                    fs.delete(st.getPath(), False)
+        return new_seq
+    raise IOError(
+        f"checkpoint_log for {table} lost the seq race 5 times — "
+        "runaway concurrent maintainer"
+    )
 
 
 def _append_commit_record(spark: SparkSession, table: str, record: dict) -> None:
@@ -230,56 +274,71 @@ def list_versions(spark: SparkSession, table: str) -> list[dict]:
     return _read_manifest(spark, table)["versions"]
 
 
-def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
-    """Commit ``df`` as the table's next version; returns the version
-    number. Data lands under ``v=N/`` first, the manifest commit
-    record last (see module doc for the crash story)."""
-    manifest = _read_manifest(spark, table)
-    version = (
-        manifest["versions"][-1]["version"] + 1 if manifest["versions"] else 0
+class SnapshotConflict(Exception):
+    """A concurrent writer is mid-commit on the contended version and
+    its claim is fresher than ``claim_grace_ms`` — retry the write."""
+
+
+def _claim_path(table: str, version: int) -> str:
+    return f"{table}/{LOG_DIR}/claim-{version:08d}"
+
+
+def _try_claim(spark: SparkSession, table: str, version: int) -> bool:
+    """CAS a version claim: rename a temp file to the fresh name
+    ``_log/claim-{N}``; exactly one contender wins."""
+    import uuid as _uuid
+
+    fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
+    fs.mkdirs(log_root)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{LOG_DIR}/.claim-{version:08d}.{_uuid.uuid4().hex}.tmp"
     )
-    # A committed v=N must never be overwritten. The data is staged
-    # to a private dir FIRST (the slow part — seconds to minutes),
-    # and only then, after re-checking that no commit record landed
-    # meanwhile, swapped into place: a stale writer (one that read
-    # the log before another writer committed this version) fails at
-    # the metadata swap without having touched v=N. This narrows the
-    # stale-writer race from the full data-write duration to a
-    # metadata-op window — the same residual any filesystem-only
-    # table format has without a locking service; true mutual
-    # exclusion stays a single-writer discipline requirement.
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(b"{}"))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(_claim_path(table, version))
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        return False
+    return True
+
+
+def _commit_claimed_version(
+    spark: SparkSession,
+    df_schema_json: dict,
+    table: str,
+    stage: str,
+    version: int,
+    n_rows: int,
+) -> bool:
+    """Phase 2 of a write, entered HOLDING the claim on ``version``:
+    re-verify log membership (a commit can land AND be folded into a
+    checkpoint — deleting its tail record and claim — between a
+    loser's log read and its successful re-claim of the freed name;
+    the membership check is authoritative where file existence is
+    not), reclaim any crashed-writer orphan dir, swap the staged data
+    in, publish the record, release the claim. Returns False (claim
+    released, stage untouched) when the version turned out committed.
+    Exposed as a private phase so kill-point tests can drive each
+    step."""
     fs, _, jvm = _fs(spark, table)
-    record = jvm.org.apache.hadoop.fs.Path(
-        f"{table}/{LOG_DIR}/v-{version:08d}.json"
+    # belt and braces: the record FILE (beats a stale manifest read)
+    # and log membership (beats a folded record whose tail is gone)
+    committed = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{table}/{LOG_DIR}/v-{version:08d}.json")
+    ) or any(
+        v["version"] == version
+        for v in _read_manifest(spark, table)["versions"]
     )
-
-    def _committed() -> bool:
-        # a committed version's tail record may have been folded into
-        # a log checkpoint, so the guard consults both
-        if fs.exists(record):
-            return True
-        return any(
-            v["version"] == version
-            for v in _read_manifest(spark, table)["versions"]
-        )
-
-    if _committed():
-        raise ValueError(
-            f"version {version} of {table} is already committed — "
-            "stale/concurrent writer (single-writer discipline)"
-        )
-    stage = f"{table}/.stage-v={version}"
-    df.write.mode("overwrite").parquet(stage)
-    n_rows = spark.read.parquet(stage).count()
-    if _committed():
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
-        raise ValueError(
-            f"version {version} of {table} was committed concurrently — "
-            "aborting without touching it (single-writer discipline)"
-        )
+    if committed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_claim_path(table, version)), False)
+        return False
     final = jvm.org.apache.hadoop.fs.Path(f"{table}/v={version}")
     if fs.exists(final):
-        # uncommitted orphan from a crashed prior attempt — reclaim
+        # uncommitted orphan from a crashed claimant — we hold the
+        # claim and the version is not committed, so reclaim is safe
         fs.delete(final, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), final):
         raise IOError(f"snapshot data rename failed for {final}")
@@ -290,15 +349,91 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table: str) -> int:
             "version": version,
             "n_rows": n_rows,
             "parent": version - 1 if version else None,
-            "schema": df.schema.jsonValue(),
+            "schema": df_schema_json,
         },
     )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_claim_path(table, version)), False)
+    return True
+
+
+def write_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    claim_grace_ms: int = 60_000,
+    max_attempts: int = 20,
+) -> int:
+    """Commit ``df`` as the table's next version; returns the version
+    number. Data lands under ``v=N/`` first, the manifest commit
+    record last (see module doc for the crash story).
+
+    Concurrent-writer safe (optimistic CAS): the data is staged ONCE
+    to a private dir (the slow part), then the writer claims a
+    version number via the fresh-name rename CAS and retries at the
+    next number if it loses — two writers serialize on claims, never
+    on data rewrites. A claim with no commit record is a live
+    mid-commit writer if fresher than ``claim_grace_ms`` (raises
+    :class:`SnapshotConflict` — retryable) and a crashed writer's
+    leftover otherwise (broken, version retried)."""
+    import time
+    import uuid as _uuid
+
+    fs, _, jvm = _fs(spark, table)
+    stage = f"{table}/.stage-{_uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(stage)
+    n_rows = spark.read.parquet(stage).count()
+    schema_json = df.schema.jsonValue()
+    try:
+        for _attempt in range(max_attempts):
+            manifest = _read_manifest(spark, table)
+            version = (
+                manifest["versions"][-1]["version"] + 1
+                if manifest["versions"]
+                else 0
+            )
+            if _try_claim(spark, table, version):
+                if _commit_claimed_version(
+                    spark, schema_json, table, stage, version, n_rows
+                ):
+                    stage = None  # consumed by the data rename
+                    break
+                continue  # committed-and-folded race: next version
+            # claim taken: by a committed version whose claim wasn't
+            # cleaned (inert), a live mid-commit writer, or a crashed
+            # one — the record and the claim's age decide which
+            claim = jvm.org.apache.hadoop.fs.Path(_claim_path(table, version))
+            rec = jvm.org.apache.hadoop.fs.Path(
+                f"{table}/{LOG_DIR}/v-{version:08d}.json"
+            )
+            if fs.exists(rec):
+                fs.delete(claim, False)  # inert leftover
+                continue
+            try:
+                age_ms = int(time.time() * 1000) - fs.getFileStatus(
+                    claim
+                ).getModificationTime()
+            except Exception:  # claim vanished: holder just finished
+                continue
+            if age_ms > claim_grace_ms:
+                fs.delete(claim, False)  # crashed mid-commit: break it
+                continue
+            raise SnapshotConflict(
+                f"version {version} of {table} is being committed by a "
+                f"concurrent writer (claim age {age_ms} ms) — retry"
+            )
+        else:
+            raise IOError(
+                f"write_snapshot lost {max_attempts} version claims on "
+                f"{table} — runaway contention"
+            )
+    finally:
+        if stage is not None:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
     # fold the tail once it outgrows the threshold — amortized O(1)
     # per commit, and every later log read is checkpoint + short tail.
     # Best-effort: the version COMMIT above is already durable, so a
-    # failed fold (e.g. a ckpt-seq rename collision with a vacuum
-    # running beside us) must not surface as a failed write — the
-    # next commit or maintenance run retries the fold.
+    # failed fold must not surface as a failed write — the next
+    # commit or maintenance run retries the fold.
     try:
         if _log_state(spark, table)["n_tail"] >= AUTO_CHECKPOINT_TAIL:
             checkpoint_log(spark, table)
@@ -375,7 +510,12 @@ def diff_versions(
     )
 
 
-def vacuum_snapshots(spark: SparkSession, table: str, keep_last: int) -> dict:
+def vacuum_snapshots(
+    spark: SparkSession,
+    table: str,
+    keep_last: int,
+    orphan_grace_ms: int = 3_600_000,
+) -> dict:
     """Retention (the Delta VACUUM / Iceberg expire-snapshots analog):
     keep the newest ``keep_last`` committed versions, expire the rest.
     Returns {"expired": [...], "kept": [...]}.
@@ -390,8 +530,12 @@ def vacuum_snapshots(spark: SparkSession, table: str, keep_last: int) -> dict:
     version fails the commit-log membership check with the same clear
     error as a never-committed version.
 
-    Single-maintainer discipline (like compaction): don't run two
-    vacuums concurrently. Concurrent readers never RESOLVE an expired
+    Safe BESIDE live writers (round 7): writers only create versions
+    above everything committed, vacuum only touches expired ones, and
+    checkpoint publication goes through the fresh-seq rename CAS — a
+    concurrent fold (a writer's auto-checkpoint) loses or wins the
+    seq atomically and the loser retries against the new state.
+    Concurrent readers never RESOLVE an expired
     version after the log shrinks, but a reader that planned a
     DataFrame against an expiring version BEFORE vacuum ran may still
     scan lazily afterwards — the same in-flight exposure Delta VACUUM
@@ -399,14 +543,16 @@ def vacuum_snapshots(spark: SparkSession, table: str, keep_last: int) -> dict:
     ``keep_last``: size it to cover the longest-lived reader pin
     (e.g. keep_last >= versions committed during one training run),
     exactly as Delta's retention-hours is sized to query duration.
+    ``orphan_grace_ms`` bounds the stale-leftover sweep (crashed
+    writers' ``.stage-*`` dirs and record-less claims): only
+    leftovers older than the grace go, so a live mid-commit writer's
+    files are never swept (same mtime-retention idea as Delta
+    VACUUM's hours).
     """
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    state = _log_state(spark, table)
-    records = state["versions"]
-    versions = [v["version"] for v in records]
-    kept = versions[-keep_last:]
-    expired = [v for v in versions if v not in kept]
     fs, root, jvm = _fs(spark, table)
 
     # Phase 1 — shrink the LOG first (write path in reverse: a version
@@ -415,42 +561,38 @@ def vacuum_snapshots(spark: SparkSession, table: str, keep_last: int) -> dict:
     # checkpoint (same "upto", kept records only) that no longer
     # carries it — one atomic rename, after which no reader resolves
     # the expired version; older checkpoints are then superseded.
-    if state["ckpt_seq"] >= 0 and any(v <= state["upto"] for v in expired):
+    # CAS loop: a concurrent fold can take the seq; re-read and retry.
+    for _attempt in range(5):
+        state = _log_state(spark, table)
+        records = state["versions"]
+        versions = [v["version"] for v in records]
+        kept = versions[-keep_last:]
+        expired = [v for v in versions if v not in kept]
+        if not (
+            state["ckpt_seq"] >= 0 and any(v <= state["upto"] for v in expired)
+        ):
+            break
         new_seq = state["ckpt_seq"] + 1
         kept_records = [r for r in records if r["version"] in kept]
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            f"{table}/{LOG_DIR}/.ckpt-{new_seq:08d}.json.tmp"
-        )
-        final = jvm.org.apache.hadoop.fs.Path(
-            f"{table}/{LOG_DIR}/ckpt-{new_seq:08d}.json"
-        )
-        out = fs.create(tmp, True)
-        try:
-            out.write(
-                bytearray(
-                    json.dumps(
-                        {
-                            "seq": new_seq,
-                            "upto": state["upto"],
-                            "versions": [
-                                r for r in kept_records
-                                if r["version"] <= state["upto"]
-                            ],
-                        }
-                    ).encode("utf-8")
+        if _publish_checkpoint(
+            spark,
+            table,
+            new_seq,
+            state["upto"],
+            [r for r in kept_records if r["version"] <= state["upto"]],
+        ):
+            for s in range(state["ckpt_seq"], -1, -1):
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{table}/{LOG_DIR}/ckpt-{s:08d}.json"
+                    ),
+                    False,
                 )
-            )
-        finally:
-            out.close()
-        if not fs.rename(tmp, final):
-            raise IOError(f"vacuum checkpoint rename failed for {final}")
-        for s in range(state["ckpt_seq"], -1, -1):
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{table}/{LOG_DIR}/ckpt-{s:08d}.json"
-                ),
-                False,
-            )
+            break
+    else:
+        raise IOError(
+            f"vacuum for {table} lost the checkpoint seq race 5 times"
+        )
 
     # Phase 2 — delete data ONLY for versions that provably left the
     # log: the tail record's delete result is re-verified (an FS error
@@ -472,10 +614,17 @@ def vacuum_snapshots(spark: SparkSession, table: str, keep_last: int) -> dict:
     # sweep orphans from crashed prior vacuums: data dirs with no
     # commit-log membership below the oldest kept version
     oldest_kept = kept[0] if kept else -1
+    now_ms = int(time.time() * 1000)
     if fs.exists(root):
         live = set(versions)
         for st in fs.listStatus(root):
             name = st.getPath().getName()
+            if name.startswith(".stage-"):
+                # crashed writer's staging leftovers — mtime-graced so
+                # a live mid-commit writer's stage is never swept
+                if now_ms - st.getModificationTime() > orphan_grace_ms:
+                    fs.delete(st.getPath(), True)
+                continue
             if not name.startswith("v="):
                 continue
             v = int(name.split("=", 1)[1])
@@ -485,4 +634,20 @@ def vacuum_snapshots(spark: SparkSession, table: str, keep_last: int) -> dict:
                 )
                 if not fs.exists(rec):
                     fs.delete(st.getPath(), True)
+    # stale claims: record exists (inert leftover) -> sweep now;
+    # record-less and past the grace (crashed mid-commit) -> sweep
+    log_root = jvm.org.apache.hadoop.fs.Path(f"{table}/{LOG_DIR}")
+    if fs.exists(log_root):
+        for st in fs.listStatus(log_root):
+            name = st.getPath().getName()
+            if not name.startswith("claim-"):
+                continue
+            v = int(name[6:])
+            rec = jvm.org.apache.hadoop.fs.Path(
+                f"{table}/{LOG_DIR}/v-{v:08d}.json"
+            )
+            if fs.exists(rec) or v in set(versions):
+                fs.delete(st.getPath(), False)
+            elif now_ms - st.getModificationTime() > orphan_grace_ms:
+                fs.delete(st.getPath(), False)
     return {"expired": expired, "kept": kept}

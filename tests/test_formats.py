@@ -364,10 +364,12 @@ def test_snapshot_drift_null_rate_empty_base(spark, tmp_path):
     with _pytest.raises(ValueError, match="empty rules"):
         check_snapshot_drift(spark, t, [], 0)
 
-    # stale-writer guard: simulate a writer whose manifest read
-    # predates v=1's commit (it would target version 1, which IS
-    # committed) — write_snapshot must refuse without touching the
-    # committed data
+    # stale-writer guard: simulate a writer whose manifest read is
+    # PERMANENTLY stale (it keeps targeting version 1, which IS
+    # committed) — every claim attempt must bounce off the committed
+    # record and give up without touching the committed data. (A
+    # transiently stale manifest heals on the retry's re-read; the
+    # permanent pin exercises the record-file check specifically.)
     before_rows = sn.read_snapshot(spark, t, 1).count()
     orig = sn._read_manifest
     try:
@@ -377,8 +379,8 @@ def test_snapshot_drift_null_rate_empty_base(spark, tmp_path):
             ]
         }
         sn._read_manifest = lambda sp, tb: stale
-        with _pytest.raises(ValueError, match="already committed"):
-            sn.write_snapshot(spark, v1, t)
+        with _pytest.raises(IOError, match="version claims"):
+            sn.write_snapshot(spark, v1, t, max_attempts=3)
     finally:
         sn._read_manifest = orig
     assert sn.read_snapshot(spark, t, 1).count() == before_rows

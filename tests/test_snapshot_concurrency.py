@@ -1,0 +1,193 @@
+"""Optimistic-concurrency contracts for snapshot tables (round 7 —
+the single-writer caveat deleted): version claims are a fresh-name
+rename CAS, a claim with no record is a live writer (fresh) or a
+crashed one (past the grace), checkpoint seqs CAS-retry, and a real
+threaded writer+vacuum interleaving leaves a consistent table."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from bigdataflink_spark.sources import snapshots as sn
+
+
+def _write(spark, t, n, **kw):
+    return sn.write_snapshot(
+        spark, spark.range(n).withColumnRenamed("id", "k"), t, **kw
+    )
+
+
+def test_two_writers_serialize_on_claims(spark, tmp_path):
+    # writer A stages, then writer B commits the contended version
+    # first; A's claim CAS must bounce and A lands on the next number
+    t = str(tmp_path / "cas")
+    assert _write(spark, t, 3) == 0
+
+    # simulate A's world: A stages and claims version 1 (holding it),
+    # then B arrives — B must raise the retryable conflict while A's
+    # claim is fresh
+    assert sn._try_claim(spark, t, 1)
+    with pytest.raises(sn.SnapshotConflict, match="concurrent writer"):
+        _write(spark, t, 5, claim_grace_ms=60_000)
+    # A finishes: phase-2 commit with its staged data
+    stage = f"{t}/.stage-manual"
+    spark.range(5).withColumnRenamed("id", "k").write.parquet(stage)
+    df = spark.range(5).withColumnRenamed("id", "k")
+    assert sn._commit_claimed_version(
+        spark, df.schema.jsonValue(), t, stage, 1, 5
+    )
+    # B retries and lands on version 2
+    assert _write(spark, t, 7) == 2
+    assert [v["version"] for v in sn.list_versions(spark, t)] == [0, 1, 2]
+    assert sn.read_snapshot(spark, t, 1).count() == 5
+
+
+def test_crashed_claim_is_broken_after_grace(spark, tmp_path):
+    t = str(tmp_path / "crashclaim")
+    assert _write(spark, t, 3) == 0
+    # kill-point: claimant died right after the claim CAS — no data
+    # swap, no record
+    assert sn._try_claim(spark, t, 1)
+    with pytest.raises(sn.SnapshotConflict):
+        _write(spark, t, 5, claim_grace_ms=60_000)
+    # once the claim is older than the grace, the next writer breaks
+    # it and takes the version
+    assert _write(spark, t, 5, claim_grace_ms=0) == 1
+    assert sn.read_snapshot(spark, t, 1).count() == 5
+
+
+def test_crash_after_data_rename_before_record(spark, tmp_path):
+    # kill-point between the data swap and the record publish: orphan
+    # v=N + stale claim; the next writer (post-grace) reclaims both
+    t = str(tmp_path / "crashdata")
+    assert _write(spark, t, 3) == 0
+    assert sn._try_claim(spark, t, 1)
+    spark.range(9).withColumnRenamed("id", "k").write.parquet(f"{t}/v=1")
+    assert [v["version"] for v in sn.list_versions(spark, t)] == [0]
+    assert _write(spark, t, 5, claim_grace_ms=0) == 1
+    assert sn.read_snapshot(spark, t, 1).count() == 5  # reclaimed, not 9
+
+
+def test_claim_on_folded_committed_version_bounces(spark, tmp_path):
+    # the fold race: version committed AND folded into a checkpoint
+    # (tail record + claim both gone) — a stale writer CAN re-claim
+    # the freed name, but phase 2's membership check must bounce it
+    # without touching the committed data
+    t = str(tmp_path / "folded")
+    for n in (3, 5, 7):
+        _write(spark, t, n)
+    assert sn.checkpoint_log(spark, t) == 0  # tails folded + deleted
+    assert sn._try_claim(spark, t, 2)  # claim name is free again
+    stage = f"{t}/.stage-stale"
+    spark.range(99).withColumnRenamed("id", "k").write.parquet(stage)
+    df = spark.range(99).withColumnRenamed("id", "k")
+    assert not sn._commit_claimed_version(
+        spark, df.schema.jsonValue(), t, stage, 2, 99
+    )
+    assert sn.read_snapshot(spark, t, 2).count() == 7  # untouched
+    fs, _, jvm = sn._fs(spark, t)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(sn._claim_path(t, 2)))
+
+
+def test_checkpoint_seq_cas_retries(spark, tmp_path):
+    # a concurrent fold takes seq N between our state read and our
+    # rename; checkpoint_log must retry at N+1 instead of clobbering
+    t = str(tmp_path / "seqrace")
+    for n in (3, 5):
+        _write(spark, t, n)
+    # occupy seq 0 the way a concurrent fold would
+    assert sn._publish_checkpoint(
+        spark, t, 0, 0,
+        [v for v in sn.list_versions(spark, t) if v["version"] == 0],
+    )
+    seq = sn.checkpoint_log(spark, t)
+    assert seq == 1
+    assert [v["version"] for v in sn.list_versions(spark, t)] == [0, 1]
+    _write(spark, t, 7)
+    assert [v["version"] for v in sn.list_versions(spark, t)] == [0, 1, 2]
+
+
+def test_vacuum_sweeps_stale_stages_and_claims_with_grace(spark, tmp_path):
+    t = str(tmp_path / "sweep")
+    for n in (3, 5, 7):
+        _write(spark, t, n)
+    fs, _, jvm = sn._fs(spark, t)
+    # crashed-writer leftovers: a stage dir and a record-less claim
+    spark.range(4).write.parquet(f"{t}/.stage-dead")
+    assert sn._try_claim(spark, t, 9)
+    # an inert claim whose version IS committed
+    assert sn._try_claim(spark, t, 1)
+
+    sn.vacuum_snapshots(spark, t, keep_last=3, orphan_grace_ms=10**12)
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{t}/.stage-dead"))
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(sn._claim_path(t, 9)))
+    # the inert claim goes regardless of grace (its record exists)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(sn._claim_path(t, 1)))
+
+    sn.vacuum_snapshots(spark, t, keep_last=3, orphan_grace_ms=0)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{t}/.stage-dead"))
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(sn._claim_path(t, 9)))
+    # table contents untouched throughout
+    assert [v["version"] for v in sn.list_versions(spark, t)] == [0, 1, 2]
+
+
+def test_threaded_writers_and_vacuum_leave_consistent_table(spark, tmp_path):
+    """The VERDICT r6 #7 acceptance test: real concurrent writers and
+    a vacuum/checkpoint maintainer interleave freely; afterwards the
+    log is a strictly increasing version sequence, every listed
+    version's data reads back with the committed row count, and no
+    record points at missing data."""
+    t = str(tmp_path / "threads")
+    _write(spark, t, 1)
+    errors: list = []
+    committed: dict[int, int] = {0: 1}
+    lock = threading.Lock()
+
+    def writer(wid: int):
+        for i in range(4):
+            n = 10 * wid + i + 2
+            for _ in range(30):  # retry on live-writer conflicts
+                try:
+                    v = _write(spark, t, n)
+                    with lock:
+                        committed[v] = n
+                    break
+                except sn.SnapshotConflict:
+                    time.sleep(0.05)
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    break
+
+    def maintainer():
+        for _ in range(6):
+            try:
+                # default-style grace: live writers' stages and fresh
+                # claims must never be swept (grace 0 is only for
+                # sweeping KNOWN-dead leftovers — see the sweep test)
+                sn.vacuum_snapshots(
+                    spark, t, keep_last=50, orphan_grace_ms=60_000
+                )
+                sn.checkpoint_log(spark, t)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+            time.sleep(0.05)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2, 3)]
+    threads.append(threading.Thread(target=maintainer))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, errors
+    versions = sn.list_versions(spark, t)
+    nums = [v["version"] for v in versions]
+    # strictly increasing, no duplicates, all 13 commits present
+    assert nums == sorted(set(nums))
+    assert len(nums) == 13
+    for rec in versions:
+        got = sn.read_snapshot(spark, t, rec["version"]).count()
+        assert got == rec["n_rows"] == committed[rec["version"]]
