@@ -125,6 +125,7 @@ HEADLINE = [
     "q202_url_normalize",
     "q203_robots_decisions",
     "q204_jpeg_progressive",
+    "q205_warc_zstd_ingest",
 ]
 
 

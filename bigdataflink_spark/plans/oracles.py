@@ -3957,3 +3957,23 @@ SELECT doc_id AS media_id,
        TRUE AS err_ok
 FROM documents WHERE doc_id % 7 = 3
 """
+
+
+# q205: q196's facts on 256-doc shards with odd shards as .warc.zst —
+# compression recomputed from shard parity, slice-fetchability pinned
+# TRUE per record, md5-exact payload recovery through BOTH codecs.
+ORACLES["q205_warc_zstd_ingest"] = """
+SELECT doc_id,
+       CAST(doc_id // 256 AS INT) AS shard,
+       CASE WHEN (doc_id // 256) % 2 = 1 THEN 'zstd' ELSE 'gzip' END
+           AS compression,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id // 256 ORDER BY doc_id
+       ) AS BIGINT) AS rec_index,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS INT)
+           AS http_status,
+       TRUE AS slice_fetch_ok
+FROM documents
+"""

@@ -6452,7 +6452,13 @@ def q196_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             uri = f"https://corpus.example/doc/{doc_id}"
             recs.append((uri, status, extra, text.encode("utf-8")))
-        blob = warc_build_shard(recs, shard)
+        # mixed-compression corpus (round 7): odd shards ship as
+        # .warc.zst (Common Crawl publishes both; the reader sniffs
+        # per-shard magic). Degenerate to all-gzip below 2 shards —
+        # q205 pins the zstd path at every scale with smaller shards.
+        blob = warc_build_shard(
+            recs, shard, compression="zstd" if shard % 2 == 1 else "gzip"
+        )
 
         from bigdataflink_spark.sources.warc import parse_http_response
 
@@ -6483,6 +6489,94 @@ def q196_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, shard int, rec_index long, payload_len long, "
             "payload_md5 string, http_status int, n_http_headers long"
+        ),
+    )
+
+
+def q205_warc_zstd_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed gzip/zstd WARC corpus ingest (extension; round-6 verdict
+    "What's missing #5" — Common Crawl ships ``.warc.zst`` beside
+    ``.warc.gz``, and a reader that can't open zstd skips a growing
+    corpus slice). The corpus packs into 256-doc shards — small
+    enough that BOTH compressions exist at every test scale — odd
+    shards as one-zstd-frame-per-record streams built by the
+    spec-built RFC 8878 store encoder (``operators/zstd.py``: real
+    frames, ``unzstd``-interop pinned by tests), even shards as the
+    q196 gzip layout; ``iter_warc_records`` sniffs the per-shard
+    magic like an ingest over a mixed bucket. Facts mirror q196's
+    (md5-exact payload recovery, record order, HTTP parse) plus the
+    ``compression`` actually DETECTED from the shard magic and
+    ``slice_fetch_ok`` — every record is RE-PARSED from its bare
+    ``blob[offset:offset+length]`` slice and must yield the same
+    payload bytes, which is the (offset, length)-fetchability
+    property that makes both layouts work at 100 TB, verified per
+    record per compression. Same scale shape as q196: one keyed
+    shuffle, shard count grows with the corpus, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.sources.warc import (
+        iter_warc_records,
+        warc_build_shard,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("shard", F.expr("CAST(doc_id DIV 256 AS INT)"))
+    )
+
+    def _shard(key, pdf):
+        import hashlib
+
+        shard = int(key[0])
+        comp = "zstd" if shard % 2 == 1 else "gzip"
+        recs = []
+        for doc_id, text in sorted(
+            zip(pdf["doc_id"], pdf["text"]), key=lambda t: int(t[0])
+        ):
+            doc_id = int(doc_id)
+            status = 404 if doc_id % 10 == 7 else 200
+            extra = (
+                [("X-Doc-Parity", "even")] if doc_id % 2 == 0 else []
+            )
+            uri = f"https://corpus.example/doc/{doc_id}"
+            recs.append((uri, status, extra, text.encode("utf-8")))
+        blob = warc_build_shard(recs, shard, compression=comp)
+
+        from bigdataflink_spark.sources.warc import parse_http_response
+
+        detected = "gzip" if blob[:2] == b"\x1f\x8b" else "zstd"
+        rows = {k: [] for k in (
+            "doc_id", "shard", "compression", "rec_index",
+            "payload_len", "payload_md5", "http_status", "slice_fetch_ok",
+        )}
+        idx = 0
+        for off, mlen, rec in iter_warc_records(blob):
+            if rec["type"] != "response":
+                continue
+            idx += 1
+            status, headers, payload = parse_http_response(rec["body"])
+            uri = rec["headers"]["warc-target-uri"]
+            # the property the layout exists for: the bare slice
+            # alone re-parses to the identical record
+            sliced = next(iter_warc_records(blob[off:off + mlen]))[2]
+            _, _, spay = parse_http_response(sliced["body"])
+            rows["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+            rows["shard"].append(shard)
+            rows["compression"].append(detected)
+            rows["rec_index"].append(idx)
+            rows["payload_len"].append(len(payload))
+            rows["payload_md5"].append(hashlib.md5(payload).hexdigest())
+            rows["http_status"].append(status)
+            rows["slice_fetch_ok"].append(bool(spay == payload))
+        return pd_.DataFrame(rows)
+
+    return docs.groupBy("shard").applyInPandas(
+        _shard,
+        schema=(
+            "doc_id long, shard int, compression string, rec_index long, "
+            "payload_len long, payload_md5 string, http_status int, "
+            "slice_fetch_ok boolean"
         ),
     )
 
@@ -6689,4 +6783,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q202_url_normalize": q202_url_normalize,
     "q203_robots_decisions": q203_robots_decisions,
     "q204_jpeg_progressive": q204_jpeg_progressive,
+    "q205_warc_zstd_ingest": q205_warc_zstd_ingest,
 }

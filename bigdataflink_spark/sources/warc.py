@@ -88,22 +88,34 @@ def warc_build_shard(
     records: list[tuple[str, int, list[tuple[str, str]], bytes]],
     shard_id: int,
     date: str = _WARC_DATE_DEFAULT,
+    compression: str = "gzip",
 ) -> bytes:
-    """Build one ``.warc.gz`` shard: a leading ``warcinfo`` record
-    (Common Crawl convention) then one ``response`` record per
-    (target_uri, http_status, extra_http_headers, payload) tuple,
-    each as its own gzip member."""
+    """Build one ``.warc.gz`` / ``.warc.zst`` shard: a leading
+    ``warcinfo`` record (Common Crawl convention) then one
+    ``response`` record per (target_uri, http_status,
+    extra_http_headers, payload) tuple, each as its own gzip member /
+    zstd frame — both layouts keep the record-fetchable-by-
+    (offset, length) property (Common Crawl ships BOTH; a reader that
+    can't open .zst skips a growing slice of the corpus)."""
+    if compression == "gzip":
+        member = _gzip_member
+    elif compression == "zstd":
+        from bigdataflink_spark.operators.zstd import zstd_compress_store
+
+        member = zstd_compress_store
+    else:
+        raise ValueError(f"unknown WARC compression {compression!r}")
     info = (f"software: bigdataflink-spark-warc/1.0\r\n"
             f"format: WARC File Format 1.0\r\n"
             f"warc-shard: {shard_id}\r\n").encode()
-    members = [_gzip_member(_warc_record(
+    members = [member(_warc_record(
         "warcinfo",
         [("Content-Type", "application/warc-fields")],
         info, date,
     ))]
     for uri, status, extra, payload in records:
         body = http_response(status, extra, payload)
-        members.append(_gzip_member(_warc_record(
+        members.append(member(_warc_record(
             "response",
             [("WARC-Target-URI", uri),
              ("Content-Type", "application/http;msgtype=response")],
@@ -207,7 +219,20 @@ def parse_http_response(body: bytes) -> tuple[int, dict[str, str], bytes]:
 def iter_warc_records(
     shard: bytes,
 ) -> Iterator[tuple[int, int, dict]]:
-    """Walk a ``.warc.gz`` shard: ``(member_offset,
-    member_compressed_length, parsed_record)`` per record."""
-    for off, length, raw in iter_gzip_members(shard):
+    """Walk a ``.warc.gz`` or ``.warc.zst`` shard: ``(member_offset,
+    member_compressed_length, parsed_record)`` per record. The
+    compression is sniffed from the leading magic (gzip ``1f 8b`` vs
+    zstd ``28 b5 2f fd``), exactly how an ingest handles a mixed
+    bucket of Common Crawl shards."""
+    if shard[:2] == b"\x1f\x8b":
+        members = iter_gzip_members(shard)
+    elif shard[:4] == b"\x28\xb5\x2f\xfd":
+        from bigdataflink_spark.operators.zstd import iter_zstd_frames
+
+        members = iter_zstd_frames(shard)
+    else:
+        raise ValueError(
+            f"unknown WARC shard compression (magic {shard[:4]!r})"
+        )
+    for off, length, raw in members:
         yield off, length, parse_warc_record(raw)

@@ -1,0 +1,180 @@
+"""RFC 8878 zstd frame codec contracts: XXH64 reference vectors,
+store-mode round-trips, REAL-zstd CLI interop both directions (our
+frames open under unzstd; CLI frames walk under our parser), the
+honest entropy-tier gate, wild-stream hazards (corruption, reserved
+bits, truncation, checksum mismatch, skippable frames), and the
+mixed gzip/zstd WARC shard path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigdataflink_spark.operators.zstd import (
+    iter_zstd_frames,
+    xxh64,
+    zstd_compress_store,
+    zstd_decompress,
+)
+
+_ZSTD_BIN = shutil.which("zstd") or (
+    "/root/miniconda/bin/zstd"
+    if os.path.exists("/root/miniconda/bin/zstd")
+    else None
+)
+
+
+def test_xxh64_reference_vectors():
+    # vectors from the public xxHash test suite (seed 0)
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"a" * 101) == xxh64(b"a" * 100 + b"a")  # sanity
+    # 32+ byte path (lane accumulator) differs from short path
+    assert xxh64(bytes(range(64))) != xxh64(bytes(range(63)) + b"\x00")
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300_000), chk=st.booleans())
+def test_store_roundtrip_property(data, chk):
+    frame = zstd_compress_store(data, checksum=chk)
+    assert zstd_decompress(frame) == data
+    (off, length, payload), = iter_zstd_frames(frame)
+    assert (off, length, payload) == (0, len(frame), data)
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
+def test_our_frames_open_under_real_unzstd(tmp_path):
+    for data in (b"", b"x", b"hello zstd " * 1000, os.urandom(200_000)):
+        src = tmp_path / "f.zst"
+        out = tmp_path / "f.out"
+        src.write_bytes(zstd_compress_store(data))
+        r = subprocess.run(
+            [_ZSTD_BIN, "-d", "-f", "-o", str(out), str(src)],
+            capture_output=True,
+        )
+        assert r.returncode == 0, r.stderr
+        assert out.read_bytes() == data
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
+def test_real_zstd_incompressible_frames_walk_here(tmp_path):
+    # incompressible input makes real zstd emit raw blocks — our
+    # frame walk must decode them (header widths, block chain,
+    # checksum all foreign-built)
+    data = os.urandom(150_000)
+    src = tmp_path / "r.bin"
+    dst = tmp_path / "r.zst"
+    src.write_bytes(data)
+    subprocess.run(
+        [_ZSTD_BIN, "-q", "-f", str(src), "-o", str(dst)], check=True
+    )
+    assert zstd_decompress(dst.read_bytes()) == data
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
+def test_entropy_tier_gate_is_honest(tmp_path):
+    # compressible input -> FSE/Huffman blocks -> the explicit gate,
+    # never silent wrong bytes
+    src = tmp_path / "c.bin"
+    dst = tmp_path / "c.zst"
+    src.write_bytes(b"the quick brown fox " * 5000)
+    subprocess.run(
+        [_ZSTD_BIN, "-q", "-f", str(src), "-o", str(dst)], check=True
+    )
+    with pytest.raises(NotImplementedError, match="FSE/Huffman"):
+        zstd_decompress(dst.read_bytes())
+
+
+def test_multi_frame_and_skippable():
+    skippable = (
+        bytes.fromhex("502a4d18") + (4).to_bytes(4, "little") + b"SKIP"
+    )
+    stream = (
+        zstd_compress_store(b"one")
+        + skippable
+        + zstd_compress_store(b"two", checksum=False)
+    )
+    frames = list(iter_zstd_frames(stream))
+    assert [p for _, _, p in frames] == [b"one", b"two"]
+    # offsets/lengths tile the stream around the skippable
+    assert frames[0][0] == 0
+    assert frames[1][0] == frames[0][1] + len(skippable)
+    assert zstd_decompress(stream) == b"onetwo"
+
+
+def test_rle_block_decode():
+    # hand-built frame: single-segment, FCS=1 byte (20), one RLE
+    # block of 20 x 'A', no checksum
+    frame = (
+        bytes.fromhex("28b52ffd")
+        + bytes([0x20, 20])
+        + (1 | (1 << 1) | (20 << 3)).to_bytes(3, "little")
+        + b"A"
+    )
+    assert zstd_decompress(frame) == b"A" * 20
+
+
+def test_wild_stream_hazards():
+    good = zstd_compress_store(b"payload bytes here")
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00" + good[1:])
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        zstd_decompress(good[:-10])
+    # flipped payload byte -> checksum mismatch
+    bad = bytearray(good)
+    bad[10] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum|overruns|truncated"):
+        zstd_decompress(bytes(bad))
+    # reserved FHD bit
+    bad = bytearray(good)
+    bad[4] |= 0x08
+    with pytest.raises(ValueError, match="reserved"):
+        zstd_decompress(bytes(bad))
+    # reserved block type 3
+    frame = bytearray(
+        bytes.fromhex("28b52ffd") + bytes([0x20, 1])
+        + (1 | (3 << 1) | (1 << 3)).to_bytes(3, "little") + b"x"
+    )
+    with pytest.raises(ValueError, match="reserved zstd block"):
+        zstd_decompress(bytes(frame))
+    # content-size mismatch: FCS says 5, raw block yields 4
+    frame = bytearray(
+        bytes.fromhex("28b52ffd") + bytes([0x20, 5])
+        + (1 | (0 << 1) | (4 << 3)).to_bytes(3, "little") + b"abcd"
+    )
+    with pytest.raises(ValueError, match="content size mismatch"):
+        zstd_decompress(bytes(frame))
+
+
+def test_warc_zstd_shard_roundtrip_and_slice_fetch():
+    from bigdataflink_spark.sources.warc import (
+        iter_warc_records,
+        parse_http_response,
+        warc_build_shard,
+    )
+
+    recs = [
+        (f"https://x/doc/{i}", 200, [], f"payload {i}".encode())
+        for i in range(5)
+    ]
+    for comp in ("gzip", "zstd"):
+        blob = warc_build_shard(recs, 3, compression=comp)
+        got = list(iter_warc_records(blob))
+        assert got[0][2]["type"] == "warcinfo"
+        assert b"warc-shard: 3" in got[0][2]["body"]
+        for i, (off, length, rec) in enumerate(got[1:]):
+            _, _, payload = parse_http_response(rec["body"])
+            assert payload == f"payload {i}".encode()
+            # the offset-fetchability property, per compression
+            sliced = next(iter_warc_records(blob[off:off + length]))[2]
+            assert sliced == rec
+    with pytest.raises(ValueError, match="unknown WARC compression"):
+        warc_build_shard(recs, 0, compression="lz4")
+    with pytest.raises(ValueError, match="unknown WARC shard"):
+        list(iter_warc_records(b"\x00\x01\x02\x03junk"))
