@@ -6,15 +6,21 @@ ingest that can't open them skips a growing slice of the corpus. The
 environment ships no ``zstandard`` module, so this implements the
 format itself, the repo's codec discipline (PNG/JPEG/GIF/FLAC):
 
-* **Decoder** — full frame walk: magic, frame-header descriptor
-  (content-size flag, single-segment, checksum flag, dictionary-id
-  flag, reserved-bit checks), window descriptor, all four
-  frame-content-size widths, 3-byte block headers, RAW and RLE
-  blocks, skippable frames (0x184D2A50-5F), multi-frame streams,
-  and XXH64 content-checksum verification (xxhash64 implemented
-  below). COMPRESSED blocks (FSE/Huffman entropy sections) raise
-  ``NotImplementedError`` — an honest gate, not silence; see
-  ``zstd_decompress``'s docstring for the tier plan.
+* **Decoder** — COMPLETE, entropy tier included: magic, frame-header
+  descriptor (content-size flag, single-segment, checksum flag,
+  dictionary-id flag, reserved-bit checks), window descriptor, all
+  four frame-content-size widths, 3-byte block headers, RAW and RLE
+  blocks, COMPRESSED blocks (§3.1.1.3: Huffman-coded literals with
+  direct or FSE-compressed weight descriptions, 1- and 4-stream
+  layouts, treeless reuse; FSE-coded sequences with predefined /
+  RLE / described / repeat table modes, cross-frame repeat offsets
+  with the literals-length-0 shift, overlap-correct match copies),
+  skippable frames (0x184D2A50-5F), multi-frame streams, and XXH64
+  content-checksum verification (xxhash64 implemented below).
+  Foreign-built streams are the test bed: every compression level of
+  a real ``zstd`` binary over text/HTML/JSON/binary corpora decodes
+  byte-exactly (CLI-interop suite). Dictionary-compressed frames
+  raise ``NotImplementedError`` (the one remaining gate).
 * **Encoder** — store-mode frames: single-segment, raw blocks at the
   128 KiB block maximum, frame-content-size, XXH64 checksum. These
   are REAL zstd frames — ``unzstd`` opens them byte-for-byte
@@ -40,6 +46,27 @@ _SKIPPABLE_HI = 0x184D2A5F
 _BLOCK_MAX = 128 * 1024
 
 _MASK64 = (1 << 64) - 1
+
+# predefined FSE distributions (RFC 8878 §3.1.1.4.2.2) and the
+# literals-length / match-length code tables (§3.1.1.4.1)
+_LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2,
+               2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1]
+_ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2] + [1] * 37 + [-1] * 7
+_OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, -1, -1, -1, -1, -1]
+_LL_DEFAULT_LOG, _ML_DEFAULT_LOG, _OF_DEFAULT_LOG = 6, 6, 5
+
+# literals-length codes 16..35: (baseline, extra bits); 0-15 are
+# identity with 0 extra
+_LL_EXTRA = [(16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2),
+             (32, 3), (40, 3), (48, 4), (64, 6), (128, 7), (256, 8),
+             (512, 9), (1024, 10), (2048, 11), (4096, 12), (8192, 13),
+             (16384, 14), (32768, 15), (65536, 16)]
+# match-length codes 32..52: (baseline, extra bits); 0-31 are code+3
+_ML_EXTRA = [(35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2),
+             (51, 3), (59, 3), (67, 4), (83, 4), (99, 5), (131, 7),
+             (259, 8), (515, 9), (1027, 10), (2051, 11), (4099, 12),
+             (8195, 13), (16387, 14), (32771, 15), (65539, 16)]
 
 # XXH64 primes (the checksum zstd frames carry — RFC 8878 §3.1.1
 # references XXH64 with seed 0; low 32 bits are stored)
@@ -147,6 +174,471 @@ def zstd_compress_store(data: bytes, checksum: bool = True) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# entropy tier: FSE + Huffman (RFC 8878 §4), feeding compressed blocks
+# ---------------------------------------------------------------------------
+
+class _FwdBits:
+    """Forward (LSB-first) bit reader — FSE table DESCRIPTIONS are
+    read this way (§4.1.1): bit 0 of byte 0 first."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        out = 0
+        for i in range(n):
+            byte = self.data[(self.pos + i) >> 3]
+            out |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        self.pos += n
+        return out
+
+    def rewind(self, n: int) -> None:
+        self.pos -= n
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _BackBits:
+    """Backward bitstream (§3.1.1.6): the last byte carries a 1-bit
+    sentinel above the payload bits; reading proceeds from just below
+    the sentinel toward the first byte, MSB-of-stream first. The
+    whole stream lives in one Python int; ``avail`` is the bit count
+    below the read cursor."""
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("corrupted backward bitstream padding")
+        self.acc = int.from_bytes(data, "little")
+        self.avail = len(data) * 8 - (9 - data[-1].bit_length())
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.avail -= n
+        if self.avail < 0:
+            raise ValueError("backward bitstream over-read")
+        return (self.acc >> self.avail) & ((1 << n) - 1)
+
+    def read_padded(self, n: int) -> int:
+        """Read allowing zero-padding past the start (the FSE weight
+        stream's final state updates read virtual zeros; ``avail``
+        goes negative to signal exhaustion)."""
+        if n == 0:
+            return 0
+        self.avail -= n
+        if self.avail >= 0:
+            return (self.acc >> self.avail) & ((1 << n) - 1)
+        return (self.acc << -self.avail) & ((1 << n) - 1)
+
+    def peek_padded(self, n: int) -> int:
+        v = self.read_padded(n)
+        self.avail += n
+        return v
+
+
+def _fse_read_distribution(fwd: _FwdBits, max_symbol: int) -> tuple[list, int]:
+    """Parse an FSE table description (§4.1.1): accuracy log, then
+    the remaining-budget variable-width probabilities with the
+    small-value optimization and 2-bit zero-repeat flags. Returns
+    (probabilities with -1 for less-than-one, accuracy_log)."""
+    accuracy_log = fwd.read(4) + 5
+    if accuracy_log > 9:
+        raise ValueError(f"FSE accuracy log {accuracy_log} out of range")
+    # remaining = (cells still to distribute) + 1; the +1 keeps every
+    # field able to encode "probability -1" (the less-than-one slot)
+    remaining = (1 << accuracy_log) + 1
+    probs: list[int] = []
+    while remaining > 1 and len(probs) <= max_symbol:
+        bits = remaining.bit_length()  # field width for [0, remaining]
+        val = fwd.read(bits)
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if (val & lower_mask) < threshold:
+            fwd.rewind(1)
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        p = val - 1
+        remaining -= -p if p < 0 else p
+        probs.append(p)
+        if p == 0:
+            while True:
+                repeat = fwd.read(2)
+                probs.extend([0] * repeat)
+                if repeat != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("FSE distribution does not sum to table size")
+    return probs, accuracy_log
+
+
+class _FseTable:
+    __slots__ = ("symbols", "num_bits", "base", "log")
+
+    def __init__(self, probs: list[int], log: int):
+        size = 1 << log
+        self.log = log
+        symbols = [0] * size
+        high = size
+        for s, p in enumerate(probs):
+            if p == -1:
+                high -= 1
+                symbols[high] = s
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, p in enumerate(probs):
+            if p <= 0:
+                continue
+            for _ in range(p):
+                symbols[pos] = s
+                pos = (pos + step) & mask
+                while pos >= high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("FSE table spread did not return to zero")
+        # per-state transition: counters start at the probability and
+        # count up; bits shrink as the counter crosses powers of two
+        counter = [(-p if p < 0 else p) or 1 for p in probs]
+        counter += [1] * (max(0, len(symbols)) - len(counter))
+        cnt = {s: (probs[s] if probs[s] > 0 else 1) for s in range(len(probs))}
+        self.symbols = symbols
+        self.num_bits = [0] * size
+        self.base = [0] * size
+        for i in range(size):
+            s = symbols[i]
+            c = cnt[s]
+            cnt[s] = c + 1
+            nb = log - (c.bit_length() - 1)
+            self.num_bits[i] = nb
+            self.base[i] = (c << nb) - size
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FseTable":
+        t = cls.__new__(cls)
+        t.log = 0
+        t.symbols = [symbol]
+        t.num_bits = [0]
+        t.base = [0]
+        return t
+
+
+def _fse_init(table: _FseTable, bits: _BackBits) -> int:
+    return bits.read(table.log)
+
+
+def _fse_update(table: _FseTable, state: int, bits: _BackBits) -> int:
+    return table.base[state] + bits.read(table.num_bits[state])
+
+
+def _huffman_from_weights(weights: list[int]) -> tuple[list, int]:
+    """Canonical Huffman decode LUT from explicit weights; the final
+    symbol's weight is implied (completes the weight sum to a power
+    of two, §4.2.1). Returns (LUT of (symbol, nbits) indexed by a
+    table-log peek, table_log)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("Huffman weights are all zero")
+    # the implied last weight completes the sum to the next power of
+    # two STRICTLY greater (even when total is already a power of 2)
+    table_log = total.bit_length()
+    left = (1 << table_log) - total
+    if left & (left - 1):
+        raise ValueError("Huffman weights leave a non-power-of-two gap")
+    weights = weights + [left.bit_length()]
+    if table_log > 11:
+        raise ValueError(f"Huffman table log {table_log} exceeds 11")
+    size = 1 << table_log
+    lut: list = [None] * size
+    pos = 0
+    # fill lowest weight (longest codes) first, natural symbol order
+    for w in range(1, table_log + 2):
+        for sym, ws in enumerate(weights):
+            if ws != w:
+                continue
+            span = 1 << (w - 1)
+            nb = table_log + 1 - w
+            for i in range(pos, pos + span):
+                lut[i] = (sym, nb)
+            pos += span
+    if pos != size:
+        raise ValueError("Huffman weights do not fill the table")
+    return lut, table_log
+
+
+def _huffman_tree(data: bytes, pos: int) -> tuple[tuple, int]:
+    """Parse a Huffman tree description (§4.2.1): direct 4-bit
+    weights when the header byte is >= 128, else an FSE-compressed
+    weight stream with two alternating states."""
+    hb = data[pos]
+    pos += 1
+    if hb >= 128:
+        n = hb - 127
+        weights = []
+        for i in range(n):
+            byte = data[pos + (i >> 1)]
+            weights.append((byte >> 4) if i % 2 == 0 else (byte & 0x0F))
+        pos += (n + 1) >> 1
+        return _huffman_from_weights(weights), pos
+    comp = data[pos:pos + hb]
+    if len(comp) != hb:
+        raise ValueError("truncated FSE-compressed Huffman weights")
+    pos += hb
+    fwd = _FwdBits(comp)
+    probs, log = _fse_read_distribution(fwd, 255)
+    if log > 6:
+        raise ValueError("Huffman-weight FSE accuracy log exceeds 6")
+    table = _FseTable(probs, log)
+    back = _BackBits(comp[fwd.bytes_consumed():])
+    s1 = _fse_init(table, back)
+    s2 = _fse_init(table, back)
+    weights = []
+    while True:
+        weights.append(table.symbols[s1])
+        if back.avail < 0:
+            break
+        s1 = table.base[s1] + back.read_padded(table.num_bits[s1])
+        if back.avail < 0:
+            weights.append(table.symbols[s2])
+            break
+        weights.append(table.symbols[s2])
+        if back.avail < 0:
+            break
+        s2 = table.base[s2] + back.read_padded(table.num_bits[s2])
+        if back.avail < 0:
+            weights.append(table.symbols[s1])
+            break
+        if len(weights) > 255:
+            raise ValueError("more than 255 Huffman weights")
+    if len(weights) > 255:
+        raise ValueError("more than 255 Huffman weights")
+    return _huffman_from_weights(weights), pos
+
+
+def _huffman_stream(data: bytes, lut: list, log: int, n_out: int) -> bytes:
+    """Decode one backward Huffman literal stream to exactly n_out
+    bytes."""
+    bits = _BackBits(data)
+    out = bytearray()
+    mask = (1 << log) - 1
+    while len(out) < n_out:
+        idx = bits.peek_padded(log)
+        sym, nb = lut[idx & mask]
+        if nb > max(bits.avail, 0):
+            raise ValueError("Huffman literal stream exhausted early")
+        bits.avail -= nb
+        out.append(sym)
+    if bits.avail != 0:
+        raise ValueError("Huffman literal stream has leftover bits")
+    return bytes(out)
+
+
+def _decode_literals(
+    data: bytes, pos: int, fstate: dict
+) -> tuple[bytes, int]:
+    """Literals section (§3.1.1.3.1): raw / RLE / Huffman-compressed /
+    treeless (reuses the frame's previous tree), 1 or 4 streams."""
+    b0 = data[pos]
+    ltype = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if size_format in (0, 2):
+            rsize = b0 >> 3
+            pos += 1
+        elif size_format == 1:
+            rsize = (b0 >> 4) | (data[pos + 1] << 4)
+            pos += 2
+        else:
+            rsize = (b0 >> 4) | (data[pos + 1] << 4) | (data[pos + 2] << 12)
+            pos += 3
+        if ltype == 0:
+            lits = data[pos:pos + rsize]
+            if len(lits) != rsize:
+                raise ValueError("raw literals overrun the block")
+            return lits, pos + rsize
+        return data[pos:pos + 1] * rsize, pos + 1
+    # compressed (2) / treeless (3)
+    widths = {0: (10, 3, 1), 1: (10, 3, 4), 2: (14, 4, 4), 3: (18, 5, 4)}
+    nbits, nbytes, streams = widths[size_format]
+    h = int.from_bytes(data[pos:pos + nbytes], "little")
+    rsize = (h >> 4) & ((1 << nbits) - 1)
+    csize = (h >> (4 + nbits)) & ((1 << nbits) - 1)
+    pos += nbytes
+    end = pos + csize
+    if ltype == 2:
+        (lut, log), pos = _huffman_tree(data, pos)
+        fstate["huffman"] = (lut, log)
+    else:
+        if fstate.get("huffman") is None:
+            raise ValueError("treeless literals with no previous tree")
+        lut, log = fstate["huffman"]
+    if streams == 1:
+        lits = _huffman_stream(data[pos:end], lut, log, rsize)
+        return lits, end
+    s1 = int.from_bytes(data[pos:pos + 2], "little")
+    s2 = int.from_bytes(data[pos + 2:pos + 4], "little")
+    s3 = int.from_bytes(data[pos + 4:pos + 6], "little")
+    pos += 6
+    r3 = (rsize + 3) >> 2
+    sizes = [s1, s2, s3, end - pos - s1 - s2 - s3]
+    outs = [r3, r3, r3, rsize - 3 * r3]
+    if sizes[3] <= 0 and outs[3] > 0:
+        raise ValueError("4-stream literals jump table overruns block")
+    parts = []
+    for sz, n_out in zip(sizes, outs):
+        parts.append(_huffman_stream(data[pos:pos + sz], lut, log, n_out))
+        pos += sz
+    if pos != end:
+        raise ValueError("literal streams do not fill the section")
+    return b"".join(parts), end
+
+
+def _sequence_table(
+    data: bytes, pos: int, mode: int, kind: str, fstate: dict
+) -> tuple[_FseTable, int]:
+    """One of the LL/OF/ML tables per its compression mode
+    (§3.1.1.4): predefined / RLE / FSE-described / repeat."""
+    defaults = {
+        "ll": (_LL_DEFAULT, _LL_DEFAULT_LOG, 35, 9),
+        "of": (_OF_DEFAULT, _OF_DEFAULT_LOG, 31, 8),
+        "ml": (_ML_DEFAULT, _ML_DEFAULT_LOG, 52, 9),
+    }
+    dist, dlog, max_symbol, max_log = defaults[kind]
+    if mode == 0:
+        table = _FseTable(dist, dlog)
+    elif mode == 1:
+        table = _FseTable.rle(data[pos])
+        pos += 1
+    elif mode == 2:
+        fwd = _FwdBits(data[pos:])
+        probs, log = _fse_read_distribution(fwd, max_symbol)
+        if log > max_log:
+            raise ValueError(f"{kind} FSE accuracy log {log} > {max_log}")
+        table = _FseTable(probs, log)
+        pos += fwd.bytes_consumed()
+    elif mode == 3:
+        table = fstate.get(kind)
+        if table is None:
+            raise ValueError(f"repeat {kind} table with no previous table")
+    fstate[kind] = table
+    return table, pos
+
+
+def _decode_sequences(
+    data: bytes, pos: int, end: int, fstate: dict
+) -> list[tuple[int, int, int]]:
+    """Sequences section (§3.1.1.4): header, per-field FSE tables,
+    then the backward bitstream of (literals_length, offset_value,
+    match_length) triples."""
+    b0 = data[pos]
+    if b0 == 0:
+        return []
+    if b0 < 128:
+        nseq, pos = b0, pos + 1
+    elif b0 < 255:
+        nseq, pos = ((b0 - 128) << 8) | data[pos + 1], pos + 2
+    else:
+        nseq = data[pos + 1] | (data[pos + 2] << 8) | 0x7F00
+        pos += 3
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("reserved sequence-mode bits set")
+    ll_table, pos = _sequence_table(data, pos, modes >> 6, "ll", fstate)
+    of_table, pos = _sequence_table(data, pos, (modes >> 4) & 3, "of", fstate)
+    ml_table, pos = _sequence_table(data, pos, (modes >> 2) & 3, "ml", fstate)
+
+    bits = _BackBits(data[pos:end])
+    ll_state = _fse_init(ll_table, bits)
+    of_state = _fse_init(of_table, bits)
+    ml_state = _fse_init(ml_table, bits)
+    seqs = []
+    for i in range(nseq):
+        of_code = of_table.symbols[of_state]
+        if of_code > 31:
+            raise ValueError(f"offset code {of_code} out of range")
+        offset_value = (1 << of_code) + bits.read(of_code)
+        ml_code = ml_table.symbols[ml_state]
+        if ml_code < 32:
+            ml = ml_code + 3
+        else:
+            base, extra = _ML_EXTRA[ml_code - 32]
+            ml = base + bits.read(extra)
+        ll_code = ll_table.symbols[ll_state]
+        if ll_code < 16:
+            ll = ll_code
+        else:
+            base, extra = _LL_EXTRA[ll_code - 16]
+            ll = base + bits.read(extra)
+        seqs.append((ll, offset_value, ml))
+        if i + 1 < nseq:  # states update LL, ML, OF — not after last
+            ll_state = _fse_update(ll_table, ll_state, bits)
+            ml_state = _fse_update(ml_table, ml_state, bits)
+            of_state = _fse_update(of_table, of_state, bits)
+    if bits.avail != 0:
+        raise ValueError("sequence bitstream has leftover bits")
+    return seqs
+
+
+def _execute_sequences(
+    seqs: list, literals: bytes, out: bytearray, fstate: dict
+) -> None:
+    """Sequence execution (§3.1.2) against the whole frame output so
+    matches may reach into previous blocks; repeat-offset history
+    (with the literals_length == 0 shift) lives in fstate."""
+    rep = fstate["repeat"]
+    lpos = 0
+    for ll, offset_value, ml in seqs:
+        out += literals[lpos:lpos + ll]
+        lpos += ll
+        if offset_value > 3:
+            offset = offset_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = offset_value - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:  # ll == 0 and offset_value == 3: rep[0] - 1
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        if offset > len(out):
+            raise ValueError("match offset reaches before frame start")
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start:start + ml]
+        else:  # overlapping copy: byte-at-a-time semantics
+            for j in range(ml):
+                out.append(out[start + j])
+    out += literals[lpos:]
+
+
+def _decode_compressed_block(
+    data: bytes, pos: int, bsize: int, out: bytearray, fstate: dict
+) -> None:
+    end = pos + bsize
+    literals, pos = _decode_literals(data, pos, fstate)
+    seqs = _decode_sequences(data, pos, end, fstate)
+    _execute_sequences(seqs, literals, out, fstate)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -191,6 +683,10 @@ def _parse_frame(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += fcs_len
 
     out = bytearray()
+    # per-frame entropy state: Huffman tree (treeless literals), the
+    # LL/OF/ML FSE tables (repeat mode), and the repeat-offset history
+    fstate: dict = {"huffman": None, "ll": None, "of": None, "ml": None,
+                    "repeat": [1, 4, 8]}
     while True:
         if pos + 3 > n:
             raise ValueError("truncated zstd block header")
@@ -209,10 +705,11 @@ def _parse_frame(data: bytes, pos: int) -> tuple[bytes, int]:
                 raise ValueError("RLE block missing its byte")
             out += data[pos:pos + 1] * bsize
             pos += 1
-        elif btype == 2:
-            raise NotImplementedError(
-                "compressed zstd block (FSE/Huffman entropy tier)"
-            )
+        elif btype == 2:  # FSE/Huffman entropy tier (§3.1.1.3)
+            if pos + bsize > n:
+                raise ValueError("compressed block overruns frame")
+            _decode_compressed_block(data, pos, bsize, out, fstate)
+            pos += bsize
         else:
             raise ValueError("reserved zstd block type 3")
         if last:
@@ -254,13 +751,9 @@ def iter_zstd_frames(data: bytes) -> Iterator[tuple[int, int, bytes]]:
 
 
 def zstd_decompress(data: bytes) -> bytes:
-    """Concatenated payload of every data frame in ``data``.
-
-    Tier note: RAW/RLE blocks decode here (complete framing +
-    checksum verification); FSE/Huffman compressed blocks raise
-    ``NotImplementedError`` until the entropy tier lands — the same
-    honest-gate discipline as progressive-JPEG-before-round-7. When a
-    ``zstandard``/libzstd binding is present in a deployment, route
-    compressed frames through it; the FRAME walk above (offsets,
-    shard splitting) is binding-independent."""
+    """Concatenated payload of every data frame in ``data`` — raw,
+    RLE, and fully entropy-coded blocks alike; checksums verified.
+    Pure Python: at 100 TB a deployment would route hot decode
+    through a libzstd binding for throughput, but nothing in the
+    FORMAT is gated here except dictionary frames."""
     return b"".join(p for _, _, p in iter_zstd_frames(data))

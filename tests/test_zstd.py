@@ -78,16 +78,88 @@ def test_real_zstd_incompressible_frames_walk_here(tmp_path):
 
 
 @pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
-def test_entropy_tier_gate_is_honest(tmp_path):
-    # compressible input -> FSE/Huffman blocks -> the explicit gate,
-    # never silent wrong bytes
-    src = tmp_path / "c.bin"
-    dst = tmp_path / "c.zst"
-    src.write_bytes(b"the quick brown fox " * 5000)
-    subprocess.run(
-        [_ZSTD_BIN, "-q", "-f", str(src), "-o", str(dst)], check=True
+@pytest.mark.parametrize("level", ["-1", "-3", "-9", "-19"])
+def test_entropy_coded_foreign_frames_decode_exactly(tmp_path, level):
+    # the REAL interop test: fully entropy-coded frames (Huffman
+    # literals with FSE-compressed weights, FSE sequences across all
+    # table modes, treeless/repeat reuse across blocks, repeat
+    # offsets) built by a real zstd binary must decode byte-exactly
+    corpora = {
+        "text": b"the quick brown fox jumps over the lazy dog. " * 3000,
+        "natural": bytes(
+            "".join(
+                f"Document {i}: value={i * 37 % 1000}, "
+                f"lang={'en es de'.split()[i % 3]}\n"
+                for i in range(20000)
+            ),
+            "utf8",
+        ),
+        "html": b"<html><body>" + b"".join(
+            b"<p id='%d'>text block %d</p>" % (i, i) for i in range(5000)
+        ) + b"</body></html>",
+        "binary": b"".join(
+            (i % 65536).to_bytes(2, "little") + bytes([i % 7])
+            for i in range(60000)
+        ),
+        "rle-heavy": b"a" * 50000 + b"b" * 50000,
+    }
+    for name, data in corpora.items():
+        src = tmp_path / "c.bin"
+        dst = tmp_path / "c.zst"
+        src.write_bytes(data)
+        subprocess.run(
+            [_ZSTD_BIN, "-q", "-f", level, str(src), "-o", str(dst)],
+            check=True,
+        )
+        assert zstd_decompress(dst.read_bytes()) == data, (name, level)
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
+def test_long_window_and_multithread_frames_decode(tmp_path):
+    data = bytes(
+        "".join(
+            f"line {i}: " + "abcdefghij"[i % 10] * (i % 50) + "\n"
+            for i in range(100000)
+        ),
+        "utf8",
     )
-    with pytest.raises(NotImplementedError, match="FSE/Huffman"):
+    src = tmp_path / "l.bin"
+    dst = tmp_path / "l.zst"
+    src.write_bytes(data)
+    for args in (["--long=27", "-19"], ["-T4", "-6"], ["--no-check", "-3"]):
+        subprocess.run(
+            [_ZSTD_BIN, "-q", "-f", *args, str(src), "-o", str(dst)],
+            check=True,
+        )
+        assert zstd_decompress(dst.read_bytes()) == data, args
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
+def test_dictionary_frames_gate_honestly(tmp_path):
+    # train a dictionary and compress with it: the dictionary-id in
+    # the frame header must hit the explicit gate, never wrong bytes
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    for i in range(40):
+        (samples / f"s{i}.txt").write_bytes(
+            (f"sample document {i} " * 50).encode()
+        )
+    dic = tmp_path / "dict.bin"
+    r = subprocess.run(
+        [_ZSTD_BIN, "--train", *map(str, samples.glob("*.txt")),
+         "-o", str(dic)],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip("zstd --train unavailable on this binary")
+    src = tmp_path / "d.bin"
+    dst = tmp_path / "d.zst"
+    src.write_bytes(b"sample document 999 " * 50)
+    subprocess.run(
+        [_ZSTD_BIN, "-q", "-f", "-D", str(dic), str(src), "-o", str(dst)],
+        check=True,
+    )
+    with pytest.raises(NotImplementedError, match="dictionary"):
         zstd_decompress(dst.read_bytes())
 
 
