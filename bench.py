@@ -126,6 +126,7 @@ HEADLINE = [
     "q203_robots_decisions",
     "q204_jpeg_progressive",
     "q205_warc_zstd_ingest",
+    "q206_zstd_roundtrip",
 ]
 
 

@@ -174,6 +174,164 @@ def zstd_compress_store(data: bytes, checksum: bool = True) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# compressing encoder: Huffman-coded literals (RFC 8878 §3.1.1.3.1)
+#
+# A REAL entropy-coding zstd encoder, kept to the spec subset that
+# needs no FSE *encoder*: each block is [Huffman-compressed literals
+# + zero sequences], with the tree shipped as a direct 4-bit-weight
+# description. That is a complete, legal zstd stream (unzstd-interop
+# pinned) delivering genuine order-0 entropy compression; LZ matches
+# (sequences) remain the store/gzip layer's job in this repo.
+# ---------------------------------------------------------------------------
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int = 11) -> "dict | None":
+    """Optimal prefix-code lengths (Huffman, heapq); None when the
+    optimal code needs more than ``max_len`` bits (the caller falls
+    back to a raw block — wildly skewed 128 KiB chunks only)."""
+    import heapq
+
+    if len(freqs) < 2:
+        return None  # single-symbol chunks go out as RLE literals
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    tick = len(heap)
+    depth: dict[int, int] = {s: 0 for s in freqs}
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, tick, g1 + g2))
+        tick += 1
+    if max(depth.values()) > max_len:
+        return None
+    return depth
+
+
+def _huffman_encode_table(lengths: dict[int, int]) -> tuple[dict, int, list]:
+    """(symbol -> (code, nbits), table_log, explicit_weights) with
+    the EXACT canonical assignment the decoder reconstructs from the
+    weight description: slots filled lowest weight (longest code)
+    first, natural symbol order within a weight; the LAST present
+    symbol's weight is implied and not emitted."""
+    table_log = max(lengths.values())
+    weights = {s: table_log + 1 - ln for s, ln in lengths.items()}
+    pos = 0
+    codes: dict[int, tuple[int, int]] = {}
+    for w in range(1, table_log + 1):
+        for s in sorted(sym for sym, ws in weights.items() if ws == w):
+            codes[s] = (pos >> (w - 1), table_log + 1 - w)
+            pos += 1 << (w - 1)
+    if pos != 1 << table_log:
+        raise AssertionError("incomplete Huffman code")
+    last = max(lengths)
+    explicit = [weights.get(s, 0) for s in range(last)]
+    return codes, table_log, explicit
+
+
+def _backward_bitstream(emit: list[tuple[int, int]]) -> bytes:
+    """Pack (code, nbits) pairs into a backward bitstream: the
+    decoder reads them in ORDER from just below the sentinel bit."""
+    acc = 1  # sentinel
+    total = 0
+    for code, nb in emit:
+        acc = (acc << nb) | code
+        total += nb
+    return acc.to_bytes(total // 8 + 1, "little")  # ceil((total+1)/8)
+
+
+def _huffman_literals_section(chunk: bytes) -> "bytes | None":
+    """One compressed-literals section (tree description + streams)
+    + the zero-sequences byte, or None when it doesn't beat raw."""
+    freqs: dict[int, int] = {}
+    for b in chunk:
+        freqs[b] = freqs.get(b, 0) + 1
+    lengths = _huffman_lengths(freqs)
+    if lengths is None:
+        return None
+    codes, table_log, explicit = _huffman_encode_table(lengths)
+    if len(explicit) > 128:
+        return None  # direct description carries at most 128 weights
+    tree = bytearray([127 + len(explicit)])
+    for i in range(0, len(explicit), 2):
+        hi = explicit[i] << 4
+        lo = explicit[i + 1] if i + 1 < len(explicit) else 0
+        tree.append(hi | lo)
+
+    rsize = len(chunk)
+    if rsize <= 1023:  # size_format 00: one stream, 10-bit sizes
+        stream = _backward_bitstream([codes[b] for b in chunk])
+        csize = len(tree) + len(stream)
+        if csize > 1023:
+            return None
+        h = 2 | (0 << 2) | (rsize << 4) | (csize << 14)
+        return h.to_bytes(3, "little") + tree + stream + b"\x00"
+    # 4 streams, size_format 10 (14-bit) or 11 (18-bit)
+    r3 = (rsize + 3) >> 2
+    parts = [chunk[0:r3], chunk[r3:2 * r3], chunk[2 * r3:3 * r3],
+             chunk[3 * r3:]]
+    streams = [_backward_bitstream([codes[b] for b in p]) for p in parts]
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return None
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    csize = len(tree) + 6 + sum(len(s) for s in streams)
+    if rsize <= 16383 and csize <= 16383:
+        h = 2 | (2 << 2) | (rsize << 4) | (csize << 18)
+        head = h.to_bytes(4, "little")
+    elif rsize <= 262143 and csize <= 262143:
+        h = 2 | (3 << 2) | (rsize << 4) | (csize << 22)
+        head = h.to_bytes(5, "little")
+    else:
+        return None
+    return head + tree + jump + b"".join(streams) + b"\x00"
+
+
+def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+    """One real zstd frame with ENTROPY-CODED blocks: per 128 KiB
+    block the encoder picks the smallest of Huffman-coded literals
+    (canonical tree shipped as direct weights, zero sequences), an
+    RLE block, or a raw block — a complete, legal stream any zstd
+    decoder opens (CLI-interop pinned), with genuine order-0
+    compression (~×1.5-2 on text). ``zstd_compress_store`` remains
+    the zero-risk store path."""
+    n = len(data)
+    if n <= 0xFF:
+        fcs_flag, fcs = 0, n.to_bytes(1, "little")
+    elif n - 256 <= 0xFFFF:
+        fcs_flag, fcs = 1, (n - 256).to_bytes(2, "little")
+    elif n <= 0xFFFFFFFF:
+        fcs_flag, fcs = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs = 3, n.to_bytes(8, "little")
+    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    out.append(fhd)
+    out += fcs
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last empty raw block
+    else:
+        pos = 0
+        while pos < n:
+            chunk = data[pos:pos + _BLOCK_MAX]
+            pos += len(chunk)
+            last = 1 if pos >= n else 0
+            if len(set(chunk)) == 1:  # RLE block
+                out += (last | (1 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
+                out += chunk[:1]
+                continue
+            body = _huffman_literals_section(chunk)
+            if body is not None and len(body) < len(chunk):
+                out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+                out += body
+            else:
+                out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+                out += chunk
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # entropy tier: FSE + Huffman (RFC 8878 §4), feeding compressed blocks
 # ---------------------------------------------------------------------------
 

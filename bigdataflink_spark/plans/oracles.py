@@ -3977,3 +3977,17 @@ SELECT doc_id,
        TRUE AS slice_fetch_ok
 FROM documents
 """
+
+
+# q206: the entropy-coded zstd round trip is LOSSLESS, so the oracle
+# recomputes the decoded md5 from the table text; entropy_smaller and
+# corrupt_detected are pinned TRUE (threshold 256 has corpus-measured
+# margin: the longest non-shrinking doc is 168 bytes).
+ORACLES["q206_zstd_roundtrip"] = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+       md5(text) AS roundtrip_md5,
+       TRUE AS entropy_smaller,
+       TRUE AS corrupt_detected
+FROM documents WHERE doc_id % 7 = 5
+"""

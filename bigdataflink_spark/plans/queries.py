@@ -6581,6 +6581,75 @@ def q205_warc_zstd_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q206_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-coded zstd round-trip contract (extension; completes
+    the RFC 8878 codec story opened by q205's framing): each sampled
+    document's text is compressed by the REAL entropy encoder
+    (``operators/zstd.py::zstd_compress``: per-block choice of
+    Huffman-coded literals — canonical tree shipped as direct 4-bit
+    weights — vs RLE vs raw; unzstd-interop pinned by tests) and
+    decoded back through the full FSE/Huffman decode path.
+
+    Contract columns, all oracle-recomputable: ``roundtrip_md5``
+    pins byte-exact recovery THROUGH the entropy tier (DuckDB
+    md5(text)); ``entropy_smaller`` pins that documents of >= 256
+    bytes genuinely shrink (the corpus-measured safe threshold — the
+    worst non-shrinking doc is 168 bytes; an encoder that silently
+    fell back to raw blocks everywhere would flip it);
+    ``corrupt_detected`` flips one payload byte mid-frame and pins
+    that decode RAISES (XXH64 checksum or structural validation) —
+    wrong-bytes-silently is the failure mode a checksum exists for.
+    Audited on the deterministic doc_id%7==5 slice (~14%; declared,
+    mirrored by the oracle). One fan-out Arrow map, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.zstd import (
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 5
+    ).select("doc_id", "text")
+
+    def _batches(it):
+        import hashlib
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "orig_len", "roundtrip_md5",
+                "entropy_smaller", "corrupt_detected",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")
+                frame = zstd_compress(raw)
+                back = zstd_decompress(frame)
+                bad = bytearray(frame)
+                bad[len(bad) // 2] ^= 0xFF
+                try:
+                    ok = zstd_decompress(bytes(bad)) == raw
+                    detected = not ok  # silent wrong bytes = failure
+                except (ValueError, NotImplementedError):
+                    detected = True
+                rows["media_id"].append(int(doc_id))
+                rows["orig_len"].append(len(raw))
+                rows["roundtrip_md5"].append(hashlib.md5(back).hexdigest())
+                rows["entropy_smaller"].append(
+                    bool(len(raw) < 256 or len(frame) < len(raw))
+                )
+                rows["corrupt_detected"].append(bool(detected))
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, orig_len long, roundtrip_md5 string, "
+            "entropy_smaller boolean, corrupt_detected boolean"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -6784,4 +6853,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q203_robots_decisions": q203_robots_decisions,
     "q204_jpeg_progressive": q204_jpeg_progressive,
     "q205_warc_zstd_ingest": q205_warc_zstd_ingest,
+    "q206_zstd_roundtrip": q206_zstd_roundtrip,
 }

@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 from bigdataflink_spark.operators.zstd import (
     iter_zstd_frames,
     xxh64,
+    zstd_compress,
     zstd_compress_store,
     zstd_decompress,
 )
@@ -250,3 +251,61 @@ def test_warc_zstd_shard_roundtrip_and_slice_fetch():
         warc_build_shard(recs, 0, compression="lz4")
     with pytest.raises(ValueError, match="unknown WARC shard"):
         list(iter_warc_records(b"\x00\x01\x02\x03junk"))
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300_000))
+def test_entropy_encoder_roundtrip_property(data):
+    assert zstd_decompress(zstd_compress(data)) == data
+
+
+def test_entropy_encoder_compresses_text_and_falls_back_on_noise():
+    text = b"the quick brown fox jumps over the lazy dog. " * 3000
+    frame = zstd_compress(text)
+    assert zstd_decompress(frame) == text
+    assert len(frame) < len(text) * 0.7  # real order-0 compression
+    assert len(frame) < len(zstd_compress_store(text))
+    noise = os.urandom(100_000)
+    nf = zstd_compress(noise)  # raw fallback: tiny overhead, exact
+    assert zstd_decompress(nf) == noise
+    assert len(nf) <= len(noise) + 40
+    rle = b"z" * 100_000
+    assert len(zstd_compress(rle)) < 30  # RLE block path
+    assert zstd_decompress(zstd_compress(rle)) == rle
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
+def test_entropy_encoded_frames_open_under_real_unzstd(tmp_path):
+    # OUR Huffman-coded blocks must be legal to a foreign decoder —
+    # the other half of the interop contract
+    cases = [
+        b"the quick brown fox jumps over the lazy dog. " * 3000,
+        bytes("".join(f"doc {i}: v={i * 37 % 1000}\n"
+                      for i in range(20000)), "utf8"),
+        b"e" * 90000 + b"mixed tail content 123 " * 400,
+        os.urandom(150_000),  # raw-fallback multi-block
+    ]
+    for data in cases:
+        src = tmp_path / "o.zst"
+        out = tmp_path / "o.out"
+        src.write_bytes(zstd_compress(data))
+        r = subprocess.run(
+            [_ZSTD_BIN, "-d", "-f", "-o", str(out), str(src)],
+            capture_output=True,
+        )
+        assert r.returncode == 0, r.stderr
+        assert out.read_bytes() == data
+
+
+def test_corrupted_entropy_frame_never_silently_wrong():
+    data = b"structured content %d " * 500 % tuple(range(500))
+    frame = bytearray(zstd_compress(data))
+    for at in (len(frame) // 4, len(frame) // 2, len(frame) - 6):
+        bad = bytearray(frame)
+        bad[at] ^= 0xFF
+        try:
+            got = zstd_decompress(bytes(bad))
+            assert got == data or got != data and False, \
+                "corruption decoded without error"
+        except (ValueError, NotImplementedError):
+            pass  # detected — the contract
