@@ -127,6 +127,7 @@ HEADLINE = [
     "q204_jpeg_progressive",
     "q205_warc_zstd_ingest",
     "q206_zstd_roundtrip",
+    "q207_png_subbyte",
 ]
 
 

@@ -618,12 +618,41 @@ def _png_filter_rows(rows: np.ndarray, bpp: int, filter_type: int) -> list[bytes
     return out
 
 
+def _png_pack_rows(rows: np.ndarray, depth: int) -> np.ndarray:
+    """Pack (h, w) sample values into sub-byte scanline bytes:
+    ``8/depth`` samples per byte, MSB-first, rows padded to a byte
+    boundary with zero bits (PNG §7.2)."""
+    h, w = rows.shape
+    spb = 8 // depth
+    pad = (-w) % spb
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    grouped = rows.reshape(h, -1, spb).astype(np.uint16)
+    shifts = np.arange(spb - 1, -1, -1, dtype=np.uint16) * depth
+    return (grouped << shifts).sum(axis=2).astype(np.uint8)
+
+
+def _png_unpack_rows(img: np.ndarray, depth: int, w: int) -> np.ndarray:
+    """Inverse of :func:`_png_pack_rows`: (h, row_bytes) packed bytes
+    back to (h, w) sample values; padding bits are DISCARDED, not
+    validated (the spec leaves their content unspecified, and wild
+    encoders do write junk there)."""
+    spb = 8 // depth
+    mask = (1 << depth) - 1
+    shifts = np.arange(spb - 1, -1, -1, dtype=np.uint8) * depth
+    samples = (img[:, :, None] >> shifts) & mask
+    return samples.reshape(img.shape[0], -1)[:, :w]
+
+
 def png_encode(
     img: np.ndarray,
     filter_type: int = 0,
     level: int = 6,
     palette: np.ndarray | None = None,
     interlace: bool = False,
+    bit_depth: "int | None" = None,
 ) -> bytes:
     """Encode a uint8 array as a real PNG (8-bit). The color type
     follows the array shape (round 5 widens the round-4 RGB-only
@@ -643,8 +672,12 @@ def png_encode(
     sub-images in spec pass order, each filtered independently
     (prev-row context resets per pass). A ``uint16`` array encodes
     as bit depth 16 (big-endian sample bytes, per spec; filters
-    operate on BYTES regardless of depth — §9.2); palette stays
-    8-bit-index only, as the spec requires."""
+    operate on BYTES regardless of depth — §9.2). ``bit_depth`` of
+    1/2/4 (the round-7 sub-byte tier) applies to single-channel
+    inputs — grayscale, or palette with a small enough PLTE: samples
+    pack 8/depth per byte MSB-first, scanlines pad to byte
+    boundaries with zero bits, filters run at bpp=1, and each Adam7
+    pass packs independently (PNG §7.2)."""
     import struct
     import zlib
 
@@ -652,24 +685,38 @@ def png_encode(
         img = img[:, :, None]
     h, w, ch = img.shape
     assert img.dtype in (np.uint8, np.uint16)
-    depth = 16 if img.dtype == np.uint16 else 8
+    depth = bit_depth or (16 if img.dtype == np.uint16 else 8)
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal PNG bit depth {depth}")
+    if depth < 8:
+        # sub-byte tier (round 7): gray or palette, 1 channel,
+        # samples packed 8/depth per byte MSB-first, filters at bpp=1
+        assert img.dtype == np.uint8 and ch == 1, \
+            "sub-byte depths take single-channel uint8 arrays"
+        assert int(img.max(initial=0)) < (1 << depth), \
+            f"sample value out of range for depth {depth}"
     plte = b""
     if palette is not None:
-        assert depth == 8, "PNG palette images are 8-bit-index only"
+        assert depth <= 8, "PNG palette depth is at most 8"
         assert ch == 1, "palette encoding takes (h, w) index arrays"
         assert palette.dtype == np.uint8 and palette.ndim == 2
-        assert palette.shape[0] <= 256 and palette.shape[1] == 3
-        assert int(img.max()) < palette.shape[0], "index out of palette"
+        assert palette.shape[0] <= (1 << min(depth, 8))
+        assert palette.shape[1] == 3
+        assert int(img.max(initial=0)) < palette.shape[0], "index out of palette"
         color = 3
         plte = _png_chunk(b"PLTE", palette.tobytes())
     else:
         color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    sbpp = ch * (depth // 8)
+        if depth < 8:
+            assert color == 0, "sub-byte depths are gray/palette only"
+    sbpp = ch * (depth // 8) if depth >= 8 else 1
 
     def to_bytes(a: np.ndarray) -> np.ndarray:
         a = np.ascontiguousarray(a)
         if depth == 16:
             return a.astype(">u2").view(np.uint8).reshape(a.shape[0], -1)
+        if depth < 8:
+            return _png_pack_rows(a.reshape(a.shape[0], -1), depth)
         return a.reshape(a.shape[0], -1)
 
     out = []
@@ -731,30 +778,36 @@ def _png_parse(payload: bytes) -> tuple[tuple, "np.ndarray | None", bytes]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt_m, interlace = ihdr
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
     if (
         (comp, filt_m) != (0, 0)
-        or depth not in (8, 16)
         or interlace not in (0, 1)
         or color not in _PNG_COLOR_BPP
-        or (color == 3 and depth == 16)  # spec: palette depth <= 8
+        or depth not in legal_depths[color]
     ):
         raise NotImplementedError(
-            "png decode supports 8/16-bit color types 0/2/3/4/6 "
-            f"(palette 8-bit), interlace 0/1 (got depth={depth} "
+            "png decode supports spec depth/color combinations "
+            "(gray 1/2/4/8/16, palette 1/2/4/8, RGB(A)/gray+alpha "
+            f"8/16), interlace 0/1 (got depth={depth} "
             f"color={color} interlace={interlace})"
         )
     if color == 3 and plte is None:
         raise ValueError("PNG color type 3 requires a PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    sbpp = _PNG_COLOR_BPP[color] * (depth // 8)
+
+    def _row_bytes(width: int) -> int:
+        # sub-byte rows pack 8/depth samples per byte with padding
+        return (width * _PNG_COLOR_BPP[color] * depth + 7) // 8
+
     if interlace:
         want = sum(
-            ph * (1 + pw * sbpp)
+            ph * (1 + _row_bytes(pw))
             for pw, ph in (_adam7_pass_size(w, h, p) for p in _ADAM7)
             if pw and ph
         )
     else:
-        want = h * (w * sbpp + 1)
+        want = h * (_row_bytes(w) + 1)
     if len(raw) != want:
         raise ValueError("PNG IDAT length mismatch")
     return ihdr, plte, raw
@@ -887,7 +940,10 @@ def png_decode(payload: bytes) -> np.ndarray:
     seven-pass scatter (each pass an independent sub-image, as the
     spec defines); 16-bit streams return native uint16 arrays
     (big-endian sample bytes per spec — filters ran on bytes);
-    sub-byte depths (1/2/4) stay an honest NotImplementedError.
+    sub-byte depths (1/2/4, gray and palette) unfilter at bpp=1 over
+    packed row bytes and unpack MSB-first, discarding the spec's
+    unspecified padding bits — gray returns the RAW sample values
+    (0..2^depth-1) in (h, w, 1).
 
     Unfilter cost: Up is pure numpy (uint8 wraparound add); Sub is a
     per-pixel modular prefix sum, i.e. one cumsum over the row
@@ -901,6 +957,30 @@ def png_decode(payload: bytes) -> np.ndarray:
     ihdr, plte, raw = _png_parse(payload)
     w, h, depth, color, _comp, _filt_m, interlace = ihdr
     ch = _PNG_COLOR_BPP[color]
+    if depth < 8:
+        # sub-byte tier: unfilter at bpp=1 over packed row bytes,
+        # then unpack samples per row (Adam7 passes pack their own
+        # rows, so unpacking happens per pass before the scatter)
+        if interlace:
+            out = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for grid in _ADAM7:
+                pw, ph = _adam7_pass_size(w, h, grid)
+                if not pw or not ph:
+                    continue
+                rb = (pw * depth + 7) // 8
+                packed = _png_unfilter(raw, off, ph, rb, 1)
+                x0, y0, dx, dy = grid
+                out[y0::dy, x0::dx] = _png_unpack_rows(packed, depth, pw)
+                off += ph * (1 + rb)
+            samples = out
+        else:
+            rb = (w * depth + 7) // 8
+            packed = _png_unfilter(raw, 0, h, rb, 1)
+            samples = _png_unpack_rows(packed, depth, w)
+        if color == 3:
+            return _png_palette_expand(samples, plte, h, w)
+        return samples.reshape(h, w, 1)
     sbpp = ch * (depth // 8)
     if interlace:
         out = np.zeros((h, w, sbpp), dtype=np.uint8)

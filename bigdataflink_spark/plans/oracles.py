@@ -3991,3 +3991,36 @@ SELECT doc_id AS media_id,
        TRUE AS corrupt_detected
 FROM documents WHERE doc_id % 7 = 5
 """
+
+
+# q207: sub-byte PNG is lossless — every decoded value recomputes
+# from the closed forms: gray sample k of doc i is (i*31+k) % 2^d;
+# palette index the same mod 2^d expanded through pal[j] =
+# ((j*5+1)%256, (j*11+3)%256, (j*23+7)%256), 3 channels per pixel.
+ORACLES["q207_png_subbyte"] = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 6),
+d AS (SELECT unnest([1, 2, 4]) AS depth),
+gray AS (
+  SELECT doc_id AS media_id, 'gray' AS profile, depth,
+         (doc_id * 31 + t.k) % (1 << depth) AS v
+  FROM docs, d CROSS JOIN generate_series(0, 191) t(k)
+),
+pal AS (
+  SELECT doc_id AS media_id, 'palette' AS profile, depth,
+         CASE c
+           WHEN 0 THEN (((doc_id * 31 + t.k) % (1 << depth)) * 5 + 1) % 256
+           WHEN 1 THEN (((doc_id * 31 + t.k) % (1 << depth)) * 11 + 3) % 256
+           ELSE (((doc_id * 31 + t.k) % (1 << depth)) * 23 + 7) % 256
+         END AS v
+  FROM docs, d
+  CROSS JOIN generate_series(0, 191) t(k)
+  CROSS JOIN generate_series(0, 2) tc(c)
+),
+s AS (SELECT * FROM gray UNION ALL SELECT * FROM pal)
+SELECT media_id, profile, CAST(depth AS INT) AS depth,
+       COUNT(*) AS n_vals,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(MIN(v) AS INT) AS min_val,
+       CAST(MAX(v) AS INT) AS max_val
+FROM s GROUP BY 1, 2, 3
+"""

@@ -54,3 +54,78 @@ def test_png_palette_roundtrip_property(hw, n_colors, filter_type, interlace, se
         png_encode(idx, filter_type=filter_type, palette=pal, interlace=interlace)
     )
     assert (dec == pal[idx[:, :, 0]]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    depth=st.sampled_from([1, 2, 4]),
+    hw=st.tuples(st.integers(1, 33), st.integers(1, 33)),
+    filter_type=st.integers(0, 4),
+    interlace=st.booleans(),
+    use_palette=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_subbyte_roundtrip_property(
+    depth, hw, filter_type, interlace, use_palette, seed
+):
+    # the round-7 sub-byte tier: 1/2/4-bit gray and palette, every
+    # filter, plain and Adam7, widths that exercise padding bits
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 1 << depth, hw).astype(np.uint8)
+    if use_palette:
+        pal = rng.randint(0, 256, (1 << depth, 3)).astype(np.uint8)
+        dec = png_decode(png_encode(
+            img, filter_type=filter_type, interlace=interlace,
+            bit_depth=depth, palette=pal,
+        ))
+        assert (dec == pal[img]).all()
+    else:
+        dec = png_decode(png_encode(
+            img, filter_type=filter_type, interlace=interlace,
+            bit_depth=depth,
+        ))
+        assert dec.shape == (*hw, 1)
+        assert (dec.reshape(hw) == img).all()
+
+
+def test_png_subbyte_padding_bits_are_ignored():
+    # the spec leaves scanline padding bits unspecified; wild
+    # encoders write junk there — decode must discard, not validate
+    import struct
+    import zlib
+
+    from bigdataflink_spark.operators import multimodal as mm
+
+    h, w, depth = 3, 5, 1  # 5 one-bit samples/row: 3 padding bits
+    img = np.array([[1, 0, 1, 1, 0], [0, 1, 1, 0, 1], [1, 1, 0, 0, 1]],
+                   dtype=np.uint8)
+    rows = []
+    for y in range(h):
+        byte = 0
+        for x in range(w):
+            byte |= int(img[y, x]) << (7 - x)
+        byte |= {0: 0b101, 1: 0b010, 2: 0b111}[y]  # junk padding
+        rows.append(bytes([0, byte]))  # filter 0
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    payload = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    dec = png_decode(payload)
+    assert (dec.reshape(h, w) == img).all()
+
+
+def test_png_subbyte_rejects_illegal_combinations():
+    import pytest as _pytest
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    with _pytest.raises(AssertionError, match="single-channel"):
+        png_encode(np.zeros((4, 4, 3), dtype=np.uint8), bit_depth=2)
+    with _pytest.raises(AssertionError, match="out of range"):
+        png_encode(img + 2, bit_depth=1)
+    # palette larger than the depth allows
+    with _pytest.raises(AssertionError):
+        png_encode(img, bit_depth=2,
+                   palette=np.zeros((5, 3), dtype=np.uint8))
