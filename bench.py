@@ -128,6 +128,7 @@ HEADLINE = [
     "q205_warc_zstd_ingest",
     "q206_zstd_roundtrip",
     "q207_png_subbyte",
+    "q208_flac_depths",
 ]
 
 

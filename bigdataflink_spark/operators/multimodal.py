@@ -3826,14 +3826,27 @@ def _flac_write_subframe(
                 bw.write(uv & ((1 << k) - 1), k)
 
 
+def _flac_pcm_bytes(samples: "np.ndarray", bps: int) -> bytes:
+    """The raw PCM byte stream STREAMINFO's MD5 covers: interleaved
+    little-endian signed samples at the stream's coded width (1, 2,
+    or 3 bytes — 24-bit packs the low three bytes of each int32)."""
+    if bps == 8:
+        return samples.astype("<i1").tobytes()
+    if bps == 16:
+        return samples.astype("<i2").tobytes()
+    le = np.ascontiguousarray(samples.astype("<i4")).view(np.uint8)
+    return le.reshape(-1, 4)[:, :3].tobytes()
+
+
 def flac_encode(
     samples: "np.ndarray",
     sample_rate: int = 8000,
     block_size: int = 256,
     stereo_mode: "str | None" = None,
     max_lpc_order: int = 8,
+    bits_per_sample: int = 16,
 ) -> bytes:
-    """Encode an (n_samples, channels) int16 array as a real FLAC
+    """Encode an (n_samples, channels) integer array as a real FLAC
     stream: fLaC magic, STREAMINFO (with MD5 of the raw stream),
     fixed-blocksize frames with CRC-8'd headers and CRC-16 footers.
     Stereo frames pick the cheapest of independent / left-side /
@@ -3842,15 +3855,25 @@ def flac_encode(
     "independent" | "left_side" | "right_side" | "mid_side").
     Subframes choose among CONSTANT/VERBATIM/FIXED 0-4/LPC
     1..``max_lpc_order`` by exact bit cost (``flac -l N``;
-    ``max_lpc_order=0`` pins the fixed-predictor profile)."""
+    ``max_lpc_order=0`` pins the fixed-predictor profile).
+
+    ``bits_per_sample`` of 8 / 16 / 24 (round 7 widens the PCM16
+    profile): samples must fit the signed range; the whole subframe/
+    Rice/decorrelation machinery is width-generic (the side channel
+    carries bps+1 bits, 25 at 24-bit, exactly as the spec requires)."""
     import hashlib
     import struct
 
-    assert samples.dtype == np.int16 and samples.ndim == 2
+    bps = bits_per_sample
+    assert bps in (8, 16, 24), "FLAC profile covers 8/16/24-bit PCM"
+    assert samples.dtype in (np.int8, np.int16, np.int32)
+    assert samples.ndim == 2
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    assert int(samples.min(initial=0)) >= lo
+    assert int(samples.max(initial=0)) <= hi, "sample exceeds bit depth"
     n, ch = samples.shape
     assert 1 <= ch <= 8 and n > 0
-    bps = 16
-    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_flac_pcm_bytes(samples, bps)).digest()
 
     frames = []
     fi = 0
@@ -4026,11 +4049,13 @@ def _flac_read_subframe(
 def flac_decode(
     payload: bytes, types_out: "list | None" = None
 ) -> tuple["np.ndarray", int]:
-    """Decode a FLAC stream (fixed-predictor profile): metadata block
-    walk, per-frame sync + CRC-8 + CRC-16 verification, subframe
-    reconstruction (constant/verbatim/fixed 0-4, wasted bits),
-    stereo de-decorrelation, and STREAMINFO MD5 verification of the
-    fully decoded stream. Returns ((n_samples, channels) int16,
+    """Decode a FLAC stream: metadata block walk, per-frame sync +
+    CRC-8 + CRC-16 verification, subframe reconstruction
+    (constant/verbatim/fixed 0-4/LPC, wasted bits), stereo
+    de-decorrelation, and STREAMINFO MD5 verification of the fully
+    decoded stream at the coded width. 8/12/16/20/24-bit streams
+    decode (round 7 lifts the PCM16 gate); returns
+    ((n_samples, channels) int16 for bps <= 16 else int32,
     sample_rate)."""
     import hashlib
 
@@ -4058,8 +4083,8 @@ def flac_decode(
     bps = sr.read(5) + 1
     total = sr.read(36)
     md5_expect = streaminfo[18:34]
-    if bps != 16:
-        raise NotImplementedError(f"{bps}-bit FLAC (PCM16 pipeline)")
+    if bps not in (8, 12, 16, 20, 24):
+        raise NotImplementedError(f"{bps}-bit FLAC (coded widths only)")
 
     chans: list[list] = [[] for _ in range(ch)]
     got = 0
@@ -4138,11 +4163,18 @@ def flac_decode(
         pos = br.p >> 3
     if got != total:
         raise ValueError(f"decoded {got} samples, STREAMINFO says {total}")
+    dtype = np.int16 if bps <= 16 else np.int32
     out = np.stack(
         [np.concatenate(c) for c in chans], axis=1
-    ).astype(np.int16)
-    if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
-        raise ValueError("decoded stream fails STREAMINFO MD5")
+    ).astype(dtype)
+    # MD5 covers the interleaved little-endian PCM at the coded byte
+    # width. Verified for 8/16/24 (whole-byte widths with one
+    # unambiguous packing); 12/20-bit input packing is encoder-
+    # defined, and an all-zero field means "unset" per spec — both
+    # skip verification rather than failing valid streams.
+    if bps in (8, 16, 24) and md5_expect != b"\x00" * 16:
+        if hashlib.md5(_flac_pcm_bytes(out, bps)).digest() != md5_expect:
+            raise ValueError("decoded stream fails STREAMINFO MD5")
     return out, sample_rate
 
 

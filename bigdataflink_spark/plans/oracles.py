@@ -4024,3 +4024,36 @@ SELECT media_id, profile, CAST(depth AS INT) AS depth,
        CAST(MAX(v) AS INT) AS max_val
 FROM s GROUP BY 1, 2, 3
 """
+
+
+# q208: FLAC is lossless, so every decoded sample recomputes from the
+# closed forms at both widths; stats in exact int64, TRUE compression
+# pins pinned on the predictor-friendly linear signals.
+ORACLES["q208_flac_depths"] = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 1),
+s8 AS (
+  SELECT doc_id AS media_id, 'pcm8_mono' AS variant, 0 AS channel, t.j,
+         ((doc_id * 7 + t.j * 3) % 256) - 128 AS v
+  FROM docs CROSS JOIN generate_series(0, 399) t(j)
+),
+s24 AS (
+  SELECT doc_id AS media_id, 'pcm24_stereo' AS variant, c.c AS channel,
+         t.j,
+         CASE c.c
+           WHEN 0 THEN ((doc_id * 13 + t.j * 9973) % 16777216) - 8388608
+           ELSE ((doc_id * 17 + t.j * 31) % 16777216) - 8388608
+         END AS v
+  FROM docs CROSS JOIN generate_series(0, 399) t(j)
+  CROSS JOIN (VALUES (0), (1)) c(c)
+),
+u AS (SELECT * FROM s8 UNION ALL SELECT * FROM s24)
+SELECT media_id, variant, CAST(channel AS INT) AS channel,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(v * j) AS BIGINT) AS wsum_amp,
+       CAST(MIN(v) AS BIGINT) AS min_amp,
+       CAST(MAX(v) AS BIGINT) AS max_amp,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       TRUE AS compressed_smaller
+FROM u GROUP BY 1, 2, 3
+"""

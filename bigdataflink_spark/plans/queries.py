@@ -6581,6 +6581,86 @@ def q205_warc_zstd_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q208_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit and 24-bit FLAC contract (extension; round-6 verdict
+    "What's missing #3" — the PCM16-only gate left the other two
+    whole-byte FLAC widths undecodable). Per sampled doc, an 8-bit
+    mono sawtooth and a 24-bit stereo pair (closed-form integer
+    signals the oracle recomputes exactly) run the full encode→decode
+    loop at their native widths: STREAMINFO carries bps-1 and the MD5
+    of the 1-/3-byte little-endian PCM, the side channel rides
+    bps+1 bits (25 at 24-bit), and Rice/fixed-predictor machinery is
+    width-generic. Exact per-channel stats (sum/wsum/min/max/energy —
+    wsum position-weights so reassembly-order bugs fail the hash) pin
+    losslessness; ``compressed_smaller`` pins that real compression
+    happened at both widths (linear signals, fixed predictors
+    whiten). Audited on the deterministic doc_id%7==1 slice
+    (declared, mirrored). One Arrow map stage fed by the tiny doc-id
+    fan-out shuffle; zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        flac_decode,
+        flac_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 1)
+    n = 400
+
+    def _batches(it):
+        import numpy as np
+
+        js = np.arange(n, dtype=np.int64)
+        cols = (
+            "media_id", "variant", "channel", "n_samples", "sum_amp",
+            "wsum_amp", "min_amp", "max_amp", "energy",
+            "compressed_smaller",
+        )
+        for pdf in it:
+            rows = {k: [] for k in cols}
+
+            def emit(mid, variant, pcm, bps):
+                enc = flac_encode(pcm, 8000, 256, bits_per_sample=bps)
+                dec, _rate = flac_decode(enc)
+                for c in range(dec.shape[1]):
+                    chv = dec[:, c].astype(np.int64)
+                    rows["media_id"].append(mid)
+                    rows["variant"].append(variant)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(int(chv.size))
+                    rows["sum_amp"].append(int(chv.sum()))
+                    rows["wsum_amp"].append(int((chv * js).sum()))
+                    rows["min_amp"].append(int(chv.min()))
+                    rows["max_amp"].append(int(chv.max()))
+                    rows["energy"].append(int((chv * chv).sum()))
+                    rows["compressed_smaller"].append(
+                        bool(len(enc) < pcm.shape[0] * pcm.shape[1]
+                             * (bps // 8))
+                    )
+
+            for i in pdf["doc_id"]:
+                i = int(i)
+                s8 = (((i * 7 + js * 3) % 256) - 128).astype(np.int8)
+                emit(i, "pcm8_mono", s8.reshape(n, 1), 8)
+                # independent closed forms (no division: floor-vs-
+                # trunc semantics differ across engines on negatives)
+                left = ((i * 13 + js * 9973) % (1 << 24)) - (1 << 23)
+                right = ((i * 17 + js * 31) % (1 << 24)) - (1 << 23)
+                s24 = np.stack([left, right], axis=1).astype(np.int32)
+                emit(i, "pcm24_stereo", s24, 24)
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, variant string, channel int, n_samples long, "
+            "sum_amp long, wsum_amp long, min_amp long, max_amp long, "
+            "energy long, compressed_smaller boolean"
+        ),
+    )
+
+
 def q207_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-byte PNG profile contract (extension; round-6 verdict
     "What's missing #3" — 1/2/4-bit gray and palette files are the
@@ -6932,4 +7012,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q205_warc_zstd_ingest": q205_warc_zstd_ingest,
     "q206_zstd_roundtrip": q206_zstd_roundtrip,
     "q207_png_subbyte": q207_png_subbyte,
+    "q208_flac_depths": q208_flac_depths,
 }

@@ -56,3 +56,44 @@ def test_flac_roundtrip_property(s, rate):
     assert drate == rate
     assert dec.dtype == np.int16 and dec.shape == pcm.shape
     assert np.array_equal(dec, pcm)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bps=st.sampled_from([8, 24]),
+    ch=st.integers(1, 2),
+    n=st.integers(1, 900),
+    kind=st.sampled_from(["sine", "noise", "ramp", "const"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_depth_roundtrip_property(bps, ch, n, kind, seed):
+    # round 7: the 8- and 24-bit widths through the full pipeline —
+    # STREAMINFO MD5 at the coded byte width, side channel at bps+1
+    rng = np.random.RandomState(seed)
+    scale = (1 << (bps - 1)) - 1
+    t = np.arange(n)
+    if kind == "sine":
+        base = (np.sin(t / 5.0) * 0.8 * scale).astype(np.int64)
+    elif kind == "noise":
+        base = rng.randint(-scale, scale + 1, n)
+    elif kind == "ramp":
+        base = ((t * 13) % (2 * scale) - scale).astype(np.int64)
+    else:
+        base = np.full(n, scale // 3, dtype=np.int64)
+    dtype = np.int8 if bps == 8 else np.int32
+    cols = [base] + ([np.roll(base, 7)] if ch == 2 else [])
+    sig = np.stack(cols, axis=1).astype(dtype)
+    dec, rate = flac_decode(flac_encode(sig, bits_per_sample=bps))
+    assert rate == 8000
+    assert (dec.astype(np.int64) == sig.astype(np.int64)).all()
+    assert dec.dtype == (np.int16 if bps <= 16 else np.int32)
+
+
+def test_flac_depth_guards():
+    import pytest as _pytest
+
+    too_big = np.full((10, 1), 200, dtype=np.int32)
+    with _pytest.raises(AssertionError, match="exceeds bit depth"):
+        flac_encode(too_big, bits_per_sample=8)
+    with _pytest.raises(AssertionError):
+        flac_encode(np.zeros((10, 1), dtype=np.int16), bits_per_sample=12)
