@@ -19,8 +19,9 @@ format itself, the repo's codec discipline (PNG/JPEG/GIF/FLAC):
   content-checksum verification (xxhash64 implemented below).
   Foreign-built streams are the test bed: every compression level of
   a real ``zstd`` binary over text/HTML/JSON/binary corpora decodes
-  byte-exactly (CLI-interop suite). Dictionary-compressed frames
-  raise ``NotImplementedError`` (the one remaining gate).
+  byte-exactly (CLI-interop suite), including DICTIONARY frames
+  (§5: trained-dictionary parse — entropy tables seeding the repeat
+  modes, initial repeat offsets, content as virtual match history).
 * **Encoder** — store-mode frames: single-segment, raw blocks at the
   128 KiB block maximum, frame-content-size, XXH64 checksum. These
   are REAL zstd frames — ``unzstd`` opens them byte-for-byte
@@ -797,13 +798,65 @@ def _decode_compressed_block(
 
 
 # ---------------------------------------------------------------------------
+# dictionaries (RFC 8878 §5)
+# ---------------------------------------------------------------------------
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dictionary(data: bytes) -> dict:
+    """Parse a trained zstd dictionary (``zstd --train`` output):
+    magic, dictionary ID, the entropy tables (Huffman for literals,
+    then OF/ML/LL FSE tables, serialized exactly as in compressed
+    blocks), the three initial repeat offsets, and the raw CONTENT
+    that frames use as virtual match history. A blob without the
+    magic is a raw-content dictionary (history only, no tables, any
+    dictionary ID)."""
+    if len(data) >= 8 and int.from_bytes(data[:4], "little") == _DICT_MAGIC:
+        did = int.from_bytes(data[4:8], "little")
+        pos = 8
+        (lut, log), pos = _huffman_tree(data, pos)
+        tables = {}
+        for kind in ("of", "ml", "ll"):
+            tables[kind], pos = _sequence_table(data, pos, 2, kind, {})
+        reps = [
+            int.from_bytes(data[pos + 4 * i:pos + 4 * i + 4], "little")
+            for i in range(3)
+        ]
+        pos += 12
+        if any(r == 0 for r in reps):
+            raise ValueError("zstd dictionary repeat offset of zero")
+        return {
+            "id": did,
+            "huffman": (lut, log),
+            "ll": tables["ll"],
+            "of": tables["of"],
+            "ml": tables["ml"],
+            "repeat": reps,
+            "content": data[pos:],
+        }
+    return {
+        "id": 0,
+        "huffman": None,
+        "ll": None,
+        "of": None,
+        "ml": None,
+        "repeat": [1, 4, 8],
+        "content": data,
+    }
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
-def _parse_frame(data: bytes, pos: int) -> tuple[bytes, int]:
+def _parse_frame(
+    data: bytes, pos: int, dictionary: "dict | None" = None
+) -> tuple[bytes, int]:
     """Decode one zstd frame starting at ``pos``; returns
     (payload, end_offset). Raises ValueError on corruption and
-    NotImplementedError on compressed blocks (entropy tier)."""
+    NotImplementedError on dictionary frames without the matching
+    dictionary."""
     n = len(data)
     if pos + 4 > n:
         raise ValueError(f"truncated zstd magic at offset {pos}")
@@ -826,10 +879,21 @@ def _parse_frame(data: bytes, pos: int) -> tuple[bytes, int]:
             raise ValueError("truncated window descriptor")
         pos += 1  # window descriptor: bounds content, not needed here
     did_len = (0, 1, 2, 4)[did_flag]
+    frame_did = 0
     if did_len:
-        if int.from_bytes(data[pos:pos + did_len], "little") != 0:
-            raise NotImplementedError("dictionary-compressed zstd frame")
+        frame_did = int.from_bytes(data[pos:pos + did_len], "little")
         pos += did_len
+    if frame_did != 0:
+        if dictionary is None:
+            raise NotImplementedError(
+                f"frame references dictionary {frame_did} — pass the "
+                "trained dictionary via zstd_decompress(dictionary=...)"
+            )
+        if dictionary["id"] not in (0, frame_did):
+            raise ValueError(
+                f"frame wants dictionary {frame_did}, got "
+                f"{dictionary['id']}"
+            )
     fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
     content_size = None
     if fcs_len:
@@ -840,11 +904,25 @@ def _parse_frame(data: bytes, pos: int) -> tuple[bytes, int]:
             content_size += 256
         pos += fcs_len
 
-    out = bytearray()
     # per-frame entropy state: Huffman tree (treeless literals), the
     # LL/OF/ML FSE tables (repeat mode), and the repeat-offset history
-    fstate: dict = {"huffman": None, "ll": None, "of": None, "ml": None,
-                    "repeat": [1, 4, 8]}
+    # — a referenced dictionary seeds all of them plus the match
+    # history (its CONTENT prefixes the output window; hist marks
+    # where the frame's own payload starts)
+    if frame_did != 0 or (dictionary is not None and dictionary["content"]):
+        out = bytearray(dictionary["content"])
+        fstate = {
+            "huffman": dictionary["huffman"],
+            "ll": dictionary["ll"],
+            "of": dictionary["of"],
+            "ml": dictionary["ml"],
+            "repeat": list(dictionary["repeat"]),
+        }
+    else:
+        out = bytearray()
+        fstate = {"huffman": None, "ll": None, "of": None, "ml": None,
+                  "repeat": [1, 4, 8]}
+    hist = len(out)
     while True:
         if pos + 3 > n:
             raise ValueError("truncated zstd block header")
@@ -872,25 +950,28 @@ def _parse_frame(data: bytes, pos: int) -> tuple[bytes, int]:
             raise ValueError("reserved zstd block type 3")
         if last:
             break
-    if content_size is not None and len(out) != content_size:
+    payload = bytes(out[hist:])
+    if content_size is not None and len(payload) != content_size:
         raise ValueError(
             f"zstd frame content size mismatch: header says "
-            f"{content_size}, blocks yield {len(out)}"
+            f"{content_size}, blocks yield {len(payload)}"
         )
     if has_checksum:
         if pos + 4 > n:
             raise ValueError("truncated zstd content checksum")
         want = int.from_bytes(data[pos:pos + 4], "little")
         pos += 4
-        got = xxh64(bytes(out)) & 0xFFFFFFFF
+        got = xxh64(payload) & 0xFFFFFFFF
         if got != want:
             raise ValueError(
                 f"zstd content checksum mismatch: {got:08x} != {want:08x}"
             )
-    return bytes(out), pos
+    return payload, pos
 
 
-def iter_zstd_frames(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+def iter_zstd_frames(
+    data: bytes, dictionary: "dict | None" = None
+) -> Iterator[tuple[int, int, bytes]]:
     """Walk a multi-frame zstd stream, yielding ``(offset,
     compressed_length, payload)`` per data frame — the zstd twin of
     ``sources.warc.iter_gzip_members`` (same offset-fetchable shard
@@ -904,14 +985,15 @@ def iter_zstd_frames(data: bytes) -> Iterator[tuple[int, int, bytes]]:
                 pos += 8 + size
                 continue
         start = pos
-        payload, pos = _parse_frame(data, pos)
+        payload, pos = _parse_frame(data, pos, dictionary)
         yield start, pos - start, payload
 
 
-def zstd_decompress(data: bytes) -> bytes:
+def zstd_decompress(data: bytes, dictionary: "dict | None" = None) -> bytes:
     """Concatenated payload of every data frame in ``data`` — raw,
     RLE, and fully entropy-coded blocks alike; checksums verified.
     Pure Python: at 100 TB a deployment would route hot decode
     through a libzstd binding for throughput, but nothing in the
-    FORMAT is gated here except dictionary frames."""
-    return b"".join(p for _, _, p in iter_zstd_frames(data))
+    FORMAT is gated: dictionary frames decode too — pass the trained
+    dictionary blob through :func:`parse_zstd_dictionary`."""
+    return b"".join(p for _, _, p in iter_zstd_frames(data, dictionary))

@@ -136,32 +136,51 @@ def test_long_window_and_multithread_frames_decode(tmp_path):
 
 
 @pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
-def test_dictionary_frames_gate_honestly(tmp_path):
-    # train a dictionary and compress with it: the dictionary-id in
-    # the frame header must hit the explicit gate, never wrong bytes
+def test_dictionary_frames_decode_with_trained_dictionary(tmp_path):
+    # RFC 8878 §5: train a real dictionary, compress against it, and
+    # decode here — entropy tables seed the repeat modes and the
+    # dictionary CONTENT serves as virtual match history
+    from bigdataflink_spark.operators.zstd import parse_zstd_dictionary
+
     samples = tmp_path / "samples"
     samples.mkdir()
-    for i in range(40):
+    for i in range(50):
         (samples / f"s{i}.txt").write_bytes(
-            (f"sample document {i} " * 50).encode()
+            (f"sample document number {i} with shared vocabulary "
+             f"tokens alpha beta gamma " * 30).encode()
         )
-    dic = tmp_path / "dict.bin"
+    dic_path = tmp_path / "dict.bin"
     r = subprocess.run(
         [_ZSTD_BIN, "--train", *map(str, samples.glob("*.txt")),
-         "-o", str(dic)],
+         "-o", str(dic_path)],
         capture_output=True,
     )
     if r.returncode != 0:
         pytest.skip("zstd --train unavailable on this binary")
+    dic = parse_zstd_dictionary(dic_path.read_bytes())
+    assert dic["id"] != 0 and dic["huffman"] is not None
+    assert len(dic["content"]) > 0
+
+    data = (b"sample document number 999 with shared vocabulary "
+            b"tokens alpha beta gamma " * 40)
     src = tmp_path / "d.bin"
     dst = tmp_path / "d.zst"
-    src.write_bytes(b"sample document 999 " * 50)
-    subprocess.run(
-        [_ZSTD_BIN, "-q", "-f", "-D", str(dic), str(src), "-o", str(dst)],
-        check=True,
-    )
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        zstd_decompress(dst.read_bytes())
+    src.write_bytes(data)
+    for lvl in ("-1", "-9", "-19"):
+        subprocess.run(
+            [_ZSTD_BIN, "-q", "-f", lvl, "-D", str(dic_path),
+             str(src), "-o", str(dst)],
+            check=True,
+        )
+        blob = dst.read_bytes()
+        assert zstd_decompress(blob, dictionary=dic) == data
+        # without the dictionary: an explicit gate, never wrong bytes
+        with pytest.raises(NotImplementedError, match="dictionary"):
+            zstd_decompress(blob)
+        # with the WRONG dictionary id: rejected
+        wrong = dict(dic, id=dic["id"] + 1)
+        with pytest.raises(ValueError, match="wants dictionary"):
+            zstd_decompress(blob, dictionary=wrong)
 
 
 def test_multi_frame_and_skippable():
