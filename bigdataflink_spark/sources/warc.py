@@ -226,10 +226,26 @@ def iter_warc_records(
     bucket of Common Crawl shards."""
     if shard[:2] == b"\x1f\x8b":
         members = iter_gzip_members(shard)
-    elif shard[:4] == b"\x28\xb5\x2f\xfd":
-        from bigdataflink_spark.operators.zstd import iter_zstd_frames
+    elif shard[:4] in (b"\x28\xb5\x2f\xfd", b"\x5d\x2a\x4d\x18"):
+        from bigdataflink_spark.operators.zstd import (
+            iter_zstd_frames,
+            parse_zstd_dictionary,
+            zstd_decompress,
+        )
 
-        members = iter_zstd_frames(shard)
+        # Common Crawl's .warc.zst layout (iipc warc-specifications):
+        # an OPTIONAL leading skippable frame with magic 0x184D2A5D
+        # carries the shard's zstd dictionary — itself possibly
+        # zstd-compressed — which every following record frame
+        # references for shared-vocabulary compression.
+        dictionary = None
+        if shard[:4] == b"\x5d\x2a\x4d\x18":
+            size = int.from_bytes(shard[4:8], "little")
+            blob = shard[8:8 + size]
+            if blob[:4] == b"\x28\xb5\x2f\xfd":
+                blob = zstd_decompress(blob)
+            dictionary = parse_zstd_dictionary(blob)
+        members = iter_zstd_frames(shard, dictionary)
     else:
         raise ValueError(
             f"unknown WARC shard compression (magic {shard[:4]!r})"

@@ -328,3 +328,72 @@ def test_corrupted_entropy_frame_never_silently_wrong():
                 "corruption decoded without error"
         except (ValueError, NotImplementedError):
             pass  # detected — the contract
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary on host")
+def test_warc_zst_with_leading_dictionary_skippable_frame(tmp_path):
+    # Common Crawl's actual .warc.zst layout: skippable frame
+    # 0x184D2A5D carrying the (optionally zstd-compressed) shard
+    # dictionary, then one dictionary-referencing frame per record
+    from bigdataflink_spark.sources.warc import (
+        http_response,
+        iter_warc_records,
+        parse_http_response,
+        _warc_record,
+    )
+
+    # train a dictionary over record-shaped samples
+    samples = tmp_path / "s"
+    samples.mkdir()
+    recs = []
+    for i in range(60):
+        body = http_response(
+            200, [], (f"shared vocabulary payload number {i} " * 20).encode()
+        )
+        raw = _warc_record(
+            "response",
+            [("WARC-Target-URI", f"https://x/doc/{i}"),
+             ("Content-Type", "application/http;msgtype=response")],
+            body, "2026-01-01T00:00:00Z",
+        )
+        recs.append(raw)
+        (samples / f"r{i}.bin").write_bytes(raw)
+    dic_path = tmp_path / "dict.bin"
+    r = subprocess.run(
+        [_ZSTD_BIN, "--train", *map(str, samples.glob("*.bin")),
+         "-o", str(dic_path)],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip("zstd --train unavailable")
+    dic_raw = dic_path.read_bytes()
+
+    # build the shard: dict skippable frame + per-record -D frames
+    for compress_dict in (False, True):
+        head = dic_raw
+        if compress_dict:
+            subprocess.run(
+                [_ZSTD_BIN, "-q", "-f", "-19", str(dic_path),
+                 "-o", str(tmp_path / "dict.zst")], check=True,
+            )
+            head = (tmp_path / "dict.zst").read_bytes()
+        shard = bytearray(
+            bytes.fromhex("5d2a4d18")
+            + len(head).to_bytes(4, "little") + head
+        )
+        for i, raw in enumerate(recs[:10]):
+            (tmp_path / "rec.bin").write_bytes(raw)
+            subprocess.run(
+                [_ZSTD_BIN, "-q", "-f", "-D", str(dic_path),
+                 str(tmp_path / "rec.bin"),
+                 "-o", str(tmp_path / "rec.zst")], check=True,
+            )
+            shard += (tmp_path / "rec.zst").read_bytes()
+        got = list(iter_warc_records(bytes(shard)))
+        assert len(got) == 10
+        for i, (_off, _len, rec) in enumerate(got):
+            status, _hdrs, payload = parse_http_response(rec["body"])
+            assert status == 200
+            assert payload == (
+                f"shared vocabulary payload number {i} " * 20
+            ).encode()
