@@ -1274,28 +1274,43 @@ def test_png_decode_honest_gates():
     with _pytest.raises(ValueError, match="PLTE"):
         png_decode(bytes(out))
 
-    # sub-byte depth (4-bit palette) -> honest NotImplementedError
+    # sub-byte depth (4-bit palette) DECODES as of round 7 — here the
+    # minimal hand-built stream: 2x2 indices packed two per byte
     ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
-    raw = zlib.compress(bytes(4))
+    raw = zlib.compress(bytes([0, 0x12, 0, 0x30]))  # rows (1,2),(3,0)
+    pal = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
     deep = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"PLTE", bytes(12))
+        + _png_chunk(b"PLTE", pal)
         + _png_chunk(b"IDAT", raw)
         + _png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="color types"):
-        png_decode(deep)
+    dec = png_decode(deep)
+    assert (dec == np.array(
+        [[[20, 21, 22], [30, 31, 32]], [[40, 41, 42], [10, 11, 12]]],
+        dtype=np.uint8,
+    )).all()
+    # sub-byte RGB is spec-invalid and refused
+    ihdr_rgb1 = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr_rgb1)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(4)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="depth/color"):
+        png_decode(bad)
     # 16-bit PALETTE is spec-invalid and refused
     ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     bad = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr16p)
         + _png_chunk(b"PLTE", bytes(12))
-        + _png_chunk(b"IDAT", raw)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(4)))
         + _png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="palette 8-bit"):
+    with _pytest.raises(NotImplementedError, match="depth/color"):
         png_decode(bad)
 
 
