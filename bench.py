@@ -129,6 +129,7 @@ HEADLINE = [
     "q206_zstd_roundtrip",
     "q207_png_subbyte",
     "q208_flac_depths",
+    "q209_exact_stratified_sample",
 ]
 
 

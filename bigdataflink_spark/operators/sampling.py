@@ -58,6 +58,67 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def exact_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    total_n: int,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """EXACTLY ``total_n`` rows, apportioned across strata by Hamilton
+    largest-remainder on stratum counts — the "give me exactly 1M
+    documents, proportionally by language" budgeted-corpus draw that
+    rate-based sampling (``stratified_hash_sample``) can only
+    approximate. Deterministic end to end: the apportionment is exact
+    integer arithmetic (quota = total_n·n_s, base = quota DIV N,
+    remainders ranked by quota mod N descending with stratum-value
+    ascending tie-break), and within a stratum the smallest md5
+    buckets win (pure function of salt+id — reruns, repartitions,
+    and cluster sizes agree).
+
+    Scale shape: ONE tiny groupBy for stratum counts — collected to
+    the driver, like the dirty-bucket lists in streaming/merge.py:
+    strata are languages/sources/quality bins, never corpus-sized —
+    then ONE rank window partitioned by the stratum (a single
+    shuffle on the stratum key). The allocation table re-enters as a
+    broadcast join. NULL strata are excluded (no allocation).
+    Requires ``total_n <= N``; allocations never exceed stratum
+    counts (quota < n_s whenever total_n < N)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("_n")).collect()
+        if r[0] is not None
+    }
+    n_total = sum(counts.values())
+    if total_n > n_total:
+        raise ValueError(
+            f"total_n {total_n} exceeds population {n_total}"
+        )
+    base = {s: (total_n * n) // n_total for s, n in counts.items()}
+    rem = total_n - sum(base.values())
+    order = sorted(
+        counts, key=lambda s: (-((total_n * counts[s]) % n_total), s)
+    )
+    alloc = {
+        s: base[s] + (1 if i < rem else 0) for i, s in enumerate(order)
+    }
+    spark = df.sparkSession
+    alloc_df = spark.createDataFrame(
+        [(s, k) for s, k in alloc.items()], f"{strata_col} string, _alloc long"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        split_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(alloc_df), strata_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_alloc"))
+        .drop("_rk", "_alloc")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

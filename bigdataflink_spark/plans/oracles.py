@@ -4057,3 +4057,43 @@ SELECT media_id, variant, CAST(channel AS INT) AS channel,
        TRUE AS compressed_smaller
 FROM u GROUP BY 1, 2, 3
 """
+
+
+# q209: the whole stratified draw is integer-exact and hash-
+# deterministic, so the oracle replays it — stratum counts, Hamilton
+# quotas (base = (200*n) DIV N, remainders ranked by (200*n) mod N
+# desc with lang-asc tie-break), md5-bucket ranks within strata —
+# and summarizes the identical 200 selections.
+ORACLES["q209_exact_stratified_sample"] = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+t AS (SELECT SUM(n) AS big FROM c),
+q AS (SELECT lang, n, (200 * n) // t.big AS base,
+             (200 * n) % t.big AS frac
+      FROM c, t),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, lang) AS rr
+      FROM q),
+alloc AS (
+  SELECT lang,
+         base + CASE WHEN rr <= 200 - (SELECT SUM(base) FROM q)
+                     THEN 1 ELSE 0 END AS k
+  FROM r
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_md5_int("'sample-v1' || CAST(doc_id AS VARCHAR)")}
+                    % 1000000, doc_id
+         ) AS rk
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT lang,
+       COUNT(*) AS n_selected,
+       SUM(doc_id) AS sum_doc_id,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM ranked JOIN alloc USING (lang)
+WHERE rk <= k
+GROUP BY lang
+"""

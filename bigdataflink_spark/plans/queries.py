@@ -6581,6 +6581,36 @@ def q205_warc_zstd_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q209_exact_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-allocation stratified corpus draw (extension; the
+    budgeted-sample op a training mix needs when the budget is a hard
+    token/document COUNT, not a rate): exactly 200 documents
+    apportioned across languages by Hamilton largest-remainder on
+    stratum counts, the smallest md5 buckets winning within each
+    stratum (operators/sampling.py::exact_stratified_sample). Every
+    step is integer-exact and hash-deterministic, so the oracle
+    replays the whole draw — counts, quotas, remainder ranking,
+    per-stratum bucket ranks — and returns the identical 200 rows;
+    the summary groups them per language with an id-sum so one
+    swapped selection fails the hash. Scale: one tiny stratum-count
+    aggregate + one rank window on the stratum key (single
+    shuffle)."""
+    from bigdataflink_spark.operators.sampling import (
+        exact_stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    picked = exact_stratified_sample(docs, "doc_id", "lang", total_n=200)
+    return picked.groupBy("lang").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def q208_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit and 24-bit FLAC contract (extension; round-6 verdict
     "What's missing #3" — the PCM16-only gate left the other two
@@ -7013,4 +7043,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q206_zstd_roundtrip": q206_zstd_roundtrip,
     "q207_png_subbyte": q207_png_subbyte,
     "q208_flac_depths": q208_flac_depths,
+    "q209_exact_stratified_sample": q209_exact_stratified_sample,
 }

@@ -2030,3 +2030,42 @@ def test_flac_lpc_subframes():
         raise AssertionError("negative shift undetected")
     except ValueError as e:
         assert "shift" in str(e)
+
+
+def test_exact_stratified_sample_contract(spark):
+    """Hamilton largest-remainder apportionment: exactly total_n rows,
+    per-stratum allocations within 1 of the exact quota, deterministic
+    across reruns, and error past the population size."""
+    import pytest as _pytest
+
+    from bigdataflink_spark.operators.sampling import (
+        exact_stratified_sample,
+    )
+
+    rows = [(i, ["en", "es", "de"][i % 7 % 3]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    pop = {s: sum(1 for _, x in rows if x == s) for s in ("en", "es", "de")}
+    n_total = len(rows)
+
+    picked = exact_stratified_sample(df, "doc_id", "lang", total_n=37)
+    got = picked.collect()
+    assert len(got) == 37
+    by = {}
+    for r in got:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    for s, k in by.items():
+        quota = 37 * pop[s] / n_total
+        assert abs(k - quota) < 1  # Hamilton stays within 1 of quota
+    # deterministic: identical selection on rerun
+    again = {(r.doc_id, r.lang) for r in
+             exact_stratified_sample(df, "doc_id", "lang", 37).collect()}
+    assert again == {(r.doc_id, r.lang) for r in got}
+    # different salt -> (almost surely) different members, same counts
+    other = exact_stratified_sample(df, "doc_id", "lang", 37, salt="v2")
+    assert {(r.doc_id,) for r in other.collect()} != {
+        (r.doc_id,) for r in got
+    }
+    with _pytest.raises(ValueError, match="exceeds population"):
+        exact_stratified_sample(df, "doc_id", "lang", 9999)
+    # total_n == population selects everything
+    assert exact_stratified_sample(df, "doc_id", "lang", 200).count() == 200
