@@ -280,14 +280,19 @@ def minhash_dedup_pairs(
         cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket)
         return jaccard_verify(cands, docs, id_col, text_col, threshold)
 
-    # token fingerprint: docs with < n tokens have empty shingle sets
-    # and never reach the signature table — exclude them so the
-    # expansion can't invent pairs the direct pipeline wouldn't emit
+    # raw-text fingerprint (ONE JVM md5 — no second tokenize pass):
+    # identical text ⇒ identical tokens ⇒ identical shingle sets, so
+    # the expansion below is exact; near-identical docs that differ
+    # only in whitespace stay separate and take the normal LSH path.
+    # Docs with < n tokens have empty shingle sets and never reach
+    # the signature table — excluded so the expansion can't invent
+    # pairs the direct pipeline wouldn't emit.
     ngram = 3  # matches shingle_sets/minhash_signatures default
     members = (
-        docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+        docs.select(F.col(id_col), tokens(text_col).alias("_tk"),
+                    F.md5(F.col(text_col)).alias("_fp"))
         .filter(F.size("_tk") >= ngram)
-        .select(F.col(id_col), md5_int(F.concat_ws(" ", "_tk")).alias("_fp"))
+        .select(F.col(id_col), "_fp")
     )
     groups = members.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
     mem = members.join(groups, "_fp").select(F.col(id_col), "_fp", "_rep")
