@@ -3865,7 +3865,7 @@ def flac_encode(
     import struct
 
     bps = bits_per_sample
-    assert bps in (8, 16, 24), "FLAC profile covers 8/16/24-bit PCM"
+    assert bps in (8, 12, 16, 20, 24), "FLAC coded widths only"
     assert samples.dtype in (np.int8, np.int16, np.int32)
     assert samples.ndim == 2
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
@@ -3873,7 +3873,14 @@ def flac_encode(
     assert int(samples.max(initial=0)) <= hi, "sample exceeds bit depth"
     n, ch = samples.shape
     assert 1 <= ch <= 8 and n > 0
-    md5 = hashlib.md5(_flac_pcm_bytes(samples, bps)).digest()
+    # 12/20-bit input packing is encoder-defined, so their MD5 field
+    # is left unset (all zeros, per spec) — whole-byte widths carry
+    # the real digest
+    md5 = (
+        hashlib.md5(_flac_pcm_bytes(samples, bps)).digest()
+        if bps in (8, 16, 24)
+        else b"\x00" * 16
+    )
 
     frames = []
     fi = 0

@@ -95,5 +95,26 @@ def test_flac_depth_guards():
     too_big = np.full((10, 1), 200, dtype=np.int32)
     with _pytest.raises(AssertionError, match="exceeds bit depth"):
         flac_encode(too_big, bits_per_sample=8)
-    with _pytest.raises(AssertionError):
-        flac_encode(np.zeros((10, 1), dtype=np.int16), bits_per_sample=12)
+    with _pytest.raises(AssertionError, match="coded widths"):
+        flac_encode(np.zeros((10, 1), dtype=np.int16), bits_per_sample=14)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    bps=st.sampled_from([12, 20]),
+    n=st.integers(1, 700),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_nonbyte_widths_roundtrip(bps, n, seed):
+    # 12/20-bit: decodable coded widths whose PCM packing convention
+    # is encoder-defined — MD5 rides unset (all zeros) per spec, and
+    # the decoder skips verification rather than failing
+    rng = np.random.RandomState(seed)
+    scale = (1 << (bps - 1)) - 1
+    sig = np.stack(
+        [rng.randint(-scale, scale + 1, n),
+         rng.randint(-scale, scale + 1, n)], axis=1
+    ).astype(np.int32)
+    blob = flac_encode(sig, bits_per_sample=bps)
+    dec, _ = flac_decode(blob)
+    assert (dec.astype(np.int64) == sig.astype(np.int64)).all()
