@@ -756,7 +756,11 @@ def _png_parse(payload: bytes) -> tuple[tuple, "np.ndarray | None", bytes]:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, ihdr, plte = 8, [], None, None
     while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + length > len(payload):
+            raise ValueError("PNG chunk overruns the stream")
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
@@ -765,6 +769,8 @@ def _png_parse(payload: bytes) -> tuple[tuple, "np.ndarray | None", bytes]:
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("PNG IHDR length != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             if length % 3 or length > 768:
@@ -794,7 +800,10 @@ def _png_parse(payload: bytes) -> tuple[tuple, "np.ndarray | None", bytes]:
         )
     if color == 3 and plte is None:
         raise ValueError("PNG color type 3 requires a PLTE chunk")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:  # corrupted IDAT: controlled error
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
 
     def _row_bytes(width: int) -> int:
         # sub-byte rows pack 8/depth samples per byte with padding

@@ -149,7 +149,12 @@ def iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
                     f"truncated gzip member at offset {start}"
                 )
             chunk = mv[pos:pos + 65536]
-            out.append(d.decompress(chunk))
+            try:
+                out.append(d.decompress(chunk))
+            except zlib.error as exc:  # CRC/format corruption
+                raise ValueError(
+                    f"gzip member at offset {start} is corrupt: {exc}"
+                ) from exc
             pos += len(chunk)
         pos -= len(d.unused_data)
         yield start, pos - start, b"".join(out)
