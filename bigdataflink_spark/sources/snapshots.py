@@ -54,8 +54,13 @@ Design points for 100 TB:
   the record. A claim without a record is a crashed writer: broken
   by the next writer once it is older than ``claim_grace_ms`` (the
   claim-to-record window is a handful of metadata ops, so the
-  default 60 s grace is ~2 orders of magnitude of slack); a fresh
+  default 300 s grace is ~3 orders of magnitude of slack); a fresh
   one is a LIVE mid-commit writer and raises a retryable conflict.
+  Each claim carries its owner's unique token, re-verified by the
+  holder immediately before every destructive phase-2 step — a
+  writer stalled past the grace (GC pause, NFS hang) whose claim was
+  broken detects the break and aborts instead of deleting the
+  breaker's committed data.
 * Log checkpoints and vacuum publish ``ckpt-{seq}`` via the same
   fresh-name rename CAS — a concurrent fold (writer auto-fold vs
   vacuum vs explicit checkpoint_log) loses the rename, re-reads the
@@ -279,13 +284,31 @@ class SnapshotConflict(Exception):
     its claim is fresher than ``claim_grace_ms`` — retry the write."""
 
 
+class _ClaimBroken(SnapshotConflict):
+    """This writer's claim was broken (post-grace) by a concurrent
+    writer while it was stalled mid-commit. ``stage_consumed`` tells
+    the caller whether the staged data was already renamed away (in
+    which case the whole write must be retried from staging)."""
+
+    def __init__(self, msg: str, stage_consumed: bool):
+        super().__init__(msg)
+        self.stage_consumed = stage_consumed
+
+
 def _claim_path(table: str, version: int) -> str:
     return f"{table}/{LOG_DIR}/claim-{version:08d}"
 
 
-def _try_claim(spark: SparkSession, table: str, version: int) -> bool:
+def _try_claim(
+    spark: SparkSession, table: str, version: int, token: str = ""
+) -> bool:
     """CAS a version claim: rename a temp file to the fresh name
-    ``_log/claim-{N}``; exactly one contender wins."""
+    ``_log/claim-{N}``; exactly one contender wins. The claim file
+    carries the owner's unique ``token`` so a stalled writer whose
+    claim was broken (and possibly re-claimed) can DETECT the break
+    before doing anything destructive — without it, writer A stalling
+    past the grace between its membership check and its data swap
+    would delete writer B's committed ``v=N`` as an "orphan"."""
     import uuid as _uuid
 
     fs, log_root, jvm = _fs(spark, f"{table}/{LOG_DIR}")
@@ -295,7 +318,7 @@ def _try_claim(spark: SparkSession, table: str, version: int) -> bool:
     )
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(b"{}"))
+        out.write(bytearray(json.dumps({"token": token}).encode("utf-8")))
     finally:
         out.close()
     final = jvm.org.apache.hadoop.fs.Path(_claim_path(table, version))
@@ -305,6 +328,42 @@ def _try_claim(spark: SparkSession, table: str, version: int) -> bool:
     return True
 
 
+def _claim_token(spark: SparkSession, table: str, version: int) -> str | None:
+    """The token inside the live claim file, or None when no claim
+    exists (broken / released / never taken)."""
+    fs, _, jvm = _fs(spark, table)
+    path = jvm.org.apache.hadoop.fs.Path(_claim_path(table, version))
+    try:
+        return _read_json(fs, jvm, path).get("token", "")
+    except Exception as exc:
+        if "FileNotFoundException" in str(exc):
+            return None
+        raise
+
+
+def _verify_claim_owner(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    token: str,
+    stage_consumed: bool,
+) -> None:
+    """Raise :class:`_ClaimBroken` unless the claim on ``version`` is
+    still THIS writer's (same token). Called immediately before each
+    destructive step of phase 2 — the ownership re-check that closes
+    the stalled-writer race (a writer pausing past ``claim_grace_ms``
+    mid-commit has its claim broken; without this check it would
+    resume and destroy the breaker's committed data)."""
+    current = _claim_token(spark, table, version)
+    if current != token:
+        raise _ClaimBroken(
+            f"claim on version {version} of {table} was broken by a "
+            "concurrent writer while this writer was stalled "
+            f"(claim token now {current!r}) — the write must be retried",
+            stage_consumed,
+        )
+
+
 def _commit_claimed_version(
     spark: SparkSession,
     df_schema_json: dict,
@@ -312,17 +371,22 @@ def _commit_claimed_version(
     stage: str,
     version: int,
     n_rows: int,
+    token: str = "",
 ) -> bool:
-    """Phase 2 of a write, entered HOLDING the claim on ``version``:
-    re-verify log membership (a commit can land AND be folded into a
-    checkpoint — deleting its tail record and claim — between a
-    loser's log read and its successful re-claim of the freed name;
-    the membership check is authoritative where file existence is
-    not), reclaim any crashed-writer orphan dir, swap the staged data
-    in, publish the record, release the claim. Returns False (claim
-    released, stage untouched) when the version turned out committed.
-    Exposed as a private phase so kill-point tests can drive each
-    step."""
+    """Phase 2 of a write, entered HOLDING the claim on ``version``
+    (with owner ``token`` inside it): re-verify log membership (a
+    commit can land AND be folded into a checkpoint — deleting its
+    tail record and claim — between a loser's log read and its
+    successful re-claim of the freed name; the membership check is
+    authoritative where file existence is not), re-verify claim
+    OWNERSHIP immediately before every destructive step (a writer
+    stalled past the grace has its claim broken by the next writer —
+    resuming blind here would delete the breaker's committed data),
+    reclaim any crashed-writer orphan dir, swap the staged data in,
+    publish the record, release the claim. Returns False (claim
+    released, stage untouched) when the version turned out committed;
+    raises :class:`_ClaimBroken` when ownership was lost. Exposed as
+    a private phase so kill-point tests can drive each step."""
     fs, _, jvm = _fs(spark, table)
     # belt and braces: the record FILE (beats a stale manifest read)
     # and log membership (beats a folded record whose tail is gone)
@@ -333,15 +397,32 @@ def _commit_claimed_version(
         for v in _read_manifest(spark, table)["versions"]
     )
     if committed:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(_claim_path(table, version)), False)
+        # release only OUR claim — a breaker may already own the name
+        if _claim_token(spark, table, version) == token:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_claim_path(table, version)),
+                False,
+            )
         return False
+    # ownership re-check, as close to the destructive swap as the FS
+    # allows: if our claim was broken while we stalled in the checks
+    # above, the version may be the BREAKER's committed data — abort
+    # with stage untouched rather than delete it as an "orphan"
+    _verify_claim_owner(spark, table, version, token, stage_consumed=False)
     final = jvm.org.apache.hadoop.fs.Path(f"{table}/v={version}")
     if fs.exists(final):
         # uncommitted orphan from a crashed claimant — we hold the
-        # claim and the version is not committed, so reclaim is safe
+        # claim (ownership just verified) and the version is not
+        # committed, so reclaim is safe
         fs.delete(final, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), final):
         raise IOError(f"snapshot data rename failed for {final}")
+    # second ownership re-check before the record publish: a stall
+    # BETWEEN swap and record equally invites a break — publishing
+    # blind would attach our metadata to whatever data the breaker
+    # swaps in next. Our stage is consumed (renamed); the breaker
+    # reclaims the record-less dir, so the caller must re-stage.
+    _verify_claim_owner(spark, table, version, token, stage_consumed=True)
     _append_commit_record(
         spark,
         table,
@@ -360,7 +441,7 @@ def write_snapshot(
     spark: SparkSession,
     df: DataFrame,
     table: str,
-    claim_grace_ms: int = 60_000,
+    claim_grace_ms: int = 300_000,
     max_attempts: int = 20,
 ) -> int:
     """Commit ``df`` as the table's next version; returns the version
@@ -369,12 +450,18 @@ def write_snapshot(
 
     Concurrent-writer safe (optimistic CAS): the data is staged ONCE
     to a private dir (the slow part), then the writer claims a
-    version number via the fresh-name rename CAS and retries at the
-    next number if it loses — two writers serialize on claims, never
-    on data rewrites. A claim with no commit record is a live
-    mid-commit writer if fresher than ``claim_grace_ms`` (raises
-    :class:`SnapshotConflict` — retryable) and a crashed writer's
-    leftover otherwise (broken, version retried)."""
+    version number via the fresh-name rename CAS — carrying a unique
+    owner token — and retries at the next number if it loses; two
+    writers serialize on claims, never on data rewrites. A claim with
+    no commit record is a live mid-commit writer if fresher than
+    ``claim_grace_ms`` (raises :class:`SnapshotConflict` — retryable)
+    and a crashed writer's leftover otherwise (broken, version
+    retried). The 300 s default grace is sized so only a genuinely
+    dead writer is ever broken (the claim-to-record window is a
+    handful of metadata ops); a writer that DOES stall past it
+    detects the break via the token re-check before touching
+    anything, aborts with :class:`SnapshotConflict`, and never
+    deletes the breaker's committed data."""
     import time
     import uuid as _uuid
 
@@ -383,6 +470,7 @@ def write_snapshot(
     df.write.mode("overwrite").parquet(stage)
     n_rows = spark.read.parquet(stage).count()
     schema_json = df.schema.jsonValue()
+    token = _uuid.uuid4().hex
     try:
         for _attempt in range(max_attempts):
             manifest = _read_manifest(spark, table)
@@ -391,12 +479,22 @@ def write_snapshot(
                 if manifest["versions"]
                 else 0
             )
-            if _try_claim(spark, table, version):
-                if _commit_claimed_version(
-                    spark, schema_json, table, stage, version, n_rows
-                ):
-                    stage = None  # consumed by the data rename
-                    break
+            if _try_claim(spark, table, version, token):
+                try:
+                    if _commit_claimed_version(
+                        spark, schema_json, table, stage, version,
+                        n_rows, token,
+                    ):
+                        stage = None  # consumed by the data rename
+                        break
+                except _ClaimBroken as exc:
+                    if exc.stage_consumed:
+                        # data already renamed away (the breaker
+                        # reclaims the record-less dir) — the caller
+                        # must retry from staging
+                        stage = None
+                        raise
+                    continue  # stage intact: retry at next version
                 continue  # committed-and-folded race: next version
             # claim taken: by a committed version whose claim wasn't
             # cleaned (inert), a live mid-commit writer, or a crashed

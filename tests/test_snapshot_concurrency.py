@@ -134,6 +134,88 @@ def test_vacuum_sweeps_stale_stages_and_claims_with_grace(spark, tmp_path):
     assert [v["version"] for v in sn.list_versions(spark, t)] == [0, 1, 2]
 
 
+def test_stalled_writer_with_broken_claim_cannot_destroy_commit(
+    spark, tmp_path
+):
+    """The round-7 ADVICE race: writer A claims N, then stalls past
+    the grace between its membership check and its data swap; writer
+    B breaks A's claim, re-claims, and COMMITS v=N. When A resumes,
+    the token re-check must make it abort — historically A deleted
+    B's committed v=N dir as an 'orphan' and renamed its own stage
+    over it."""
+    t = str(tmp_path / "stall")
+    assert _write(spark, t, 3) == 0
+    fs, _, jvm = sn._fs(spark, t)
+    # A stages and claims version 1 with its own token, then "stalls"
+    assert sn._try_claim(spark, t, 1, token="writer-A")
+    assert sn._claim_token(spark, t, 1) == "writer-A"
+    stage_a = f"{t}/.stage-A"
+    spark.range(5).withColumnRenamed("id", "k").write.parquet(stage_a)
+    df_a = spark.range(5).withColumnRenamed("id", "k")
+    # B arrives post-grace: breaks A's claim, re-claims v1, and is at
+    # the MOST dangerous point — its data dir swapped into v=1 but
+    # the commit record not yet published (membership check passes,
+    # so only the token re-check stands between A and B's data)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(sn._claim_path(t, 1)), False)
+    assert sn._try_claim(spark, t, 1, token="writer-B")
+    spark.range(9).withColumnRenamed("id", "k").write.parquet(f"{t}/v=1")
+    with pytest.raises(sn.SnapshotConflict, match="broken"):
+        sn._commit_claimed_version(
+            spark, df_a.schema.jsonValue(), t, stage_a, 1, 5,
+            token="writer-A",
+        )
+    # B's swapped-in data is untouched, A's stage is untouched, and
+    # B's live claim was not released by A's abort
+    assert spark.read.parquet(f"{t}/v=1").count() == 9
+    assert spark.read.parquet(stage_a).count() == 5
+    assert sn._claim_token(spark, t, 1) == "writer-B"
+    # B finishes its commit record; the table reads consistently
+    sn._append_commit_record(
+        spark, t,
+        {"version": 1, "n_rows": 9, "parent": 0,
+         "schema": df_a.schema.jsonValue()},
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(sn._claim_path(t, 1)), False)
+    assert sn.read_snapshot(spark, t, 1).count() == 9
+
+    # post-commit variant: B committed FULLY and released its claim;
+    # A's resume must bounce on the membership check (returns False,
+    # no raise) and still touch nothing
+    assert sn._try_claim(spark, t, 2, token="writer-A")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(sn._claim_path(t, 2)), False)
+    assert _write(spark, t, 7, claim_grace_ms=0) == 2
+    assert not sn._commit_claimed_version(
+        spark, df_a.schema.jsonValue(), t, stage_a, 2, 5, token="writer-A"
+    )
+    assert sn.read_snapshot(spark, t, 2).count() == 7
+    assert spark.read.parquet(stage_a).count() == 5
+
+
+def test_claim_owner_verify_flags_stage_consumption(spark, tmp_path):
+    """The post-swap ownership check (a stall BETWEEN data swap and
+    record publish): `_verify_claim_owner` must raise with
+    stage_consumed so write_snapshot knows the staged data is gone
+    and propagates the retryable conflict instead of looping."""
+    t = str(tmp_path / "postswap")
+    assert _write(spark, t, 3) == 0
+    assert sn._try_claim(spark, t, 1, token="owner")
+    # still owned: no raise at either checkpoint
+    sn._verify_claim_owner(spark, t, 1, "owner", stage_consumed=False)
+    sn._verify_claim_owner(spark, t, 1, "owner", stage_consumed=True)
+    # broken + re-claimed by someone else
+    fs, _, jvm = sn._fs(spark, t)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(sn._claim_path(t, 1)), False)
+    assert sn._try_claim(spark, t, 1, token="thief")
+    with pytest.raises(sn._ClaimBroken) as exc1:
+        sn._verify_claim_owner(spark, t, 1, "owner", stage_consumed=False)
+    assert exc1.value.stage_consumed is False
+    with pytest.raises(sn._ClaimBroken) as exc2:
+        sn._verify_claim_owner(spark, t, 1, "owner", stage_consumed=True)
+    assert exc2.value.stage_consumed is True
+    # _ClaimBroken IS a SnapshotConflict — user-level retry semantics
+    assert issubclass(sn._ClaimBroken, sn.SnapshotConflict)
+
+
 def test_threaded_writers_and_vacuum_leave_consistent_table(spark, tmp_path):
     """The VERDICT r6 #7 acceptance test: real concurrent writers and
     a vacuum/checkpoint maintainer interleave freely; afterwards the
@@ -188,6 +270,71 @@ def test_threaded_writers_and_vacuum_leave_consistent_table(spark, tmp_path):
     # strictly increasing, no duplicates, all 13 commits present
     assert nums == sorted(set(nums))
     assert len(nums) == 13
+    for rec in versions:
+        got = sn.read_snapshot(spark, t, rec["version"]).count()
+        assert got == rec["n_rows"] == committed[rec["version"]]
+
+
+def test_stress_writers_autofold_vacuum_zero_lost_records(spark, tmp_path):
+    """VERDICT r7 #6 acceptance: N writers x M rounds with vacuum AND
+    the writers' own auto-fold racing (the commit count crosses
+    AUTO_CHECKPOINT_TAIL, so write_snapshot itself folds checkpoints
+    concurrently with the maintainer's vacuum + checkpoint_log).
+    Afterwards: a linear committed-version history, zero lost
+    records, every version's data readable with its committed count."""
+    t = str(tmp_path / "stress")
+    _write(spark, t, 1)
+    errors: list = []
+    committed: dict[int, int] = {0: 1}
+    lock = threading.Lock()
+    n_writers, n_rounds = 4, 6  # 24 commits + 1 > AUTO_CHECKPOINT_TAIL
+
+    def writer(wid: int):
+        for i in range(n_rounds):
+            n = 100 * wid + i + 2
+            for _ in range(60):  # retry on live-writer conflicts
+                try:
+                    v = _write(spark, t, n)
+                    with lock:
+                        committed[v] = n
+                    break
+                except sn.SnapshotConflict:
+                    time.sleep(0.05)
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    break
+            else:
+                errors.append(RuntimeError(f"writer {wid} starved at {i}"))
+
+    def maintainer():
+        for _ in range(10):
+            try:
+                sn.vacuum_snapshots(
+                    spark, t, keep_last=100, orphan_grace_ms=60_000
+                )
+                sn.checkpoint_log(spark, t)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+            time.sleep(0.05)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,))
+        for w in range(1, n_writers + 1)
+    ]
+    threads.append(threading.Thread(target=maintainer))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, errors
+    versions = sn.list_versions(spark, t)
+    nums = [v["version"] for v in versions]
+    assert nums == sorted(set(nums))  # linear, no duplicates
+    assert len(nums) == n_writers * n_rounds + 1  # zero lost records
+    # the auto-fold actually fired: log reads resolve via a checkpoint
+    state = sn._log_state(spark, t)
+    assert state["ckpt_seq"] >= 0
     for rec in versions:
         got = sn.read_snapshot(spark, t, rec["version"]).count()
         assert got == rec["n_rows"] == committed[rec["version"]]
