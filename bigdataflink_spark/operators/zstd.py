@@ -22,13 +22,19 @@ format itself, the repo's codec discipline (PNG/JPEG/GIF/FLAC):
   byte-exactly (CLI-interop suite), including DICTIONARY frames
   (§5: trained-dictionary parse — entropy tables seeding the repeat
   modes, initial repeat offsets, content as virtual match history).
-* **Encoder** — store-mode frames: single-segment, raw blocks at the
-  128 KiB block maximum, frame-content-size, XXH64 checksum. These
-  are REAL zstd frames — ``unzstd`` opens them byte-for-byte
-  (pinned by the CLI-interop test when a ``zstd`` binary is on
-  PATH), exactly as a ``zstd --format`` store would emit. Store mode
-  is the honest subset an encoder can claim without entropy coding;
-  the wire format, framing, and checksums are complete.
+* **Encoder** — three tiers, all REAL zstd frames ``unzstd`` opens
+  byte-for-byte (pinned by the CLI-interop tests when a ``zstd``
+  binary is on PATH): (1) ``zstd_compress_store`` — raw blocks,
+  zero-risk; (2) Huffman-coded literals with the tree shipped as a
+  direct 4-bit weight description (order-0 entropy, no FSE encoder
+  needed); (3) the round-8 LZ tier — a greedy hash-chain match
+  finder emitting REAL FSE-coded sequences against the predefined
+  LL/OF/ML distributions (§3.1.1.4: backward-bitstream state
+  machine run in reverse, init states written last), with matches
+  allowed to reach into earlier blocks of the frame exactly as the
+  window rules permit. ``zstd_compress`` picks the smallest of
+  sequences+Huffman-literals / sequences+raw-literals /
+  Huffman-only / RLE / raw per 128 KiB block.
 
 Scale shape: like the gzip member walk in ``sources/warc.py``, the
 frame walk is O(n) single-pass over a bytes buffer and yields
@@ -244,6 +250,16 @@ def _backward_bitstream(emit: list[tuple[int, int]]) -> bytes:
 def _huffman_literals_section(chunk: bytes) -> "bytes | None":
     """One compressed-literals section (tree description + streams)
     + the zero-sequences byte, or None when it doesn't beat raw."""
+    body = _huffman_literals_body(chunk)
+    return None if body is None else body + b"\x00"
+
+
+def _huffman_literals_body(chunk: bytes) -> "bytes | None":
+    """The literals SECTION alone (header + tree description +
+    Huffman streams, no sequence bytes) — composable with either the
+    zero-sequences byte or a real FSE sequences section. None when
+    Huffman doesn't apply (degenerate alphabet / doesn't fit the
+    header size fields)."""
     freqs: dict[int, int] = {}
     for b in chunk:
         freqs[b] = freqs.get(b, 0) + 1
@@ -266,7 +282,7 @@ def _huffman_literals_section(chunk: bytes) -> "bytes | None":
         if csize > 1023:
             return None
         h = 2 | (0 << 2) | (rsize << 4) | (csize << 14)
-        return h.to_bytes(3, "little") + tree + stream + b"\x00"
+        return h.to_bytes(3, "little") + tree + stream
     # 4 streams, size_format 10 (14-bit) or 11 (18-bit)
     r3 = (rsize + 3) >> 2
     parts = [chunk[0:r3], chunk[r3:2 * r3], chunk[2 * r3:3 * r3],
@@ -284,16 +300,301 @@ def _huffman_literals_section(chunk: bytes) -> "bytes | None":
         head = h.to_bytes(5, "little")
     else:
         return None
-    return head + tree + jump + b"".join(streams) + b"\x00"
+    return head + tree + jump + b"".join(streams)
+
+
+# ---------------------------------------------------------------------------
+# LZ tier (round 8): greedy hash-chain match finder + FSE-coded
+# sequences against the predefined distributions (RFC 8878 §3.1.1.4).
+# The FSE *encoder* runs the decoder's state machine in reverse: the
+# decode table assigns every (symbol, next_state) pair exactly one
+# originating state (the per-symbol baseline ranges partition
+# [0, table_size)), so encoding walks the symbol list backward,
+# emitting (next_state - baseline) in num_bits at each step, and the
+# final encoder state is written as the decoder's INIT state.
+# ---------------------------------------------------------------------------
+
+
+def _raw_literals_section(lits: bytes) -> bytes:
+    """Raw literals section header + bytes (§3.1.1.3.1.1)."""
+    rsize = len(lits)
+    if rsize < 32:  # size_format 00: 5-bit size, 1-byte header
+        return bytes([rsize << 3]) + lits
+    if rsize < 4096:  # size_format 01: 12-bit size, 2-byte header
+        return bytes([(1 << 2) | ((rsize & 0xF) << 4), rsize >> 4]) + lits
+    # size_format 11: 20-bit size, 3-byte header (blocks cap at 128 KiB)
+    return (
+        bytes([(3 << 2) | ((rsize & 0xF) << 4),
+               (rsize >> 4) & 0xFF, rsize >> 12])
+        + lits
+    )
+
+
+class _FseEncoder:
+    """Encode companion of :class:`_FseTable` for one distribution:
+    precomputes, per symbol, the originating state covering each
+    possible next state."""
+
+    def __init__(self, probs: list[int], log: int):
+        self.table = _FseTable(probs, log)
+        self.log = log
+        size = 1 << log
+        self.first: dict[int, int] = {}
+        self.enc: dict[int, list] = {}
+        for i in range(size):
+            s = self.table.symbols[i]
+            if s not in self.first:
+                self.first[s] = i
+            arr = self.enc.get(s)
+            if arr is None:
+                arr = self.enc[s] = [0] * size
+            base, nb = self.table.base[i], self.table.num_bits[i]
+            for st in range(base, base + (1 << nb)):
+                arr[st] = i
+
+    def walk(self, syms: list[int]) -> tuple[int, list]:
+        """(init_state, updates): ``updates[i]`` is the (value,
+        num_bits) the DECODER reads to move from sequence i to i+1;
+        ``init_state`` is what it reads up front. Built backward —
+        the last symbol's state is free (no bits ever encode it)."""
+        n = len(syms)
+        states = [0] * n
+        states[n - 1] = self.first[syms[n - 1]]
+        updates: list = [None] * (n - 1)
+        base, nbits = self.table.base, self.table.num_bits
+        for i in range(n - 2, -1, -1):
+            j = self.enc[syms[i]][states[i + 1]]
+            updates[i] = (states[i + 1] - base[j], nbits[j])
+            states[i] = j
+        return states[0], updates
+
+
+_PREDEF_ENCODERS: "dict | None" = None
+
+
+def _predef_encoders() -> dict:
+    global _PREDEF_ENCODERS
+    if _PREDEF_ENCODERS is None:
+        _PREDEF_ENCODERS = {
+            "ll": _FseEncoder(_LL_DEFAULT, _LL_DEFAULT_LOG),
+            "of": _FseEncoder(_OF_DEFAULT, _OF_DEFAULT_LOG),
+            "ml": _FseEncoder(_ML_DEFAULT, _ML_DEFAULT_LOG),
+        }
+    return _PREDEF_ENCODERS
+
+
+def _ll_fields(ll: int) -> tuple[int, int, int]:
+    """(code, extra_value, extra_bits) for a literals length."""
+    if ll < 16:
+        return ll, 0, 0
+    for idx in range(len(_LL_EXTRA) - 1, -1, -1):
+        base, nb = _LL_EXTRA[idx]
+        if ll >= base:
+            return 16 + idx, ll - base, nb
+    raise AssertionError("unreachable")
+
+
+def _ml_fields(ml: int) -> tuple[int, int, int]:
+    """(code, extra_value, extra_bits) for a match length (>= 3)."""
+    if ml - 3 < 32:
+        return ml - 3, 0, 0
+    for idx in range(len(_ML_EXTRA) - 1, -1, -1):
+        base, nb = _ML_EXTRA[idx]
+        if ml >= base:
+            return 32 + idx, ml - base, nb
+    raise AssertionError("unreachable")
+
+
+def _sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences section: count header, modes byte (all predefined),
+    and the backward FSE bitstream carrying (ll, offset_value, ml)
+    triples in the decoder's exact read order."""
+    n = len(seqs)
+    if n < 128:
+        head = bytes([n])
+    elif n < 0x7F00:
+        head = bytes([128 + (n >> 8), n & 0xFF])
+    else:
+        head = bytes([255, (n - 0x7F00) & 0xFF, (n - 0x7F00) >> 8])
+    enc = _predef_encoders()
+    ll_f = [_ll_fields(ll) for ll, _, _ in seqs]
+    ml_f = [_ml_fields(ml) for _, _, ml in seqs]
+    of_f = []
+    for _, ov, _ in seqs:
+        code = ov.bit_length() - 1
+        of_f.append((code, ov - (1 << code), code))
+    ll_init, ll_upd = enc["ll"].walk([c for c, _, _ in ll_f])
+    of_init, of_upd = enc["of"].walk([c for c, _, _ in of_f])
+    ml_init, ml_upd = enc["ml"].walk([c for c, _, _ in ml_f])
+    # emit in decoder-read order; _backward_bitstream packs so the
+    # first element is read first from below the sentinel
+    reads: list[tuple[int, int]] = [
+        (ll_init, _LL_DEFAULT_LOG),
+        (of_init, _OF_DEFAULT_LOG),
+        (ml_init, _ML_DEFAULT_LOG),
+    ]
+    for i in range(n):
+        reads.append((of_f[i][1], of_f[i][2]))
+        reads.append((ml_f[i][1], ml_f[i][2]))
+        reads.append((ll_f[i][1], ll_f[i][2]))
+        if i + 1 < n:
+            reads.append(ll_upd[i])
+            reads.append(ml_upd[i])
+            reads.append(of_upd[i])
+    return head + bytes([0]) + _backward_bitstream(reads)
+
+
+_MAX_MATCH_OFFSET = 1 << 27  # keeps every offset code in 0..28
+
+
+def _apply_repeat_offsets(
+    seqs: list[tuple[int, int, int]], rep: list[int]
+) -> list[tuple[int, int, int]]:
+    """Map raw (ll, offset, ml) matches to (ll, offset_value, ml)
+    with repeat-offset codes 1-3 where the history allows — the
+    mirror of ``_execute_sequences``'s state rules (including the
+    literals_length == 0 index shift). ``rep`` mutates in place so
+    the history carries across blocks of a frame, exactly as the
+    decoder's does. Structured data (HTML, logs) repeats the same
+    stride constantly; a 2-bit offset code instead of a 15-bit one
+    is most of the ratio gap on such corpora."""
+    out = []
+    for ll, offset, ml in seqs:
+        if ll != 0:
+            if offset == rep[0]:
+                ov = 1
+            elif offset == rep[1]:
+                ov = 2
+            elif offset == rep[2]:
+                ov = 3
+            else:
+                ov = offset + 3
+        else:
+            if offset == rep[1]:
+                ov = 1
+            elif offset == rep[2]:
+                ov = 2
+            elif offset == rep[0] - 1:
+                ov = 3
+            else:
+                ov = offset + 3
+        # decoder-side history update for this (ov, ll)
+        if ov > 3:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = ov - 1 + (1 if ll == 0 else 0)
+            if idx == 1:
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx >= 2:
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        out.append((ll, ov, ml))
+    return out
+
+
+def _find_block_sequences(
+    data: bytes,
+    bs: int,
+    be: int,
+    htab: dict,
+    chain: dict,
+    depth: int = 48,
+    min_match: int = 4,
+) -> tuple[list[tuple[int, int, int]], bytes]:
+    """Greedy hash-chain LZ parse of ``data[bs:be]``: returns
+    (sequences, literals) where each sequence is (literals_length,
+    RAW offset, match_length) — ``_apply_repeat_offsets`` turns raw
+    offsets into offset_values. ``htab``/``chain``
+    persist across blocks of one frame, so matches reach into earlier
+    blocks exactly as the window rules allow. Greedy with a
+    lazy-step-free acceleration: runs of missed positions stride
+    wider (the zstd fast-mode idea) so incompressible spans stay
+    near-linear."""
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    anchor = bs
+    i = bs
+    misses = 0
+    limit = be - min_match
+
+    def _search(p: int) -> tuple[int, int]:
+        """Best (length, offset) for position p, inserting p into the
+        hash chain as a side effect."""
+        key = data[p:p + 4]
+        cand = htab.get(key, -1)
+        best_len = 0
+        best_off = 0
+        tries = depth
+        max_l = be - p
+        while cand >= 0 and tries > 0:
+            off = p - cand
+            if off > _MAX_MATCH_OFFSET:
+                break  # chain only gets older from here
+            l = 0
+            # chunked extension: 32-byte slice compares, then bytes
+            while l + 32 <= max_l and (
+                data[cand + l:cand + l + 32] == data[p + l:p + l + 32]
+            ):
+                l += 32
+            while l < max_l and data[cand + l] == data[p + l]:
+                l += 1
+            if l > best_len:
+                best_len, best_off = l, off
+                if l >= 128:
+                    break  # long enough; stop the chain walk
+            cand = chain.get(cand, -1)
+            tries -= 1
+        chain[p] = htab.get(key, -1)
+        htab[key] = p
+        return best_len, best_off
+
+    while i <= limit:
+        best_len, best_off = _search(i)
+        if best_len >= min_match:
+            # one-step LAZY parse: a strictly better match one byte
+            # later wins (classic zstd/LZ4-HC heuristic — structured
+            # data often aligns better after one literal)
+            while i + 1 <= limit:
+                nxt_len, nxt_off = _search(i + 1)
+                if nxt_len > best_len + 1:
+                    i += 1
+                    best_len, best_off = nxt_len, nxt_off
+                else:
+                    break
+            lits += data[anchor:i]
+            seqs.append((i - anchor, best_off, best_len))
+            # index positions inside the match (stride 2 keeps the
+            # table useful without quadratic insert cost); the lazy
+            # probe already inserted i+1 when it ran
+            end_ins = min(i + best_len, limit)
+            for j in range(i + 1, end_ins, 2):
+                if j not in chain:
+                    k2 = data[j:j + 4]
+                    chain[j] = htab.get(k2, -1)
+                    htab[k2] = j
+            i += best_len
+            anchor = i
+            misses = 0
+        else:
+            i += 1 + (misses >> 6)
+            misses += 1
+    lits += data[anchor:be]
+    return seqs, bytes(lits)
 
 
 def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
     """One real zstd frame with ENTROPY-CODED blocks: per 128 KiB
-    block the encoder picks the smallest of Huffman-coded literals
-    (canonical tree shipped as direct weights, zero sequences), an
-    RLE block, or a raw block — a complete, legal stream any zstd
-    decoder opens (CLI-interop pinned), with genuine order-0
-    compression (~×1.5-2 on text). ``zstd_compress_store`` remains
+    block the encoder picks the smallest of LZ sequences (greedy
+    hash-chain matches, FSE-coded against the predefined
+    distributions) with Huffman or raw literals, Huffman-coded
+    literals alone (canonical tree shipped as direct weights, zero
+    sequences), an RLE block, or a raw block — a complete, legal
+    stream any zstd decoder opens (CLI-interop pinned), with real
+    LZ+entropy compression on text. ``zstd_compress_store`` remains
     the zero-risk store path."""
     n = len(data)
     if n <= 0xFF:
@@ -311,19 +612,46 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
     if n == 0:
         out += (1).to_bytes(3, "little")  # last empty raw block
     else:
+        htab: dict = {}
+        chain: dict = {}
+        rep = [1, 4, 8]
         pos = 0
         while pos < n:
-            chunk = data[pos:pos + _BLOCK_MAX]
-            pos += len(chunk)
+            bs, be = pos, min(pos + _BLOCK_MAX, n)
+            chunk = data[bs:be]
+            pos = be
             last = 1 if pos >= n else 0
             if len(set(chunk)) == 1:  # RLE block
                 out += (last | (1 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
                 out += chunk[:1]
                 continue
-            body = _huffman_literals_section(chunk)
+            candidates: list[tuple[bytes, bool]] = []
+            huff_only = _huffman_literals_section(chunk)
+            if huff_only is not None:
+                candidates.append((huff_only, False))
+            seqs, lits = _find_block_sequences(data, bs, be, htab, chain)
+            rep_next = list(rep)
+            if seqs:
+                # repeat-offset history only advances if a sequence
+                # body actually WINS the block — track the would-be
+                # state on a copy and commit below
+                seqs = _apply_repeat_offsets(seqs, rep_next)
+                seq_sec = _sequences_section(seqs)
+                candidates.append((_raw_literals_section(lits) + seq_sec, True))
+                if lits:
+                    huff_lits = _huffman_literals_body(lits)
+                    if huff_lits is not None:
+                        candidates.append((huff_lits + seq_sec, True))
+            body, has_seqs = (
+                min(candidates, key=lambda c: len(c[0]))
+                if candidates
+                else (None, False)
+            )
             if body is not None and len(body) < len(chunk):
                 out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
                 out += body
+                if has_seqs:
+                    rep = rep_next
             else:
                 out += (last | (len(chunk) << 3)).to_bytes(3, "little")
                 out += chunk
@@ -709,6 +1037,9 @@ def _decode_sequences(
     of_table, pos = _sequence_table(data, pos, (modes >> 4) & 3, "of", fstate)
     ml_table, pos = _sequence_table(data, pos, (modes >> 2) & 3, "ml", fstate)
 
+    st = fstate.get("_stats")
+    if st is not None:
+        st["sequences"] = st.get("sequences", 0) + nseq
     bits = _BackBits(data[pos:end])
     ll_state = _fse_init(ll_table, bits)
     of_state = _fse_init(of_table, bits)
@@ -792,6 +1123,9 @@ def _decode_compressed_block(
     data: bytes, pos: int, bsize: int, out: bytearray, fstate: dict
 ) -> None:
     end = pos + bsize
+    st = fstate.get("_stats")
+    if st is not None:
+        st["compressed_blocks"] = st.get("compressed_blocks", 0) + 1
     literals, pos = _decode_literals(data, pos, fstate)
     seqs = _decode_sequences(data, pos, end, fstate)
     _execute_sequences(seqs, literals, out, fstate)
@@ -834,6 +1168,7 @@ def parse_zstd_dictionary(data: bytes) -> dict:
             "ml": tables["ml"],
             "repeat": reps,
             "content": data[pos:],
+            "raw": data,  # the untouched blob, for the native seam
         }
     return {
         "id": 0,
@@ -843,6 +1178,7 @@ def parse_zstd_dictionary(data: bytes) -> dict:
         "ml": None,
         "repeat": [1, 4, 8],
         "content": data,
+        "raw": data,
     }
 
 
@@ -851,12 +1187,18 @@ def parse_zstd_dictionary(data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 def _parse_frame(
-    data: bytes, pos: int, dictionary: "dict | None" = None
+    data: bytes,
+    pos: int,
+    dictionary: "dict | None" = None,
+    stats: "dict | None" = None,
 ) -> tuple[bytes, int]:
     """Decode one zstd frame starting at ``pos``; returns
     (payload, end_offset). Raises ValueError on corruption and
     NotImplementedError on dictionary frames without the matching
-    dictionary."""
+    dictionary. ``stats`` (optional dict) accumulates
+    ``compressed_blocks`` and ``sequences`` counts — how q206 and the
+    tests verify "this frame genuinely carries LZ sequences" FROM THE
+    BYTES rather than trusting the encoder's intent."""
     n = len(data)
     if pos + 4 > n:
         raise ValueError(f"truncated zstd magic at offset {pos}")
@@ -922,6 +1264,7 @@ def _parse_frame(
         out = bytearray()
         fstate = {"huffman": None, "ll": None, "of": None, "ml": None,
                   "repeat": [1, 4, 8]}
+    fstate["_stats"] = stats
     hist = len(out)
     while True:
         if pos + 3 > n:
@@ -970,7 +1313,9 @@ def _parse_frame(
 
 
 def iter_zstd_frames(
-    data: bytes, dictionary: "dict | None" = None
+    data: bytes,
+    dictionary: "dict | None" = None,
+    stats: "dict | None" = None,
 ) -> Iterator[tuple[int, int, bytes]]:
     """Walk a multi-frame zstd stream, yielding ``(offset,
     compressed_length, payload)`` per data frame — the zstd twin of
@@ -985,15 +1330,92 @@ def iter_zstd_frames(
                 pos += 8 + size
                 continue
         start = pos
-        payload, pos = _parse_frame(data, pos, dictionary)
+        payload, pos = _parse_frame(data, pos, dictionary, stats)
         yield start, pos - start, payload
 
 
-def zstd_decompress(data: bytes, dictionary: "dict | None" = None) -> bytes:
+def zstd_decompress(
+    data: bytes,
+    dictionary: "dict | None" = None,
+    stats: "dict | None" = None,
+) -> bytes:
     """Concatenated payload of every data frame in ``data`` — raw,
     RLE, and fully entropy-coded blocks alike; checksums verified.
     Pure Python: at 100 TB a deployment would route hot decode
     through a libzstd binding for throughput, but nothing in the
     FORMAT is gated: dictionary frames decode too — pass the trained
     dictionary blob through :func:`parse_zstd_dictionary`."""
-    return b"".join(p for _, _, p in iter_zstd_frames(data, dictionary))
+    return b"".join(
+        p for _, _, p in iter_zstd_frames(data, dictionary, stats)
+    )
+
+
+# ---------------------------------------------------------------------------
+# native-codec seam (round 8, VERDICT r7 #4): auto-use a `zstandard`
+# binding when one is importable. The pure-Python codec above is the
+# canonical, always-available implementation (this environment ships
+# no binding); a 100 TB `.warc.zst` ingest is CPU-bound ~2-3 orders
+# below a native codec, so deployments that CAN import `zstandard`
+# get routed through it transparently, with pure≡native parity
+# pinned by tests (skipped cleanly where the module is absent).
+# ---------------------------------------------------------------------------
+
+_NATIVE_MODULE = "unprobed"
+
+
+def native_zstd_module():
+    """The `zstandard` module when importable, else None (cached)."""
+    global _NATIVE_MODULE
+    if _NATIVE_MODULE == "unprobed":
+        try:
+            import zstandard as _zstd_mod  # type: ignore
+
+            _NATIVE_MODULE = _zstd_mod
+        except ImportError:
+            _NATIVE_MODULE = None
+    return _NATIVE_MODULE
+
+
+def zstd_decompress_native(
+    data: bytes, dictionary: "dict | None" = None
+) -> "bytes | None":
+    """Decode via the native `zstandard` binding; None when the
+    binding is absent (caller falls back to the pure decoder). Skips
+    skippable frames and concatenates every data frame, matching
+    :func:`zstd_decompress` exactly (parity-pinned)."""
+    mod = native_zstd_module()
+    if mod is None:
+        return None
+    import io
+
+    dict_data = (
+        mod.ZstdCompressionDict(dictionary["raw"])
+        if dictionary is not None
+        else None
+    )
+    dctx = (
+        mod.ZstdDecompressor(dict_data=dict_data)
+        if dict_data is not None
+        else mod.ZstdDecompressor()
+    )
+    out = bytearray()
+    with dctx.stream_reader(
+        io.BytesIO(data), read_across_frames=True
+    ) as reader:
+        while True:
+            chunk = reader.read(1 << 20)
+            if not chunk:
+                break
+            out += chunk
+    return bytes(out)
+
+
+def zstd_decompress_auto(
+    data: bytes, dictionary: "dict | None" = None
+) -> bytes:
+    """`zstandard`-accelerated when available, pure-Python otherwise
+    — the entry 100 TB ingest paths should call when they need only
+    the concatenated payload (frame-offset walks stay on
+    :func:`iter_zstd_frames`, which must see the boundaries)."""
+    native = zstd_decompress_native(data, dictionary)
+    return native if native is not None else zstd_decompress(data, dictionary)

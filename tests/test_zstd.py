@@ -397,3 +397,104 @@ def test_warc_zst_with_leading_dictionary_skippable_frame(tmp_path):
             assert payload == (
                 f"shared vocabulary payload number {i} " * 20
             ).encode()
+
+
+# ---------------------------------------------------------------------------
+# round 8: the LZ sequence tier (greedy hash-chain matches, FSE-coded
+# against the predefined distributions, repeat-offset codes)
+# ---------------------------------------------------------------------------
+
+def _text_corpus(n_words: int = 40_000) -> bytes:
+    import random
+
+    rng = random.Random(8)
+    words = ["the", "quick", "brown", "fox", "data", "pipeline",
+             "spark", "zstd", "frame", "entropy", "corpus", "shard"]
+    return (" ".join(rng.choice(words) for _ in range(n_words))).encode()
+
+
+def test_sequence_tier_emits_real_lz_matches():
+    # the frame must carry FSE-coded sequences, verified FROM THE
+    # BYTES via the decode-side stats hook — not encoder intent
+    data = _text_corpus(2_000)
+    stats: dict = {}
+    frame = zstd_compress(data)
+    assert zstd_decompress(frame, stats=stats) == data
+    assert stats["compressed_blocks"] >= 1
+    assert stats["sequences"] > 50
+    # and the LZ tier genuinely beats the Huffman-only r7 encoder:
+    # matches collapse the repeated words far below order-0 entropy
+    assert len(frame) < len(data) // 3
+
+
+def test_sequence_frames_roundtrip_across_blocks():
+    # >128 KiB input: block 2's matches may reach into block 1 (the
+    # window covers the whole single-segment frame), and the
+    # repeat-offset history carries across blocks
+    data = _text_corpus(50_000)
+    assert len(data) > 2 * 128 * 1024
+    stats: dict = {}
+    assert zstd_decompress(zstd_compress(data), stats=stats) == data
+    assert stats["compressed_blocks"] >= 3
+    assert stats["sequences"] > 1_000
+
+
+def test_repeat_offset_state_machine_edges():
+    # structured data with a constant stride exercises offset_value
+    # 1-3 (incl. the literals_length==0 index shift) heavily; byte
+    # equality through our decoder AND the repeat-offset bookkeeping
+    # staying consistent when some blocks fall back to raw/Huffman
+    rec = b"<row id='%06d' value='constant padding text'/>\n"
+    data = b"".join(rec % i for i in range(4_000))
+    frame = zstd_compress(data)
+    assert zstd_decompress(frame) == data
+    assert len(frame) < len(data) // 8
+    # adjacent-repeat pathology: ll==0 back-to-back matches
+    data2 = (b"abcdefgh" * 5_000) + b"X" + (b"abcdefgh" * 5_000)
+    assert zstd_decompress(zstd_compress(data2)) == data2
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=4096))
+def test_sequence_encoder_roundtrip_property(data):
+    assert zstd_decompress(zstd_compress(data)) == data
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary")
+def test_sequence_frames_open_under_real_unzstd(tmp_path):
+    # CLI interop for the LZ tier: sequence-bearing frames must open
+    # byte-exactly under the reference implementation
+    corpora = {
+        "text": _text_corpus(10_000),
+        "html": b"".join(
+            b"<div class='row'><span>item %d</span></div>" % i
+            for i in range(4_000)
+        ),
+        "multiblock": _text_corpus(40_000),
+    }
+    for name, data in corpora.items():
+        stats: dict = {}
+        frame = zstd_compress(data)
+        zstd_decompress(frame, stats=stats)
+        assert stats["sequences"] > 0, name
+        src = tmp_path / f"{name}.zst"
+        src.write_bytes(frame)
+        out = subprocess.run(
+            [_ZSTD_BIN, "-d", "-c", str(src)], capture_output=True
+        )
+        assert out.returncode == 0, (name, out.stderr[:300])
+        assert out.stdout == data, name
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary")
+def test_sequence_tier_ratio_within_gate_of_zstd3():
+    # VERDICT r7 #3 acceptance: compressed size within ~1.5x of
+    # `zstd -3` on the text corpus
+    data = _text_corpus(40_000)
+    ours = len(zstd_compress(data))
+    ref = len(
+        subprocess.run(
+            [_ZSTD_BIN, "-3", "-c"], input=data, capture_output=True
+        ).stdout
+    )
+    assert ours <= 1.5 * ref, (ours, ref)
