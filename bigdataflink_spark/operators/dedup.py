@@ -243,7 +243,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     collapse_exact: bool = True,
-    max_bucket: int | None = 4096,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→exact-verify near-dup pipeline.
 
@@ -272,8 +272,12 @@ def minhash_dedup_pairs(
     ``max_bucket`` guards the residual case (near-identical but
     distinct boilerplate): after the collapse, only distinct-content
     docs remain in any bucket, and the cap bounds the self-join at
-    cap·k per bucket. Fixture buckets sit far under 4096, so oracle
-    answers are unchanged; audit real corpora with lsh_bucket_census.
+    cap·k per bucket. The LIBRARY default is None — exhaustive, no
+    silent recall loss (ADVICE r7: a capped default dropped candidate
+    pairs with no runtime signal) — and the scale pipelines (q21,
+    q100, streaming/neardup.py) pass 4096 explicitly, with
+    :func:`lsh_bucket_census` as the overflow audit. Fixture buckets
+    sit far under 4096, so oracle answers are unchanged either way.
     """
     if not collapse_exact:
         sigs = minhash_signatures(docs, id_col, text_col, num_hashes)

@@ -96,7 +96,7 @@ def _merge(matched: list[RobotsGroup]) -> "RobotsGroup | None":
         merged.agents.extend(g.agents)
         merged.rules.extend(g.rules)
         if g.crawl_delay is not None and (
-            merged.crawl_delay is None or g.crawl_delay < merged.crawl_delay
+            merged.crawl_delay is None or g.crawl_delay > merged.crawl_delay
         ):
             merged.crawl_delay = g.crawl_delay
     return merged
@@ -110,9 +110,10 @@ def select_group(
 
     RFC 9309 §2.2.1: a crawler obeys the UNION of the rules of every
     group whose agent list matches, so multiple ``User-agent: foo``
-    (or multiple ``*``) groups merge — rules concatenated, strictest
-    (minimum) crawl-delay kept — rather than first-group-wins
-    (ADVICE r6)."""
+    (or multiple ``*``) groups merge — rules concatenated, and the
+    MAXIMUM crawl-delay kept (the conservative choice for a polite
+    crawler; the minimum would be the most permissive — ADVICE r7) —
+    rather than first-group-wins (ADVICE r6)."""
     agent = agent.lower()
     exact = _merge([g for g in groups if agent in g.agents])
     if exact is not None:

@@ -3980,7 +3980,9 @@ FROM documents
 
 
 # q206: the entropy-coded zstd round trip is LOSSLESS, so the oracle
-# recomputes the decoded md5 from the table text; entropy_smaller and
+# recomputes the decoded md5 from the table text; entropy_smaller,
+# has_sequences (round 8: >=256-byte docs must decode with >=1 real
+# FSE-coded LZ sequence — longest sequence-free doc is 77 bytes) and
 # corrupt_detected are pinned TRUE (threshold 256 has corpus-measured
 # margin: the longest non-shrinking doc is 168 bytes).
 ORACLES["q206_zstd_roundtrip"] = """
@@ -3988,6 +3990,7 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
        md5(text) AS roundtrip_md5,
        TRUE AS entropy_smaller,
+       TRUE AS has_sequences,
        TRUE AS corrupt_detected
 FROM documents WHERE doc_id % 7 = 5
 """

@@ -437,7 +437,9 @@ def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) + exact-Jaccard verify >= 0.8."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.8)
+    return dedup.minhash_dedup_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.8, max_bucket=4096
+    )
 
 
 def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,7 +458,9 @@ def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same components with a recursive transitive-closure
     CTE over the identical SQL pair pipeline."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.8)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.8, max_bucket=4096
+    )
     return dedup.dedup_clusters(pairs, docs)
 
 
@@ -2012,7 +2016,7 @@ def q100_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of streaming/neardup.py; the oracle replays the greedy
     fold as a recursive CTE."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8, max_bucket=4096)
     kept = dedup.greedy_leader_filter(docs.select("doc_id", "text", "lang"), pairs)
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -6783,11 +6787,18 @@ def q206_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes genuinely shrink (the corpus-measured safe threshold — the
     worst non-shrinking doc is 168 bytes; an encoder that silently
     fell back to raw blocks everywhere would flip it);
-    ``corrupt_detected`` flips one payload byte mid-frame and pins
-    that decode RAISES (XXH64 checksum or structural validation) —
-    wrong-bytes-silently is the failure mode a checksum exists for.
-    Audited on the deterministic doc_id%7==5 slice (~14%; declared,
-    mirrored by the oracle). One fan-out Arrow map, zero joins."""
+    ``has_sequences`` (round 8 — the LZ-tier pin) counts the decoded
+    frame's FSE-coded sequences FROM THE BYTES
+    (``zstd_decompress(stats=...)``) and pins that >= 256-byte docs
+    carry at least one real LZ match (corpus-measured: the longest
+    sequence-free doc across sf0.001/0.01/0.1 is 77 bytes — an
+    encoder that quietly dropped to Huffman-only blocks would flip
+    it); ``corrupt_detected`` flips one payload byte mid-frame and
+    pins that decode RAISES (XXH64 checksum or structural
+    validation) — wrong-bytes-silently is the failure mode a
+    checksum exists for. Audited on the deterministic doc_id%7==5
+    slice (~14%; declared, mirrored by the oracle). One fan-out
+    Arrow map, zero joins."""
     import pandas as pd_
 
     from bigdataflink_spark.operators.zstd import (
@@ -6805,12 +6816,13 @@ def q206_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = {k: [] for k in (
                 "media_id", "orig_len", "roundtrip_md5",
-                "entropy_smaller", "corrupt_detected",
+                "entropy_smaller", "has_sequences", "corrupt_detected",
             )}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = str(text).encode("utf-8")
                 frame = zstd_compress(raw)
-                back = zstd_decompress(frame)
+                stats: dict = {}
+                back = zstd_decompress(frame, stats=stats)
                 bad = bytearray(frame)
                 bad[len(bad) // 2] ^= 0xFF
                 try:
@@ -6824,6 +6836,9 @@ def q206_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["entropy_smaller"].append(
                     bool(len(raw) < 256 or len(frame) < len(raw))
                 )
+                rows["has_sequences"].append(
+                    bool(len(raw) < 256 or stats.get("sequences", 0) > 0)
+                )
                 rows["corrupt_detected"].append(bool(detected))
             yield pd_.DataFrame(rows)
 
@@ -6832,7 +6847,8 @@ def q206_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _batches,
         schema=(
             "media_id long, orig_len long, roundtrip_md5 string, "
-            "entropy_smaller boolean, corrupt_detected boolean"
+            "entropy_smaller boolean, has_sequences boolean, "
+            "corrupt_detected boolean"
         ),
     )
 

@@ -115,7 +115,8 @@ def accept_batch(
 
     # within-batch greedy (first arrival = smallest id wins)
     pairs = dedup.minhash_dedup_pairs(
-        survivors, id_col, text_col, num_hashes, bands, threshold
+        survivors, id_col, text_col, num_hashes, bands, threshold,
+        max_bucket=4096,
     )
     accepted = (
         dedup.greedy_leader_filter(survivors, pairs, id_col)

@@ -2069,3 +2069,99 @@ def test_exact_stratified_sample_contract(spark):
         exact_stratified_sample(df, "doc_id", "lang", 9999)
     # total_n == population selects everything
     assert exact_stratified_sample(df, "doc_id", "lang", 200).count() == 200
+
+
+def test_exact_stratified_sample_staged_dominant_stratum(spark):
+    """VERDICT r7 #1: a dominant stratum (90% of the corpus) must NOT
+    feed its whole population into the per-stratum rank window — the
+    staged pre-filter shrinks the window input to ~allocation — and
+    the staged draw must be IDENTICAL to the unstaged full rank."""
+    from pyspark.sql import functions as F
+
+    from bigdataflink_spark.operators.sampling import (
+        _stratum_thresholds,
+        exact_stratified_sample,
+        split_bucket,
+        RESOLUTION,
+    )
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("en"))
+        .otherwise(F.lit("de"))
+        .alias("lang"),
+    )
+    total_n = 500
+    staged = exact_stratified_sample(
+        df, "doc_id", "lang", total_n, small_stratum_rows=1_000
+    )
+    full = exact_stratified_sample(
+        df, "doc_id", "lang", total_n, small_stratum_rows=10**12
+    )
+    staged_ids = {r.doc_id for r in staged.collect()}
+    full_ids = {r.doc_id for r in full.collect()}
+    assert len(staged_ids) == total_n
+    assert staged_ids == full_ids  # identical draw by construction
+
+    # the rank window's input (pre-filter survivors) is ~alloc, not n_s
+    counts = {"en": 90_000, "de": 10_000}
+    alloc = {"en": 450, "de": 50}
+    thr = _stratum_thresholds(counts, alloc, small_stratum_rows=1_000)
+    assert thr["en"] < RESOLUTION and thr["de"] < RESOLUTION
+    survivors_en = df.filter(
+        (F.col("lang") == "en")
+        & (split_bucket("doc_id", "sample-v1") < thr["en"])
+    ).count()
+    assert alloc["en"] <= survivors_en < 5_000  # << 90k stratum size
+
+
+def test_exact_stratified_sample_escalates_deficient_threshold(
+    spark, monkeypatch
+):
+    """The correctness backstop: thresholds too tight to yield the
+    allocation must escalate that stratum to the full rank — the
+    draw stays exact no matter how wrong the Chernoff margin is."""
+    from bigdataflink_spark.operators import sampling as sm
+
+    df = spark.range(5_000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 5 < 4 THEN 'en' ELSE 'de' END AS lang"
+    )
+    ref = {
+        r.doc_id
+        for r in sm.exact_stratified_sample(
+            df, "doc_id", "lang", 100, small_stratum_rows=10**12
+        ).collect()
+    }
+    # sabotage: keep ~5000/1e6 ≈ 0 survivors per stratum
+    monkeypatch.setattr(
+        sm, "_stratum_thresholds", lambda c, a, s: {k: 1 for k in a}
+    )
+    got = {
+        r.doc_id
+        for r in sm.exact_stratified_sample(
+            df, "doc_id", "lang", 100, small_stratum_rows=1
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_exact_stratified_sample_non_string_strata(spark):
+    """ADVICE r7: the allocation schema derives from the stratum
+    column's dtype — integer quality bins must work, not just
+    language strings."""
+    df = spark.range(600).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS INT) AS bin"
+    )
+    picked = exact_stratified_sample_import()(df, "doc_id", "bin", 30)
+    rows = picked.collect()
+    assert len(rows) == 30
+    assert {r.bin for r in rows} == {0, 1, 2}
+    assert dict(picked.dtypes)["bin"] == "int"
+
+
+def exact_stratified_sample_import():
+    from bigdataflink_spark.operators.sampling import (
+        exact_stratified_sample,
+    )
+
+    return exact_stratified_sample

@@ -108,7 +108,8 @@ Disallow: /b/
     assert _decide(txt, "foobot", "/c")[0] is True
     assert _decide(txt, "foobot", "/b/x")[2] == 9  # delay from either group
 
-    # multiple '*' groups merge too, and min crawl-delay wins
+    # multiple '*' groups merge too, and the MAX (most conservative
+    # for a polite crawler) crawl-delay wins (ADVICE r7)
     txt2 = """
 User-agent: *
 Crawl-delay: 5
@@ -120,4 +121,4 @@ Disallow: /two
 """
     assert _decide(txt2, "anybot", "/one")[0] is False
     assert _decide(txt2, "anybot", "/two")[0] is False
-    assert _decide(txt2, "anybot", "/three")[2] == 3
+    assert _decide(txt2, "anybot", "/three")[2] == 5
