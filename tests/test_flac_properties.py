@@ -106,9 +106,14 @@ def test_flac_depth_guards():
     seed=st.integers(0, 2**31 - 1),
 )
 def test_flac_nonbyte_widths_roundtrip(bps, n, seed):
-    # 12/20-bit: decodable coded widths whose PCM packing convention
-    # is encoder-defined — MD5 rides unset (all zeros) per spec, and
-    # the decoder skips verification rather than failing
+    # 12/20-bit: RFC 9639 / libFLAC define the MD5 PCM packing as
+    # ceil(bps/8) LE sign-extended bytes per sample (12 -> 2 bytes,
+    # 20 -> 3), so these widths carry and VERIFY a real digest like
+    # the whole-byte ones (ADVICE r7 closed the unset-MD5 gate)
+    import hashlib
+
+    import pytest as _pytest
+
     rng = np.random.RandomState(seed)
     scale = (1 << (bps - 1)) - 1
     sig = np.stack(
@@ -116,5 +121,24 @@ def test_flac_nonbyte_widths_roundtrip(bps, n, seed):
          rng.randint(-scale, scale + 1, n)], axis=1
     ).astype(np.int32)
     blob = flac_encode(sig, bits_per_sample=bps)
-    dec, _ = flac_decode(blob)
+    # STREAMINFO MD5 (last 16 bytes of the 34-byte block at offset 8)
+    # is set and matches the libFLAC packing
+    md5_field = blob[8 + 18:8 + 34]
+    assert md5_field != b"\x00" * 16
+    nb = (bps + 7) // 8
+    packed = bytearray()
+    for frame in sig:
+        for v in frame:
+            packed += int(v).to_bytes(nb, "little", signed=True)
+    assert md5_field == hashlib.md5(bytes(packed)).digest()
+    dec, _ = flac_decode(blob)  # decoder verifies the digest too
     assert (dec.astype(np.int64) == sig.astype(np.int64)).all()
+    # a corrupted digest must be CAUGHT at these widths now
+    bad = blob[:8 + 18] + bytes(16) + blob[8 + 34:]
+    dec2, _ = flac_decode(bad)  # all-zero = unset, skips verify
+    assert (dec2.astype(np.int64) == sig.astype(np.int64)).all()
+    flipped = bytearray(blob)
+    flipped[8 + 18] ^= 0xFF
+    if bytes(flipped[8 + 18:8 + 34]) != b"\x00" * 16:
+        with _pytest.raises(ValueError, match="MD5"):
+            flac_decode(bytes(flipped))
