@@ -130,6 +130,8 @@ HEADLINE = [
     "q207_png_subbyte",
     "q208_flac_depths",
     "q209_exact_stratified_sample",
+    "q210_jpeg_extended",
+    "q211_wav_formats",
 ]
 
 

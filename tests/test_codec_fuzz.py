@@ -91,17 +91,35 @@ def test_warc_gzip_flips_never_silently_wrong():
     _fuzz(blob, dec, lambda g: g == ok, seed=4)
 
 
-@pytest.mark.parametrize("codec", ["jpeg", "gif"])
+@pytest.mark.parametrize("codec", ["jpeg", "jpeg12", "gif", "wav24", "wavf32"])
 def test_uncheckedsummed_codecs_never_hang_or_crash_uncontrolled(codec):
     # no integrity check in the format -> no silent-wrongness claim,
     # but every flip must still terminate with a decode or a clean
     # ValueError/NotImplementedError (no hangs, no segfault-shaped
     # numpy errors leaking through)
     rng = np.random.RandomState(5)
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_encode_extended,
+        wav_decode,
+        wav_encode,
+    )
+
     if codec == "jpeg":
         img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
         blob = jpeg_encode(img, quality=85, subsample="420")
         decode = jpeg_decode
+    elif codec == "jpeg12":  # round 8: SOF1 12-bit extended stream
+        img = rng.randint(0, 4096, (24, 24, 3)).astype(np.uint16)
+        blob = jpeg_encode_extended(img, quality=85, precision=12)
+        decode = jpeg_decode
+    elif codec == "wav24":  # round 8: WAV carries no checksum either
+        s24 = rng.randint(-(1 << 23), 1 << 23, (200, 2)).astype(np.int32)
+        blob = wav_encode(s24, 8000, fmt="pcm24")
+        decode = wav_decode
+    elif codec == "wavf32":
+        f32 = rng.randn(200, 2).astype(np.float32)
+        blob = wav_encode(f32, 8000, fmt="float32")
+        decode = wav_decode
     else:
         frames = [rng.randint(0, 64, (16, 16)).astype(np.uint8)
                   for _ in range(2)]

@@ -118,3 +118,128 @@ def test_sof1_12bit_sample_range_enforced():
     bad = np.full((8, 8, 3), 4096, dtype=np.uint16)
     with pytest.raises(AssertionError, match="12 bits"):
         jpeg_encode_extended(bad, precision=12)
+
+
+def _generic_factor_encode(img, factors, quality=90):
+    """Test-local minimal sequential encoder with ARBITRARY per-
+    component sampling factors (the library encoder only emits
+    444/422/420) — exists to mint fractional-ratio streams (e.g.
+    3x1 luma over 2x1 chroma) that wild scanners produce but no
+    in-repo profile does. Interleaved single scan, Annex K tables."""
+    import struct
+
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        _BitWriter,
+        _H_AC_CHR,
+        _H_AC_LUM,
+        _H_DC_CHR,
+        _H_DC_LUM,
+        _ZIGZAG,
+        _dqt_segments,
+        _dht_segments,
+        _emit_block,
+        _huff_codes,
+        _quant_tables,
+        _zigzag_quant_blocks,
+    )
+
+    h, w = img.shape[:2]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    qlum, qchr = _quant_tables(quality)
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = (-0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1]
+          + 0.5 * f[:, :, 2] + 128)
+    cr = (0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1]
+          - 0.081312 * f[:, :, 2] + 128)
+    comps_px = [np.clip(p, 0, 255) - 128.0 for p in (y, cb, cr)]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zzs = []
+    for ci, (ch, cv) in enumerate(factors):
+        cw, chh = -(-w * ch // hmax), -(-h * cv // vmax)  # T.81 A.1.1
+        # downsample by index gather to the component grid, then pad
+        xs = (np.arange(cw, dtype=np.int64) * hmax) // ch
+        ys = (np.arange(chh, dtype=np.int64) * vmax) // cv
+        p = comps_px[ci][np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)]
+        W, H = mcus_x * ch * 8, mcus_y * cv * 8
+        p = np.pad(p, ((0, H - chh), (0, W - cw)), mode="edge")
+        zzs.append(_zigzag_quant_blocks(p, qlum if ci == 0 else qchr))
+    dc = [_huff_codes(*_H_DC_LUM)] + [_huff_codes(*_H_DC_CHR)] * 2
+    ac = [_huff_codes(*_H_AC_LUM)] + [_huff_codes(*_H_AC_CHR)] * 2
+    bw = _BitWriter()
+    dc_prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (ch, cv) in enumerate(factors):
+                for r in range(cv):
+                    for c in range(ch):
+                        dc_prev[ci] = _emit_block(
+                            zzs[ci][my * cv + r][mx * ch + c],
+                            dc_prev[ci], dc[ci], ac[ci], bw)
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(payload) + 2) + payload)
+
+    sof_comps = b"".join(
+        bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+        for ci, (ch, cv) in enumerate(factors)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xff\xd8" + _dqt_segments(quality) + _dht_segments()
+            + sof + sos + scan + b"\xff\xd9")
+
+
+def test_fractional_chroma_ratio_decodes():
+    """Round 8: the last wild-JPEG geometry gate — hmax/ch not an
+    integer (3x1 luma over 2x1 chroma) decodes via the T.81 index
+    gather instead of raising. Constant chroma makes subsampling
+    lossless, so decoded colors must track the source within normal
+    DCT error; a misaligned fractional grid would smear them."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import jpeg_decode
+
+    h, w = 16, 30
+    ramp = np.linspace(40, 215, h * w).reshape(h, w)
+    img = np.stack(
+        [ramp, ramp * 0.5 + 60, np.full((h, w), 90.0)], axis=-1
+    ).astype(np.uint8)
+    for factors in [((3, 1), (2, 1), (1, 1)), ((3, 2), (2, 1), (1, 2)),
+                    ((4, 1), (3, 1), (2, 1))]:
+        blob = _generic_factor_encode(img, factors)
+        dec = jpeg_decode(blob)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).mean()
+        assert err <= 6.0, (factors, err)
+
+
+def test_integral_ratio_gather_matches_repeat_exactly():
+    """The gather upsampler must be pixel-identical to the previous
+    repeat-based one on every integral profile (444/422/420) — pinned
+    against the committed q187/q188 contract by re-decoding."""
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.RandomState(21)
+    img = np.repeat(np.repeat(rng.randint(0, 256, (5, 7, 3)), 4, 0), 4, 1
+                    ).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        dec = jpeg_decode(jpeg_encode(img, quality=90, subsample=sub))
+        # identical geometry: (y*cv)//vmax == y//(vmax//cv) for
+        # integral ratios, so this decode is byte-identical to the
+        # round-7 decoder's — guarded further by the q187/q188/q204
+        # oracles, which hash every decoded value
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).mean()
+        assert err <= 8.0, (sub, err)
