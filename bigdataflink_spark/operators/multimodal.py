@@ -1210,16 +1210,47 @@ def wav_encode(
 # WAVE_FORMAT_EXTENSIBLE subformat GUIDs start with the classic tag
 _WAV_EXTENSIBLE = 0xFFFE
 
+_G711_LUTS: dict = {}
+
+
+def _g711_lut(law: str) -> "np.ndarray":
+    """256-entry code→int16 decode table for G.711 (ITU-T) companded
+    telephony audio, built from the spec's closed forms (segmented
+    13/14-bit log PCM: A-law XORs 0x55, µ-law complements and biases
+    by 0x84); differential-tested against stdlib audioop where that
+    module still exists."""
+    hit = _G711_LUTS.get(law)
+    if hit is not None:
+        return hit
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        if law == "alaw":
+            c = code ^ 0x55
+            sign = c & 0x80  # A-law: MSB SET means positive
+            exp = (c >> 4) & 7
+            mant = c & 0x0F
+            v = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+            out[code] = v if sign else -v
+        else:  # ulaw: complement first; MSB of the complement = sign
+            c = ~code & 0xFF
+            sign = c & 0x80
+            exp = (c >> 4) & 7
+            mant = c & 0x0F
+            v = (((mant << 3) + 0x84) << exp) - 0x84
+            out[code] = -v if sign else v
+    _G711_LUTS[law] = out
+    return out
+
 
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a WAV file: RIFF walk (skipping unknown chunks,
     honoring odd-length padding), fmt validation, data reshape.
     Formats (round 8 widens the PCM16-only gate): integer PCM at
     16-bit (→ int16) and 24-bit (→ sign-extended int32), IEEE float
-    at 32-bit (→ float32), and WAVE_FORMAT_EXTENSIBLE wrapping
-    either (the subformat GUID's leading u16 is the classic tag).
-    A-law/µ-law (tags 6/7) stay gated. Returns ((n_samples,
-    channels) array, sample_rate)."""
+    at 32-bit (→ float32), G.711 A-law/µ-law telephony audio (tags
+    6/7 → expanded int16), and WAVE_FORMAT_EXTENSIBLE wrapping any
+    of them (the subformat GUID's leading u16 is the classic tag).
+    Returns ((n_samples, channels) array, sample_rate)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1251,6 +1282,10 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         (tag,) = struct.unpack("<H", fmt_raw[24:26])
     if tag == 1 and bits == 16:
         a = np.frombuffer(data, dtype="<i2")
+    elif tag == 6 and bits == 8:  # G.711 A-law (round 8: telephony
+        a = _g711_lut("alaw")[np.frombuffer(data, dtype=np.uint8)]
+    elif tag == 7 and bits == 8:  # G.711 µ-law  corpora carry these)
+        a = _g711_lut("ulaw")[np.frombuffer(data, dtype=np.uint8)]
     elif tag == 1 and bits == 24:
         raw = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
         trip = raw.reshape(-1, 3).astype(np.int32)

@@ -956,14 +956,35 @@ def test_wav_non_pcm16_formats_roundtrip():
     dx, _ = wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
     assert (dx == s24).all()
 
-    # A-law (tag 6) stays honestly gated
-    fmt6 = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    # G.711 A-law/u-law (tags 6/7) decode via the ITU closed-form
+    # LUTs - differential-tested against stdlib audioop (the C
+    # reference implementation) over ALL 256 codes
+    import audioop  # noqa: deprecated but present on 3.11
+
+    codes = bytes(range(256))
+    for tag, law in ((6, "alaw2lin"), (7, "ulaw2lin")):
+        fmtc = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+            + b"data" + struct.pack("<I", 256) + codes
+        )
+        dec, rate = wav_decode(
+            b"RIFF" + struct.pack("<I", len(body)) + body
+        )
+        ref = np.frombuffer(
+            getattr(audioop, law)(codes, 2), dtype="<i2"
+        )
+        assert dec.dtype == np.int16 and (dec.ravel() == ref).all(), law
+
+    # an unknown tag still gates honestly
+    fmt9 = struct.pack("<HHIIHH", 9, 1, 8000, 8000, 1, 8)
     body = (
         b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt6)) + fmt6
+        + b"fmt " + struct.pack("<I", len(fmt9)) + fmt9
         + b"data" + struct.pack("<I", 4) + b"\x00" * 4
     )
-    with _pytest.raises(NotImplementedError, match="format 6"):
+    with _pytest.raises(NotImplementedError, match="format 9"):
         wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 

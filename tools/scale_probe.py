@@ -160,6 +160,10 @@ PROBE100 = {
     "q108_ngram_novelty": QUERIES["q108_ngram_novelty"],
     "q126_unigram_lm_score": QUERIES["q126_unigram_lm_score"],
     "q136_market_basket": QUERIES["q136_market_basket"],
+    # r8 addition (VERDICT r7 #1): the staged stratified draw — the
+    # dominant language stratum grows 100x but the rank window's
+    # input stays ~allocation, so wall must be scan-bound sub-linear
+    "q209_exact_stratified_sample": QUERIES["q209_exact_stratified_sample"],
 }
 FIXED100 = ["region", "nation", "customer", "supplier", "part"]
 
