@@ -497,4 +497,7 @@ def test_sequence_tier_ratio_within_gate_of_zstd3():
             [_ZSTD_BIN, "-3", "-c"], input=data, capture_output=True
         ).stdout
     )
-    assert ours <= 1.5 * ref, (ours, ref)
+    # with the fitted FSE table descriptions (round 8) the encoder
+    # lands BELOW zstd -3 on this corpus (measured 0.90x); the gate
+    # keeps slack for corpus drift but far inside the verdict's 1.5x
+    assert ours <= 1.1 * ref, (ours, ref)
