@@ -615,6 +615,21 @@ def _sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
 
 _MAX_MATCH_OFFSET = 1 << 27  # keeps every offset code in 0..28
 
+# fixed-size match-finder tables (the real-zstd shape): memory stays
+# ~constant no matter how large the frame is — an unbounded dict per
+# position would cost GBs on a 16 MB shard. Hash collisions and
+# chain-slot reuse only ever produce FALSE CANDIDATES, which the
+# byte-compare extension rejects; correctness never depends on table
+# integrity, only ratio degrades gracefully.
+_HASH_LOG = 17
+_CHAIN_LOG = 18
+
+
+def _hash4(key: bytes) -> int:
+    return (int.from_bytes(key, "little") * 2654435761 >> (32 - _HASH_LOG)) & (
+        (1 << _HASH_LOG) - 1
+    )
+
 
 def _apply_repeat_offsets(
     seqs: list[tuple[int, int, int]], rep: list[int]
@@ -669,40 +684,45 @@ def _find_block_sequences(
     data: bytes,
     bs: int,
     be: int,
-    htab: dict,
-    chain: dict,
+    htab: list,
+    chain: list,
     depth: int = 48,
     min_match: int = 4,
 ) -> tuple[list[tuple[int, int, int]], bytes]:
     """Greedy hash-chain LZ parse of ``data[bs:be]``: returns
     (sequences, literals) where each sequence is (literals_length,
     RAW offset, match_length) — ``_apply_repeat_offsets`` turns raw
-    offsets into offset_values. ``htab``/``chain``
+    offsets into offset_values. ``htab`` (2^_HASH_LOG head slots) and
+    ``chain`` (2^_CHAIN_LOG circular prev slots) are FIXED-SIZE and
     persist across blocks of one frame, so matches reach into earlier
-    blocks exactly as the window rules allow. Greedy with a
-    lazy-step-free acceleration: runs of missed positions stride
-    wider (the zstd fast-mode idea) so incompressible spans stay
-    near-linear."""
+    blocks exactly as the window rules allow while memory stays
+    constant at any frame size; slot reuse only yields false
+    candidates, rejected by the byte compare (a candidate is accepted
+    purely on data equality, never on table trust). Greedy with a
+    one-step lazy parse and a miss-stride acceleration (the zstd
+    fast-mode idea) so incompressible spans stay near-linear."""
     seqs: list[tuple[int, int, int]] = []
     lits = bytearray()
     anchor = bs
     i = bs
     misses = 0
     limit = be - min_match
+    cmask = (1 << _CHAIN_LOG) - 1
+    inserted = bytearray(be - bs)  # lazy-probe dedup within the block
 
     def _search(p: int) -> tuple[int, int]:
         """Best (length, offset) for position p, inserting p into the
         hash chain as a side effect."""
-        key = data[p:p + 4]
-        cand = htab.get(key, -1)
+        h = _hash4(data[p:p + 4])
+        cand = htab[h]
         best_len = 0
         best_off = 0
         tries = depth
         max_l = be - p
         while cand >= 0 and tries > 0:
             off = p - cand
-            if off > _MAX_MATCH_OFFSET:
-                break  # chain only gets older from here
+            if off <= 0 or off > _MAX_MATCH_OFFSET or off > cmask:
+                break  # stale/wrapped slot — older entries are gone
             l = 0
             # chunked extension: 32-byte slice compares, then bytes
             while l + 32 <= max_l and (
@@ -715,10 +735,11 @@ def _find_block_sequences(
                 best_len, best_off = l, off
                 if l >= 128:
                     break  # long enough; stop the chain walk
-            cand = chain.get(cand, -1)
+            cand = chain[cand & cmask]
             tries -= 1
-        chain[p] = htab.get(key, -1)
-        htab[key] = p
+        chain[p & cmask] = htab[h]
+        htab[h] = p
+        inserted[p - bs] = 1
         return best_len, best_off
 
     while i <= limit:
@@ -741,10 +762,11 @@ def _find_block_sequences(
             # probe already inserted i+1 when it ran
             end_ins = min(i + best_len, limit)
             for j in range(i + 1, end_ins, 2):
-                if j not in chain:
-                    k2 = data[j:j + 4]
-                    chain[j] = htab.get(k2, -1)
-                    htab[k2] = j
+                if not inserted[j - bs]:
+                    h2 = _hash4(data[j:j + 4])
+                    chain[j & cmask] = htab[h2]
+                    htab[h2] = j
+                    inserted[j - bs] = 1
             i += best_len
             anchor = i
             misses = 0
@@ -781,8 +803,8 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
     if n == 0:
         out += (1).to_bytes(3, "little")  # last empty raw block
     else:
-        htab: dict = {}
-        chain: dict = {}
+        htab: list = [-1] * (1 << _HASH_LOG)
+        chain: list = [-1] * (1 << _CHAIN_LOG)
         rep = [1, 4, 8]
         pos = 0
         while pos < n:
