@@ -777,17 +777,40 @@ def _find_block_sequences(
     return seqs, bytes(lits)
 
 
-def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+def zstd_compress(
+    data: bytes, checksum: bool = True, dictionary: "dict | None" = None
+) -> bytes:
     """One real zstd frame with ENTROPY-CODED blocks: per 128 KiB
     block the encoder picks the smallest of LZ sequences (greedy
-    hash-chain matches, FSE-coded against the predefined
-    distributions) with Huffman or raw literals, Huffman-coded
-    literals alone (canonical tree shipped as direct weights, zero
-    sequences), an RLE block, or a raw block — a complete, legal
-    stream any zstd decoder opens (CLI-interop pinned), with real
-    LZ+entropy compression on text. ``zstd_compress_store`` remains
-    the zero-risk store path."""
+    hash-chain matches, FSE-coded with per-stream predefined / RLE /
+    described table modes) with Huffman or raw literals, Huffman-
+    coded literals alone (canonical tree shipped as direct weights,
+    zero sequences), an RLE block, or a raw block — a complete,
+    legal stream any zstd decoder opens (CLI-interop pinned).
+    ``zstd_compress_store`` remains the zero-risk store path.
+
+    ``dictionary`` (round 8 — the encode half of §5, completing the
+    dictionary story whose decode side landed in round 7): pass a
+    :func:`parse_zstd_dictionary` result with a nonzero id. The
+    frame carries the dictionary id, the match finder is pre-seeded
+    with the dictionary CONTENT as virtual history (offsets legally
+    reach before the frame start), and the repeat-offset history
+    starts from the dictionary's three initial offsets. ``unzstd -D``
+    opens the result byte-exactly (CLI differential test). The
+    dictionary's own entropy tables are not reused (repeat-mode
+    tables are an optional size win, never a legality requirement —
+    each block ships or inherits its in-frame tables)."""
     n = len(data)
+    hist = b""
+    did = 0
+    if dictionary is not None:
+        did = dictionary["id"]
+        if did == 0:
+            raise ValueError(
+                "raw-content dictionaries (id 0) cannot be signaled "
+                "in-frame; train one with a real id"
+            )
+        hist = dictionary["content"]
     if n <= 0xFF:
         fcs_flag, fcs = 0, n.to_bytes(1, "little")
     elif n - 256 <= 0xFFFF:
@@ -796,21 +819,39 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
         fcs_flag, fcs = 2, n.to_bytes(4, "little")
     else:
         fcs_flag, fcs = 3, n.to_bytes(8, "little")
-    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+    if did == 0:
+        did_flag, did_bytes = 0, b""
+    elif did <= 0xFF:
+        did_flag, did_bytes = 1, did.to_bytes(1, "little")
+    elif did <= 0xFFFF:
+        did_flag, did_bytes = 2, did.to_bytes(2, "little")
+    else:
+        did_flag, did_bytes = 3, did.to_bytes(4, "little")
+    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0) | did_flag
     out = bytearray(_MAGIC.to_bytes(4, "little"))
     out.append(fhd)
+    out += did_bytes
     out += fcs
     if n == 0:
         out += (1).to_bytes(3, "little")  # last empty raw block
     else:
         htab: list = [-1] * (1 << _HASH_LOG)
         chain: list = [-1] * (1 << _CHAIN_LOG)
-        rep = [1, 4, 8]
+        rep = list(dictionary["repeat"]) if dictionary is not None else [1, 4, 8]
+        buf = hist + data if hist else data
+        base = len(hist)
+        cmask = (1 << _CHAIN_LOG) - 1
+        # pre-seed the tables with the dictionary content — matches
+        # from the frame then reach into it exactly as §5 allows
+        for p in range(0, base - 3):
+            h = _hash4(buf[p:p + 4])
+            chain[p & cmask] = htab[h]
+            htab[h] = p
         pos = 0
         while pos < n:
-            bs, be = pos, min(pos + _BLOCK_MAX, n)
-            chunk = data[bs:be]
-            pos = be
+            bs, be = base + pos, base + min(pos + _BLOCK_MAX, n)
+            chunk = buf[bs:be]
+            pos = be - base
             last = 1 if pos >= n else 0
             if len(set(chunk)) == 1:  # RLE block
                 out += (last | (1 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
@@ -820,7 +861,7 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
             huff_only = _huffman_literals_section(chunk)
             if huff_only is not None:
                 candidates.append((huff_only, False))
-            seqs, lits = _find_block_sequences(data, bs, be, htab, chain)
+            seqs, lits = _find_block_sequences(buf, bs, be, htab, chain)
             rep_next = list(rep)
             if seqs:
                 # repeat-offset history only advances if a sequence

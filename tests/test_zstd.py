@@ -501,3 +501,64 @@ def test_sequence_tier_ratio_within_gate_of_zstd3():
     # lands BELOW zstd -3 on this corpus (measured 0.90x); the gate
     # keeps slack for corpus drift but far inside the verdict's 1.5x
     assert ours <= 1.1 * ref, (ours, ref)
+
+
+def test_dictionary_frame_encode_requires_real_id():
+    from bigdataflink_spark.operators.zstd import parse_zstd_dictionary
+
+    raw = parse_zstd_dictionary(b"just raw history content")
+    with pytest.raises(ValueError, match="id 0"):
+        zstd_compress(b"payload", dictionary=raw)
+
+
+@pytest.mark.skipif(_ZSTD_BIN is None, reason="no zstd binary")
+def test_dictionary_frame_encode_cli_differential(tmp_path):
+    """Round 8 — the ENCODE half of RFC 8878 §5 (decode landed in
+    round 7): frames built against a zstd-trained dictionary carry
+    the dictionary id, reach matches into the dictionary content,
+    and seed the repeat-offset history from it. Differential: our
+    decoder (with the dictionary) AND `unzstd -D` both recover the
+    bytes; decode without the dictionary refuses; the dictionary
+    buys a real ratio win on small similar docs."""
+    import os
+    import subprocess
+
+    from bigdataflink_spark.operators.zstd import parse_zstd_dictionary
+
+    tmpl = (
+        "{'user': 'u%04d', 'event': 'click', 'page': "
+        "'/products/item-%03d', 'ts': 17000%05d, 'flags': [1, 2, 3]}"
+    )
+    train = tmp_path / "train"
+    train.mkdir()
+    for i in range(300):
+        (train / f"{i}.txt").write_text(tmpl % (i, i % 50, i) * 3)
+    r = subprocess.run(
+        [_ZSTD_BIN, "--train",
+         *[str(train / f"{i}.txt") for i in range(300)],
+         "-o", str(tmp_path / "dict.bin"), "--maxdict=4096"],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip("zstd --train unavailable on this binary")
+    dic = parse_zstd_dictionary((tmp_path / "dict.bin").read_bytes())
+    assert dic["id"] != 0
+    tot_plain = tot_dict = 0
+    for k in range(8):
+        s = (tmpl % (k + 500, k % 50, k + 500) * 4).encode()
+        f_dict = zstd_compress(s, dictionary=dic)
+        tot_plain += len(zstd_compress(s))
+        tot_dict += len(f_dict)
+        assert zstd_decompress(f_dict, dictionary=dic) == s
+        with pytest.raises(NotImplementedError, match="dictionary"):
+            zstd_decompress(f_dict)
+        p = tmp_path / f"s{k}.zst"
+        p.write_bytes(f_dict)
+        out = subprocess.run(
+            [_ZSTD_BIN, "-d", "-D", str(tmp_path / "dict.bin"),
+             "-c", str(p)],
+            capture_output=True,
+        )
+        assert out.returncode == 0, out.stderr[:300]
+        assert out.stdout == s
+    assert tot_dict * 2 < tot_plain  # the dictionary pays for itself
