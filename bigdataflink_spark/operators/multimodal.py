@@ -1831,28 +1831,34 @@ def jpeg_encode_extended(
     quality: int = 90,
     subsample: str = "444",
     precision: int = 12,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode as an EXTENDED-SEQUENTIAL JFIF JPEG (SOF1, T.81 —
     round 8, VERDICT r7 "What's missing #1"): the scanned-document
-    profile. ``precision`` 12 takes an (h, w, 3) uint16 RGB array in
-    [0, 4095] and emits 16-bit quantization tables (Pq=1) with
-    per-image OPTIMAL Huffman tables (12-bit DC categories reach 15,
-    past the Annex K tables' range); ``precision`` 8 takes uint8 and
-    exercises the SOF1 marker with baseline-range tables. Entropy
-    machinery, MCU layout, and chroma decimation are shared with
-    ``jpeg_encode`` — extended sequential IS baseline machinery with
-    wider samples, which is exactly how the decoder treats it."""
+    profile. ``precision`` 12 takes uint16 samples in [0, 4095] and
+    emits 16-bit quantization tables (Pq=1) with per-image OPTIMAL
+    Huffman tables (12-bit DC categories reach 15, past the Annex K
+    tables' range); ``precision`` 8 takes uint8 and exercises the
+    SOF1 marker with baseline-range tables. A 2-D ``img`` encodes as
+    a single-component GRAYSCALE stream — the dominant real
+    scanned-document shape — and a (h, w, 3) array as YCbCr with the
+    requested chroma decimation. A nonzero ``restart_interval``
+    emits DRI + RSTn markers (DC predictors reset), the
+    error-resilience feature scanner output commonly carries.
+    Entropy machinery and MCU layout are shared with ``jpeg_encode``
+    — extended sequential IS baseline machinery with wider samples,
+    which is exactly how the decoder treats it."""
     import struct
 
     assert precision in (8, 12)
     maxv = (1 << precision) - 1
     half = float(1 << (precision - 1))
+    gray = img.ndim == 2
+    want_dtype = np.uint16 if precision == 12 else np.uint8
+    assert img.dtype == want_dtype and (gray or img.shape[2] == 3)
     if precision == 12:
-        assert img.dtype == np.uint16 and img.ndim == 3 and img.shape[2] == 3
         assert int(img.max(initial=0)) <= maxv, "sample exceeds 12 bits"
-    else:
-        assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
-    hs, vs = _SUBSAMPLE_FACTORS[subsample]
+    hs, vs = (1, 1) if gray else _SUBSAMPLE_FACTORS[subsample]
     h, w = img.shape[:2]
 
     qlum8, qchr8 = _quant_tables(quality)
@@ -1865,39 +1871,53 @@ def jpeg_encode_extended(
     else:
         qlum, qchr = qlum8, qchr8
 
-    f = img.astype(np.float64)
-    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
-    cb = (
-        -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2]
-        + half
-    )
-    cr = (
-        0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2]
-        + half
-    )
-    planes = [np.clip(p, 0, maxv) - half for p in (y, cb, cr)]
     mcu_w, mcu_h = 8 * hs, 8 * vs
     H = (h + mcu_h - 1) // mcu_h * mcu_h
     W = (w + mcu_w - 1) // mcu_w * mcu_w
-    planes = [
-        np.pad(p, ((0, H - h), (0, W - w)), mode="edge") for p in planes
-    ]
-    zzs = [
-        _zigzag_quant_blocks(planes[0], qlum),
-        _zigzag_quant_blocks(_box_downsample(planes[1], vs, hs), qchr),
-        _zigzag_quant_blocks(_box_downsample(planes[2], vs, hs), qchr),
-    ]
+    if gray:
+        plane = np.clip(img.astype(np.float64), 0, maxv) - half
+        plane = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+        zzs = [_zigzag_quant_blocks(plane, qlum)]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        cb = (
+            -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1]
+            + 0.5 * f[:, :, 2] + half
+        )
+        cr = (
+            0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1]
+            - 0.081312 * f[:, :, 2] + half
+        )
+        planes = [np.clip(p, 0, maxv) - half for p in (y, cb, cr)]
+        planes = [
+            np.pad(p, ((0, H - h), (0, W - w)), mode="edge") for p in planes
+        ]
+        zzs = [
+            _zigzag_quant_blocks(planes[0], qlum),
+            _zigzag_quant_blocks(_box_downsample(planes[1], vs, hs), qchr),
+            _zigzag_quant_blocks(_box_downsample(planes[2], vs, hs), qchr),
+        ]
+    ncomp = len(zzs)
+    samp = [(hs, vs), (1, 1), (1, 1)][:ncomp]
+    classes = [0, 1, 1][:ncomp]
+    mcus_y, mcus_x = H // mcu_h, W // mcu_w
 
-    # pass 1 — symbol statistics per table class (lum=0, chr=1)
+    # pass 1 — symbol statistics per table class (lum=0, chr=1);
+    # restart boundaries reset the DC predictors here too, or the
+    # stats and the emitted diffs would disagree
     dc_freq = [{}, {}]
     ac_freq = [{}, {}]
-    samp = [(hs, vs), (1, 1), (1, 1)]
-    classes = [0, 1, 1]
-    mcus_y, mcus_x = H // mcu_h, W // mcu_w
-    dc_prev = [0, 0, 0]
+    dc_prev = [0] * ncomp
+    mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci in range(3):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                dc_prev = [0] * ncomp
+            mcu_idx += 1
+            for ci in range(ncomp):
                 ch, cv = samp[ci]
                 cls = classes[ci]
                 dfq, afq = dc_freq[cls], ac_freq[cls]
@@ -1930,7 +1950,7 @@ def jpeg_encode_extended(
 
     dht_specs = []
     huffs = []
-    for cls in (0, 1):
+    for cls in (0, 1)[: 1 if gray else 2]:
         # ZRL and EOB always get a code even when unused this image:
         # _emit_block pre-fetches ZRL, and a one-slot floor costs a
         # few table bytes at most
@@ -1944,10 +1964,17 @@ def jpeg_encode_extended(
 
     # pass 2 — emit with the optimal tables
     bw = _BitWriter()
-    dc_prev = [0, 0, 0]
+    dc_prev = [0] * ncomp
+    mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci in range(3):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                bw.restart((mcu_idx // restart_interval - 1) & 7)
+                dc_prev = [0] * ncomp
+            mcu_idx += 1
+            for ci in range(ncomp):
                 ch, cv = samp[ci]
                 dh, ah2 = huffs[classes[ci]]
                 for r in range(cv):
@@ -1958,6 +1985,7 @@ def jpeg_encode_extended(
                         )
     scan = bw.flush()
 
+    qtabs = [(0, qlum)] if gray else [(0, qlum), (1, qchr)]
     if precision == 12:
         dqt = b"".join(
             _seg(
@@ -1968,7 +1996,7 @@ def jpeg_encode_extended(
                     for v in tbl.flatten()[_ZIGZAG]
                 ),
             )
-            for tid, tbl in ((0, qlum), (1, qchr))
+            for tid, tbl in qtabs
         )
     else:
         dqt = b"".join(
@@ -1976,25 +2004,35 @@ def jpeg_encode_extended(
                 0xDB,
                 bytes([tid]) + bytes(int(v) for v in tbl.flatten()[_ZIGZAG]),
             )
-            for tid, tbl in ((0, qlum), (1, qchr))
+            for tid, tbl in qtabs
         )
     dht = b"".join(
         _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
         for tc_th, (bits, vals) in dht_specs
     )
+    if gray:
+        sof_comps = bytes([1, 0x11, 0])
+        sos_body = bytes([1, 1, 0x00, 0, 63, 0])
+    else:
+        sof_comps = bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+        sos_body = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     sof = _seg(
-        0xC1,
-        struct.pack(">BHHB", precision, h, w, 3)
-        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        0xC1, struct.pack(">BHHB", precision, h, w, ncomp) + sof_comps
     )
-    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    sos = _seg(0xDA, sos_body)
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     app0 = (
         _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         if precision == 8
         else b""  # JFIF is defined for 8-bit samples only
     )
     return (
-        b"\xff\xd8" + app0 + dqt + dht + sof + sos + scan + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + dht + dri + sof + sos + scan
+        + b"\xff\xd9"
     )
 
 

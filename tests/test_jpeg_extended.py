@@ -243,3 +243,47 @@ def test_integral_ratio_gather_matches_repeat_exactly():
         assert dec.shape == img.shape
         err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).mean()
         assert err <= 8.0, (sub, err)
+
+
+def test_sof1_grayscale_and_restart_markers():
+    """Round-8 late: the dominant real scanned-document shapes — a
+    single-component grayscale SOF1 stream (2-D input), and DRI/RSTn
+    restart markers with DC-predictor resets agreed between the
+    stats pass and the emit pass (a mismatch would corrupt every
+    post-restart DC category)."""
+    g = np.linspace(0, 4095, 40 * 56).reshape(40, 56).astype(np.uint16)
+    blob = jpeg_encode_extended(g, quality=95, precision=12)
+    # single component, 16-bit DQT, no chroma table
+    j = blob.find(b"\xff\xc1")
+    assert blob[j + 9] == 1  # SOF component count
+    assert blob.count(b"\xff\xdb") == 1  # only the luma DQT
+    dec = jpeg_decode(blob)
+    assert dec.shape == (40, 56, 3) and dec.dtype == np.uint16
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()  # gray replicated
+    err = np.abs(
+        dec[:, :, 0].astype(np.int64) - g.astype(np.int64)
+    ).max()
+    assert err <= 12, err
+
+    # restarts: DRI present, RSTn in the scan, decode matches the
+    # restart-free stream's pixels exactly (same coefficients)
+    rng = np.random.RandomState(4)
+    base = rng.randint(0, 4096, (9, 12, 3))
+    img = np.repeat(np.repeat(base, 4, 0), 4, 1).astype(np.uint16)
+    plain = jpeg_decode(
+        jpeg_encode_extended(img, quality=92, precision=12)
+    )
+    with_ri = jpeg_encode_extended(
+        img, quality=92, precision=12, restart_interval=2
+    )
+    assert b"\xff\xdd" in with_ri and b"\xff\xd0" in with_ri
+    assert (jpeg_decode(with_ri) == plain).all()
+    # grayscale + restarts together (per-block restart units)
+    g8 = (g >> 4).astype(np.uint8)
+    b8 = jpeg_encode_extended(g8, quality=90, precision=8,
+                              restart_interval=3)
+    assert b"\xff\xdd" in b8
+    d8 = jpeg_decode(b8)
+    assert np.abs(
+        d8[:, :, 0].astype(np.int64) - g8.astype(np.int64)
+    ).max() <= 2
