@@ -1620,11 +1620,13 @@ def zstd_decompress_native(
         return None
     import io
 
-    dict_data = (
-        mod.ZstdCompressionDict(dictionary["raw"])
-        if dictionary is not None
-        else None
-    )
+    raw = dictionary.get("raw") if dictionary is not None else None
+    if dictionary is not None and raw is None:
+        # dictionary dict predates the "raw" field (pre-round-8
+        # parse output, or one rebuilt from persisted entries) — the
+        # pure decoder consumes the parsed tables directly
+        return None
+    dict_data = mod.ZstdCompressionDict(raw) if raw is not None else None
     dctx = (
         mod.ZstdDecompressor(dict_data=dict_data)
         if dict_data is not None
@@ -1651,3 +1653,73 @@ def zstd_decompress_auto(
     :func:`iter_zstd_frames`, which must see the boundaries)."""
     native = zstd_decompress_native(data, dictionary)
     return native if native is not None else zstd_decompress(data, dictionary)
+
+
+def zstd_compress_native(
+    data: bytes,
+    checksum: bool = True,
+    dictionary: "dict | None" = None,
+    level: int = 3,
+) -> "bytes | None":
+    """Compress via the native `zstandard` binding; None when the
+    binding is absent or the dictionary dict lacks its raw bytes
+    (caller falls back to the pure encoder). Unlike the decode seam,
+    the FRAME bytes are NOT expected to match :func:`zstd_compress`
+    (different parse, different tables — both legal): parity is
+    pinned on DECODED bytes plus cross-openability (our pure decoder
+    must open native frames and vice versa), per the round-8
+    verdict's seam contract."""
+    mod = native_zstd_module()
+    if mod is None:
+        return None
+    raw = None
+    if dictionary is not None:
+        if dictionary.get("id", 0) == 0:
+            # mirror zstd_compress: id 0 cannot be signaled in-frame
+            raise ValueError(
+                "raw-content dictionaries (id 0) cannot be signaled "
+                "in-frame; train one with a real id"
+            )
+        raw = dictionary.get("raw")
+        if raw is None:  # pre-round-8 parsed dict: pure encoder only
+            return None
+    kwargs = dict(
+        level=level, write_checksum=checksum, write_content_size=True
+    )
+    cctx = (
+        mod.ZstdCompressor(dict_data=mod.ZstdCompressionDict(raw), **kwargs)
+        if raw is not None
+        else mod.ZstdCompressor(**kwargs)
+    )
+    return cctx.compress(data)
+
+
+def zstd_compress_auto(
+    data: bytes,
+    checksum: bool = True,
+    dictionary: "dict | None" = None,
+    pure_fallback: str = "entropy",
+) -> bytes:
+    """`zstandard`-accelerated compression when available, pure-
+    Python otherwise — the encode twin of :func:`zstd_decompress_auto`
+    (round-8 verdict "What's wrong #1": producing `.zst` shards
+    through the pure encoder is ~0.1 MB/s vs ~200 MB/s native; the
+    seam closes that 2000× constant wherever the binding exists).
+
+    ``pure_fallback`` picks the seam-less path: ``"entropy"``
+    (default) is :func:`zstd_compress` — best ratio, slow;
+    ``"store"`` is :func:`zstd_compress_store` — legal uncompressed
+    frames at memcpy speed, for write-throughput-bound paths that
+    must stay fast without a binding (store frames are self-
+    contained, so a ``dictionary`` forces the entropy path there).
+    Either way the output opens in any zstd decoder; callers that
+    need BYTE-deterministic output across deployments (oracle-pinned
+    fixtures) must call a specific encoder, not this seam."""
+    native = zstd_compress_native(data, checksum, dictionary)
+    if native is not None:
+        return native
+    if pure_fallback == "store" and dictionary is None:
+        return zstd_compress_store(data, checksum)
+    if pure_fallback not in ("entropy", "store"):
+        raise ValueError(f"unknown pure_fallback {pure_fallback!r}")
+    return zstd_compress(data, checksum, dictionary)

@@ -4118,17 +4118,20 @@ FROM documents WHERE doc_id % 7 = 4
 """
 
 
-# q211: all three WAV round-trips are lossless by construction, so
-# the booleans pin TRUE and the 24-bit/float stats recompute from the
-# closed forms (float32 signal is k/1024 with integer k — dyadic,
-# exactly representable, so the micro-unit sum is pure integer math).
+# q211: all four WAV round-trips are lossless by construction, so
+# the booleans pin TRUE and the 24-bit/float/8-bit stats recompute
+# from the closed forms (float32 signal is k/1024 with integer k —
+# dyadic, exactly representable, so the micro-unit sum is pure
+# integer math; the 8-bit profile decodes offset-128 unsigned to
+# (u-128)*256 full-scale int16).
 ORACLES["q211_wav_formats"] = """
 WITH j AS (SELECT unnest(range(0, 300)) AS j),
 docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
 s AS (
   SELECT doc_id,
          (doc_id * 31 + j.j) % 16777216 - 8388608 AS v24,
-         (doc_id * 31 + j.j) % 2048 - 1024 AS k
+         (doc_id * 31 + j.j) % 2048 - 1024 AS k,
+         ((doc_id * 31 + j.j) % 256 - 128) * 256 AS v8
   FROM docs, j
 )
 SELECT doc_id AS media_id,
@@ -4136,9 +4139,11 @@ SELECT doc_id AS media_id,
        TRUE AS pcm16_ok,
        TRUE AS pcm24_ok,
        TRUE AS f32_ok,
+       TRUE AS pcm8_ok,
        SUM(v24) AS pcm24_sum,
        MIN(v24) AS pcm24_min,
        MAX(v24) AS pcm24_max,
-       SUM(k) AS f32_sum_micro
+       SUM(k) AS f32_sum_micro,
+       SUM(v8) AS pcm8_sum
 FROM s GROUP BY doc_id
 """

@@ -6645,6 +6645,7 @@ def q210_jpeg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpeg_decode,
         jpeg_encode,
         jpeg_encode_extended,
+        jpeg_markers,
     )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 4)
@@ -6669,11 +6670,17 @@ def q210_jpeg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 blob = jpeg_encode_extended(src, quality=90, precision=12)
                 dec = jpeg_decode(blob)
-                dqt_at = blob.find(b"\xff\xdb")
-                sof_at = blob.find(b"\xff\xc1")
+                # real segment walk (jpeg_markers skips each segment
+                # by its length field), not substring search — DHT
+                # value bytes can legally contain 0xFF so a naive
+                # find() could see a phantom 0xFFC0
+                marks = jpeg_markers(blob)
+                codes = [m for m, _ in marks]
+                dqt_at = next(o for m, o in marks if m == 0xDB)
+                sof_at = next((o for m, o in marks if m == 0xC1), -1)
                 stream_ok = (
                     sof_at >= 0
-                    and b"\xff\xc0" not in blob
+                    and 0xC0 not in codes
                     and blob[dqt_at + 4] >> 4 == 1
                     and blob[sof_at + 4] == 12
                 )
@@ -6708,21 +6715,25 @@ def q210_jpeg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q211_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-PCM16 WAV contract (extension; round-7 verdict "What's
-    missing #3" — wild audio corpora carry float32 and 24-bit PCM
-    beside 16-bit). Per sampled doc, three closed-form signals run
+    """Non-PCM16 WAV contract (extension; round-7/8 verdicts "What's
+    missing" — wild audio corpora carry float32, 24-bit and 8-bit
+    PCM beside 16-bit). Per sampled doc, four closed-form signals run
     the full RIFF encode→decode loop at their native formats
     (operators/multimodal.py::wav_encode/wav_decode): 16-bit int PCM
     (tag 1/16), 24-bit int PCM (tag 1/24, 3-byte LE packing,
     sign-extended decode), IEEE float32 (tag 3/32 — the signal is
     k/1024 with integer k, dyadic so float32 holds it EXACTLY and
-    the micro-unit sum is integer-recomputable).
+    the micro-unit sum is integer-recomputable), and 8-bit UNSIGNED
+    PCM (tag 1/8, round 9 — stored offset-128, decoded to full-scale
+    int16 as (u-128)<<8, so the expected decode is a closed form the
+    oracle recomputes).
 
     Contract columns: per-format byte-exact round-trip booleans
     (array equality incl. dtype), the 24-bit sum/min/max (values use
     the full 24-bit range, so a sign-extension bug or byte-order
-    slip fails the hash), and the float32 sum in 1/1024 micro-units
-    as BIGINT. Audited on the deterministic doc_id%7==0 slice
+    slip fails the hash), the float32 sum in 1/1024 micro-units as
+    BIGINT, and the 8-bit decoded-int16 sum (an offset or shift slip
+    fails the hash). Audited on the deterministic doc_id%7==0 slice
     (declared, mirrored by the oracle). One Arrow map stage: zero
     shuffles, zero joins."""
     import pandas as pd_
@@ -6740,8 +6751,8 @@ def q211_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         js = np.arange(n, dtype=np.int64)
         cols = ("media_id", "n_samples", "pcm16_ok", "pcm24_ok",
-                "f32_ok", "pcm24_sum", "pcm24_min", "pcm24_max",
-                "f32_sum_micro")
+                "f32_ok", "pcm8_ok", "pcm24_sum", "pcm24_min",
+                "pcm24_max", "f32_sum_micro", "pcm8_sum")
         for pdf in it:
             rows = {k: [] for k in cols}
             for i in pdf["doc_id"]:
@@ -6754,9 +6765,12 @@ def q211_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).reshape(-1, 1)
                 k = ((i * 31 + js) % 2048) - 1024
                 f32 = (k / 1024.0).astype(np.float32).reshape(-1, 1)
+                u8 = ((i * 31 + js) % 256).astype(np.uint8).reshape(-1, 1)
                 d16, r16 = wav_decode(wav_encode(s16, 8000))
                 d24, r24 = wav_decode(wav_encode(s24, 8000, fmt="pcm24"))
                 df32, rf = wav_decode(wav_encode(f32, 8000, fmt="float32"))
+                d8, r8 = wav_decode(wav_encode(u8, 8000, fmt="pcm8"))
+                exp8 = (u8.astype(np.int16) - 128) << 8
                 rows["media_id"].append(i)
                 rows["n_samples"].append(n)
                 rows["pcm16_ok"].append(
@@ -6769,6 +6783,10 @@ def q211_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["f32_ok"].append(
                     bool(df32.dtype == np.float32 and (df32 == f32).all())
                 )
+                rows["pcm8_ok"].append(
+                    bool(d8.dtype == np.int16 and (d8 == exp8).all()
+                         and r8 == 8000)
+                )
                 rows["pcm24_sum"].append(int(d24.sum()))
                 rows["pcm24_min"].append(int(d24.min()))
                 rows["pcm24_max"].append(int(d24.max()))
@@ -6776,6 +6794,7 @@ def q211_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["f32_sum_micro"].append(
                     int(np.round(df32.astype(np.float64) * 1024).sum())
                 )
+                rows["pcm8_sum"].append(int(d8.astype(np.int64).sum()))
             yield pd_.DataFrame(rows)
 
     fanout = spark.sparkContext.defaultParallelism
@@ -6783,8 +6802,9 @@ def q211_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _batches,
         schema=(
             "media_id long, n_samples long, pcm16_ok boolean, "
-            "pcm24_ok boolean, f32_ok boolean, pcm24_sum long, "
-            "pcm24_min long, pcm24_max long, f32_sum_micro long"
+            "pcm24_ok boolean, f32_ok boolean, pcm8_ok boolean, "
+            "pcm24_sum long, pcm24_min long, pcm24_max long, "
+            "f32_sum_micro long, pcm8_sum long"
         ),
     )
 

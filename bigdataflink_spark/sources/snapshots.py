@@ -415,6 +415,14 @@ def _commit_claimed_version(
         # claim (ownership just verified) and the version is not
         # committed, so reclaim is safe
         fs.delete(final, True)
+        # post-delete ownership re-check: if our claim was broken
+        # WHILE we deleted (the delete itself can stall), the breaker
+        # may be mid-commit on this version — abort before the rename
+        # publishes our stale stage over theirs. The delete of what
+        # was, at check time, an uncommitted orphan is not
+        # recoverable here, but aborting stops the damage at one
+        # orphan dir instead of a phantom published version.
+        _verify_claim_owner(spark, table, version, token, stage_consumed=False)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), final):
         raise IOError(f"snapshot data rename failed for {final}")
     # second ownership re-check before the record publish: a stall
@@ -459,9 +467,13 @@ def write_snapshot(
     retried). The 300 s default grace is sized so only a genuinely
     dead writer is ever broken (the claim-to-record window is a
     handful of metadata ops); a writer that DOES stall past it
-    detects the break via the token re-check before touching
-    anything, aborts with :class:`SnapshotConflict`, and never
-    deletes the breaker's committed data."""
+    detects the break via token re-checks before and between the
+    destructive steps, aborting with :class:`SnapshotConflict`. On a
+    plain rename-CAS filesystem the re-checks narrow the race to the
+    window between the ownership check and the following operation —
+    they cannot close it entirely, but a break landing inside that
+    residual window costs at most one orphaned data dir (swept by the
+    next writer), never a silently wrong published version."""
     import time
     import uuid as _uuid
 

@@ -100,9 +100,20 @@ def warc_build_shard(
     if compression == "gzip":
         member = _gzip_member
     elif compression == "zstd":
+        # store-mode: BYTE-deterministic shards (oracle-pinned
+        # offsets/lengths are the same in every deployment)
         from bigdataflink_spark.operators.zstd import zstd_compress_store
 
         member = zstd_compress_store
+    elif compression == "zstd-auto":
+        # production write path (round-9 encode seam): real
+        # compression through the native binding where one exists,
+        # store-speed legal frames otherwise. NOT byte-deterministic
+        # across deployments — never use under a bytes/offset oracle.
+        from bigdataflink_spark.operators.zstd import zstd_compress_auto
+
+        def member(rec: bytes) -> bytes:
+            return zstd_compress_auto(rec, pure_fallback="store")
     else:
         raise ValueError(f"unknown WARC compression {compression!r}")
     info = (f"software: bigdataflink-spark-warc/1.0\r\n"

@@ -91,7 +91,9 @@ def test_warc_gzip_flips_never_silently_wrong():
     _fuzz(blob, dec, lambda g: g == ok, seed=4)
 
 
-@pytest.mark.parametrize("codec", ["jpeg", "jpeg12", "gif", "wav24", "wavf32"])
+@pytest.mark.parametrize(
+    "codec", ["jpeg", "jpeg12", "gif", "wav24", "wavf32", "wav8"]
+)
 def test_uncheckedsummed_codecs_never_hang_or_crash_uncontrolled(codec):
     # no integrity check in the format -> no silent-wrongness claim,
     # but every flip must still terminate with a decode or a clean
@@ -119,6 +121,10 @@ def test_uncheckedsummed_codecs_never_hang_or_crash_uncontrolled(codec):
     elif codec == "wavf32":
         f32 = rng.randn(200, 2).astype(np.float32)
         blob = wav_encode(f32, 8000, fmt="float32")
+        decode = wav_decode
+    elif codec == "wav8":  # round 9: unsigned 8-bit PCM
+        u8 = rng.randint(0, 256, (200, 2)).astype(np.uint8)
+        blob = wav_encode(u8, 8000, fmt="pcm8")
         decode = wav_decode
     else:
         frames = [rng.randint(0, 64, (16, 16)).astype(np.uint8)

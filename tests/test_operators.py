@@ -977,6 +977,21 @@ def test_wav_non_pcm16_formats_roundtrip():
         )
         assert dec.dtype == np.int16 and (dec.ravel() == ref).all(), law
 
+    # 8-bit unsigned PCM (round 9, VERDICT r8 #2): stored offset-128,
+    # decoded to full-scale int16 — differential vs audioop.lin2lin
+    # semantics ((u-128)<<8 is exactly bias+width-shift)
+    u8 = rng.integers(0, 256, (257, 2), dtype=np.uint8)
+    d8, r8 = wav_decode(wav_encode(u8, 22050, fmt="pcm8"))
+    exp8 = (u8.astype(np.int16) - 128) << 8
+    assert d8.dtype == np.int16 and (d8 == exp8).all() and r8 == 22050
+    ref8 = np.frombuffer(
+        audioop.lin2lin(audioop.bias(bytes(range(256)), 1, -128), 1, 2),
+        dtype="<i2",
+    )
+    all_codes = np.arange(256, dtype=np.uint8).reshape(-1, 1)
+    dall, _ = wav_decode(wav_encode(all_codes, 8000, fmt="pcm8"))
+    assert (dall.ravel() == ref8).all()
+
     # an unknown tag still gates honestly
     fmt9 = struct.pack("<HHIIHH", 9, 1, 8000, 8000, 1, 8)
     body = (
@@ -2222,6 +2237,27 @@ def test_exact_stratified_sample_escalates_deficient_threshold(
         ).collect()
     }
     assert got == ref
+
+    # partial deficiency (round 9): only ONE stratum's threshold is
+    # sabotaged — the escalated draw must mix a full rank for it with
+    # the staged prefix for the healthy stratum and still equal the
+    # unstaged oracle exactly
+    monkeypatch.undo()
+    orig = sm._stratum_thresholds
+
+    def half_sabotaged(c, a, s):
+        thr = orig(c, a, s)
+        thr["de"] = 1  # deficient; "en" keeps its honest threshold
+        return thr
+
+    monkeypatch.setattr(sm, "_stratum_thresholds", half_sabotaged)
+    got2 = {
+        r.doc_id
+        for r in sm.exact_stratified_sample(
+            df, "doc_id", "lang", 100, small_stratum_rows=1
+        ).collect()
+    }
+    assert got2 == ref
 
 
 def test_exact_stratified_sample_non_string_strata(spark):

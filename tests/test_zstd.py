@@ -266,6 +266,14 @@ def test_warc_zstd_shard_roundtrip_and_slice_fetch():
             # the offset-fetchability property, per compression
             sliced = next(iter_warc_records(blob[off:off + length]))[2]
             assert sliced == rec
+    # zstd-auto: the production write seam — not byte-deterministic
+    # across deployments, but always openable with the same records
+    # and the same slice-fetch property
+    blob = warc_build_shard(recs, 3, compression="zstd-auto")
+    got = list(iter_warc_records(blob))
+    assert len(got) == 6 and got[0][2]["type"] == "warcinfo"
+    off, length, rec = got[3]
+    assert next(iter_warc_records(blob[off:off + length]))[2] == rec
     with pytest.raises(ValueError, match="unknown WARC compression"):
         warc_build_shard(recs, 0, compression="lz4")
     with pytest.raises(ValueError, match="unknown WARC shard"):
