@@ -132,6 +132,7 @@ HEADLINE = [
     "q209_exact_stratified_sample",
     "q210_jpeg_extended",
     "q211_wav_formats",
+    "q212_jpeg_lossless",
 ]
 
 

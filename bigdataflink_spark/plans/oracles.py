@@ -4147,3 +4147,20 @@ SELECT doc_id AS media_id,
        SUM(v8) AS pcm8_sum
 FROM s GROUP BY doc_id
 """
+
+
+# q212: lossless JPEG is byte-exact by definition, so every contract
+# boolean pins TRUE (round-trips from array equality incl. dtype;
+# stream structure from the real marker walk; compression on the
+# smooth signal) and the dims are the declared raster.
+ORACLES["q212_jpeg_lossless"] = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       TRUE AS rt8_exact,
+       TRUE AS rt12_exact,
+       TRUE AS rt16_exact,
+       TRUE AS sof3_stream,
+       TRUE AS compressed_smaller
+FROM documents WHERE doc_id % 7 = 2
+"""

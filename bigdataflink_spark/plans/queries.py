@@ -7047,6 +7047,121 @@ def q206_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q212_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JPEG contract (SOF3, T.81 Annex H — round 9, VERDICT
+    r8 "What's missing #3": the last non-arithmetic JPEG profile a
+    wild crawl can surface). Per sampled doc, three closed-form
+    signals run the full encode→decode loop
+    (operators/multimodal.py::jpeg_encode_lossless / jpeg_decode):
+    an 8-bit RGB image (predictor 4 = Ra+Rb-Rc, the common archival
+    choice), a 12-bit grayscale (predictor 7, scanned-document
+    shape), and a 16-bit grayscale with restart markers (predictor
+    1) — lossless is the ONE JPEG mode where the contract is byte
+    EQUALITY, not an error floor.
+
+    Contract columns: per-variant exact round-trip booleans (array
+    equality incl. dtype — one wrong prediction, wraparound, or
+    canonical Huffman slip flips them); ``sof3_stream`` pins the
+    emitted marker structure from the bytes via the real segment
+    walk (0xC3 present, no DCT SOFs, NO DQT — lossless carries no
+    quantization — and the SOS Ss byte carrying the predictor);
+    ``compressed_smaller`` pins real compression on the smooth RGB
+    signal (residuals whiten under prediction; a store-shaped
+    "encoder" fails it). Audited on the deterministic doc_id%7==2
+    slice (the last free seventh; declared, mirrored by the oracle).
+    One Arrow map stage: zero shuffles, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+        jpeg_markers,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
+    width, height = 16, 12
+
+    def _batches(it):
+        import numpy as np
+
+        n = width * height
+        ks = np.arange(n, dtype=np.int64)
+        cols = ("media_id", "width", "height", "rt8_exact",
+                "rt12_exact", "rt16_exact", "sof3_stream",
+                "compressed_smaller")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                # smooth gradient + per-doc phase: predictable under
+                # Annex H prediction, so the size pin is meaningful
+                base = (i * 7 + ks // width * 3 + ks % width * 5) % 256
+                rgb = np.stack(
+                    [base, (base + 31) % 256, (base + 67) % 256],
+                    axis=-1,
+                ).astype(np.uint8).reshape(height, width, 3)
+                blob8 = jpeg_encode_lossless(rgb, predictor=4)
+                dec8 = jpeg_decode(blob8)
+                g12 = (((i * 31 + ks) * 16) % 4096).astype(
+                    np.uint16
+                ).reshape(height, width)
+                dec12 = jpeg_decode(
+                    jpeg_encode_lossless(g12, precision=12, predictor=7)
+                )
+                g16 = ((i * 131 + ks * 257) % 65536).astype(
+                    np.uint16
+                ).reshape(height, width)
+                dec16 = jpeg_decode(
+                    jpeg_encode_lossless(
+                        g16, precision=16, predictor=1,
+                        restart_interval=40,
+                    )
+                )
+                marks = jpeg_markers(blob8)
+                codes = [m for m, _ in marks]
+                sos_at = next(o for m, o in marks if m == 0xDA)
+                ns = blob8[sos_at + 4]
+                stream_ok = (
+                    0xC3 in codes
+                    and not {0xC0, 0xC1, 0xC2, 0xDB} & set(codes)
+                    and blob8[sos_at + 5 + 2 * ns] == 4  # Ss = pred
+                )
+                rows["media_id"].append(i)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["rt8_exact"].append(
+                    bool(dec8.dtype == np.uint8 and (dec8 == rgb).all())
+                )
+                rows["rt12_exact"].append(
+                    bool(
+                        dec12.dtype == np.uint16
+                        and (dec12[:, :, 0] == g12).all()
+                        and (dec12[:, :, 1] == g12).all()
+                    )
+                )
+                rows["rt16_exact"].append(
+                    bool(
+                        dec16.dtype == np.uint16
+                        and (dec16[:, :, 0] == g16).all()
+                    )
+                )
+                rows["sof3_stream"].append(bool(stream_ok))
+                rows["compressed_smaller"].append(
+                    bool(len(blob8) < rgb.size)
+                )
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, width int, height int, rt8_exact boolean, "
+            "rt12_exact boolean, rt16_exact boolean, "
+            "sof3_stream boolean, compressed_smaller boolean"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -7256,4 +7371,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q209_exact_stratified_sample": q209_exact_stratified_sample,
     "q210_jpeg_extended": q210_jpeg_extended,
     "q211_wav_formats": q211_wav_formats,
+    "q212_jpeg_lossless": q212_jpeg_lossless,
 }

@@ -92,7 +92,8 @@ def test_warc_gzip_flips_never_silently_wrong():
 
 
 @pytest.mark.parametrize(
-    "codec", ["jpeg", "jpeg12", "gif", "wav24", "wavf32", "wav8"]
+    "codec",
+    ["jpeg", "jpeg12", "jpegll", "gif", "wav24", "wavf32", "wav8"],
 )
 def test_uncheckedsummed_codecs_never_hang_or_crash_uncontrolled(codec):
     # no integrity check in the format -> no silent-wrongness claim,
@@ -113,6 +114,14 @@ def test_uncheckedsummed_codecs_never_hang_or_crash_uncontrolled(codec):
     elif codec == "jpeg12":  # round 8: SOF1 12-bit extended stream
         img = rng.randint(0, 4096, (24, 24, 3)).astype(np.uint16)
         blob = jpeg_encode_extended(img, quality=85, precision=12)
+        decode = jpeg_decode
+    elif codec == "jpegll":  # round 9: SOF3 lossless stream
+        from bigdataflink_spark.operators.multimodal import (
+            jpeg_encode_lossless,
+        )
+
+        img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        blob = jpeg_encode_lossless(img, predictor=4)
         decode = jpeg_decode
     elif codec == "wav24":  # round 8: WAV carries no checksum either
         s24 = rng.randint(-(1 << 23), 1 << 23, (200, 2)).astype(np.int32)

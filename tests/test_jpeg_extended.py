@@ -104,13 +104,18 @@ def test_optimal_dht_never_assigns_all_ones_code():
 
 
 def test_wild_profile_gates_updated():
-    # SOF1 no longer gates; lossless (SOF3) still does, with a clear
-    # message
+    # SOF1 (round 8) and SOF3 (round 9) no longer gate; the remaining
+    # arithmetic/differential/hierarchical SOFs still do, clearly
     img = _img12(16, 16, seed=9)
     blob = bytearray(jpeg_encode_extended(img, precision=12))
     j = blob.find(b"\xff\xc1")
-    blob[j + 1] = 0xC3  # masquerade as lossless
-    with pytest.raises(NotImplementedError, match="lossless"):
+    blob[j + 1] = 0xC9  # masquerade as arithmetic extended sequential
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        jpeg_decode(bytes(blob))
+    # a DCT stream masquerading as SOF3 routes to the lossless path
+    # and fails CONTROLLED (its SOS Ss=0 is no legal predictor)
+    blob[j + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
         jpeg_decode(bytes(blob))
 
 

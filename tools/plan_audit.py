@@ -208,7 +208,8 @@ NOTES = {
     "q197_flac_lpc": "q195's fan-out Arrow-map shape for the LPC subframe family: period-6 linear recurrences (closed-form via i%6, SQL-recomputable) that fixed differencing can never whiten but order-2 LPC kills; lpc_used is read back from the stream BYTES (flac_subframe_histogram), not planner intent, and compressed_smaller pins that LPC delivers real compression while hash noise stays honestly verbatim; one 8-byte-row doc-id shuffle, zero joins.",
     "q209_exact_stratified_sample": "Budgeted corpus draw: ONE tiny stratum-count aggregate (collected driver-side — strata are languages, never corpus-sized; merge.py's justified-collect pattern), Hamilton largest-remainder apportionment in exact integer arithmetic, then a STAGED per-stratum selection (round 8): big strata pre-filter to bucket < ceil(RES*k/n) so the rank window sees ~alloc rows instead of the stratum population (no one-reducer sort of a dominant language at 100x; survivor-count check escalates any deficient stratum to the full rank, so the draw is identical by construction), allocation table broadcast back; md5-bucket ranking makes the draw a pure function of (salt, id), so the oracle replays the identical 200 selections.",
     "q210_jpeg_extended": "Extended-sequential JPEG (SOF1) contract: one Arrow map stage over the doc_id%7==4 slice fanned out by the tiny doc-id repartition (heavy per-row codec work on all cores), zero joins, zero aggregates beyond the map; the 12-bit encode/decode plus the 8-bit SOF0/SOF1 twin comparison are per-row CPU, exactly where mapInPandas wants them.",
-    "q211_wav_formats": "Non-PCM16 WAV contract: one Arrow map stage over the doc_id%7==0 slice fanned out by the tiny doc-id repartition, zero joins; three per-row RIFF round-trips (16/24-bit int, float32) are per-row CPU in the map stage.",
+    "q211_wav_formats": "Non-PCM16 WAV contract: one Arrow map stage over the doc_id%7==0 slice fanned out by the tiny doc-id repartition, zero joins; four per-row RIFF round-trips (16/24-bit int, float32, 8-bit unsigned) are per-row CPU in the map stage.",
+    "q212_jpeg_lossless": "Lossless JPEG (SOF3) contract: q210's Arrow-map shape over the doc_id%7==2 slice (the last free seventh), zero joins; three per-row Annex-H predictive encode/decode round-trips (8-bit RGB pred 4, 12-bit gray pred 7, 16-bit gray pred 1 + restarts) are byte-EXACT by construction — the one JPEG mode where the contract is equality, not an error floor — and sof3_stream/compressed_smaller are read from the emitted bytes via the real marker walk.",
     "q208_flac_depths": "q195's fan-out Arrow-map shape at the OTHER two whole-byte FLAC widths: an 8-bit mono sawtooth and a 24-bit stereo pair of closed-form linear signals encode/decode at native width (STREAMINFO MD5 over 1-/3-byte LE PCM, side channel at bps+1=25 bits, width-generic Rice/fixed machinery); lossless, so exact position-weighted per-channel stats recompute in SQL, and compressed_smaller pins real compression at both widths; one 8-byte-row doc-id shuffle, zero joins.",
     "q207_png_subbyte": "q189's shape (ONE Arrow map stage, zero shuffles, zero joins) over the sub-byte tier: 1/2/4-bit gray + palette profiles (MSB-first packed scanlines, byte-padded rows, filters at bpp=1, Adam7 passes packed independently, d=4 palette interlaced) — lossless, so the oracle recomputes every decoded value from the closed forms; one wrong bit in pack/unfilter/unpack/scatter fails the value hash.",
     "q206_zstd_roundtrip": "ONE fan-out Arrow map, zero joins: per-doc text -> REAL entropy-coded zstd frame (per-block Huffman literals w/ direct-weight canonical tree vs RLE vs raw, operators/zstd.py::zstd_compress, unzstd-interop pinned) -> full FSE/Huffman decode -> md5-exact recovery; entropy_smaller pins genuine shrinkage at the corpus-measured >=256-byte threshold, and corrupt_detected flips a mid-frame byte and pins that decode RAISES (XXH64/structural) instead of yielding silent wrong bytes.",
