@@ -98,6 +98,8 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     XXH64 description); verified against the vectors embedded in the
     test suite and, transitively, by every CLI-interop round-trip
     (a wrong digest fails ``unzstd``)."""
+    import struct
+
     n = len(data)
     pos = 0
     if n >= 32:
@@ -105,16 +107,24 @@ def xxh64(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _P2) & _MASK64
         v3 = seed
         v4 = (seed - _P1) & _MASK64
-        while pos + 32 <= n:
-            lane = int.from_bytes(data[pos:pos + 8], "little")
-            v1 = (_rotl((v1 + lane * _P2) & _MASK64, 31) * _P1) & _MASK64
-            lane = int.from_bytes(data[pos + 8:pos + 16], "little")
-            v2 = (_rotl((v2 + lane * _P2) & _MASK64, 31) * _P1) & _MASK64
-            lane = int.from_bytes(data[pos + 16:pos + 24], "little")
-            v3 = (_rotl((v3 + lane * _P2) & _MASK64, 31) * _P1) & _MASK64
-            lane = int.from_bytes(data[pos + 24:pos + 32], "little")
-            v4 = (_rotl((v4 + lane * _P2) & _MASK64, 31) * _P1) & _MASK64
-            pos += 32
+        # hot loop inlined (round 9): all stripes unpack in ONE
+        # struct call and the rotl runs as shift arithmetic — the
+        # per-stripe from_bytes + _rotl calls were ~40% of checksum
+        # time on MB-scale frames
+        nstripes = n // 32
+        lanes = struct.unpack_from("<%dQ" % (nstripes * 4), data)
+        pos = nstripes * 32
+        it = iter(lanes)
+        P1, P2, M = _P1, _P2, _MASK64
+        for l1, l2, l3, l4 in zip(it, it, it, it):
+            x = (v1 + l1 * P2) & M
+            v1 = (((x << 31) | (x >> 33)) & M) * P1 & M
+            x = (v2 + l2 * P2) & M
+            v2 = (((x << 31) | (x >> 33)) & M) * P1 & M
+            x = (v3 + l3 * P2) & M
+            v3 = (((x << 31) | (x >> 33)) & M) * P1 & M
+            x = (v4 + l4 * P2) & M
+            v4 = (((x << 31) | (x >> 33)) & M) * P1 & M
         h = (
             _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
         ) & _MASK64
@@ -922,15 +932,40 @@ class _FwdBits:
 class _BackBits:
     """Backward bitstream (§3.1.1.6): the last byte carries a 1-bit
     sentinel above the payload bits; reading proceeds from just below
-    the sentinel toward the first byte, MSB-of-stream first. The
-    whole stream lives in one Python int; ``avail`` is the bit count
-    below the read cursor."""
+    the sentinel toward the first byte, MSB-of-stream first.
+
+    Accumulator-based (round 9, VERDICT r8 #6): the round-7 reader
+    held the whole stream in ONE Python int, so every ``read`` paid
+    an O(remaining-stream) shift — quadratic per block, 0.6 s of the
+    0.76 s corpus decode. Bytes now prepend lazily into a small
+    accumulator (the same refill shape as the JPEG ``_BitReader``);
+    ``avail`` stays the authoritative remaining-REAL-bit count (it
+    goes negative once virtual zero padding is consumed, exactly the
+    old exhaustion signal), while ``n`` counts accumulator bits,
+    virtual included."""
+
+    __slots__ = ("d", "pos", "acc", "n", "avail")
 
     def __init__(self, data: bytes):
         if not data or data[-1] == 0:
             raise ValueError("corrupted backward bitstream padding")
-        self.acc = int.from_bytes(data, "little")
-        self.avail = len(data) * 8 - (9 - data[-1].bit_length())
+        self.d = data
+        self.pos = len(data) - 1
+        last = data[-1]
+        self.n = last.bit_length() - 1  # payload bits below sentinel
+        self.acc = last & ((1 << self.n) - 1)
+        self.avail = (len(data) - 1) * 8 + self.n
+
+    def _fill(self, n: int) -> None:
+        acc, nn, pos, d = self.acc, self.n, self.pos, self.d
+        while nn < n:
+            if pos > 0:
+                pos -= 1
+                acc = (acc << 8) | d[pos]
+            else:
+                acc <<= 8  # virtual zero padding past the start
+            nn += 8
+        self.acc, self.n, self.pos = acc, nn, pos
 
     def read(self, n: int) -> int:
         if n == 0:
@@ -938,7 +973,13 @@ class _BackBits:
         self.avail -= n
         if self.avail < 0:
             raise ValueError("backward bitstream over-read")
-        return (self.acc >> self.avail) & ((1 << n) - 1)
+        if self.n < n:
+            self._fill(n)
+        nn = self.n - n
+        v = self.acc >> nn
+        self.acc &= (1 << nn) - 1
+        self.n = nn
+        return v
 
     def read_padded(self, n: int) -> int:
         """Read allowing zero-padding past the start (the FSE weight
@@ -947,14 +988,28 @@ class _BackBits:
         if n == 0:
             return 0
         self.avail -= n
-        if self.avail >= 0:
-            return (self.acc >> self.avail) & ((1 << n) - 1)
-        return (self.acc << -self.avail) & ((1 << n) - 1)
+        if self.n < n:
+            self._fill(n)
+        nn = self.n - n
+        v = self.acc >> nn
+        self.acc &= (1 << nn) - 1
+        self.n = nn
+        return v
 
     def peek_padded(self, n: int) -> int:
-        v = self.read_padded(n)
-        self.avail += n
-        return v
+        if n == 0:
+            return 0
+        if self.n < n:
+            self._fill(n)
+        return (self.acc >> (self.n - n)) & ((1 << n) - 1)
+
+    def drop(self, n: int) -> None:
+        """Consume ``n`` already-peeked bits (the Huffman-literal LUT
+        loop peeks a window then drops the decoded code's length)."""
+        self.avail -= n
+        nn = self.n - n
+        self.acc &= (1 << nn) - 1
+        self.n = nn
 
 
 def _fse_read_distribution(fwd: _FwdBits, max_symbol: int) -> tuple[list, int]:
@@ -1139,17 +1194,33 @@ def _huffman_tree(data: bytes, pos: int) -> tuple[tuple, int]:
 def _huffman_stream(data: bytes, lut: list, log: int, n_out: int) -> bytes:
     """Decode one backward Huffman literal stream to exactly n_out
     bytes."""
-    bits = _BackBits(data)
+    # inlined backward reader (round 9): one peek + drop per literal
+    # byte was two method calls each; the accumulator lives in locals
+    if not data or data[-1] == 0:
+        raise ValueError("corrupted backward bitstream padding")
+    last = data[-1]
+    nn = last.bit_length() - 1
+    acc = last & ((1 << nn) - 1)
+    bpos = len(data) - 1
+    avail = bpos * 8 + nn
     out = bytearray()
-    mask = (1 << log) - 1
-    while len(out) < n_out:
-        idx = bits.peek_padded(log)
-        sym, nb = lut[idx & mask]
-        if nb > max(bits.avail, 0):
+    append = out.append
+    for _ in range(n_out):
+        while nn < log:
+            if bpos > 0:
+                bpos -= 1
+                acc = (acc << 8) | data[bpos]
+            else:
+                acc <<= 8  # virtual zero padding
+            nn += 8
+        sym, nb = lut[acc >> (nn - log)]
+        if nb > avail:
             raise ValueError("Huffman literal stream exhausted early")
-        bits.avail -= nb
-        out.append(sym)
-    if bits.avail != 0:
+        avail -= nb
+        nn -= nb
+        acc &= (1 << nn) - 1
+        append(sym)
+    if avail != 0:
         raise ValueError("Huffman literal stream has leftover bits")
     return bytes(out)
 
@@ -1272,34 +1343,127 @@ def _decode_sequences(
     st = fstate.get("_stats")
     if st is not None:
         st["sequences"] = st.get("sequences", 0) + nseq
-    bits = _BackBits(data[pos:end])
-    ll_state = _fse_init(ll_table, bits)
-    of_state = _fse_init(of_table, bits)
-    ml_state = _fse_init(ml_table, bits)
+    # fully inlined decode loop (round 9, VERDICT r8 #6): the
+    # _BackBits/_fse_update method-call version paid ~550k Python
+    # calls on the 1.2 MB corpus; the backward reader's accumulator
+    # state lives in locals here and every table lookup is a local
+    # list index. Semantics identical to read()/_fse_update —
+    # over-read raises, leftover bits raise.
+    stream = data[pos:end]
+    if not stream or stream[-1] == 0:
+        raise ValueError("corrupted backward bitstream padding")
+    last = stream[-1]
+    nn = last.bit_length() - 1
+    acc = last & ((1 << nn) - 1)
+    bpos = len(stream) - 1
+    avail = bpos * 8 + nn
+
+    ll_syms, ll_nb, ll_base = ll_table.symbols, ll_table.num_bits, ll_table.base
+    of_syms, of_nb, of_base = of_table.symbols, of_table.num_bits, of_table.base
+    ml_syms, ml_nb, ml_base = ml_table.symbols, ml_table.num_bits, ml_table.base
+    ml_extra, ll_extra = _ML_EXTRA, _LL_EXTRA
     seqs = []
+    append = seqs.append
+
+    def _read(k, _s=stream):
+        nonlocal acc, nn, bpos, avail
+        avail -= k
+        if avail < 0:
+            raise ValueError("backward bitstream over-read")
+        while nn < k:
+            bpos -= 1
+            acc = (acc << 8) | _s[bpos]
+            nn += 8
+        nn -= k
+        v = acc >> nn
+        acc &= (1 << nn) - 1
+        return v
+
+    ll_state = _read(ll_table.log)
+    of_state = _read(of_table.log)
+    ml_state = _read(ml_table.log)
     for i in range(nseq):
-        of_code = of_table.symbols[of_state]
+        of_code = of_syms[of_state]
         if of_code > 31:
             raise ValueError(f"offset code {of_code} out of range")
-        offset_value = (1 << of_code) + bits.read(of_code)
-        ml_code = ml_table.symbols[ml_state]
+        # inline read(of_code)
+        avail -= of_code
+        if avail < 0:
+            raise ValueError("backward bitstream over-read")
+        while nn < of_code:
+            bpos -= 1
+            acc = (acc << 8) | stream[bpos]
+            nn += 8
+        nn -= of_code
+        offset_value = (1 << of_code) + (acc >> nn)
+        acc &= (1 << nn) - 1
+
+        ml_code = ml_syms[ml_state]
         if ml_code < 32:
             ml = ml_code + 3
         else:
-            base, extra = _ML_EXTRA[ml_code - 32]
-            ml = base + bits.read(extra)
-        ll_code = ll_table.symbols[ll_state]
+            base, extra = ml_extra[ml_code - 32]
+            avail -= extra
+            if avail < 0:
+                raise ValueError("backward bitstream over-read")
+            while nn < extra:
+                bpos -= 1
+                acc = (acc << 8) | stream[bpos]
+                nn += 8
+            nn -= extra
+            ml = base + (acc >> nn)
+            acc &= (1 << nn) - 1
+        ll_code = ll_syms[ll_state]
         if ll_code < 16:
             ll = ll_code
         else:
-            base, extra = _LL_EXTRA[ll_code - 16]
-            ll = base + bits.read(extra)
-        seqs.append((ll, offset_value, ml))
+            base, extra = ll_extra[ll_code - 16]
+            avail -= extra
+            if avail < 0:
+                raise ValueError("backward bitstream over-read")
+            while nn < extra:
+                bpos -= 1
+                acc = (acc << 8) | stream[bpos]
+                nn += 8
+            nn -= extra
+            ll = base + (acc >> nn)
+            acc &= (1 << nn) - 1
+        append((ll, offset_value, ml))
         if i + 1 < nseq:  # states update LL, ML, OF — not after last
-            ll_state = _fse_update(ll_table, ll_state, bits)
-            ml_state = _fse_update(ml_table, ml_state, bits)
-            of_state = _fse_update(of_table, of_state, bits)
-    if bits.avail != 0:
+            k = ll_nb[ll_state]
+            avail -= k
+            if avail < 0:
+                raise ValueError("backward bitstream over-read")
+            while nn < k:
+                bpos -= 1
+                acc = (acc << 8) | stream[bpos]
+                nn += 8
+            nn -= k
+            ll_state = ll_base[ll_state] + (acc >> nn)
+            acc &= (1 << nn) - 1
+            k = ml_nb[ml_state]
+            avail -= k
+            if avail < 0:
+                raise ValueError("backward bitstream over-read")
+            while nn < k:
+                bpos -= 1
+                acc = (acc << 8) | stream[bpos]
+                nn += 8
+            nn -= k
+            ml_state = ml_base[ml_state] + (acc >> nn)
+            acc &= (1 << nn) - 1
+            k = of_nb[of_state]
+            avail -= k
+            if avail < 0:
+                raise ValueError("backward bitstream over-read")
+            while nn < k:
+                bpos -= 1
+                acc = (acc << 8) | stream[bpos]
+                nn += 8
+            nn -= k
+            of_state = of_base[of_state] + (acc >> nn)
+            acc &= (1 << nn) - 1
+    if avail != 0:
         raise ValueError("sequence bitstream has leftover bits")
     return seqs
 
@@ -1311,44 +1475,52 @@ def _execute_sequences(
     matches may reach into previous blocks; repeat-offset history
     (with the literals_length == 0 shift) lives in fstate."""
     rep = fstate["repeat"]
+    r0, r1, r2 = rep
     lpos = 0
+    olen = len(out)  # running length: len(out) twice per sequence
+    lit = memoryview(literals)  # was measurable at 80k sequences
     for ll, offset_value, ml in seqs:
-        out += literals[lpos:lpos + ll]
-        lpos += ll
+        if ll:
+            out += lit[lpos:lpos + ll]
+            lpos += ll
+            olen += ll
         if offset_value > 3:
-            offset = offset_value - 3
-            rep[2] = rep[1]
-            rep[1] = rep[0]
-            rep[0] = offset
+            r2 = r1
+            r1 = r0
+            r0 = offset = offset_value - 3
         else:
-            idx = offset_value - 1 + (1 if ll == 0 else 0)
+            idx = offset_value if ll == 0 else offset_value - 1
             if idx == 0:
-                offset = rep[0]
+                offset = r0
             elif idx == 1:
-                offset = rep[1]
-                rep[1] = rep[0]
-                rep[0] = offset
+                offset = r1
+                r1 = r0
+                r0 = offset
             elif idx == 2:
-                offset = rep[2]
-                rep[2] = rep[1]
-                rep[1] = rep[0]
-                rep[0] = offset
+                offset = r2
+                r2 = r1
+                r1 = r0
+                r0 = offset
             else:  # ll == 0 and offset_value == 3: rep[0] - 1
-                offset = rep[0] - 1
+                offset = r0 - 1
                 if offset == 0:
                     raise ValueError("repeat offset underflow")
-                rep[2] = rep[1]
-                rep[1] = rep[0]
-                rep[0] = offset
-        if offset > len(out):
+                r2 = r1
+                r1 = r0
+                r0 = offset
+        if offset > olen:
             raise ValueError("match offset reaches before frame start")
-        start = len(out) - offset
+        start = olen - offset
         if offset >= ml:
             out += out[start:start + ml]
-        else:  # overlapping copy: byte-at-a-time semantics
-            for j in range(ml):
-                out.append(out[start + j])
-    out += literals[lpos:]
+        else:
+            # overlapping copy: byte-at-a-time semantics == periodic
+            # replication of the offset-wide tail (round 9 — the
+            # per-byte append loop was the RLE-run hot spot)
+            out += (out[start:] * (ml // offset + 1))[:ml]
+        olen += ml
+    out += lit[lpos:]
+    rep[0], rep[1], rep[2] = r0, r1, r2
 
 
 def _decode_compressed_block(
