@@ -252,13 +252,27 @@ def _huffman_encode_table(lengths: dict[int, int]) -> tuple[dict, int, list]:
 
 def _backward_bitstream(emit: list[tuple[int, int]]) -> bytes:
     """Pack (code, nbits) pairs into a backward bitstream: the
-    decoder reads them in ORDER from just below the sentinel bit."""
-    acc = 1  # sentinel
-    total = 0
-    for code, nb in emit:
-        acc = (acc << nb) | code
-        total += nb
-    return acc.to_bytes(total // 8 + 1, "little")  # ceil((total+1)/8)
+    decoder reads them in ORDER from just below the sentinel bit.
+
+    Round 9: the single-big-int version (`acc = (acc << nb) | code`
+    per emit) shifted the whole stream every step — O(bits²), 0.7 s
+    of a 286 KB encode. Walking the emits in REVERSE puts the last
+    emit at the bottom, so finished low bytes flush out of a small
+    accumulator incrementally; bit k of the stream is unchanged, the
+    output is byte-identical."""
+    out = bytearray()
+    append = out.append
+    acc = 0
+    nbits = 0
+    for code, nb in reversed(emit):
+        acc |= code << nbits
+        nbits += nb
+        while nbits >= 8:
+            append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    append(acc | (1 << nbits))  # sentinel just above the first read
+    return bytes(out)
 
 
 def _huffman_literals_section(chunk: bytes) -> "bytes | None":
@@ -274,9 +288,9 @@ def _huffman_literals_body(chunk: bytes) -> "bytes | None":
     zero-sequences byte or a real FSE sequences section. None when
     Huffman doesn't apply (degenerate alphabet / doesn't fit the
     header size fields)."""
-    freqs: dict[int, int] = {}
-    for b in chunk:
-        freqs[b] = freqs.get(b, 0) + 1
+    from collections import Counter
+
+    freqs: dict[int, int] = dict(Counter(chunk))
     lengths = _huffman_lengths(freqs)
     if lengths is None:
         return None
@@ -720,35 +734,57 @@ def _find_block_sequences(
     cmask = (1 << _CHAIN_LOG) - 1
     inserted = bytearray(be - bs)  # lazy-probe dedup within the block
 
-    def _search(p: int) -> tuple[int, int]:
+    hshift, hmask = 32 - _HASH_LOG, (1 << _HASH_LOG) - 1
+    from_bytes = int.from_bytes
+
+    def _search(
+        p: int,
+        _d=data,
+        _htab=htab,
+        _chain=chain,
+        _be=be,
+        _cmask=cmask,
+    ) -> tuple[int, int]:
         """Best (length, offset) for position p, inserting p into the
-        hash chain as a side effect."""
-        h = _hash4(data[p:p + 4])
-        cand = htab[h]
+        hash chain as a side effect. Inlined hash + a best-length
+        byte pre-check (round 9 encode speedup): a candidate whose
+        byte at ``best_len`` differs cannot STRICTLY beat the current
+        best, so the extension is skipped — selection, tie-breaking,
+        and therefore the emitted frame stay byte-identical while the
+        depth-48 chain walk stops paying slice compares per dud."""
+        h = (from_bytes(_d[p:p + 4], "little") * 2654435761 >> hshift) & hmask
+        cand = _htab[h]
         best_len = 0
         best_off = 0
         tries = depth
-        max_l = be - p
+        max_l = _be - p
         while cand >= 0 and tries > 0:
             off = p - cand
-            if off <= 0 or off > _MAX_MATCH_OFFSET or off > cmask:
+            if off <= 0 or off > _MAX_MATCH_OFFSET or off > _cmask:
                 break  # stale/wrapped slot — older entries are gone
+            if best_len:
+                if best_len >= max_l:
+                    break  # nothing can strictly beat a full-span match
+                if _d[cand + best_len] != _d[p + best_len]:
+                    cand = _chain[cand & _cmask]
+                    tries -= 1
+                    continue
             l = 0
             # chunked extension: 32-byte slice compares, then bytes
             while l + 32 <= max_l and (
-                data[cand + l:cand + l + 32] == data[p + l:p + l + 32]
+                _d[cand + l:cand + l + 32] == _d[p + l:p + l + 32]
             ):
                 l += 32
-            while l < max_l and data[cand + l] == data[p + l]:
+            while l < max_l and _d[cand + l] == _d[p + l]:
                 l += 1
             if l > best_len:
                 best_len, best_off = l, off
                 if l >= 128:
                     break  # long enough; stop the chain walk
-            cand = chain[cand & cmask]
+            cand = _chain[cand & _cmask]
             tries -= 1
-        chain[p & cmask] = htab[h]
-        htab[h] = p
+        _chain[p & _cmask] = _htab[h]
+        _htab[h] = p
         inserted[p - bs] = 1
         return best_len, best_off
 
@@ -773,7 +809,10 @@ def _find_block_sequences(
             end_ins = min(i + best_len, limit)
             for j in range(i + 1, end_ins, 2):
                 if not inserted[j - bs]:
-                    h2 = _hash4(data[j:j + 4])
+                    h2 = (
+                        from_bytes(data[j:j + 4], "little") * 2654435761
+                        >> hshift
+                    ) & hmask
                     chain[j & cmask] = htab[h2]
                     htab[h2] = j
                     inserted[j - bs] = 1
