@@ -133,6 +133,8 @@ HEADLINE = [
     "q210_jpeg_extended",
     "q211_wav_formats",
     "q212_jpeg_lossless",
+    "q213_kmv_distinct",
+    "q214_bloom_seen_set",
 ]
 
 

@@ -1,0 +1,185 @@
+"""Mergeable set sketches with EXACT cross-engine determinism.
+
+Two sketch families a 100 TB corpus pipeline leans on constantly:
+
+- :func:`kmv_sketch` — k-minimum-values (bottom-k / theta) distinct
+  sketch (Bar-Yossef et al., "Counting distinct elements in a data
+  stream", RANDOM 2002; the KMV form follows Beyer et al., SIGMOD
+  2007). Unlike HLL (q102, whose union routes through an HLL_8
+  gadget and is only bounds-checkable), the KMV summary is the set
+  of the k SMALLEST distinct hash values — a pure function of the
+  input set, order- and partitioning-invariant, so the estimate
+  itself carries a full value-hash oracle, and merge is plain
+  set-union-then-bottom-k (a semilattice: merged == direct by
+  construction).
+- :func:`bloom_positions` / :func:`bloom_membership` — a Bloom
+  filter "seen set" (Bloom 1970) as a DataFrame aggregate: the
+  filter is the DISTINCT set of k·|S| hash positions in [0, m), so
+  its size is bounded by m regardless of corpus size, it merges by
+  union, and membership is a broadcast semi-join against ≤ m rows.
+  No false negatives ever (provable — every inserted key's positions
+  are present); the false-positive rate on absent keys is
+  deterministic given the hash (md5) and auditable against the
+  (1 - e^{-kn/m})^k ≈ (bits_set/m)^k expectation.
+
+Hashes route through operators/hashing.md5_int (60-bit md5 prefix)
+so DuckDB oracles recompute every value bit-for-bit; at deployment
+scale swap the leaf for xxhash64 — the operator shape is unchanged.
+
+Reference parity: /root/reference has no sketch surface (COUNT
+DISTINCT via Postgres); these extend the repo's dedup/audit family.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdataflink_spark.operators.hashing import md5_int
+
+# 48-bit hash domain (12 md5 hex digits) — NOT the 60-bit default:
+# the estimate numerator (k-1)·M must fit a signed 64-bit int for
+# exact cross-engine integer division (255·2^48 < 2^63; 255·2^60
+# overflows). Collision odds at 48 bits are n²/2^49 — negligible at
+# sketch scales, and a deployment swapping in xxhash64 gets 64 bits
+# with no oracle anyway.
+KMV_BITS = 48
+KMV_DOMAIN = 1 << KMV_BITS
+
+
+def kmv_hashes(df: DataFrame, key: "str | Column", salt: str = "kmv-v1") -> DataFrame:
+    """The sketch's hash column: 48-bit md5 of (salt, key)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return df.select(
+        md5_int(
+            F.concat(F.lit(salt), col.cast("string")), bits=KMV_BITS
+        ).alias("h")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, key: "str | Column", k: int = 256, salt: str = "kmv-v1"
+) -> DataFrame:
+    """Bottom-k distinct hash values of ``key`` as one array row:
+    ``(ks array<long>)`` sorted ascending, ``len(ks) <= k``.
+
+    Scale shape: NO corpus-wide shuffle — each partition reduces to
+    its own ≤ k distinct minima inside one Arrow stage (bounded
+    memory: a k-capped set per partition), then only ≤ k·P candidate
+    rows move to the final TakeOrdered. This is the whole point of
+    the sketch: exact COUNT(DISTINCT) shuffles every key; KMV ships
+    k values. The result is a pure function of the input SET (order-
+    and partitioning-invariant), so reruns and cluster sizes agree
+    exactly and a DuckDB twin recomputes it bit-for-bit."""
+    hashes = kmv_hashes(df, key, salt)
+
+    def _partition_bottom_k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import heapq
+
+        # max-heap (negated) of the partition's k smallest distinct
+        heap: list[int] = []
+        members: set[int] = set()
+        for pdf in it:
+            for v in pdf["h"].drop_duplicates():
+                v = int(v)
+                if v in members:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -v)
+                    members.add(v)
+                elif v < -heap[0]:
+                    members.discard(-heapq.heappushpop(heap, -v))
+                    members.add(v)
+        yield pd.DataFrame({"h": sorted(members)})
+
+    cand = hashes.mapInPandas(_partition_bottom_k, schema="h long")
+    bottom = cand.distinct().orderBy("h").limit(k)  # TakeOrdered: ≤ k·P rows
+    return bottom.agg(F.sort_array(F.collect_list("h")).alias("ks"))
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Union KMV sketches (same k, same salt): concat, dedup, bottom-k
+    again. Bottom-k of a union equals bottom-k of the union of
+    per-part bottom-k's — any value outside its own part's bottom-k
+    is dominated by k smaller values from that part alone — so
+    merged == direct exactly, the property q213 pins."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionAll(s)
+    return u.agg(F.flatten(F.collect_list("ks")).alias("all")).select(
+        F.slice(F.array_sort(F.array_distinct("all")), 1, k).alias("ks")
+    )
+
+
+def kmv_estimate_expr(k: int, ks_col: str = "ks") -> Column:
+    """Distinct-count estimate from a bottom-k array column: exact
+    size when the set never filled (|ks| < k), else (k-1)·M DIV
+    ks[k-1] — all int64 arithmetic (hence the 48-bit domain), so
+    both engines agree to the last digit."""
+    num = (k - 1) * KMV_DOMAIN
+    return F.expr(
+        f"CASE WHEN size({ks_col}) < {k} THEN CAST(size({ks_col}) AS BIGINT)"
+        f" ELSE CAST({num} DIV element_at({ks_col}, {k}) AS BIGINT) END"
+    )
+
+
+def bloom_positions(
+    df: DataFrame,
+    key: "str | Column",
+    m: int = 16_384,
+    k: int = 4,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """The Bloom filter as a DataFrame: the DISTINCT hash positions
+    (one ``pos`` column, values in [0, m)) of every key under k
+    independent md5 hashes. ≤ m rows regardless of corpus size —
+    broadcastable, mergeable by union."""
+    col = F.col(key) if isinstance(key, str) else key
+    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    return (
+        df.select(col.cast("string").alias("_k"))
+        .select("_k", js)
+        .select(
+            (
+                md5_int(F.concat(F.lit(salt), F.col("j").cast("string"),
+                                 F.lit("-"), F.col("_k")))
+                % F.lit(m)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_membership(
+    probes: DataFrame,
+    key: "str | Column",
+    filter_positions: DataFrame,
+    m: int = 16_384,
+    k: int = 4,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Probe keys against a built filter: adds ``member`` (true iff
+    ALL k positions are set). The filter side is ≤ m rows, so the
+    join broadcasts; no false negatives by construction."""
+    col = F.col(key) if isinstance(key, str) else key
+    named = probes.select(col.cast("string").alias("probe_key"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    pp = named.select("probe_key", js).select(
+        "probe_key",
+        (
+            md5_int(F.concat(F.lit(salt), F.col("j").cast("string"),
+                             F.lit("-"), F.col("probe_key")))
+            % F.lit(m)
+        ).alias("pos"),
+    )
+    hits = pp.join(
+        F.broadcast(filter_positions.withColumn("_set", F.lit(1))),
+        "pos",
+        "left",
+    )
+    return hits.groupBy("probe_key").agg(
+        (F.count("*") == F.count("_set")).alias("member")
+    )

@@ -4153,6 +4153,90 @@ FROM s GROUP BY doc_id
 # boolean pins TRUE (round-trips from array equality incl. dtype;
 # stream structure from the real marker walk; compression on the
 # smooth signal) and the dims are the declared raster.
+# q213: the KMV summary is a pure function of the key set, so DuckDB
+# recomputes the identical bottom-256 of the identical 48-bit md5
+# hashes; estimate = 255*2^48 // kth in exact integer math; the
+# bound check is pure integer arithmetic; merge == direct is TRUE by
+# construction (bottom-k is a semilattice — q212's by-construction
+# boolean pattern).
+ORACLES["q213_kmv_distinct"] = """
+WITH h AS (
+  SELECT DISTINCT CAST('0x' || substr(
+    md5('kmv-v1' || CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+  FROM orders
+),
+bot AS (SELECT h FROM h ORDER BY h LIMIT 256),
+st AS (SELECT count(*) AS nb, max(h) AS kth FROM bot),
+ex AS (SELECT count(DISTINCT o_custkey) AS n FROM orders)
+SELECT CAST(256 AS INT) AS k,
+       CAST(n AS BIGINT) AS n_exact,
+       CASE WHEN nb < 256 THEN NULL ELSE kth END AS kth_hash,
+       CASE WHEN nb < 256 THEN CAST(nb AS BIGINT)
+            ELSE CAST(71776119061217280 // kth AS BIGINT) END AS estimate,
+       ((CASE WHEN nb < 256 THEN nb
+              ELSE 71776119061217280 // kth END) - n)
+       * ((CASE WHEN nb < 256 THEN nb
+                ELSE 71776119061217280 // kth END) - n)
+       * 256 <= 25 * n * n AS rel_err_ok,
+       TRUE AS merge_equals_direct
+FROM st, ex
+"""
+
+
+# q214: the Bloom positions are the same md5 values mod 16384, so the
+# false-positive COUNT is recomputed exactly; the bound boolean uses
+# only IEEE multiply/divide-by-2^14 (no libm), identical both sides.
+ORACLES["q214_bloom_seen_set"] = """
+WITH fpos AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(
+    'bloom-v1' || CAST(j AS VARCHAR) || '-' || CAST(o_custkey AS VARCHAR)
+  ), 1, 15) AS BIGINT) % 16384 AS pos
+  FROM orders, unnest(range(0, 4)) t(j)
+),
+probe AS (
+  SELECT c_custkey,
+         CAST('0x' || substr(md5(
+           'bloom-v1' || CAST(j AS VARCHAR) || '-'
+           || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 16384 AS pos
+  FROM customer, unnest(range(0, 4)) t(j)
+),
+mem AS (
+  SELECT c_custkey,
+         bool_and(pos IN (SELECT pos FROM fpos)) AS member
+  FROM probe GROUP BY c_custkey
+),
+seen AS (SELECT DISTINCT o_custkey FROM orders),
+fl AS (
+  SELECT m.c_custkey, m.member, s.o_custkey IS NOT NULL AS is_seen
+  FROM mem m LEFT JOIN seen s ON m.c_custkey = s.o_custkey
+),
+bits AS (SELECT count(*) AS bits_set FROM fpos),
+ag AS (
+  SELECT count(*) AS n_probes,
+         sum(CASE WHEN is_seen THEN 1 ELSE 0 END) AS n_seen,
+         sum(CASE WHEN is_seen AND NOT member THEN 1 ELSE 0 END)
+           AS n_false_neg,
+         sum(CASE WHEN NOT is_seen AND member THEN 1 ELSE 0 END)
+           AS fp_count
+  FROM fl
+)
+SELECT CAST(16384 AS INT) AS m,
+       CAST(4 AS INT) AS k,
+       CAST(n_probes AS BIGINT) AS n_probes,
+       CAST(n_seen AS BIGINT) AS n_seen,
+       CAST(n_false_neg AS BIGINT) AS n_false_neg,
+       CAST(bits_set AS BIGINT) AS bits_set,
+       CAST(fp_count AS BIGINT) AS fp_count,
+       CAST(fp_count AS DOUBLE) <= 3.0
+         * CAST(n_probes - n_seen AS DOUBLE)
+         * ((CAST(bits_set AS DOUBLE) / 16384.0)
+            * (CAST(bits_set AS DOUBLE) / 16384.0))
+         * ((CAST(bits_set AS DOUBLE) / 16384.0)
+            * (CAST(bits_set AS DOUBLE) / 16384.0)) AS fpr_bound_ok
+FROM ag, bits
+"""
+
+
 ORACLES["q212_jpeg_lossless"] = """
 SELECT doc_id AS media_id,
        CAST(16 AS INT) AS width,

@@ -7162,6 +7162,133 @@ def q212_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q213_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta) distinct sketch audit (extension;
+    operators/sketches.py::kmv_sketch — Bar-Yossef et al. 2002 /
+    Beyer et al. SIGMOD 2007). The sketch that q19/q102 can't give a
+    full value oracle: HLL register merges route through
+    implementation gadgets, but a KMV summary is the k SMALLEST
+    distinct md5 values — a pure function of the key SET, invariant
+    to order, partitioning, and merge shape, so the ESTIMATE itself
+    is value-hash-checked, not just bounds-checked.
+
+    Pipeline shape: per-partition bottom-k inside one Arrow stage
+    (bounded memory, no corpus-wide shuffle — ships k·P candidate
+    rows instead of every key, which is the entire point vs exact
+    COUNT DISTINCT at 100 TB), TakeOrdered to the final k, one
+    array row. The audit then: (a) recomputes the exact distinct
+    count (the audit may shuffle; the sketch didn't), (b) pins the
+    integer estimate (k-1)·2^48 DIV kth to the last digit, (c)
+    checks the Chernoff-style bound (est-n)²·k ≤ 25·n² in pure
+    integer math, and (d) re-derives the sketch from four disjoint
+    o_orderkey%4 slices and pins merged == direct (bottom-k is a
+    semilattice; equality is by construction, and the oracle pins
+    TRUE like q212's by-construction booleans). Scalar one-row
+    crossJoins broadcast (nested loop intended)."""
+    from bigdataflink_spark.operators.sketches import (
+        kmv_estimate_expr,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 256
+    orders = _t(spark, sf_dir, "orders")
+    direct = kmv_sketch(orders, "o_custkey", k=k)
+    slices = [
+        kmv_sketch(orders.filter(F.col("o_orderkey") % 4 == i), "o_custkey", k=k)
+        for i in range(4)
+    ]
+    merged = kmv_merge(k, *slices).withColumnRenamed("ks", "ks_m")
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    row = (
+        direct.crossJoin(merged).crossJoin(exact)
+        .withColumn("estimate", kmv_estimate_expr(k))
+        .select(
+            F.lit(k).alias("k"),
+            "n_exact",
+            F.when(F.size("ks") < k, F.lit(None).cast("long"))
+            .otherwise(F.element_at("ks", k))
+            .alias("kth_hash"),
+            "estimate",
+            (
+                (F.col("estimate") - F.col("n_exact"))
+                * (F.col("estimate") - F.col("n_exact"))
+                * F.lit(k)
+                <= F.lit(25) * F.col("n_exact") * F.col("n_exact")
+            ).alias("rel_err_ok"),
+            (F.col("ks") == F.col("ks_m")).alias("merge_equals_direct"),
+        )
+    )
+    return row
+
+
+def q214_bloom_seen_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set audit (extension; operators/sketches.py
+    ::bloom_positions/bloom_membership — Bloom 1970, the URL-frontier
+    / decontamination "have we seen this key" primitive). The filter
+    is the DISTINCT set of k·|S| md5 positions in [0, m=16384) — a
+    bounded-size, union-mergeable DataFrame aggregate that BROADCASTS
+    to the probe join, so membership never shuffles the probe side
+    on a real cluster.
+
+    Seen set = customers holding orders; probes = every customer.
+    Contract: ZERO false negatives (provable — every inserted key's
+    positions are present; one lost position row breaks it), the
+    deterministic false-positive count among order-less customers
+    (md5 makes it identical in both engines, so it is value-hashed
+    EXACTLY, not just bounded), and the (bits_set/m)^k expectation
+    bound with 3× margin — computed as exact IEEE multiplications
+    (x², then x²·x², division by the power-of-two m), never libm
+    pow, so both engines produce the identical boolean."""
+    from bigdataflink_spark.operators.sketches import (
+        bloom_membership,
+        bloom_positions,
+    )
+
+    m, kh = 16_384, 4
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    fpos = bloom_positions(orders.select("o_custkey"), "o_custkey", m=m, k=kh)
+    mem = bloom_membership(customer, "c_custkey", fpos, m=m, k=kh)
+    seen_keys = orders.select(
+        F.col("o_custkey").cast("string").alias("probe_key")
+    ).distinct()
+    flagged = mem.join(
+        seen_keys.withColumn("_seen", F.lit(1)), "probe_key", "left"
+    )
+    bits = fpos.agg(F.count("*").alias("bits_set"))
+    agg = flagged.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("_seen").isNotNull(), 1).otherwise(0)).alias(
+            "n_seen"
+        ),
+        F.sum(
+            F.when(F.col("_seen").isNotNull() & ~F.col("member"), 1)
+            .otherwise(0)
+        ).alias("n_false_neg"),
+        F.sum(
+            F.when(F.col("_seen").isNull() & F.col("member"), 1).otherwise(0)
+        ).alias("fp_count"),
+    )
+    r = F.col("bits_set").cast("double") / F.lit(float(m))
+    r4 = (r * r) * (r * r)
+    return agg.crossJoin(bits).select(
+        F.lit(m).alias("m"),
+        F.lit(kh).alias("k"),
+        "n_probes",
+        "n_seen",
+        "n_false_neg",
+        "bits_set",
+        "fp_count",
+        (
+            F.col("fp_count").cast("double")
+            <= F.lit(3.0) * (F.col("n_probes") - F.col("n_seen")).cast("double") * r4
+        ).alias("fpr_bound_ok"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -7372,4 +7499,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q210_jpeg_extended": q210_jpeg_extended,
     "q211_wav_formats": q211_wav_formats,
     "q212_jpeg_lossless": q212_jpeg_lossless,
+    "q213_kmv_distinct": q213_kmv_distinct,
+    "q214_bloom_seen_set": q214_bloom_seen_set,
 }

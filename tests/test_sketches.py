@@ -1,0 +1,92 @@
+"""KMV distinct sketch + Bloom seen-set (operators/sketches.py,
+round 9): the two mergeable set sketches whose md5 determinism gives
+them FULL value oracles — unlike HLL, whose merges are only
+bounds-checkable (the q102 lesson)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataflink_spark.operators.sketches import (
+    KMV_DOMAIN,
+    bloom_membership,
+    bloom_positions,
+    kmv_estimate_expr,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def test_kmv_estimate_within_bound_and_deterministic(spark):
+    df = spark.range(10_000).select((F.col("id") % 3777).alias("key"))
+    sk = kmv_sketch(df, "key", k=256)
+    row = sk.select(
+        kmv_estimate_expr(256).alias("est"), F.size("ks").alias("n")
+    ).collect()[0]
+    assert row.n == 256
+    # 5-sigma KMV bound: |est - n| <= 5 n / sqrt(k)
+    assert (row.est - 3777) ** 2 * 256 <= 25 * 3777 * 3777
+    # rerun = identical summary (pure function of the key set)
+    again = kmv_sketch(df, "key", k=256).collect()[0].ks
+    assert again == sk.collect()[0].ks
+
+
+def test_kmv_partitioning_invariant(spark):
+    df = spark.range(5_000).select((F.col("id") % 997).alias("key"))
+    a = kmv_sketch(df, "key", k=128).collect()[0].ks
+    b = kmv_sketch(df.repartition(13), "key", k=128).collect()[0].ks
+    c = kmv_sketch(df.coalesce(1), "key", k=128).collect()[0].ks
+    assert a == b == c
+
+
+def test_kmv_merge_equals_direct(spark):
+    df = spark.range(10_000).select((F.col("id") % 3777).alias("key"))
+    direct = kmv_sketch(df, "key", k=256).collect()[0].ks
+    slices = [
+        kmv_sketch(df.filter(F.col("id") % 4 == i), "key", k=256)
+        for i in range(4)
+    ]
+    merged = kmv_merge(256, *slices).collect()[0].ks
+    assert merged == direct
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(F.col("id").alias("key"))
+    sk = kmv_sketch(df, "key", k=256)
+    row = sk.select(
+        kmv_estimate_expr(256).alias("est"), F.size("ks").alias("n")
+    ).collect()[0]
+    assert row.n == 100 and row.est == 100  # exact when unfilled
+    assert all(0 <= v < KMV_DOMAIN for v in sk.collect()[0].ks)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    seen = spark.range(1_000).select((F.col("id") * 7).alias("key"))
+    fpos = bloom_positions(seen, "key")
+    n_bits = fpos.count()
+    assert n_bits <= 16_384
+    probes = spark.range(1_500).select((F.col("id") * 7).alias("key"))
+    res = {
+        r.probe_key: r.member
+        for r in bloom_membership(probes, "key", fpos).collect()
+    }
+    # every inserted key is a member — NO false negatives, ever
+    assert all(res[str(i * 7)] for i in range(1_000))
+    # deterministic false positives among the 500 absent keys,
+    # bounded by 3x the (bits/m)^k expectation
+    fp = sum(1 for i in range(1_000, 1_500) if res[str(i * 7)])
+    assert fp <= max(3, 3 * 500 * (n_bits / 16_384) ** 4)
+
+
+def test_bloom_merge_by_union(spark):
+    a = spark.range(300).select(F.col("id").alias("key"))
+    b = spark.range(300, 600).select(F.col("id").alias("key"))
+    both = spark.range(600).select(F.col("id").alias("key"))
+    merged = (
+        bloom_positions(a, "key")
+        .union(bloom_positions(b, "key"))
+        .distinct()
+    )
+    direct = bloom_positions(both, "key")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
