@@ -2125,32 +2125,62 @@ def jpeg_encode_lossless(
     h, w = img.shape[:2]
     ncomp = 1 if gray else 3
     planes = [
-        (np.asarray(img if gray else img[:, :, c], dtype=np.int64) >> pt)
-        .tolist()
+        np.asarray(img if gray else img[:, :, c], dtype=np.int64) >> pt
         for c in range(ncomp)
     ]
     default = 1 << (precision - pt - 1)
 
-    # pass 1: residual categories per component (shared predictor walk)
-    seq: list = []  # (comp, category, signed diff) in scan order
+    # pass 1, VECTORIZED (round 9 — the scalar per-sample walk was
+    # ~90% of q212's encode wall): the Annex H.1 prediction is pure
+    # shifted-array arithmetic (numpy >> is the same arithmetic shift
+    # the scalar path uses), and the restart rule only rewrites the
+    # interval-opening row tails — a handful of row-slice fixups.
+    # Byte identity with the scalar walk is pinned by the decoder
+    # (which still runs _ll_predict) and the direct old-vs-new frame
+    # comparison in tests.
+    cat_planes, d_planes = [], []
     freqs = [dict() for _ in range(ncomp)]
-    ri = rj = mcu = 0
-    for i in range(h):
-        for j in range(w):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                ri, rj = i, j
-            for ci in range(ncomp):
-                pl = planes[ci]
-                d = (
-                    pl[i][j]
-                    - _ll_predict(pl, i, j, ri, rj, default, predictor)
-                ) & 0xFFFF
-                if d >= 32768:
-                    d -= 65536
-                s = 16 if d == -32768 else abs(d).bit_length()
-                freqs[ci][s] = freqs[ci].get(s, 0) + 1
-                seq.append((ci, s, d))
-            mcu += 1
+    bins = 1 << np.arange(16, dtype=np.int64)  # digitize == bit_length
+    for ci, x in enumerate(planes):
+        px = np.empty_like(x)
+        px[0, 0] = default
+        if w > 1:
+            px[0, 1:] = x[0, :-1]  # first line: Ra
+        if h > 1:
+            px[1:, 0] = x[:-1, 0]  # line starts: Rb
+            if w > 1:
+                ra, rb, rc = x[1:, :-1], x[:-1, 1:], x[:-1, :-1]
+                if predictor == 1:
+                    core = ra
+                elif predictor == 2:
+                    core = rb
+                elif predictor == 3:
+                    core = rc
+                elif predictor == 4:
+                    core = ra + rb - rc
+                elif predictor == 5:
+                    core = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    core = rb + ((ra - rc) >> 1)
+                else:
+                    core = (ra + rb) >> 1
+                px[1:, 1:] = core
+        if restart_interval:
+            # each interval opens like a scan start: default at the
+            # boundary sample, Ra for the REST of that line; later
+            # lines of the interval already follow the base rules
+            for t in range(restart_interval, h * w, restart_interval):
+                i, j = divmod(t, w)
+                px[i, j] = default
+                if j + 1 < w:
+                    px[i, j + 1:] = x[i, j:-1]
+        d = (x - px) & 0xFFFF
+        d = np.where(d >= 32768, d - 65536, d)
+        cat = np.digitize(np.abs(d), bins)  # -32768 -> |d|=32768 -> 16
+        counts = np.bincount(cat.ravel(), minlength=17)
+        freqs[ci] = {s: int(c) for s, c in enumerate(counts) if c}
+        cat_planes.append(cat)
+        d_planes.append(d)
 
     specs, huffs = [], []
     for ci in range(ncomp):
@@ -2158,22 +2188,48 @@ def jpeg_encode_lossless(
         specs.append((bits, vals))
         huffs.append(_huff_codes(bits, vals))
 
-    # pass 2: emit (restart walk mirrors pass 1 exactly)
+    # interleaved scan order: (sample, component)
+    cat_flat = np.stack([c.reshape(-1) for c in cat_planes], axis=1).ravel().tolist()
+    d_flat = np.stack([d.reshape(-1) for d in d_planes], axis=1).ravel().tolist()
+
+    # pass 2: emit — bits accumulate in one int per MCU row and whole
+    # bytes drain at row end (the _emit_block batching pattern)
     bw = _BitWriter()
-    mcu = 0
+    acc, n = 0, 0
+    out = bw.out
     k = 0
-    for i in range(h):
-        for j in range(w):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.restart((mcu // restart_interval - 1) & 7)
-            for _ in range(ncomp):
-                ci, s, d = seq[k]
-                k += 1
-                code, ln = huffs[ci][s]
-                bw.put(code, ln)
-                if 0 < s < 16:
-                    bw.put(d if d >= 0 else d + (1 << s) - 1, s)
-            mcu += 1
+    nmcu = h * w
+    for mcu in range(nmcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            while n >= 8:  # drain whole bytes; _pad wants n < 8
+                b = (acc >> (n - 8)) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+                n -= 8
+            acc &= (1 << n) - 1
+            bw.acc, bw.n = acc, n
+            bw.restart((mcu // restart_interval - 1) & 7)
+            acc, n = bw.acc, bw.n
+        for ci in range(ncomp):
+            s = cat_flat[k]
+            dv = d_flat[k]
+            k += 1
+            code, ln = huffs[ci][s]
+            acc = (acc << ln) | code
+            n += ln
+            if 0 < s < 16:
+                acc = (acc << s) | (dv if dv >= 0 else dv + (1 << s) - 1)
+                n += s
+        if n >= 256 or mcu + 1 == nmcu:
+            while n >= 8:
+                b = (acc >> (n - 8)) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)  # byte stuffing
+                n -= 8
+            acc &= (1 << n) - 1
+    bw.acc, bw.n = acc, n
     scan = bw.flush()
 
     dht = b"".join(
