@@ -135,6 +135,7 @@ HEADLINE = [
     "q212_jpeg_lossless",
     "q213_kmv_distinct",
     "q214_bloom_seen_set",
+    "q215_streaming_bloom",
 ]
 
 

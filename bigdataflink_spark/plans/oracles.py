@@ -4237,6 +4237,39 @@ FROM ag, bits
 """
 
 
+# q215: the streamed verdicts replay exactly in SQL — each slice's
+# prior-positions set is the union of earlier slices' position sets,
+# and a key is seen_before iff ALL four of its md5 positions appear
+# there (slice 0 joins nothing: all false). Same md5, same booleans,
+# false positives included.
+ORACLES["q215_streaming_bloom"] = """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey % 3 AS s, o_custkey AS key FROM orders
+),
+pos AS (
+  SELECT s, key,
+         CAST('0x' || substr(md5(
+           'bloom-v1' || CAST(j AS VARCHAR) || '-'
+           || CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % 16384 AS pos
+  FROM keys, unnest(range(0, 4)) t(j)
+),
+prior AS (
+  SELECT DISTINCT later.s AS s, p.pos
+  FROM pos p JOIN (SELECT DISTINCT s FROM pos) later ON p.s < later.s
+),
+verd AS (
+  SELECT p.s, p.key, bool_and(pr.pos IS NOT NULL) AS seen_before
+  FROM pos p
+  LEFT JOIN prior pr ON pr.s = p.s AND pr.pos = p.pos
+  GROUP BY p.s, p.key
+)
+SELECT CAST(s AS INT) AS slice,
+       CAST(key AS BIGINT) AS custkey,
+       seen_before
+FROM verd
+"""
+
+
 ORACLES["q212_jpeg_lossless"] = """
 SELECT doc_id AS media_id,
        CAST(16 AS INT) AS width,

@@ -7289,6 +7289,49 @@ def q214_bloom_seen_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q215_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom seen-set (extension; streaming/bloomdedup.py —
+    q214's membership sketch gains the streaming twin every other
+    dedup family already has). Orders arrive as three micro-batches
+    (o_orderkey % 3 slices); each batch's distinct customer keys are
+    flagged ``seen_before`` against the Bloom filter of all EARLIER
+    batches, then fold their positions into state — the URL-frontier
+    / crawl-segment dedup shape, with state bounded by m=16384
+    position rows FOREVER (appends are anti-joined, so a replayed
+    batch is idempotent and the directory never exceeds the filter
+    size — the reason this sketch survives an unbounded stream where
+    an exact seen-set grows without bound).
+
+    Batch 0 is all-false by definition; repeat customers in later
+    slices flag true; deterministic md5 false positives replay
+    exactly in the oracle (which rebuilds each slice's prior-
+    positions set in SQL and recomputes every verdict — a FULL
+    value-hash oracle for a stateful streaming operator, the q192
+    pattern). Per batch: one broadcast membership join + one bounded
+    anti-join append; never a corpus-sized shuffle."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.bloomdedup import accept_batch
+
+    orders = _t(spark, sf_dir, "orders")
+    state = tempfile.mkdtemp(prefix="q215_bloom_") + "/state"
+    outs = []
+    for s in range(3):
+        batch = orders.filter(F.col("o_orderkey") % 3 == s).select(
+            F.col("o_custkey").alias("key")
+        )
+        outs.append(
+            accept_batch(spark, batch, state, key_col="key")
+            .withColumn("slice", F.lit(s).cast("int"))
+        )
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select(
+        "slice",
+        F.col("probe_key").cast("long").alias("custkey"),
+        "seen_before",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -7501,4 +7544,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q212_jpeg_lossless": q212_jpeg_lossless,
     "q213_kmv_distinct": q213_kmv_distinct,
     "q214_bloom_seen_set": q214_bloom_seen_set,
+    "q215_streaming_bloom": q215_streaming_bloom,
 }
