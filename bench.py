@@ -136,6 +136,7 @@ HEADLINE = [
     "q213_kmv_distinct",
     "q214_bloom_seen_set",
     "q215_streaming_bloom",
+    "q216_cms_frequency",
 ]
 
 

@@ -126,6 +126,73 @@ def kmv_estimate_expr(k: int, ks_col: str = "ks") -> Column:
     )
 
 
+def cms_build(
+    df: DataFrame,
+    key: "str | Column",
+    d: int = 4,
+    w: int = 8_192,
+    salt: str = "cms-v1",
+    weight: "Column | None" = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a DataFrame
+    aggregate: ``(row, pos, cnt)`` counters, ≤ d·w rows regardless of
+    corpus size. Counters are SUMS, so the sketch is additive —
+    merge = unionByName + re-sum — and a pure function of the input
+    multiset (order/partitioning-invariant, like the other sketches
+    here). Estimates only ever OVER-count (collisions add, never
+    subtract): ``est ≥ true`` is a hard guarantee, ``est − true ≤
+    e·N/w`` the probabilistic one. ``weight`` (default 1 per row)
+    supports pre-aggregated (key, count) inputs."""
+    col = F.col(key) if isinstance(key, str) else key
+    wcol = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    return (
+        df.select(col.cast("string").alias("_k"), wcol.alias("_w"))
+        .select("_k", "_w", rows)
+        .select(
+            "row",
+            (
+                md5_int(F.concat(F.lit(salt), F.col("row").cast("string"),
+                                 F.lit("-"), F.col("_k")))
+                % F.lit(w)
+            ).alias("pos"),
+            "_w",
+        )
+        .groupBy("row", "pos")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    key: "str | Column",
+    counters: DataFrame,
+    d: int = 4,
+    w: int = 8_192,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Point-frequency estimates: min over the d counters each probe
+    key hashes into (missing counter = 0). The counter side is ≤ d·w
+    rows, so the join broadcasts — probing never shuffles the probe
+    side."""
+    col = F.col(key) if isinstance(key, str) else key
+    named = probes.select(col.cast("string").alias("probe_key")).distinct()
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    pp = named.select("probe_key", rows).select(
+        "probe_key",
+        "row",
+        (
+            md5_int(F.concat(F.lit(salt), F.col("row").cast("string"),
+                             F.lit("-"), F.col("probe_key")))
+            % F.lit(w)
+        ).alias("pos"),
+    )
+    joined = pp.join(F.broadcast(counters), ["row", "pos"], "left")
+    return joined.groupBy("probe_key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
+
+
 def bloom_positions(
     df: DataFrame,
     key: "str | Column",

@@ -4270,6 +4270,53 @@ FROM verd
 """
 
 
+# q216: CMS counters are sums of the same md5 positions, so DuckDB
+# rebuilds the identical ≤ d·w counter table and replays every
+# estimate exactly; both contract booleans are pure integer math.
+ORACLES["q216_cms_frequency"] = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+cnts AS (SELECT tok, count(*) AS true_cnt FROM tok GROUP BY tok),
+total AS (SELECT count(*) AS n FROM tok),
+top AS (SELECT tok, true_cnt FROM cnts ORDER BY true_cnt DESC, tok LIMIT 10),
+probes AS (
+  SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt FROM top
+  UNION ALL
+  SELECT t, CAST(0 AS BIGINT)
+  FROM unnest(['zz-absent-a', 'zz-absent-b', 'zz-absent-c']) u(t)
+),
+counters AS (
+  SELECT rw, pos, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT r.rw,
+           CAST('0x' || substr(md5(
+             'cms-v1' || CAST(r.rw AS VARCHAR) || '-' || tok
+           ), 1, 15) AS BIGINT) % 8192 AS pos
+    FROM tok, unnest(range(0, 4)) r(rw)
+  ) GROUP BY rw, pos
+),
+pp AS (
+  SELECT p.tok, p.true_cnt, r.rw,
+         CAST('0x' || substr(md5(
+           'cms-v1' || CAST(r.rw AS VARCHAR) || '-' || p.tok
+         ), 1, 15) AS BIGINT) % 8192 AS pos
+  FROM probes p, unnest(range(0, 4)) r(rw)
+),
+est AS (
+  SELECT pp.tok, pp.true_cnt,
+         min(coalesce(c.cnt, 0)) AS est_cnt
+  FROM pp LEFT JOIN counters c ON c.rw = pp.rw AND c.pos = pp.pos
+  GROUP BY pp.tok, pp.true_cnt
+)
+SELECT tok, true_cnt, est_cnt,
+       est_cnt >= true_cnt AS over_ok,
+       (est_cnt - true_cnt) * 8192 <= 8 * (SELECT n FROM total)
+         AS bound_ok
+FROM est
+"""
+
+
 ORACLES["q212_jpeg_lossless"] = """
 SELECT doc_id AS media_id,
        CAST(16 AS INT) AS width,

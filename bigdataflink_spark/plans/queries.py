@@ -7332,6 +7332,60 @@ def q215_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q216_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch audit (extension;
+    operators/sketches.py::cms_build/cms_estimate — Cormode &
+    Muthukrishnan 2005, the token-frequency screen that answers
+    "roughly how often does this token appear" without materializing
+    the vocabulary). The sketch is a ≤ d·w-row counter aggregate —
+    SUMS, so it is additive-mergeable and a pure function of the
+    token multiset, and like q213/q214 the md5 hashing makes every
+    counter and therefore every ESTIMATE identical in both engines:
+    a full value-hash oracle for an approximate structure.
+
+    Probes: the corpus's true top-10 tokens (exact counts — the
+    audit may shuffle; the sketch is the thing that doesn't) plus
+    three absent sentinels. Contract per probe: ``over_ok`` pins the
+    hard CMS guarantee est ≥ true (collisions only ever ADD), and
+    ``bound_ok`` pins (est−true)·w ≤ 8·N in pure integer math (~3×
+    the e·N/w expectation). Estimate join broadcasts the bounded
+    counter table; one token-explode scan feeds both build legs."""
+    from bigdataflink_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d, w = 4, 8_192
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    counters = cms_build(toks, "tok", d=d, w=w)
+    true_counts = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    top = true_counts.orderBy(
+        F.col("true_cnt").desc(), F.col("tok")
+    ).limit(10)
+    absent = spark.createDataFrame(
+        [("zz-absent-a",), ("zz-absent-b",), ("zz-absent-c",)],
+        "tok string",
+    ).withColumn("true_cnt", F.lit(0).cast("long"))
+    probes = top.unionByName(absent)
+    est = cms_estimate(probes, "tok", counters, d=d, w=w)
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        probes.join(est, probes["tok"] == est["probe_key"])
+        .crossJoin(total)
+        .select(
+            "tok",
+            "true_cnt",
+            F.col("est").alias("est_cnt"),
+            (F.col("est") >= F.col("true_cnt")).alias("over_ok"),
+            (
+                (F.col("est") - F.col("true_cnt")) * F.lit(w)
+                <= F.lit(8) * F.col("n_total")
+            ).alias("bound_ok"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -7545,4 +7599,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q213_kmv_distinct": q213_kmv_distinct,
     "q214_bloom_seen_set": q214_bloom_seen_set,
     "q215_streaming_bloom": q215_streaming_bloom,
+    "q216_cms_frequency": q216_cms_frequency,
 }

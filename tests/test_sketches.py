@@ -90,3 +90,37 @@ def test_bloom_merge_by_union(spark):
     direct = bloom_positions(both, "key")
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_overestimate_only_and_additive_merge(spark):
+    from bigdataflink_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 700).cast("string")).alias("k")
+    )
+    counters = cms_build(df, "k", d=4, w=1_024)
+    assert counters.count() <= 4 * 1_024
+    probes = spark.createDataFrame(
+        [(f"t{i}",) for i in range(0, 700, 37)] + [("absent-x",)], "k string"
+    )
+    true = {f"t{i}": len(range(i, 20_000, 700)) for i in range(700)}
+    true["absent-x"] = 0
+    est = {
+        r.probe_key: r.est
+        for r in cms_estimate(probes, "k", counters, d=4, w=1_024).collect()
+    }
+    n = 20_000
+    for k, e in est.items():
+        assert e >= true[k], (k, e, true[k])  # hard guarantee
+        assert (e - true[k]) * 1_024 <= 8 * n
+
+    # additive merge: counters of two halves sum to the whole
+    h1 = cms_build(df.filter(F.col("id") < 10_000), "k", d=4, w=1_024)
+    h2 = cms_build(df.filter(F.col("id") >= 10_000), "k", d=4, w=1_024)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(counters).count() == 0
+    assert counters.exceptAll(merged).count() == 0
