@@ -618,6 +618,39 @@ def _png_filter_rows(rows: np.ndarray, bpp: int, filter_type: int) -> list[bytes
     return out
 
 
+def _png_filter_rows_adaptive(rows: np.ndarray, bpp: int) -> list[bytes]:
+    """Per-row adaptive filtering (round 9): libpng's minimum-sum-of-
+    absolute-differences heuristic — each scanline keeps whichever of
+    the five filters minimizes Σ|signed filtered byte| (ties to the
+    lowest filter id: deterministic). All five candidates compute in
+    ONE whole-image numpy pass, legal because PNG filters read RAW
+    neighbor bytes, never filtered output (spec §9.2) — no per-row
+    dependency exists on the encode side. The decoder already handles
+    mixed per-row filters (wild files carry them), so decode is
+    invariant; only the compressed size improves."""
+    h, stride = rows.shape
+    cur = rows.astype(np.int16)
+    prev = np.vstack([np.zeros((1, stride), np.int16), cur[:-1]])
+    zpad = np.zeros((h, bpp), np.int16)
+    left = np.concatenate([zpad, cur[:, :-bpp]], axis=1) if stride > bpp \
+        else np.zeros_like(cur)
+    upleft = np.concatenate([zpad, prev[:, :-bpp]], axis=1) if stride > bpp \
+        else np.zeros_like(cur)
+    cands = np.empty((5, h, stride), np.uint8)
+    cands[0] = rows
+    cands[1] = (cur - left).astype(np.uint8)
+    cands[2] = (cur - prev).astype(np.uint8)
+    cands[3] = (cur - (left + prev) // 2).astype(np.uint8)
+    cands[4] = (cur - _paeth(left, prev, upleft)).astype(np.uint8)
+    v = cands.astype(np.int16)
+    sums = np.minimum(v, 256 - v).sum(axis=2)  # |signed byte| per row
+    pick = np.argmin(sums, axis=0)
+    return [
+        bytes([int(pick[y])]) + cands[pick[y], y].tobytes()
+        for y in range(h)
+    ]
+
+
 def _png_pack_rows(rows: np.ndarray, depth: int) -> np.ndarray:
     """Pack (h, w) sample values into sub-byte scanline bytes:
     ``8/depth`` samples per byte, MSB-first, rows padded to a byte
@@ -668,7 +701,10 @@ def png_encode(
     ``filter_type`` applies one filter to every scanline (0=None
     1=Sub 2=Up 3=Average 4=Paeth) — byte-identical output for
     identical input on any platform (zlib's deflate is deterministic
-    at a fixed level). ``interlace`` emits the Adam7 layout: seven
+    at a fixed level) — or ``"adaptive"`` (round 9): per-row
+    minimum-sum-of-absolute-differences selection, the libpng
+    heuristic, still fully deterministic (ties break to the lowest
+    filter id) and typically the smallest output on natural images. ``interlace`` emits the Adam7 layout: seven
     sub-images in spec pass order, each filtered independently
     (prev-row context resets per pass). A ``uint16`` array encodes
     as bit depth 16 (big-endian sample bytes, per spec; filters
@@ -719,15 +755,20 @@ def png_encode(
             return _png_pack_rows(a.reshape(a.shape[0], -1), depth)
         return a.reshape(a.shape[0], -1)
 
+    def filt(rows: np.ndarray) -> list:
+        if filter_type == "adaptive":
+            return _png_filter_rows_adaptive(rows, sbpp)
+        return _png_filter_rows(rows, sbpp, filter_type)
+
     out = []
     if interlace:
         for x0, y0, dx, dy in _ADAM7:
             sub = img[y0::dy, x0::dx, :]
             if sub.size == 0:
                 continue
-            out += _png_filter_rows(to_bytes(sub), sbpp, filter_type)
+            out += filt(to_bytes(sub))
     else:
-        out = _png_filter_rows(to_bytes(img), sbpp, filter_type)
+        out = filt(to_bytes(img))
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     idat = zlib.compress(b"".join(out), level)
     return (
