@@ -125,3 +125,41 @@ def test_gates_and_bad_args():
     blob2[sof_at + 1] = 0xCB  # SOF11 = arithmetic lossless
     with pytest.raises(NotImplementedError, match="SOF11"):
         jpeg_decode(bytes(blob2))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 14),
+    predictor=st.integers(1, 7),
+    precision=st.sampled_from([2, 4, 8, 10, 12, 16]),
+    pt=st.integers(0, 2),
+    rgb=st.booleans(),
+    ri=st.sampled_from([0, 0, 7, 23]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_roundtrip_exact(h, w, predictor, precision, pt, rgb, ri, seed):
+    """Any shape × predictor × precision × point-transform × restart
+    combination must round-trip exactly in the shifted domain — the
+    lossless claim as a property, not a fixture."""
+    if pt >= precision:
+        pt = precision - 1
+    rng = np.random.RandomState(seed)
+    maxv = (1 << precision) - 1
+    dt = np.uint8 if precision <= 8 else np.uint16
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.randint(0, maxv + 1, shape).astype(dt)
+    dec = jpeg_decode(
+        jpeg_encode_lossless(
+            img, predictor=predictor, precision=precision,
+            point_transform=pt, restart_interval=ri,
+        )
+    )
+    exp = (img >> pt) << pt
+    if rgb:
+        assert dec.dtype == dt and (dec == exp).all()
+    else:
+        assert (dec[:, :, 0] == exp).all() and (dec[:, :, 1] == exp).all()
