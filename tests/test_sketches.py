@@ -124,3 +124,104 @@ def test_cms_overestimate_only_and_additive_merge(spark):
     )
     assert merged.exceptAll(counters).count() == 0
     assert counters.exceptAll(merged).count() == 0
+
+
+def test_kmv_vectorized_identity_vs_semantic_bottom_k(spark):
+    """Round-10 (r9 verdict #1): the numpy bottom-k must equal the
+    semantic definition — the k smallest DISTINCT hash values — on a
+    corpus big enough to overflow k, across multiple Arrow batches
+    per partition (the batched threshold/merge path) and multiple
+    partitions (the TakeOrdered combine)."""
+    from bigdataflink_spark.operators.sketches import kmv_hashes
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        df = (
+            spark.range(30_000)
+            .select((F.col("id") % 9_111).alias("key"))
+            .repartition(7)
+        )
+        got = kmv_sketch(df, "key", k=256).collect()[0].ks
+        exact = [
+            r.h
+            for r in kmv_hashes(df, "key")
+            .distinct()
+            .orderBy("h")
+            .limit(256)
+            .collect()
+        ]
+        assert got == exact
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_quantile_sketch_bounded_invariant_mergeable(spark):
+    """Round-10 quantile sketch: ≤ cap rows, partitioning-invariant,
+    merge-by-union == direct, and the retained set is exactly the
+    rows under the largest power-of-two threshold with count ≤ cap."""
+    from bigdataflink_spark.operators.sketches import (
+        quantile_hashes,
+        quantile_rethreshold,
+        quantile_sketch,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1_000).alias("val")
+    )
+    sk = quantile_sketch(df, "k", "val", cap=512)
+    rows = sorted((r.h, r.v) for r in sk.collect())
+    assert 0 < len(rows) <= 512
+    # partitioning-invariant
+    rows2 = sorted(
+        (r.h, r.v)
+        for r in quantile_sketch(df.repartition(11), "k", "val", cap=512).collect()
+    )
+    assert rows == rows2
+    # semantic check: exactly the rows with bit_length(h) <= m*, m*
+    # the largest level with cumulative count <= cap
+    hv = [(r.h, r.v) for r in quantile_hashes(df, "k", "val").collect()]
+    from collections import Counter
+
+    census = Counter(h.bit_length() for h, _ in hv)
+    cum, m_star = 0, None
+    for lvl in sorted(census):
+        cum += census[lvl]
+        if cum <= 512:
+            m_star = lvl
+    expect = sorted((h, v) for h, v in hv if h.bit_length() <= m_star)
+    assert rows == expect
+    # merge (union + rethreshold) == direct
+    hashed = quantile_hashes(df, "k", "val")
+    parts = [
+        quantile_rethreshold(hashed.filter(F.col("h") % 3 == i), 512)
+        for i in range(3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = sorted(
+        (r.h, r.v) for r in quantile_rethreshold(u, 512).collect()
+    )
+    assert merged == rows
+
+
+def test_quantile_estimate_rank_error(spark):
+    """The sample's discrete quantiles stay within 2.5·n/√s rank
+    error of the exact quantiles (the q217 contract)."""
+    from bigdataflink_spark.operators.sketches import (
+        quantile_disc_expr,
+        quantile_sketch,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % 100_000).alias("val"),
+    )
+    sk = quantile_sketch(df, "k", "val", cap=2_048)
+    s = sk.count()
+    for num, den in ((1, 2), (9, 10), (1, 100)):
+        est = sk.agg(quantile_disc_expr((num, den)).alias("e")).collect()[0].e
+        rank = df.filter(F.col("val") <= est).count()
+        assert (rank * den - num * n) ** 2 * s <= 25 * den * den * n * n, (
+            num, den, est, rank, s,
+        )

@@ -73,3 +73,24 @@ def test_state_bounded_and_replay_idempotent(spark):
     # first pass: the 250 overlapping keys were seen, none missed
     seen = {r.probe_key: r.seen_before for r in v2.collect()}
     assert all(seen[str(k)] for k in range(250, 500))
+
+def test_corrupted_state_fails_loudly(spark, tmp_path):
+    """A state dir that EXISTS but cannot be read must raise, never
+    silently reset to an empty filter — a silent reset would emit
+    seen_before=false for genuinely-seen keys, breaking the "no
+    false negatives ever" contract (round-9 verdict #2). Only a
+    MISSING path means "first batch"."""
+    import pytest
+
+    state = f"{tmp_path}/state"
+    b1 = spark.range(100).select(F.col("id").alias("key"))
+    accept_batch(spark, b1, state, key_col="key")
+
+    # corrupt the state: replace the parquet part files with junk
+    import pathlib
+
+    pos = pathlib.Path(state) / "positions"
+    for p in pos.glob("*.parquet"):
+        p.write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        accept_batch(spark, b1, state, key_col="key")

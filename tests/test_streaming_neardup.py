@@ -78,3 +78,21 @@ def test_run_neardup_stream_matches_batch_greedy(spark, tmp_path):
     )
     got = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/out").collect()}
     assert got == expected
+
+
+def test_corrupted_state_fails_loudly(spark, tmp_path):
+    """Existing-but-unreadable state must raise, never silently act
+    as "first batch" — that would re-admit every duplicate (round-9
+    verdict #2). Only a missing path means first batch."""
+    import pathlib
+
+    import pytest
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    state = f"{tmp_path}/state"
+    chunk = docs.filter(F.col("doc_id") < 50)
+    accept_batch(spark, chunk, state)
+    for p in (pathlib.Path(state) / "bands").glob("*.parquet"):
+        p.write_bytes(b"junk")
+    with pytest.raises(Exception):
+        accept_batch(spark, chunk, state)

@@ -123,3 +123,21 @@ def test_banded_tier_catches_cross_batch_duplicates(spark, tmp_path):
     # |v| shares v's all-positive band, so it IS a candidate — but
     # cos(v, |v|) ≈ 0.66 < 0.9: candidates below threshold survive
     assert got[4] is False
+
+
+def test_corrupted_state_fails_loudly(spark, tmp_path):
+    """Existing-but-unreadable state must raise, never silently act
+    as "first batch" — that would re-admit semantic duplicates
+    (round-9 verdict #2). Only a missing path means first batch."""
+    import pathlib
+
+    import pytest
+
+    corpus = load_table(spark, "embeddings", SF)
+    state = f"{tmp_path}/state"
+    chunk = corpus.filter(F.col("vec_id") < 50)
+    accept_batch(spark, chunk, state, threshold=THRESHOLD)
+    for p in (pathlib.Path(state) / "vecs").glob("*.parquet"):
+        p.write_bytes(b"junk")
+    with pytest.raises(Exception):
+        accept_batch(spark, chunk, state, threshold=THRESHOLD)
