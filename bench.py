@@ -137,6 +137,7 @@ HEADLINE = [
     "q214_bloom_seen_set",
     "q215_streaming_bloom",
     "q216_cms_frequency",
+    "q217_quantile_sketch",
 ]
 
 

@@ -4328,3 +4328,64 @@ SELECT doc_id AS media_id,
        TRUE AS compressed_smaller
 FROM documents WHERE doc_id % 7 = 2
 """
+
+
+# q217: the hash-threshold sample is a pure function of the key set,
+# so DuckDB recomputes the sample, the power-of-two cutoff, both
+# discrete quantiles AND the integer rank-error booleans bit-for-bit
+# (bin() renders without leading zeros in both engines; bin(0)='0'
+# is excluded by the h=0 CASE).
+ORACLES["q217_quantile_sketch"] = """
+WITH h AS (
+  SELECT CAST('0x' || substr(
+           md5('qsk-v1' || CAST(o_orderkey AS VARCHAR)), 1, 12
+         ) AS BIGINT) AS h,
+         o_totalprice AS v
+  FROM orders
+),
+lv AS (
+  SELECT h, v,
+         CASE WHEN h = 0 THEN 0 ELSE length(bin(h)) END AS lvl
+  FROM h
+),
+census AS (SELECT lvl, count(*) AS c FROM lv GROUP BY lvl),
+cum AS (SELECT lvl, sum(c) OVER (ORDER BY lvl) AS cum FROM census),
+cut AS (SELECT max(lvl) AS m FROM cum WHERE cum <= 1024),
+samp AS (SELECT lv.* FROM lv, cut WHERE lv.lvl <= cut.m),
+summ AS (
+  SELECT CAST(count(*) AS BIGINT) AS sample_n,
+         CAST(max(lvl) AS INT) AS lvl_cut,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50_est,
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p90_est
+  FROM samp
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+ex AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+           AS p50_exact,
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+           AS p90_exact
+  FROM orders
+),
+rk AS (
+  SELECT CAST(sum(CASE WHEN o_totalprice <= p50_est THEN 1 ELSE 0 END)
+              AS BIGINT) AS r50,
+         CAST(sum(CASE WHEN o_totalprice <= p90_est THEN 1 ELSE 0 END)
+              AS BIGINT) AS r90
+  FROM orders, summ
+)
+SELECT CAST(1024 AS INT) AS cap,
+       n AS n_total,
+       sample_n,
+       lvl_cut,
+       p50_est,
+       p90_est,
+       p50_exact,
+       p90_exact,
+       (2 * r50 - n) * (2 * r50 - n) * sample_n <= 25 * n * n
+         AS p50_err_ok,
+       (10 * r90 - 9 * n) * (10 * r90 - 9 * n) * sample_n
+         <= 625 * n * n AS p90_err_ok,
+       TRUE AS merge_equals_direct
+FROM summ, tot, ex, rk
+"""

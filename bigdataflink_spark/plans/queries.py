@@ -7386,6 +7386,102 @@ def q216_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q217_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch audit (extension; operators/
+    sketches.py::quantile_sketch — deterministic hash-threshold
+    sampling in the spirit of Gibbons' distinct sampling, VLDB 2001).
+    Completes the sketch family: distinct (q213 KMV), membership
+    (q214 Bloom), frequency (q216 CMS) — and now QUANTILES, the
+    fourth structure every telemetry / length-distribution pipeline
+    reaches for (r9 verdict "What's missing #1"). Unlike t-digest /
+    GK summaries (only bounds-checkable, like q113's contract on the
+    engine builtin), the retained sample here is a pure function of
+    the input set — keep rows whose 48-bit md5(o_orderkey) bit-length
+    ≤ m, m the largest level whose cumulative count ≤ cap — so DuckDB
+    recomputes the sample, the cutoff AND both discrete quantiles
+    bit-for-bit: a full value oracle for an approximate structure.
+
+    Scale shape: the level census is one groupBy over ≤ 49 levels
+    (map-side combine → ≤ 49·P rows move), the cutoff broadcasts back
+    into the scan's filter (scalar one-row crossJoin — nested loop
+    intended), and everything downstream sorts ≤ cap rows. No
+    corpus-wide shuffle, no driver collect. Contract: sample size ≤
+    cap, rank error of both estimates ≤ 2.5·n/√s pinned in pure
+    integer math ((2·r50−n)²·s ≤ 25·n²; (10·r90−9·n)²·s ≤ 625·n²),
+    and merged-from-disjoint-halves == direct (threshold union is a
+    semilattice; TRUE by construction, pinned like q213's)."""
+    from bigdataflink_spark.operators.sketches import (
+        quantile_disc_expr,
+        quantile_hashes,
+        quantile_rethreshold,
+        quantile_sketch,
+    )
+
+    cap = 1_024
+    orders = _t(spark, sf_dir, "orders")
+    sk = quantile_sketch(orders, "o_orderkey", "o_totalprice", cap=cap)
+    sk = sk.persist()  # ≤ cap rows; feeds the summary and the merge pin
+    summ = sk.agg(
+        F.count("*").cast("long").alias("sample_n"),
+        F.max("lvl").cast("int").alias("lvl_cut"),
+        quantile_disc_expr((1, 2)).alias("p50_est"),
+        quantile_disc_expr((9, 10)).alias("p90_est"),
+    )
+    # merge == direct: rebuild from two disjoint hash-parity slices
+    hashed = quantile_hashes(orders, "o_orderkey", "o_totalprice")
+    halves = [
+        quantile_rethreshold(hashed.filter(F.col("h") % 2 == i), cap)
+        for i in range(2)
+    ]
+    merged = quantile_rethreshold(halves[0].unionByName(halves[1]), cap)
+    eq = (
+        sk.agg(F.sort_array(F.collect_list("h")).alias("hs_d"))
+        .crossJoin(merged.agg(F.sort_array(F.collect_list("h")).alias("hs_m")))
+        .select((F.col("hs_d") == F.col("hs_m")).alias("merge_equals_direct"))
+    )
+    # full-data ranks of the two estimates (the audit may shuffle;
+    # the sketch is the thing that doesn't)
+    ranks = (
+        orders.crossJoin(F.broadcast(summ))
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("p50_est"), 1).otherwise(0)
+            ).cast("long").alias("r50"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("p90_est"), 1).otherwise(0)
+            ).cast("long").alias("r90"),
+        )
+    )
+    exact = orders.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_exact"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90_exact"),
+    )
+    total = orders.agg(F.count("*").cast("long").alias("n_total"))
+    a50 = F.lit(2) * F.col("r50") - F.col("n_total")
+    a90 = F.lit(10) * F.col("r90") - F.lit(9) * F.col("n_total")
+    nn = F.col("n_total") * F.col("n_total")
+    return (
+        summ.crossJoin(total).crossJoin(exact).crossJoin(ranks).crossJoin(eq)
+        .select(
+            F.lit(cap).cast("int").alias("cap"),
+            "n_total",
+            "sample_n",
+            "lvl_cut",
+            "p50_est",
+            "p90_est",
+            "p50_exact",
+            "p90_exact",
+            (a50 * a50 * F.col("sample_n") <= F.lit(25) * nn).alias("p50_err_ok"),
+            (a90 * a90 * F.col("sample_n") <= F.lit(625) * nn).alias("p90_err_ok"),
+            "merge_equals_direct",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -7600,4 +7696,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q214_bloom_seen_set": q214_bloom_seen_set,
     "q215_streaming_bloom": q215_streaming_bloom,
     "q216_cms_frequency": q216_cms_frequency,
+    "q217_quantile_sketch": q217_quantile_sketch,
 }
