@@ -138,6 +138,8 @@ HEADLINE = [
     "q215_streaming_bloom",
     "q216_cms_frequency",
     "q217_quantile_sketch",
+    "q218_streaming_kmv",
+    "q219_streaming_cms",
 ]
 
 

@@ -4389,3 +4389,99 @@ SELECT CAST(1024 AS INT) AS cap,
        TRUE AS merge_equals_direct
 FROM summ, tot, ex, rk
 """
+
+
+# q218: the streaming KMV state is a pure function of the key set of
+# the slices seen so far, so every per-batch estimate replays in SQL:
+# per slice i, bottom-256 of the distinct hashes over slices <= i.
+ORACLES["q218_streaming_kmv"] = """
+WITH hh AS (
+  SELECT DISTINCT o_orderkey % 3 AS s,
+         CAST('0x' || substr(
+           md5('kmv-v1' || CAST(o_custkey AS VARCHAR)), 1, 12
+         ) AS BIGINT) AS h
+  FROM orders
+),
+pre AS (
+  SELECT DISTINCT t.i AS slice, hh.h
+  FROM hh, unnest(range(0, 3)) t(i)
+  WHERE hh.s <= t.i
+),
+r AS (
+  SELECT slice, h,
+         row_number() OVER (PARTITION BY slice ORDER BY h) AS rn
+  FROM pre
+),
+b AS (
+  SELECT slice, count(*) AS nb, max(h) AS kth
+  FROM r WHERE rn <= 256 GROUP BY slice
+)
+SELECT CAST(slice AS INT) AS slice,
+       CAST(nb AS BIGINT) AS n_candidates,
+       CASE WHEN nb < 256 THEN CAST(nb AS BIGINT)
+            ELSE CAST(71776119061217280 // kth AS BIGINT) END AS estimate
+FROM b
+"""
+
+
+# q219: CMS counters over each slice prefix re-sum in SQL (sums are
+# associative), so every per-batch probe estimate, the est>=true pin
+# and the integer bound replay exactly.
+ORACLES["q219_streaming_cms"] = """
+WITH top3 AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key
+  FROM orders GROUP BY o_custkey
+  ORDER BY count(*) DESC, o_custkey LIMIT 3
+),
+probes AS (SELECT key FROM top3 UNION ALL SELECT 'zz-absent'),
+sl AS (
+  SELECT o_orderkey % 3 AS s, CAST(o_custkey AS VARCHAR) AS key
+  FROM orders
+),
+counters AS (
+  SELECT slice, rw, pos, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT t.i AS slice, r.rw,
+           CAST('0x' || substr(md5(
+             'cms-v1' || CAST(r.rw AS VARCHAR) || '-' || sl.key
+           ), 1, 15) AS BIGINT) % 8192 AS pos
+    FROM sl, unnest(range(0, 3)) t(i), unnest(range(0, 4)) r(rw)
+    WHERE sl.s <= t.i
+  ) GROUP BY slice, rw, pos
+),
+pp AS (
+  SELECT p.key, t.i AS slice, r.rw,
+         CAST('0x' || substr(md5(
+           'cms-v1' || CAST(r.rw AS VARCHAR) || '-' || p.key
+         ), 1, 15) AS BIGINT) % 8192 AS pos
+  FROM probes p, unnest(range(0, 3)) t(i), unnest(range(0, 4)) r(rw)
+),
+est AS (
+  SELECT pp.key, pp.slice, min(coalesce(c.cnt, 0)) AS est_cnt
+  FROM pp LEFT JOIN counters c
+    ON c.slice = pp.slice AND c.rw = pp.rw AND c.pos = pp.pos
+  GROUP BY pp.key, pp.slice
+),
+px AS (
+  SELECT p.key, t.i AS slice
+  FROM probes p, unnest(range(0, 3)) t(i)
+),
+tru AS (
+  SELECT px.key, px.slice, count(sl.key) AS true_cnt
+  FROM px LEFT JOIN sl ON sl.key = px.key AND sl.s <= px.slice
+  GROUP BY px.key, px.slice
+),
+n AS (
+  SELECT t.i AS slice, count(*) AS n_prefix
+  FROM sl, unnest(range(0, 3)) t(i)
+  WHERE sl.s <= t.i GROUP BY t.i
+)
+SELECT CAST(e.slice AS INT) AS slice,
+       e.key AS probe_key,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       CAST(tru.true_cnt AS BIGINT) AS true_cnt,
+       e.est_cnt >= tru.true_cnt AS over_ok,
+       (e.est_cnt - tru.true_cnt) * 8192 <= 8 * n.n_prefix AS bound_ok
+FROM est e
+JOIN tru ON tru.key = e.key AND tru.slice = e.slice
+JOIN n ON n.slice = e.slice
+"""

@@ -7482,6 +7482,117 @@ def q217_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q218_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct sketch (extension; streaming/kmvdist.py
+    — with q215's Bloom twin and q219's CMS twin this finishes the
+    sketch family's streaming side, r9 verdict "What's missing #2").
+    Orders arrive as three micro-batches (o_orderkey % 3 slices);
+    after each, the running distinct-customer estimate is emitted.
+
+    State is the set of hashes that ever ENTERED the bottom-k —
+    appends are anti-joined (idempotent under replay) and a hash
+    that can't displace the bottom-k now never can later, so
+    bottom-k(state) == bottom-k(all keys seen) exactly; expected
+    state size k·(1+ln(n/k)) rows, logarithmic in stream length.
+    Because the summary is a pure function of the key set of the
+    slices seen so far, every per-batch estimate replays in SQL —
+    a full value-hash oracle (the q215 pattern). Per batch: one
+    broadcast kth-threshold filter + one bounded anti-join append +
+    one TakeOrdered over the tiny state; never a corpus shuffle."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.kmvdist import accept_batch
+
+    orders = _t(spark, sf_dir, "orders")
+    state = tempfile.mkdtemp(prefix="q218_kmv_") + "/state"
+    outs = []
+    for s in range(3):
+        batch = orders.filter(F.col("o_orderkey") % 3 == s).select(
+            F.col("o_custkey").alias("key")
+        )
+        outs.append(
+            accept_batch(spark, batch, state, key_col="key", k=256)
+            .withColumn("slice", F.lit(s).cast("int"))
+        )
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select("slice", "n_candidates", "estimate")
+
+
+def q219_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min frequency sketch (extension; streaming/
+    cmsfreq.py). Orders arrive as three micro-batches (o_orderkey %
+    3 slices); after each, the running order-count estimate of four
+    probe customers (the corpus's true top-3 plus an absent
+    sentinel) is emitted against the published counter generation.
+
+    CMS counters are SUMS — an append-only delta log would
+    double-count on replay — so state is GENERATIONS: batch b reads
+    the newest complete generation < b and publishes the merged
+    ≤ d·w-row table as gen-b (parquet _SUCCESS = visibility; a
+    replayed batch rewrites its generation identically, the
+    simplest form of the snapshots.py record-then-data discipline).
+    Stream-over-slices ≡ batch cms_build over the prefix EXACTLY
+    (sums are associative), so every per-batch estimate replays in
+    SQL — a full value oracle — alongside the hard est ≥ true pin
+    and the (est−true)·w ≤ 8·N_prefix integer bound."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.cmsfreq import accept_batch
+
+    d, w = 4, 8_192
+    orders = _t(spark, sf_dir, "orders")
+    state = tempfile.mkdtemp(prefix="q219_cms_") + "/state"
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("o_custkey"))
+        .limit(3)
+        .select(F.col("o_custkey").cast("string").alias("key"))
+    )
+    probes = top.unionByName(
+        spark.createDataFrame([("zz-absent",)], "key string")
+    )
+    outs = []
+    for s in range(3):
+        batch = orders.filter(F.col("o_orderkey") % 3 == s).select(
+            F.col("o_custkey").alias("key")
+        )
+        counters = accept_batch(
+            spark, batch, state, batch_id=s, key_col="key", d=d, w=w
+        )
+        from bigdataflink_spark.operators.sketches import cms_estimate
+
+        est = cms_estimate(probes, "key", counters, d=d, w=w)
+        prefix = orders.filter(F.col("o_orderkey") % 3 <= s)
+        pref_keys = prefix.select(
+            F.col("o_custkey").cast("string").alias("pkey")
+        )
+        truth = (
+            probes.join(
+                pref_keys, probes["key"] == pref_keys["pkey"], "left"
+            )
+            .groupBy("key")
+            .agg(F.count("pkey").cast("long").alias("true_cnt"))
+        )
+        n_pref = prefix.agg(F.count("*").cast("long").alias("n_prefix"))
+        outs.append(
+            est.join(truth, est["probe_key"] == truth["key"])
+            .crossJoin(n_pref)
+            .select(
+                F.lit(s).cast("int").alias("slice"),
+                "probe_key",
+                F.col("est").alias("est_cnt"),
+                "true_cnt",
+                (F.col("est") >= F.col("true_cnt")).alias("over_ok"),
+                (
+                    (F.col("est") - F.col("true_cnt")) * F.lit(w)
+                    <= F.lit(8) * F.col("n_prefix")
+                ).alias("bound_ok"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -7697,4 +7808,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q215_streaming_bloom": q215_streaming_bloom,
     "q216_cms_frequency": q216_cms_frequency,
     "q217_quantile_sketch": q217_quantile_sketch,
+    "q218_streaming_kmv": q218_streaming_kmv,
+    "q219_streaming_cms": q219_streaming_cms,
 }

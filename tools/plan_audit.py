@@ -214,6 +214,8 @@ NOTES = {
     "q215_streaming_bloom": "Streaming Bloom seen-set: three accept_batch steps, each ONE broadcast membership join of the batch against <=16384 parquet position rows plus one anti-joined bounded append (state never exceeds the filter size, so an unbounded stream has bounded state); stream-over-slices == per-slice batch membership exactly, giving a stateful streaming operator a FULL value-hash oracle (the q192 pattern).",
     "q216_cms_frequency": "Count-Min frequency sketch audit: ONE token-explode scan feeds the bounded d*w counter aggregate (<=32768 rows regardless of corpus - additive sums, merge = re-sum) and the audit-only exact top-10 leg; estimates broadcast-join the counter table (probe side never shuffles); both contract booleans (est>=true hard guarantee, (est-true)*w <= 8N) are pure integer math.",
     "q217_quantile_sketch": "Quantile sketch audit (hash-threshold sampling): the level census is ONE groupBy over <=49 bit-length levels (map-side combine -> <=49*P rows move), the power-of-two cutoff broadcasts back into the scan filter, and every downstream sort touches <=cap=1024 retained rows; the audit-only exact percentile_disc and rank legs may shuffle (the sketch is the thing that does not); 1-row scalar crossJoins stitch the summary, exact, rank and merge-pin legs; both rank-error booleans are pure integer math.",
+    "q218_streaming_kmv": "Streaming KMV distinct: three accept_batch steps, each ONE broadcast kth-threshold filter over the batch hashes + one bounded anti-join append into the entered-bottom-k state (<= k rows per batch worst case, k(1+ln(n/k)) expected) + a TakeOrdered over the tiny state; stream-over-slices == batch bottom-k over the prefix EXACTLY, full value-hash oracle (the q215 pattern).",
+    "q219_streaming_cms": "Streaming CMS: three accept_batch steps, each re-summing the batch counters into the newest complete GENERATION (<= d*w = 32768 rows, parquet _SUCCESS = visibility, replay rewrites its generation identically); per-batch probe estimates broadcast-join the bounded counter table; stream == batch re-sum over the prefix EXACTLY, full value oracle + est>=true + integer bound.",
     "q212_jpeg_lossless": "Lossless JPEG (SOF3) contract: q210's Arrow-map shape over the doc_id%7==2 slice (the last free seventh), zero joins; three per-row Annex-H predictive encode/decode round-trips (8-bit RGB pred 4, 12-bit gray pred 7, 16-bit gray pred 1 + restarts) are byte-EXACT by construction — the one JPEG mode where the contract is equality, not an error floor — and sof3_stream/compressed_smaller are read from the emitted bytes via the real marker walk.",
     "q208_flac_depths": "q195's fan-out Arrow-map shape at the OTHER two whole-byte FLAC widths: an 8-bit mono sawtooth and a 24-bit stereo pair of closed-form linear signals encode/decode at native width (STREAMINFO MD5 over 1-/3-byte LE PCM, side channel at bps+1=25 bits, width-generic Rice/fixed machinery); lossless, so exact position-weighted per-channel stats recompute in SQL, and compressed_smaller pins real compression at both widths; one 8-byte-row doc-id shuffle, zero joins.",
     "q207_png_subbyte": "q189's shape (ONE Arrow map stage, zero shuffles, zero joins) over the sub-byte tier: 1/2/4-bit gray + palette profiles (MSB-first packed scanlines, byte-padded rows, filters at bpp=1, Adam7 passes packed independently, d=4 palette interlaced) — lossless, so the oracle recomputes every decoded value from the closed forms; one wrong bit in pack/unfilter/unpack/scatter fails the value hash.",
@@ -242,6 +244,8 @@ EXPECTED_BNLJ = {
     "q216_cms_frequency": "the BNLJ is the 1-row total-token scalar stitched onto the 13 probe rows - the q61/q93 scalar pattern.",
     "q213_kmv_distinct": "both BNLJs are 1-row x 1-row crossJoins stitching the direct sketch, merged sketch, and exact-count scalars - the q179 pattern, one row per side.",
     "q217_quantile_sketch": "every BNLJ is a scalar stitch: the <=49-row level-census cutoff broadcasting into the sample filter (twice more for the merge halves/union), the 1-row summary broadcast into the rank scan, and the 1-row x 1-row crossJoins assembling the final row - the q213 pattern.",
+    "q218_streaming_kmv": "the BNLJ is the 1-row kth-threshold scalar broadcast into each batch hash filter - the q213 scalar pattern.",
+    "q219_streaming_cms": "the BNLJs are the 1-row n_prefix scalar stitched onto the 4 probe rows per slice - the q216 scalar pattern.",
     "q214_bloom_seen_set": "the BNLJ is the 1-row bits_set scalar stitched onto the 1-row probe aggregate - the q61/q93 scalar pattern.",
     "q24_embedding_topk": "BNLJ is the semantics here: brute-force = score EVERY (query, corpus) pair; the broadcast side is the small query set, the corpus streams. The scale path is q26.",
     "q98_knn_label_vote": "the BNLJ is q24's brute-force scorer (small query set broadcast against the streaming corpus); swap in ivf_topk for web scale — the vote stage is scorer-agnostic.",
