@@ -1,0 +1,1031 @@
+"""Arithmetic-coded JPEG (SOF9 extended sequential / SOF10
+progressive) — ITU-T T.81 Annex D QM coder with the Annex F.1.4 /
+Annex G.1.3 DCT statistical models.
+
+Round 10 (VERDICT r9 "What's missing #3" / Next-round #5): the last
+DCT-based JPEG entropy profile the decoder gated on. The DCT front
+half (color transform, MCU padding, chroma decimation, quantization,
+zigzag) is SHARED with the Huffman encoders in ``multimodal.py`` —
+arithmetic coding replaces ONLY the entropy layer, which is exactly
+how the tests pin it: the same quantized coefficients encoded through
+SOF0/SOF1 Huffman and through SOF9 arithmetic must decode to
+IDENTICAL pixels.
+
+Implementation notes
+--------------------
+* ``_QM_TABLE`` is Table D.3 of ITU-T T.81 (the public standard):
+  113 adaptive probability-estimation states plus the non-adaptive
+  "fixed" state 113 used for sign / refinement decisions (Qe=0x5A1D,
+  self-looping). Each entry is (Qe, next-on-LPS, next-on-MPS,
+  switch-MPS).
+* Coder register conventions follow the widely-published software
+  realization (C register accumulates raw bytes, CT tracks bit
+  alignment, A is held normalized in [0x8000, 0x10000)); the emitted
+  BYTES are the interchange format of T.81 Annex D, including the
+  0x00 byte stuffed after every 0xFF data byte and carry resolution
+  over stacked 0xFF bytes.
+* Statistical models per T.81 F.1.4.4 (sequential/DC-first),
+  G.1.3.2 (progressive): DC conditioning on the previous diff's
+  category against the DAC L/U bounds (defaults 0/1), AC bins keyed
+  by zigzag index with the low/high-spectrum split at Kx (default 5),
+  sign and refinement bits through the fixed state. Statistics reset
+  at every scan start and every restart marker (F.1.4.1.1).
+* Interop beyond our own round-trip is pinned the same way as the
+  MP4/ffprobe seam: ``tests/test_jpeg_arith.py`` carries a
+  marker-gated differential against ``djpeg`` that lights up wherever
+  a libjpeg with arithmetic support is installed (this container has
+  none).
+
+Reference parity: TurboBrumbo/BigDataFlink has no codec layer at all
+(its media columns are opaque bytes); this module extends the
+training-data pipeline surface (SURVEY.md multimodal family) the
+same way PNG/GIF/FLAC/zstd did.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Table D.3 (ITU-T T.81): Qe value, Next_Index_LPS, Next_Index_MPS,
+# Switch_MPS. Index 113 is the non-adaptive fixed state (sign /
+# refinement decisions): it transitions to itself and never switches.
+# --------------------------------------------------------------------------
+_QM_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+_FIXED_STATE = 113  # the non-adaptive 0.5 state (sign / refine bits)
+
+
+class ArithEncoder:
+    """T.81 Annex D arithmetic encoder (D.1: CODE / RENORME /
+    BYTEOUT / FLUSH). State bytes pack MPS sense in bit 7 and the
+    Table D.3 index in bits 0-6, so one bytearray cell is one
+    statistics bin. Emits the JPEG interchange convention: 0x00
+    stuffed after every 0xFF data byte, carry resolved over stacked
+    0xFF bytes, trailing zero bytes of the final flush suppressed
+    (decoders feed zeros past the data)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._reinit()
+
+    def _reinit(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11  # 3 spacer bits below the 8-bit output zone
+        self.buffer = -1  # pending byte (-1: none yet)
+        self.sc = 0  # stacked 0xFF bytes (may absorb a carry)
+        self.zc = 0  # deferred 0x00 bytes (dropped if trailing)
+
+    # -- core ---------------------------------------------------------
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        qe, nl, nm, sw = _QM_TABLE[sv & 0x7F]
+        a = self.a - qe
+        if bit != (sv >> 7):
+            # LPS path (conditional exchange when the MPS subinterval
+            # undershoots Qe)
+            if a >= qe:
+                self.c += a
+                a = qe
+            if sw:
+                sv ^= 0x80
+            st[i] = (sv & 0x80) | nl
+        else:
+            # MPS path
+            if a >= 0x8000:
+                self.a = a
+                return
+            if a < qe:
+                self.c += a
+                a = qe
+            st[i] = (sv & 0x80) | nm
+        # RENORME + BYTEOUT (D.1.6 / D.1.8.3)
+        c, ct = self.c, self.ct
+        while a < 0x8000:
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                t = c >> 19
+                if t > 0xFF:
+                    # carry: resolve into the pending byte; stacked
+                    # 0xFF bytes ripple to 0x00
+                    if self.buffer >= 0:
+                        while self.zc:
+                            self.out.append(0x00)
+                            self.zc -= 1
+                        b = self.buffer + 1
+                        self.out.append(b)
+                        if b == 0xFF:
+                            self.out.append(0x00)
+                    self.zc += self.sc
+                    self.sc = 0
+                    # spacer bits guarantee t & 0xFF < 0xFF here
+                    self.buffer = t & 0xFF
+                elif t == 0xFF:
+                    self.sc += 1  # hold: a later carry may ripple
+                else:
+                    if self.buffer == 0:
+                        self.zc += 1
+                    elif self.buffer >= 0:
+                        while self.zc:
+                            self.out.append(0x00)
+                            self.zc -= 1
+                        self.out.append(self.buffer)
+                    if self.sc:
+                        while self.zc:
+                            self.out.append(0x00)
+                            self.zc -= 1
+                        while self.sc:
+                            self.out.append(0xFF)
+                            self.out.append(0x00)  # stuffing
+                            self.sc -= 1
+                    self.buffer = t
+                c &= 0x7FFFF
+                ct = 8
+        self.a, self.c, self.ct = a, c, ct
+
+    def flush(self) -> None:
+        """D.1.8 termination: point C at the value inside [C, C+A)
+        with the most trailing zero bits, push out what remains, drop
+        trailing zeros (the decoder feeds zeros past the data)."""
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        c = self.c << self.ct
+        if c & 0xF8000000:
+            if self.buffer >= 0:
+                while self.zc:
+                    self.out.append(0x00)
+                    self.zc -= 1
+                b = self.buffer + 1
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                while self.zc:
+                    self.out.append(0x00)
+                    self.zc -= 1
+                self.out.append(self.buffer)
+            if self.sc:
+                while self.zc:
+                    self.out.append(0x00)
+                    self.zc -= 1
+                while self.sc:
+                    self.out.append(0xFF)
+                    self.out.append(0x00)
+                    self.sc -= 1
+        if c & 0x7FFF800:
+            while self.zc:
+                self.out.append(0x00)
+                self.zc -= 1
+            b = (c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            if c & 0x7F800:
+                b = (c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+        self._reinit()
+
+    def restart(self, n: int) -> None:
+        """Flush the interval, emit RSTn, re-init the coder (the
+        caller resets statistics and predictors per F.1.4.1.1)."""
+        self.flush()
+        self.out += bytes((0xFF, 0xD0 | (n & 7)))
+
+
+class ArithDecoder:
+    """T.81 Annex D arithmetic decoder over one scan's entropy bytes.
+    Feeds literal bytes with 0xFF00 unstuffing; hitting any marker
+    (or end of data) switches to zero-feed mode — the NORMAL end of a
+    scan, since the encoder's flush drops trailing zeros. ``pos``
+    always points at the next unconsumed byte (ON the 0xFF of a
+    marker once one is seen), so the caller's advance-to-next-marker
+    walk keeps working unchanged."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.d = data
+        self.pos = pos
+        self._init_registers()
+
+    def _init_registers(self) -> None:
+        self.marker = False
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # forces the two INITDEC bytes through renorm
+
+    def _byte(self) -> int:
+        if self.marker:
+            return 0
+        d, p, n = self.d, self.pos, len(self.d)
+        if p >= n:
+            self.marker = True
+            return 0
+        b = d[p]
+        p += 1
+        if b == 0xFF:
+            while p < n and d[p] == 0xFF:  # fill bytes
+                p += 1
+            if p < n and d[p] == 0x00:
+                self.pos = p + 1
+                return 0xFF  # stuffed literal
+            self.marker = True
+            self.pos = p - 1  # park ON the marker's 0xFF
+            return 0
+        self.pos = p
+        return b
+
+    def decode(self, st: bytearray, i: int) -> int:
+        a, c, ct = self.a, self.c, self.ct
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._byte()
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000  # -> 0x10000 after the shift below
+            a <<= 1
+        sv = st[i]
+        qe, nl, nm, sw = _QM_TABLE[sv & 0x7F]
+        a -= qe
+        t = a << ct
+        if c >= t:
+            c -= t
+            # upper subinterval: LPS unless conditionally exchanged
+            if a < qe:
+                a = qe
+                st[i] = (sv & 0x80) | nm
+            else:
+                a = qe
+                if sw:
+                    st[i] = ((sv & 0x80) ^ 0x80) | nl
+                else:
+                    st[i] = (sv & 0x80) | nl
+                sv ^= 0x80
+        elif a < 0x8000:
+            # lower subinterval with renorm pending: MPS unless
+            # conditionally exchanged
+            if a < qe:
+                if sw:
+                    st[i] = ((sv & 0x80) ^ 0x80) | nl
+                else:
+                    st[i] = (sv & 0x80) | nl
+                sv ^= 0x80
+            else:
+                st[i] = (sv & 0x80) | nm
+        self.a, self.c, self.ct = a, c, ct
+        return sv >> 7
+
+    def sync_restart(self, expect: int) -> None:
+        """Skip unconsumed flush bytes to the RSTn, verify its
+        modulo-8 index, and re-init for the next interval."""
+        d, p, n = self.d, self.pos, len(self.d)
+        if not self.marker:
+            # flush bytes the decoder never needed: scan to the marker
+            while p < n:
+                if d[p] != 0xFF:
+                    p += 1
+                    continue
+                q = p + 1
+                while q < n and d[q] == 0xFF:
+                    q += 1
+                if q < n and d[q] == 0x00:
+                    p = q + 1  # stuffed data byte
+                    continue
+                p = q - 1
+                break
+        if p + 1 >= n or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("expected restart marker in arithmetic scan")
+        if (d[p + 1] & 7) != (expect & 7):
+            raise ValueError(
+                f"restart marker out of sequence: got RST{d[p + 1] & 7}, "
+                f"expected RST{expect & 7}"
+            )
+        self.pos = p + 2
+        self._init_registers()
+
+
+# --------------------------------------------------------------------------
+# Statistical models (T.81 F.1.4.4 sequential, G.1.3.2 progressive).
+# DC statistics: 64-byte area per conditioning table — bins 0..19 the
+# five previous-diff contexts x (zero?, sign, mag>1 pos, mag>1 neg),
+# X bins from 20, M bins at X+14. AC statistics: 256-byte area — per
+# zigzag k the (EOB?, zero?, first-magnitude) triple at 3(k-1), X/M
+# areas at 189 (k <= Kx) and 217 (k > Kx).
+# --------------------------------------------------------------------------
+
+
+def _dc_encode(enc, stats, ctx, diff, L, U):
+    """Encode one DC difference; returns the next conditioning
+    context (F.1.4.4.1)."""
+    if diff == 0:
+        enc.encode(stats, ctx, 0)
+        return 0
+    enc.encode(stats, ctx, 1)
+    sign = 0 if diff > 0 else 1
+    enc.encode(stats, ctx + 1, sign)
+    v = diff if diff > 0 else -diff
+    st = ctx + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        st = 20
+        v2 = v
+        while v2 := v2 >> 1:
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    if m < (1 << L) >> 1:
+        nxt = 0
+    elif m > (1 << U) >> 1:
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    st += 14
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(stats, st, 1 if (mm & v) else 0)
+    return nxt
+
+
+def _dc_decode(dec, stats, ctx, L, U):
+    """Decode one DC difference; returns (diff, next context)."""
+    if dec.decode(stats, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(stats, ctx + 1)
+    st = ctx + 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = 20
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            st += 1
+    if m < (1 << L) >> 1:
+        nxt = 0
+    elif m > (1 << U) >> 1:
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    v = m
+    st += 14
+    while m := m >> 1:
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _ac_mag_encode(enc, stats, fixed, st, v, k, kx):
+    """Shared AC magnitude/sign coder (F.1.4.4.2): sign through the
+    fixed state, two category decisions in the per-k bin, the rest in
+    the Kx-split X area, mantissa in the bin 14 past the last X."""
+    enc.encode(fixed, 0, 0 if v > 0 else 1)
+    if v < 0:
+        v = -v
+    st += 2
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        v2 = v
+        if v2 := v2 >> 1:
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st = 189 if k <= kx else 217
+            while v2 := v2 >> 1:
+                enc.encode(stats, st, 1)
+                m <<= 1
+                st += 1
+    enc.encode(stats, st, 0)
+    st += 14
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(stats, st, 1 if (mm & v) else 0)
+
+
+def _ac_mag_decode(dec, stats, fixed, st, k, kx):
+    """Inverse of _ac_mag_encode; returns the signed coefficient."""
+    sign = dec.decode(fixed, 0)
+    st += 2
+    m = dec.decode(stats, st)
+    if m:
+        if dec.decode(stats, st):
+            m <<= 1
+            st = 189 if k <= kx else 217
+            while dec.decode(stats, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arithmetic AC magnitude overflow")
+                st += 1
+    v = m
+    st += 14
+    while m := m >> 1:
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _enc_block_seq(enc, zz, dc_stats, ac_stats, fixed, dcs, ci, L, U, kx):
+    """Sequential block: DC diff then Figure F.5 AC coefficients.
+    ``dcs`` holds per-component (last_dc, dc_context)."""
+    last, ctx = dcs[ci]
+    diff = zz[0] - last
+    nxt = _dc_encode(enc, dc_stats, ctx, diff, L, U)
+    dcs[ci] = (zz[0], nxt)
+    ke = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            ke = k
+            break
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_stats, st, 0)  # not EOB yet
+        while zz[k] == 0:
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_stats, st + 1, 1)
+        _ac_mag_encode(enc, ac_stats, fixed, st, zz[k], k, kx)
+        k += 1
+    if ke < 63:
+        enc.encode(ac_stats, 3 * (ke + 1 - 1), 1)  # EOB
+
+
+def _dec_block_seq(dec, dc_stats, ac_stats, fixed, dcs, ci, L, U, kx):
+    """Decode one sequential block to a 64-entry zigzag list."""
+    diff, nxt = _dc_decode(dec, dc_stats, dcs[ci][1], L, U)
+    dc = dcs[ci][0] + diff
+    dcs[ci] = (dc, nxt)
+    zz = [0] * 64
+    zz[0] = dc
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_stats, st):
+            break  # EOB
+        while dec.decode(ac_stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic AC run past block end")
+        zz[k] = _ac_mag_decode(dec, ac_stats, fixed, st, k, kx)
+        k += 1
+    return zz
+
+
+# -- progressive variants ---------------------------------------------------
+
+
+def _enc_ac_first(enc, zz, ac_stats, fixed, ss, se, al, kx):
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if abs(zz[k]) >> al:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_stats, st, 0)
+        while (abs(zz[k]) >> al) == 0:
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_stats, st + 1, 1)
+        v = abs(zz[k]) >> al
+        _ac_mag_encode(enc, ac_stats, fixed, st, -v if zz[k] < 0 else v, k, kx)
+        k += 1
+    if ke < se:
+        enc.encode(ac_stats, 3 * (max(k, ss) - 1), 1)
+
+
+def _dec_ac_first(dec, blk, ac_stats, fixed, ss, se, al, kx):
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(ac_stats, st):
+            break
+        while dec.decode(ac_stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC run past spectral end")
+        blk[k] = _ac_mag_decode(dec, ac_stats, fixed, st, k, kx) << al
+        k += 1
+
+
+def _enc_ac_refine(enc, zz, ac_stats, fixed, ss, se, ah, al):
+    kex = 0  # previous stage's end-of-block (visible at scale Ah)
+    for k in range(se, ss - 1, -1):
+        if abs(zz[k]) >> ah:
+            kex = k
+            break
+    ke = 0  # this stage's end-of-block
+    for k in range(se, ss - 1, -1):
+        if abs(zz[k]) >> al:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac_stats, st, 0)
+        while True:
+            v = abs(zz[k]) >> al
+            if v:
+                if v >> 1:  # previously nonzero: correction bit
+                    enc.encode(ac_stats, st + 2, v & 1)
+                else:  # newly nonzero: sign through fixed state
+                    enc.encode(ac_stats, st + 1, 1)
+                    enc.encode(fixed, 0, 1 if zz[k] < 0 else 0)
+                break
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if ke < se:
+        k = max(k, ss)
+        if k > kex:
+            enc.encode(ac_stats, 3 * (k - 1), 1)
+        else:
+            # every remaining position is previously-nonzero with a
+            # zero correction bit — kex bounds ke from above for
+            # magnitudes, so this cannot happen; guard anyway
+            raise AssertionError("EOB inside previous-stage band")
+
+
+def _dec_ac_refine(dec, blk, ac_stats, fixed, ss, se, al):
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if blk[k]:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(ac_stats, st):
+            break
+        while True:
+            if blk[k]:
+                if dec.decode(ac_stats, st + 2):
+                    blk[k] += m1 if blk[k] < 0 else p1
+                break
+            if dec.decode(ac_stats, st + 1):
+                blk[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refine past spectral end")
+        k += 1
+
+
+# --------------------------------------------------------------------------
+# Scan drivers
+# --------------------------------------------------------------------------
+
+
+def _scan_units(scan_comps, nb, comp_blocks, by_id, mcus_y, mcus_x):
+    """MCU/block enumeration identical to the Huffman path's: a
+    single-component scan is non-interleaved (one block per MCU,
+    raster over the component's own ceil grid, T.81 A.2.2)."""
+    if len(scan_comps) == 1:
+        cs, td, ta = scan_comps[0]
+        nby, nbx_c = comp_blocks[cs]
+        _, nbx = nb[cs]
+        return [
+            [(cs, td, ta, by * nbx + bx)]
+            for by in range(nby)
+            for bx in range(nbx_c)
+        ]
+    units = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            unit = []
+            for cs, td, ta in scan_comps:
+                ch, cv, _ = by_id[cs]
+                _, nbx = nb[cs]
+                for r in range(cv):
+                    for c in range(ch):
+                        unit.append(
+                            (cs, td, ta, (my * cv + r) * nbx + (mx * ch + c))
+                        )
+            units.append(unit)
+    return units
+
+
+def _fresh_stats(scan_comps):
+    dc_stats = {td: bytearray(64) for _, td, _ in scan_comps}
+    ac_stats = {ta: bytearray(256) for _, _, ta in scan_comps}
+    fixed = bytearray((_FIXED_STATE,))
+    return dc_stats, ac_stats, fixed
+
+
+def arith_decode_scan(
+    entropy: bytes,
+    scan_comps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    store: dict,
+    nb: dict,
+    comp_blocks: dict,
+    by_id: dict,
+    mcus_y: int,
+    mcus_x: int,
+    restart_interval: int,
+    cond: dict,
+) -> int:
+    """Decode ONE arithmetic-coded scan into the zigzag coefficient
+    store (the twin of multimodal._jpeg_decode_scan for SOF9/SOF10).
+    ``cond`` carries the DAC conditioning: cond['dc'][td] = (L, U),
+    cond['ac'][ta] = Kx. Returns the entropy-byte index the caller
+    resumes its marker walk from."""
+    ns = len(scan_comps)
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("sequential scan with progressive parameters")
+
+    units = _scan_units(scan_comps, nb, comp_blocks, by_id, mcus_y, mcus_x)
+    dec = ArithDecoder(entropy)
+    dc_stats, ac_stats, fixed = _fresh_stats(scan_comps)
+    dcs = {cs: (0, 0) for cs, _, _ in scan_comps}
+    for mcu_idx, unit in enumerate(units):
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            dec.sync_restart(mcu_idx // restart_interval - 1)
+            dc_stats, ac_stats, fixed = _fresh_stats(scan_comps)
+            dcs = {cs: (0, 0) for cs, _, _ in scan_comps}
+        for cs, td, ta, idx in unit:
+            blk = store[cs][idx]
+            if not progressive:
+                L, U = cond["dc"].get(td, (0, 1))
+                kx = cond["ac"].get(ta, 5)
+                store[cs][idx] = _dec_block_seq(
+                    dec, dc_stats[td], ac_stats[ta], fixed, dcs, cs, L, U, kx
+                )
+            elif ss == 0:
+                if ah == 0:
+                    L, U = cond["dc"].get(td, (0, 1))
+                    diff, nxt = _dc_decode(dec, dc_stats[td], dcs[cs][1], L, U)
+                    dc = dcs[cs][0] + diff
+                    dcs[cs] = (dc, nxt)
+                    blk[0] = dc << al
+                else:  # DC refinement: one fixed-state bit per block
+                    if dec.decode(fixed, 0):
+                        blk[0] |= 1 << al
+            else:
+                kx = cond["ac"].get(ta, 5)
+                if ah == 0:
+                    _dec_ac_first(dec, blk, ac_stats[ta], fixed, ss, se, al, kx)
+                else:
+                    _dec_ac_refine(dec, blk, ac_stats[ta], fixed, ss, se, al)
+    return dec.pos
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+_DEFAULT_COND = {"dc": {0: (0, 1), 1: (0, 1)}, "ac": {0: 5, 1: 5}}
+
+
+def _dac_segment(ncomp: int) -> bytes:
+    """DAC (B.2.4.3) declaring the default conditioning explicitly
+    for every table the scan uses: DC Cs = (U << 4) | L, AC Cs = Kx."""
+    body = bytearray()
+    for tb in range(min(ncomp, 2)):
+        L, U = _DEFAULT_COND["dc"][tb]
+        body += bytes((0x00 | tb, (U << 4) | L))
+        body += bytes((0x10 | tb, _DEFAULT_COND["ac"][tb]))
+    return bytes((0xFF, 0xCC)) + struct.pack(">H", len(body) + 2) + bytes(body)
+
+
+def _quantized_planes_any(img, quality, hs, vs, precision):
+    """Front half shared with the Huffman encoders: grayscale or RGB,
+    8- or 12-bit, returns (zzs, H, W, ncomp). Mirrors
+    multimodal.jpeg_encode_extended's plane math so the SAME
+    coefficients flow through either entropy layer."""
+    from bigdataflink_spark.operators.multimodal import (
+        _box_downsample,
+        _quant_tables,
+        _zigzag_quant_blocks,
+    )
+
+    maxv = (1 << precision) - 1
+    half = float(1 << (precision - 1))
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qlum, qchr = _quant_tables(quality)
+    if precision == 12:
+        qlum, qchr = qlum * 16.0, qchr * 16.0
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    H = (h + mcu_h - 1) // mcu_h * mcu_h
+    W = (w + mcu_w - 1) // mcu_w * mcu_w
+    if gray:
+        plane = np.clip(img.astype(np.float64), 0, maxv) - half
+        plane = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+        return [_zigzag_quant_blocks(plane, qlum)], H, W, 1
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + half
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + half
+    planes = [np.clip(p, 0, maxv) - half for p in (y, cb, cr)]
+    planes = [np.pad(p, ((0, H - h), (0, W - w)), mode="edge") for p in planes]
+    zzs = [
+        _zigzag_quant_blocks(planes[0], qlum),
+        _zigzag_quant_blocks(_box_downsample(planes[1], vs, hs), qchr),
+        _zigzag_quant_blocks(_box_downsample(planes[2], vs, hs), qchr),
+    ]
+    return zzs, H, W, 3
+
+
+def jpeg_encode_arithmetic(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    precision: int = 8,
+    progressive: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode as an ARITHMETIC-coded JPEG: SOF9 (extended sequential)
+    or SOF10 (progressive) per T.81 Annexes D/F/G. Grayscale 2-D
+    arrays emit single-component streams; precision 12 takes uint16
+    in [0, 4095] (16-bit DQT, x16 Annex K quantizers — the same
+    convention as jpeg_encode_extended, so 12-bit arithmetic and
+    12-bit Huffman decode to identical pixels). ``progressive`` uses
+    a fixed 2-stage successive-approximation scan script (DC first
+    Al=1 + refine; per-component AC 1-5 / 6-63 first at Al=1 +
+    refine) exercising every Annex G arithmetic scan kind. A nonzero
+    ``restart_interval`` terminates and re-initializes the coder at
+    RSTn boundaries with full statistics reset (F.1.4.1.1)."""
+    from bigdataflink_spark.operators.multimodal import (
+        _SUBSAMPLE_FACTORS,
+        _seg,
+        _quant_tables,
+        _ZIGZAG,
+    )
+
+    assert precision in (8, 12)
+    gray = img.ndim == 2
+    want = np.uint16 if precision == 12 else np.uint8
+    assert img.dtype == want and (gray or img.shape[2] == 3)
+    hs, vs = (1, 1) if gray else _SUBSAMPLE_FACTORS[subsample]
+    h, w = img.shape[:2]
+    zzs, H, W, ncomp = _quantized_planes_any(img, quality, hs, vs, precision)
+    samp = [(hs, vs), (1, 1), (1, 1)][:ncomp]
+    tids = [0, 1, 1][:ncomp]
+    mcus_y, mcus_x = H // (8 * vs), W // (8 * hs)
+    kxs = [_DEFAULT_COND["ac"][t] for t in tids]
+    lus = [_DEFAULT_COND["dc"][t] for t in tids]
+
+    def units_interleaved():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for ci in range(ncomp):
+                    ch, cv = samp[ci]
+                    for r in range(cv):
+                        for c in range(ch):
+                            unit.append((ci, my * cv + r, mx * ch + c))
+                yield unit
+
+    def run_scan(encode_unit, unit_iter, n_units, reset):
+        """Drive one scan's unit loop with restart handling; returns
+        the entropy bytes."""
+        enc = ArithEncoder()
+        state = reset()
+        for mcu_idx, unit in enumerate(unit_iter):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                enc.restart(mcu_idx // restart_interval - 1)
+                state = reset()
+            encode_unit(enc, state, unit)
+        enc.flush()
+        return bytes(enc.out)
+
+    scans = []  # (sos_body, entropy_bytes)
+    if not progressive:
+
+        def reset_seq():
+            return (
+                {0: bytearray(64), 1: bytearray(64)},
+                {0: bytearray(256), 1: bytearray(256)},
+                bytearray((_FIXED_STATE,)),
+                {ci: (0, 0) for ci in range(ncomp)},
+            )
+
+        def enc_unit_seq(enc, state, unit):
+            dc_st, ac_st, fixed, dcs = state
+            for ci, by, bx in unit:
+                t = tids[ci]
+                L, U = lus[ci]
+                _enc_block_seq(
+                    enc, zzs[ci][by][bx], dc_st[t], ac_st[t], fixed,
+                    dcs, ci, L, U, kxs[ci],
+                )
+
+        entropy = run_scan(
+            enc_unit_seq, units_interleaved(), mcus_y * mcus_x, reset_seq
+        )
+        if gray:
+            sos_body = bytes([1, 1, 0x00, 0, 63, 0])
+        else:
+            sos_body = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        scans.append((sos_body, entropy))
+    else:
+        # Scan script: DC first (Al=1, interleaved) -> per-component
+        # AC first 1..5 then 6..63 (Al=1) -> DC refine (Al=0) ->
+        # per-component AC refine 1..63 (Ah=1, Al=0).
+        comp_grids = []
+        for ci in range(ncomp):
+            ch, cv = samp[ci]
+            ph = -(-(h * cv) // vs) if not gray else h
+            pw = -(-(w * ch) // hs) if not gray else w
+            comp_grids.append(((ph + 7) // 8, (pw + 7) // 8))
+
+        def dc_scan(ah, al):
+            def reset():
+                return (
+                    {0: bytearray(64), 1: bytearray(64)},
+                    bytearray((_FIXED_STATE,)),
+                    {ci: (0, 0) for ci in range(ncomp)},
+                )
+
+            def enc_unit(enc, state, unit):
+                dc_st, fixed, dcs = state
+                for ci, by, bx in unit:
+                    zz = zzs[ci][by][bx]
+                    if ah == 0:
+                        t = tids[ci]
+                        L, U = lus[ci]
+                        last, ctx = dcs[ci]
+                        cur = zz[0] >> al
+                        nxt = _dc_encode(
+                            enc, dc_st[t], ctx, cur - last, L, U
+                        )
+                        dcs[ci] = (cur, nxt)
+                    else:
+                        enc.encode(fixed, 0, (zz[0] >> al) & 1)
+
+            entropy = run_scan(
+                enc_unit, units_interleaved(), mcus_y * mcus_x, reset
+            )
+            comps = b"".join(
+                bytes([ci + 1, (tids[ci] << 4) | tids[ci]])
+                for ci in range(ncomp)
+            )
+            return bytes([ncomp]) + comps + bytes([0, 0, (ah << 4) | al]), entropy
+
+        def ac_scan(ci, ss_, se_, ah, al):
+            nby, nbx = comp_grids[ci]
+
+            def unit_iter():
+                for by in range(nby):
+                    for bx in range(nbx):
+                        yield (by, bx)
+
+            def reset():
+                return (
+                    {tids[ci]: bytearray(256)},
+                    bytearray((_FIXED_STATE,)),
+                )
+
+            def enc_unit(enc, state, unit):
+                ac_st, fixed = state
+                by, bx = unit
+                zz = zzs[ci][by][bx]
+                if ah == 0:
+                    _enc_ac_first(
+                        enc, zz, ac_st[tids[ci]], fixed, ss_, se_, al,
+                        kxs[ci],
+                    )
+                else:
+                    _enc_ac_refine(
+                        enc, zz, ac_st[tids[ci]], fixed, ss_, se_, ah, al
+                    )
+
+            entropy = run_scan(enc_unit, unit_iter(), nby * nbx, reset)
+            body = bytes(
+                [1, ci + 1, (tids[ci] << 4) | tids[ci], ss_, se_,
+                 (ah << 4) | al]
+            )
+            return body, entropy
+
+        scans.append(dc_scan(0, 1))
+        for ci in range(ncomp):
+            scans.append(ac_scan(ci, 1, 5, 0, 1))
+            scans.append(ac_scan(ci, 6, 63, 0, 1))
+        scans.append(dc_scan(1, 0))
+        for ci in range(ncomp):
+            scans.append(ac_scan(ci, 1, 63, 1, 0))
+
+    # -- assemble the stream ------------------------------------------
+    qlum, qchr = _quant_tables(quality)
+    if precision == 12:
+        qtabs = [(0, qlum * 16.0)] + ([] if gray else [(1, qchr * 16.0)])
+        dqt = b"".join(
+            _seg(
+                0xDB,
+                bytes([0x10 | tid])
+                + b"".join(
+                    struct.pack(">H", int(v)) for v in tbl.flatten()[_ZIGZAG]
+                ),
+            )
+            for tid, tbl in qtabs
+        )
+    else:
+        qtabs = [(0, qlum)] + ([] if gray else [(1, qchr)])
+        dqt = b"".join(
+            _seg(0xDB, bytes([tid]) + bytes(int(v) for v in tbl.flatten()[_ZIGZAG]))
+            for tid, tbl in qtabs
+        )
+    if gray:
+        sof_comps = bytes([1, 0x11, 0])
+    else:
+        sof_comps = bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof = _seg(
+        0xCA if progressive else 0xC9,
+        struct.pack(">BHHB", precision, h, w, ncomp) + sof_comps,
+    )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    app0 = (
+        _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        if precision == 8
+        else b""
+    )
+    out = bytearray(b"\xff\xd8" + app0 + dqt + _dac_segment(ncomp) + dri + sof)
+    for sos_body, entropy in scans:
+        out += _seg(0xDA, sos_body) + entropy
+    out += b"\xff\xd9"
+    return bytes(out)

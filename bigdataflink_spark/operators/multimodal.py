@@ -2964,6 +2964,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     htables: dict[int, dict] = {}
     comps = None  # SOF order: (cid, h_i, v_i, tq)
     progressive = False
+    arithmetic = False
+    arith_cond: dict = {"dc": {}, "ac": {}}  # DAC conditioning (B.2.4.3)
     lossless = False
     lplanes = None  # lossless: cid -> h×w list-of-lists sample plane
     lpt: dict[int, int] = {}  # lossless: cid -> point transform
@@ -3020,19 +3022,32 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 b += 17 + nv
         elif marker == 0xDD:  # DRI (may change between scans)
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            b = 0
+            while b + 1 < len(body):
+                tc_tb, cs = body[b], body[b + 1]
+                if tc_tb >> 4 == 0:  # DC: L low nibble, U high nibble
+                    arith_cond["dc"][tc_tb & 0x0F] = (cs & 0x0F, cs >> 4)
+                else:  # AC: Cs = Kx
+                    arith_cond["ac"][tc_tb & 0x0F] = cs
+                b += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential (round 8 —
             # baseline machinery with a 12-bit-capable sample width) /
             # SOF2 progressive / SOF3 lossless (round 9 — Annex H
-            # predictive coding, no DCT, decodes bit-exactly)
-            progressive = marker == 0xC2
+            # predictive coding, no DCT, decodes bit-exactly) /
+            # SOF9 + SOF10 arithmetic sequential/progressive (round
+            # 10 — same DCT machinery, QM-coded entropy layer in
+            # operators/jpeg_arith.py)
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             lossless = marker == 0xC3
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if marker == 0xC3:
                 allowed = tuple(range(2, 17))
-            elif marker == 0xC1:
+            elif marker in (0xC1, 0xC9, 0xCA):
                 allowed = (8, 12)
             else:
                 allowed = (8,)
@@ -3040,18 +3055,17 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"precision {prec} invalid for SOF{marker - 0xC0} "
                     "(8 for baseline/progressive, 8 or 12 for "
-                    "extended sequential, 2-16 for lossless); 1- or "
-                    "3-component only"
+                    "extended sequential/arithmetic, 2-16 for "
+                    "lossless); 1- or 3-component only"
                 )
             precision = prec
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
-                        0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0} (arithmetic/differential/"
+                f"SOF{marker - 0xC0} (arithmetic-lossless/differential/"
                 "hierarchical) not supported"
             )
         elif marker == 0xDA:  # SOS — decode this scan in place
@@ -3088,6 +3102,33 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = a >> 4, a & 0x0F
             entropy = payload[pos + 2 + seglen :]
+            if arithmetic:
+                from bigdataflink_spark.operators.jpeg_arith import (
+                    arith_decode_scan,
+                )
+
+                p = arith_decode_scan(
+                    entropy, scan_comps, ss, se, ah, al, progressive,
+                    store, nb, comp_blocks, by_id, mcus_y, mcus_x,
+                    restart_interval, arith_cond,
+                )
+                saw_scan = True
+                while True:
+                    nxt = entropy.find(b"\xff", p)
+                    if nxt == -1 or nxt + 1 >= len(entropy):
+                        p = len(entropy)
+                        break
+                    b2 = entropy[nxt + 1]
+                    if b2 == 0x00:
+                        p = nxt + 2
+                        continue
+                    if b2 == 0xFF:
+                        p = nxt + 1
+                        continue
+                    p = nxt
+                    break
+                pos = pos + 2 + seglen + p
+                continue
             br = _BitReader(entropy)
             if lossless:
                 if lplanes is None:

@@ -4330,6 +4330,23 @@ FROM documents WHERE doc_id % 7 = 2
 """
 
 
+# q220: arithmetic JPEG pins are Huffman-vs-arithmetic pixel
+# equalities on the SAME quantized coefficients plus by-construction
+# stream/size booleans — TRUE by contract, like q212's (the engines
+# only have to agree on the audited doc slice).
+ORACLES["q220_jpeg_arithmetic"] = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       TRUE AS seq_match,
+       TRUE AS prog_match,
+       TRUE AS ext12_match,
+       TRUE AS sof9_stream,
+       TRUE AS arith_smaller
+FROM documents WHERE doc_id % 11 = 6
+"""
+
+
 # q217: the hash-threshold sample is a pure function of the key set,
 # so DuckDB recomputes the sample, the power-of-two cutoff, both
 # discrete quantiles AND the integer rank-error booleans bit-for-bit

@@ -7593,6 +7593,117 @@ def q219_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
+def q220_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG contract (SOF9/SOF10, T.81 Annex D QM
+    coder — round 10, VERDICT r9 "Next round #5": the last DCT JPEG
+    entropy profile the decoder gated on). Per sampled doc, three
+    signals run the full encode→decode loop through
+    operators/jpeg_arith.py:
+
+    * ``seq_match`` — an 8-bit RGB image through SOF9 arithmetic
+      decodes to pixels IDENTICAL to the same image through SOF0
+      Huffman at the same quality: the entropy layers share the DCT
+      front half, so any QM-coder, statistical-model, stuffing or
+      carry slip flips the boolean (the strongest pin available
+      without an arithmetic-capable external decoder — interop is
+      additionally marker-gated on djpeg in tests/test_jpeg_arith.py,
+      the ffprobe pattern).
+    * ``prog_match`` — the same image through SOF10 progressive
+      arithmetic (successive approximation, DC+AC first/refine scans,
+      restart markers every 4 data units) equals the SOF9 pixels.
+    * ``ext12_match`` — a 12-bit grayscale through SOF9 equals the
+      SOF1 Huffman extended-sequential decode (uint16 out).
+    * ``sof9_stream`` — marker-structure pin from the bytes via the
+      real segment walk: SOF9 + DAC present, NO DHT and no Huffman
+      SOFs in an arithmetic stream.
+    * ``arith_smaller`` — the QM coder's adaptive binary estimation
+      must beat static Annex K Huffman on the smooth gradient; a
+      coder that round-trips but estimates nothing fails it.
+
+    Audited on the deterministic doc_id%11==6 slice (disjoint from
+    the %7 codec slices; declared, mirrored by the oracle). One Arrow
+    map stage: zero shuffles, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.jpeg_arith import (
+        jpeg_encode_arithmetic,
+    )
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_extended,
+        jpeg_markers,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 6)
+    width, height = 16, 12
+
+    def _batches(it):
+        import numpy as np
+
+        n = width * height
+        ks = np.arange(n, dtype=np.int64)
+        cols = ("media_id", "width", "height", "seq_match",
+                "prog_match", "ext12_match", "sof9_stream",
+                "arith_smaller")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = (i * 7 + ks // width * 3 + ks % width * 5) % 256
+                rgb = np.stack(
+                    [base, (base + 31) % 256, (base + 67) % 256],
+                    axis=-1,
+                ).astype(np.uint8).reshape(height, width, 3)
+                hb = jpeg_encode(rgb, quality=80)
+                ab = jpeg_encode_arithmetic(rgb, quality=80)
+                pb = jpeg_encode_arithmetic(
+                    rgb, quality=80, progressive=True, restart_interval=4
+                )
+                da = jpeg_decode(ab)
+                seq_match = bool(np.array_equal(jpeg_decode(hb), da))
+                prog_match = bool(np.array_equal(da, jpeg_decode(pb)))
+                g12 = (((i * 31 + ks) * 29) % 4096).astype(
+                    np.uint16
+                ).reshape(height, width)
+                ext12_match = bool(
+                    np.array_equal(
+                        jpeg_decode(
+                            jpeg_encode_extended(g12, precision=12)
+                        ),
+                        jpeg_decode(
+                            jpeg_encode_arithmetic(g12, precision=12)
+                        ),
+                    )
+                )
+                codes = [m for m, _ in jpeg_markers(ab)]
+                stream_ok = (
+                    0xC9 in codes
+                    and 0xCC in codes
+                    and 0xC4 not in codes
+                    and not {0xC0, 0xC1, 0xC2, 0xC3} & set(codes)
+                )
+                rows["media_id"].append(i)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["seq_match"].append(seq_match)
+                rows["prog_match"].append(prog_match)
+                rows["ext12_match"].append(ext12_match)
+                rows["sof9_stream"].append(bool(stream_ok))
+                rows["arith_smaller"].append(bool(len(ab) < len(hb)))
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, width int, height int, seq_match boolean, "
+            "prog_match boolean, ext12_match boolean, "
+            "sof9_stream boolean, arith_smaller boolean"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -7810,4 +7921,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q217_quantile_sketch": q217_quantile_sketch,
     "q218_streaming_kmv": q218_streaming_kmv,
     "q219_streaming_cms": q219_streaming_cms,
+    "q220_jpeg_arithmetic": q220_jpeg_arithmetic,
 }

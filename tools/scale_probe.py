@@ -400,9 +400,63 @@ def main() -> None:
     print(json.dumps({"copies": COPIES, "queries": report}, indent=2))
 
 
+def main_sketch() -> None:
+    """Round-10 tier (VERDICT r9 #6): the full sketch family at ×100 —
+    batch KMV/Bloom/CMS/quantile plus the three streaming twins
+    (Bloom q215, KMV q218, CMS q219). Streaming twins allocate fresh
+    tempdir state per call, so steady-state repeats re-run the whole
+    3-micro-batch pipeline each time (that IS the measured shape:
+    per-batch cost must be flat in corpus size because state is
+    bounded — k·levels rows / m positions / keep·d·w counters).
+
+    Run: python tools/scale_probe.py sketch
+    """
+    spark = get_spark("scale-probe-sketch")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DST100}/lineitem.parquet"):
+        print("building synthetic sf10 ...", file=sys.stderr)
+        build_sf10(spark)
+    elif not os.path.exists(f"{DST100}/events.parquet"):
+        _build_sf10_events(spark)
+    QUERIES["q02_revenue_by_region"](spark, SRC).count()  # warm
+    report = {}
+
+    def steady(fn, sf, reps=3):
+        n = fn(spark, sf).count()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf).count()
+            best = min(best, time.perf_counter() - t0)
+        return n, round(best, 3)
+
+    for name in (
+        "q213_kmv_distinct",
+        "q214_bloom_seen_set",
+        "q215_streaming_bloom",
+        "q216_cms_frequency",
+        "q217_quantile_sketch",
+        "q218_streaming_kmv",
+        "q219_streaming_cms",
+    ):
+        n_small, t_small = steady(QUERIES[name], SRC)
+        n_big, t_big = steady(QUERIES[name], DST100)
+        report[name] = {
+            "sf0.1_s": t_small,
+            "sf10_s": t_big,
+            "x": round(t_big / t_small, 2) if t_small else None,
+            "rows0.1": n_small,
+            "rows10": n_big,
+        }
+        print(f"{name}: {report[name]}", file=sys.stderr)
+    print(json.dumps({"tier": "sketch", "copies": COPIES100, "queries": report}, indent=2))
+
+
 if __name__ == "__main__":
     if "state" in sys.argv[1:]:
         main_state()
+    elif "sketch" in sys.argv[1:]:
+        main_sketch()
     elif "100" in sys.argv[1:]:
         main_100()
     else:
