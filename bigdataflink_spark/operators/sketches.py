@@ -354,3 +354,58 @@ def bloom_membership(
     return hits.groupBy("probe_key").agg(
         (F.count("*") == F.count("_set")).alias("member")
     )
+
+
+def theta_set_ops(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """Theta-sketch set operations over two same-salt KMV sketches
+    (the a-priori / theta framework of Dasgupta et al., "Theta
+    sketches", and the KMV set-operation analysis of Beyer et al.
+    SIGMOD 2007): estimate |A∩B|, |A∖B|, |B∖A| and |A∪B| from two
+    bottom-k summaries WITHOUT rescanning either corpus — the
+    "how much does crawl B overlap crawl A" planning primitive.
+
+    Mechanics: θ_X = the kth smallest hash of X (the full domain if
+    the sketch never filled). Below θ = min(θ_A, θ_B) each sketch
+    contains EVERY hash of its set (bottom-k ⊇ everything under its
+    own θ), so the sub-θ region is an exact coordinated sample of
+    both sets: count intersections/differences there and scale by
+    DOMAIN/θ. All arithmetic is int64 (counts ≤ 2k, DOMAIN = 2^48,
+    cnt·DOMAIN < 2^57), so a DuckDB twin recomputes every estimate
+    bit-for-bit; when NEITHER sketch filled, θ = DOMAIN and every
+    "estimate" is exact by construction.
+
+    Input: two one-row ``(ks array<long>)`` frames from
+    :func:`kmv_sketch` with the SAME k and salt. Output: one row of
+    θ, the sub-θ counts, and the scaled estimates. The crossJoin is
+    1-row × 1-row — broadcast nested loop (intended)."""
+    dom = KMV_DOMAIN
+    j = (
+        sk_a.select(F.col("ks").alias("ka"))
+        .crossJoin(sk_b.select(F.col("ks").alias("kb")))
+        .withColumn(
+            "theta",
+            F.expr(
+                f"LEAST(CASE WHEN size(ka) < {k} THEN {dom}"
+                f" ELSE element_at(ka, {k}) END,"
+                f" CASE WHEN size(kb) < {k} THEN {dom}"
+                f" ELSE element_at(kb, {k}) END)"
+            ),
+        )
+        .withColumn("ua", F.expr("filter(ka, x -> x < theta)"))
+        .withColumn("ub", F.expr("filter(kb, x -> x < theta)"))
+        .withColumn("n_inter", F.size(F.array_intersect("ua", "ub")))
+        .withColumn("n_a_only", F.size(F.array_except("ua", "ub")))
+        .withColumn("n_b_only", F.size(F.array_except("ub", "ua")))
+    )
+    est = lambda c: F.expr(f"CAST({c} AS BIGINT) * {dom} DIV theta")  # noqa: E731
+    return j.select(
+        F.lit(k).alias("k"),
+        "theta",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_a_only").cast("long").alias("n_a_only"),
+        F.col("n_b_only").cast("long").alias("n_b_only"),
+        est("n_inter").alias("est_inter"),
+        est("n_a_only").alias("est_a_only"),
+        est("n_b_only").alias("est_b_only"),
+        est("n_inter + n_a_only + n_b_only").alias("est_union"),
+    )

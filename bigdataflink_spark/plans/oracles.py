@@ -4347,6 +4347,72 @@ FROM documents WHERE doc_id % 11 = 6
 """
 
 
+# q221: the sub-theta region of two same-salt bottom-k sketches is a
+# pure function of the two key sets, so DuckDB recomputes theta, the
+# intersection/difference counts, and every DIV-scaled estimate
+# bit-for-bit; the error booleans are pure integer comparisons.
+ORACLES["q221_theta_set_ops"] = """
+WITH ha AS (
+  SELECT DISTINCT CAST('0x' || substr(
+    md5('kmv-v1' || CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+  FROM orders WHERE o_orderstatus = 'O'
+),
+hb AS (
+  SELECT DISTINCT CAST('0x' || substr(
+    md5('kmv-v1' || CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+  FROM orders WHERE o_orderstatus = 'F'
+),
+ba AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+bb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+th AS (
+  SELECT LEAST(
+    (SELECT CASE WHEN count(*) < 256 THEN 281474976710656
+                 ELSE max(h) END FROM ba),
+    (SELECT CASE WHEN count(*) < 256 THEN 281474976710656
+                 ELSE max(h) END FROM bb)) AS theta
+),
+ua AS (SELECT h FROM ba, th WHERE h < theta),
+ub AS (SELECT h FROM bb, th WHERE h < theta),
+cnt AS (
+  SELECT
+    (SELECT count(*) FROM ua WHERE h IN (SELECT h FROM ub)) AS n_inter,
+    (SELECT count(*) FROM ua WHERE h NOT IN (SELECT h FROM ub)) AS n_a_only,
+    (SELECT count(*) FROM ub WHERE h NOT IN (SELECT h FROM ua)) AS n_b_only
+),
+ex AS (
+  SELECT
+    (SELECT count(*) FROM
+      (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      WHERE o_custkey IN
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    ) AS exact_inter,
+    (SELECT count(DISTINCT o_custkey) FROM orders
+      WHERE o_orderstatus IN ('O', 'F')) AS exact_union
+)
+SELECT CAST(256 AS INT) AS k,
+       theta,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_a_only AS BIGINT) AS n_a_only,
+       CAST(n_b_only AS BIGINT) AS n_b_only,
+       CAST(n_inter * 281474976710656 // theta AS BIGINT) AS est_inter,
+       CAST(n_a_only * 281474976710656 // theta AS BIGINT) AS est_a_only,
+       CAST(n_b_only * 281474976710656 // theta AS BIGINT) AS est_b_only,
+       CAST((n_inter + n_a_only + n_b_only) * 281474976710656 // theta
+            AS BIGINT) AS est_union,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       (n_inter * 281474976710656 // theta - exact_inter)
+       * (n_inter * 281474976710656 // theta - exact_inter) * 256
+       <= 25 * exact_union * exact_union AS inter_err_ok,
+       ((n_inter + n_a_only + n_b_only) * 281474976710656 // theta
+        - exact_union)
+       * ((n_inter + n_a_only + n_b_only) * 281474976710656 // theta
+          - exact_union) * 256
+       <= 25 * exact_union * exact_union AS union_err_ok
+FROM th, cnt, ex
+"""
+
+
 # q217: the hash-threshold sample is a pure function of the key set,
 # so DuckDB recomputes the sample, the power-of-two cutoff, both
 # discrete quantiles AND the integer rank-error booleans bit-for-bit

@@ -7704,6 +7704,78 @@ def q220_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q221_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set-operation audit (extension; operators/
+    sketches.py::theta_set_ops — Beyer et al. SIGMOD 2007 / the
+    DataSketches theta framework). The corpus-overlap planning
+    primitive: estimate |A∩B|, |A∖B|, |B∖A|, |A∪B| between two
+    crawl slices from their bottom-k sketches alone, never
+    rescanning either corpus — at 100 TB the sketches are two ≤ k
+    arrays while the exact answers need a full co-shuffle of both
+    key sets.
+
+    A = customers with open ('O') orders, B = with fulfilled ('F')
+    orders — heavily overlapping sets, the realistic shape. Below
+    θ = min(θ_A, θ_B) each bottom-k contains its set's EVERY hash,
+    so the sub-θ region is a coordinated exact sample; counts scale
+    by 2^48 DIV θ in pure int64, which is why every estimate carries
+    a full DuckDB value oracle (q213's property extended to binary
+    set algebra). Exact audit legs (the audit may shuffle; the
+    sketch didn't) pin 5σ-style integer error bounds
+    (est−exact)²·k ≤ 25·exact_union². One-row crossJoins broadcast
+    (nested loop intended)."""
+    from bigdataflink_spark.operators.sketches import (
+        kmv_sketch,
+        theta_set_ops,
+    )
+
+    k = 256
+    orders = _t(spark, sf_dir, "orders")
+    A = orders.filter(F.col("o_orderstatus") == "O")
+    B = orders.filter(F.col("o_orderstatus") == "F")
+    ops = theta_set_ops(
+        kmv_sketch(A, "o_custkey", k=k),
+        kmv_sketch(B, "o_custkey", k=k),
+        k,
+    )
+    exact = (
+        A.select("o_custkey")
+        .distinct()
+        .withColumn("_a", F.lit(1))
+        .join(
+            B.select("o_custkey").withColumn("_b", F.lit(1)).distinct(),
+            "o_custkey",
+            "full",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("exact_inter"),
+            F.count("*").alias("exact_union"),
+        )
+    )
+    err = lambda e, x: (  # noqa: E731
+        (F.col(e) - F.col(x)) * (F.col(e) - F.col(x)) * F.lit(k)
+        <= F.lit(25) * F.col("exact_union") * F.col("exact_union")
+    )
+    return ops.crossJoin(exact).select(
+        "k",
+        "theta",
+        "n_inter",
+        "n_a_only",
+        "n_b_only",
+        "est_inter",
+        "est_a_only",
+        "est_b_only",
+        "est_union",
+        "exact_inter",
+        "exact_union",
+        err("est_inter", "exact_inter").alias("inter_err_ok"),
+        err("est_union", "exact_union").alias("union_err_ok"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -7922,4 +7994,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q218_streaming_kmv": q218_streaming_kmv,
     "q219_streaming_cms": q219_streaming_cms,
     "q220_jpeg_arithmetic": q220_jpeg_arithmetic,
+    "q221_theta_set_ops": q221_theta_set_ops,
 }

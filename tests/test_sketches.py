@@ -225,3 +225,73 @@ def test_quantile_estimate_rank_error(spark):
         assert (rank * den - num * n) ** 2 * s <= 25 * den * den * n * n, (
             num, den, est, rank, s,
         )
+
+
+# -- theta set operations (round 10) -----------------------------------------
+
+
+def test_theta_exact_when_unsaturated(spark):
+    # |A|=80, |B|=60, overlap 40 — both sketches unfilled at k=256,
+    # so theta = the full domain and every estimate is EXACT
+    from bigdataflink_spark.operators.sketches import theta_set_ops
+
+    A = spark.range(0, 80).select(F.col("id").alias("key"))
+    B = spark.range(40, 100).select(F.col("id").alias("key"))
+    row = theta_set_ops(
+        kmv_sketch(A, "key", k=256), kmv_sketch(B, "key", k=256), 256
+    ).collect()[0]
+    assert row.theta == KMV_DOMAIN
+    assert (row.est_inter, row.est_a_only, row.est_b_only) == (40, 40, 20)
+    assert row.est_union == 100
+
+
+def test_theta_disjoint_sets(spark):
+    from bigdataflink_spark.operators.sketches import theta_set_ops
+
+    A = spark.range(0, 5_000).select(F.col("id").alias("key"))
+    B = spark.range(10_000, 15_000).select(F.col("id").alias("key"))
+    row = theta_set_ops(
+        kmv_sketch(A, "key", k=256), kmv_sketch(B, "key", k=256), 256
+    ).collect()[0]
+    assert row.n_inter == 0 and row.est_inter == 0
+    # union estimate still within the 5-sigma KMV band
+    assert (row.est_union - 10_000) ** 2 * 256 <= 25 * 10_000 * 10_000
+
+
+def test_theta_saturated_overlap_accuracy(spark):
+    # |A|=6000 (0..6000), |B|=6000 (3000..9000), I=3000, U=9000
+    from bigdataflink_spark.operators.sketches import theta_set_ops
+
+    A = spark.range(0, 6_000).select(F.col("id").alias("key"))
+    B = spark.range(3_000, 9_000).select(F.col("id").alias("key"))
+    row = theta_set_ops(
+        kmv_sketch(A, "key", k=256), kmv_sketch(B, "key", k=256), 256
+    ).collect()[0]
+    assert row.theta < KMV_DOMAIN  # genuinely estimating
+    for est, true in (
+        (row.est_inter, 3_000),
+        (row.est_a_only, 3_000),
+        (row.est_b_only, 3_000),
+        (row.est_union, 9_000),
+    ):
+        assert (est - true) ** 2 * 256 <= 25 * 9_000 * 9_000, (est, true)
+    # identity: the three parts sum to the union estimate modulo the
+    # independent DIV roundings (each floors once)
+    assert (
+        0
+        <= row.est_union - (row.est_inter + row.est_a_only + row.est_b_only)
+        <= 3
+    )
+
+
+def test_theta_subset_relation(spark):
+    # B a subset of A: est_b_only must be identically zero — below
+    # theta every B-hash is also an A-hash by construction
+    from bigdataflink_spark.operators.sketches import theta_set_ops
+
+    A = spark.range(0, 8_000).select(F.col("id").alias("key"))
+    B = spark.range(0, 2_000).select(F.col("id").alias("key"))
+    row = theta_set_ops(
+        kmv_sketch(A, "key", k=256), kmv_sketch(B, "key", k=256), 256
+    ).collect()[0]
+    assert row.n_b_only == 0 and row.est_b_only == 0
