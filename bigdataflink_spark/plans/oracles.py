@@ -4347,6 +4347,53 @@ FROM documents WHERE doc_id % 11 = 6
 """
 
 
+# q222: the streaming quantile state is the batch sketch of the
+# prefix (gen-b == quantile_sketch(slices <= b) row-for-row), so per
+# slice the oracle recomputes the hash-threshold sample over the
+# prefix and replays sample size, cutoff and both discrete quantiles
+# bit-for-bit.
+ORACLES["q222_streaming_quantile"] = """
+WITH sl AS (SELECT CAST(s AS INT) AS slice FROM unnest(range(0, 3)) t(s)),
+lv AS (
+  SELECT o_orderkey % 3 AS part,
+         CAST('0x' || substr(
+           md5('qsk-v1' || CAST(o_orderkey AS VARCHAR)), 1, 12
+         ) AS BIGINT) AS h,
+         o_totalprice AS v
+  FROM orders
+),
+lv2 AS (
+  SELECT part, h, v,
+         CASE WHEN h = 0 THEN 0 ELSE length(bin(h)) END AS lvl
+  FROM lv
+),
+pre AS (
+  SELECT slice, h, v, lvl FROM sl JOIN lv2 ON lv2.part <= sl.slice
+),
+census AS (
+  SELECT slice, lvl, count(*) AS c FROM pre GROUP BY slice, lvl
+),
+cum AS (
+  SELECT slice, lvl,
+         sum(c) OVER (PARTITION BY slice ORDER BY lvl) AS cum
+  FROM census
+),
+cut AS (
+  SELECT slice, max(lvl) AS m FROM cum WHERE cum <= 1024 GROUP BY slice
+),
+samp AS (
+  SELECT pre.slice, pre.v, pre.lvl
+  FROM pre JOIN cut ON pre.slice = cut.slice AND pre.lvl <= cut.m
+)
+SELECT slice,
+       CAST(count(*) AS BIGINT) AS sample_n,
+       CAST(max(lvl) AS INT) AS lvl_cut,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50_est,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p90_est
+FROM samp GROUP BY slice
+"""
+
+
 # q221: the sub-theta region of two same-salt bottom-k sketches is a
 # pure function of the two key sets, so DuckDB recomputes theta, the
 # intersection/difference counts, and every DIV-scaled estimate

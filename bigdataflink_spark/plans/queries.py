@@ -7704,6 +7704,55 @@ def q220_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q222_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch (extension; streaming/quantsketch.py
+    — the LAST member of the sketch family without a streaming twin:
+    Bloom q215, KMV q218, CMS q219, and now quantiles). Orders arrive
+    as three micro-batches (o_orderkey % 3 slices); after each, the
+    running length-distribution summary (sample size, level cutoff,
+    p50/p90 of o_totalprice) is emitted from the published
+    generation.
+
+    State per batch is the retained hash-threshold sample of the
+    WHOLE prefix — gen-<b> == batch quantile_sketch(slices ≤ b)
+    row-for-row (the parity the tests pin), so every per-batch
+    summary replays in SQL: a full value-hash oracle for a stateful
+    streaming quantile structure, where engine t-digests are only
+    bounds-checkable. The subtle merge rule (clamp the union census
+    at the stored SEMANTIC cutoff m*, not the max observed level)
+    is what keeps a later batch's never-seen-before levels
+    admissible while small and inadmissible once saturated. Per
+    batch: one ≤ 49-level census + a broadcast cutoff filter over
+    ≤ cap state rows + the batch scan; never a corpus shuffle."""
+    import tempfile
+
+    from bigdataflink_spark.operators.sketches import quantile_disc_expr
+    from bigdataflink_spark.streaming.quantsketch import accept_batch
+
+    cap = 1_024
+    orders = _t(spark, sf_dir, "orders")
+    state = tempfile.mkdtemp(prefix="q222_qsk_") + "/state"
+    outs = []
+    for s in range(3):
+        batch = orders.filter(F.col("o_orderkey") % 3 == s).select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("v"),
+        )
+        sample = accept_batch(
+            spark, batch, state, s, "key", "v", cap=cap
+        )
+        outs.append(
+            sample.agg(
+                F.count("*").cast("long").alias("sample_n"),
+                F.max("lvl").cast("int").alias("lvl_cut"),
+                quantile_disc_expr((1, 2)).alias("p50_est"),
+                quantile_disc_expr((9, 10)).alias("p90_est"),
+            ).withColumn("slice", F.lit(s).cast("int"))
+        )
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select("slice", "sample_n", "lvl_cut", "p50_est", "p90_est")
+
+
 def q221_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set-operation audit (extension; operators/
     sketches.py::theta_set_ops — Beyer et al. SIGMOD 2007 / the
@@ -7995,4 +8044,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q219_streaming_cms": q219_streaming_cms,
     "q220_jpeg_arithmetic": q220_jpeg_arithmetic,
     "q221_theta_set_ops": q221_theta_set_ops,
+    "q222_streaming_quantile": q222_streaming_quantile,
 }
