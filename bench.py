@@ -140,6 +140,9 @@ HEADLINE = [
     "q217_quantile_sketch",
     "q218_streaming_kmv",
     "q219_streaming_cms",
+    "q220_jpeg_arithmetic",
+    "q221_theta_set_ops",
+    "q222_streaming_quantile",
 ]
 
 
@@ -204,6 +207,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "calib_sec": calib,
         "r1_set_subtotal": r1_subtotal,
+        "n_queries": len(times),
     }
     print(json.dumps(detail))
     try:
