@@ -602,3 +602,85 @@ def semantic_dedup(
             "id", "cell", F.col("_did").isNotNull().alias("dropped")
         )
     )
+
+
+# -- int8 embedding quantization (round 10) ---------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max |component|
+    (as double), q_i = clamp(floor(x_i·127/scale), -127, 127). The
+    100 TB embedding-store shape — 4× smaller vectors whose scoring
+    needs only integer multiply-adds (SIMD-friendly on any engine),
+    the standard first rung of ANN compression below full precision
+    and above product quantization.
+
+    Every step is deterministic IEEE double arithmetic + floor, so a
+    DuckDB twin reproduces each quantized COMPONENT bit-for-bit — no
+    round-half mode ambiguity (the reason this uses floor, not
+    round). All-zero vectors quantize to all zeros (guarded divide).
+    Returns (id, qvec array<int>, scale double)."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("x"),
+    ).withColumn(
+        "scale", F.array_max(F.expr("transform(x, v -> abs(v))"))
+    )
+    qv = (
+        "CASE WHEN scale = 0.0 THEN transform(x, v -> 0)"
+        " ELSE transform(x, v -> CAST(GREATEST(-127.0,"
+        " LEAST(127.0, floor(v * 127.0 / scale))) AS INT)) END"
+    )
+    return d.select("id", F.expr(qv).alias("qvec"), "scale")
+
+
+def int8_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two int8-quantized vectors."""
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")
+    )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def int8_topk(
+    corpus_q: DataFrame, queries_q: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k by QUANTIZED COSINE: qdot/√(qdot_cc) with the query's
+    own norm constant per group — the int8 mirror of cosine ranking
+    (per-vector scales cancel out of cosine, so normalizing by the
+    quantized self-norms recovers it up to quantization noise; raw
+    integer dot would instead rank by max-abs normalization and lose
+    recall). The cross products and both self-norms are exact int64;
+    the only float op is one correctly-rounded IEEE divide+sqrt, so
+    the ranking is engine-independent and the retrieval carries a
+    FULL value oracle. Queries broadcast; self-matches excluded.
+    Input frames are quantize_int8 outputs; self-norms are computed
+    once per side, not per pair."""
+    q = queries_q.select(
+        F.col("id").alias("query_id"), F.col("qvec").alias("q_qv")
+    )
+    c = corpus_q.select(
+        F.col("id").alias("neighbor_id"), F.col("qvec").alias("c_qv")
+    ).withColumn("c_nn", int8_dot(F.col("c_qv"), F.col("c_qv")))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        int8_dot(F.col("q_qv"), F.col("c_qv")).alias("qdot"),
+        "c_nn",
+    ).withColumn(
+        "qscore",
+        F.col("qdot").cast("double")
+        / F.sqrt(F.col("c_nn").cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "c_nn", "rank")
+    )

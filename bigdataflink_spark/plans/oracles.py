@@ -4347,6 +4347,90 @@ FROM documents WHERE doc_id % 11 = 6
 """
 
 
+# q223: int8 quantization is floor over IEEE double ops and the
+# scores are exact int64 (ranking key = one correctly-rounded
+# divide+sqrt), so DuckDB recomputes the quantized vectors, both
+# rankings, and every hit count bit-for-bit.
+ORACLES["q223_int8_ann"] = f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+scaled AS (
+  SELECT id, x,
+         list_max(list_transform(x, v -> abs(v))) AS s
+  FROM base
+),
+qv AS (
+  SELECT id,
+         CASE WHEN s = 0 THEN list_transform(x, v -> 0)
+              ELSE list_transform(x, v -> CAST(GREATEST(-127.0,
+                     LEAST(127.0, floor(v * 127.0 / s))) AS INT))
+         END AS qvec
+  FROM scaled
+),
+qq AS (SELECT id AS query_id, qvec AS q_qv FROM qv WHERE id < 10),
+cc AS (
+  SELECT id AS neighbor_id, qvec AS c_qv,
+         list_sum(list_transform(range(1, len(qvec) + 1),
+           i -> CAST(qvec[i] AS BIGINT) * qvec[i])) AS c_nn
+  FROM qv
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(q_qv) + 1),
+           i -> CAST(q_qv[i] AS BIGINT) * c_qv[i])) AS qdot,
+         c_nn
+  FROM qq, cc WHERE query_id <> neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id, qdot, c_nn,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(c_nn AS DOUBLE))
+                    DESC, neighbor_id) AS rank
+  FROM scored
+),
+a5 AS (SELECT * FROM approx WHERE rank <= 5),
+fq AS (SELECT vec_id AS query_id, embedding AS qvf
+       FROM embeddings WHERE vec_id < 10),
+fc AS (SELECT vec_id AS neighbor_id, embedding AS cvf FROM embeddings),
+fscored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_cos('qvf', 'cvf')}, 6) AS cos
+  FROM fq, fc WHERE query_id <> neighbor_id
+),
+e5 AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM fscored)
+  WHERE rank <= 5
+),
+hits AS (
+  SELECT a.query_id,
+         sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS hit_count
+  FROM a5 a LEFT JOIN e5 e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+),
+t1 AS (
+  SELECT query_id, neighbor_id AS top1_id, qdot AS top1_qdot,
+         c_nn AS top1_self_norm
+  FROM approx WHERE rank = 1
+)
+SELECT h.query_id,
+       CAST(h.hit_count AS BIGINT) AS hit_count,
+       t1.top1_id,
+       t1.top1_qdot,
+       t1.top1_self_norm,
+       h.hit_count >= 4 AS recall_ok
+FROM hits h JOIN t1 ON h.query_id = t1.query_id
+"""
+
+
 # q222: the streaming quantile state is the batch sketch of the
 # prefix (gen-b == quantile_sketch(slices <= b) row-for-row), so per
 # slice the oracle recomputes the hash-threshold sample over the

