@@ -684,3 +684,146 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qdot", "c_nn", "rank")
     )
+
+
+# -- product quantization (round 10) -----------------------------------------
+
+
+def _pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, nsub: int, dsub: int,
+    out_id: str,
+) -> DataFrame:
+    """Explode vectors into (id, sub, sv) sub-vector rows (double)."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias(
+                "x"
+            ),
+        )
+        .select(
+            out_id,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {nsub - 1}), s -> "
+                    f"struct(s AS sub, slice(x, s*{dsub}+1, {dsub}) AS sv))"
+                )
+            ).alias("p"),
+        )
+        .select(out_id, "p.sub", F.col("p.sv").alias("sv"))
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    nsub: int = 8,
+    dsub: int = 8,
+    ncent: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sampled PQ codebook: the sub-vectors of the ``ncent`` lowest
+    ids serve as centroids (deterministic, training-free — the
+    k-means-trained variant changes only this frame). Returns
+    (sub, cent, cv) with cent = 0..ncent-1; ncent·nsub rows, always
+    broadcastable."""
+    cents = corpus.filter(F.col(id_col) < ncent)
+    return _pq_subvectors(cents, id_col, vec_col, nsub, dsub, "cent").select(
+        F.col("cent").cast("int").alias("cent"), "sub",
+        F.col("sv").alias("cv"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    nsub: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to ``nsub`` byte-sized codes: per subspace,
+    argmin squared L2 to the codebook (ties broken by centroid id, so
+    the assignment is total and engine-independent — IEEE doubles,
+    fixed-order folds). Returns (id, codes array<int>): 8 bytes per
+    64-dim vector at the defaults, a 32× compression — the rung below
+    int8's 4× for a 100 TB embedding store. Codebook broadcasts; the
+    distance pass is scan-shaped (ncent distances per sub-vector,
+    map-side reduced by the rank-1 window per (id, sub))."""
+    vs = _pq_subvectors(corpus, id_col, vec_col, nsub, dsub, "id")
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    j = vs.join(F.broadcast(codebook), "sub").withColumn("d2", d2)
+    w = Window.partitionBy("id", "sub").orderBy(F.asc("d2"), F.asc("cent"))
+    codes = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "sub", "cent")
+    )
+    return codes.groupBy("id").agg(
+        F.expr("transform(array_sort(collect_list(struct(sub, cent))), "
+               "p -> p.cent)").alias("codes")
+    )
+
+
+def pq_adc_shortlist(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 50,
+    nsub: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance shortlist: per query, a lookup table of
+    sub-dot-products against every centroid (nsub·ncent doubles,
+    broadcast), then each candidate scores as the FIXED-ORDER fold
+    Σ_s lut[s][codes[s]] — never a float groupBy-sum, whose
+    accumulation order is not deterministic; the fold is
+    left-to-right over s, so both engines produce the identical
+    double and the shortlist carries a full value oracle. Returns
+    (query_id, neighbor_id, adc, rank) with rank ≤ k by (adc desc,
+    neighbor_id); self-matches excluded. The scan never touches raw
+    corpus vectors — that is the PQ point at 100 TB."""
+    qs = _pq_subvectors(queries, id_col, vec_col, nsub, dsub, "query_id")
+    pd_ = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut_rows = qs.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "cent", pd_.alias("pdot")
+    )
+    per_sub = lut_rows.groupBy("query_id", "sub").agg(
+        F.expr("transform(array_sort(collect_list(struct(cent, pdot))), "
+               "p -> p.pdot)").alias("arr")
+    )
+    lut = per_sub.groupBy("query_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(sub, arr))), "
+               "p -> p.arr)").alias("lut")
+    )
+    scored = (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .crossJoin(F.broadcast(lut))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            F.expr(
+                f"aggregate(sequence(0, {nsub - 1}), CAST(0.0 AS DOUBLE), "
+                "(acc, s) -> acc + element_at(element_at(lut, s + 1), "
+                "element_at(codes, s + 1) + 1))"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

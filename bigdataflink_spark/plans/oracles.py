@@ -4431,6 +4431,112 @@ FROM hits h JOIN t1 ON h.query_id = t1.query_id
 """
 
 
+# q224: the PQ codebook is sampled (lowest 64 ids), assignments and
+# per-sub dot products are fixed-order IEEE folds with centroid-id
+# tiebreaks, and the ADC score folds left-to-right over subspaces —
+# so DuckDB replays codes, shortlists, the rerank and the hit counts.
+ORACLES["q224_pq_ann"] = f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+subs AS (
+  SELECT id, s.s AS sub, list_slice(x, s.s * 8 + 1, s.s * 8 + 8) AS sv
+  FROM base, (SELECT unnest(range(0, 8)) AS s) s
+),
+cents AS (
+  SELECT CAST(id AS INT) AS cent, sub, sv AS cv FROM subs WHERE id < 64
+),
+assign AS (
+  SELECT id, sub, cent,
+         row_number() OVER (PARTITION BY id, sub ORDER BY
+           list_sum(list_transform(range(1, 9),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cent ASC
+         ) AS rn
+  FROM subs JOIN cents USING (sub)
+),
+codes AS (
+  SELECT id, list(cent ORDER BY sub) AS codes
+  FROM assign WHERE rn = 1 GROUP BY id
+),
+qsubs AS (SELECT id AS query_id, sub, sv FROM subs WHERE id < 10),
+lut_rows AS (
+  SELECT query_id, sub, cent,
+         list_sum(list_transform(range(1, 9), i -> sv[i] * cv[i]))
+           AS pdot
+  FROM qsubs JOIN cents USING (sub)
+),
+per_sub AS (
+  SELECT query_id, sub, list(pdot ORDER BY cent) AS arr
+  FROM lut_rows GROUP BY query_id, sub
+),
+lut AS (
+  SELECT query_id, list(arr ORDER BY sub) AS lut
+  FROM per_sub GROUP BY query_id
+),
+scored AS (
+  SELECT query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> lut[i][codes[i] + 1])) AS adc
+  FROM codes c, lut WHERE query_id <> c.id
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, neighbor_id) AS rank
+        FROM scored)
+  WHERE rank <= 50
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qvf
+       FROM embeddings WHERE vec_id < 10),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({_cos('qvf', 'cvf')}, 6) AS cos
+  FROM short s
+  JOIN (SELECT vec_id, embedding AS cvf FROM embeddings) c
+    ON s.neighbor_id = c.vec_id
+  JOIN qv ON s.query_id = qv.query_id
+),
+final AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rr
+),
+f5 AS (SELECT * FROM final WHERE rank <= 5),
+fc AS (SELECT vec_id AS neighbor_id, embedding AS cvf FROM embeddings),
+exact5 AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY ROUND({_cos('qvf', 'cvf')}, 6) DESC,
+                          neighbor_id) AS rank
+        FROM qv, fc WHERE query_id <> neighbor_id)
+  WHERE rank <= 5
+),
+hits AS (
+  SELECT a.query_id,
+         sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS hit_count
+  FROM f5 a LEFT JOIN exact5 e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+),
+t1 AS (
+  SELECT query_id, neighbor_id AS top1_id, cos AS top1_cos
+  FROM f5 WHERE rank = 1
+)
+SELECT h.query_id,
+       CAST(h.hit_count AS BIGINT) AS hit_count,
+       t1.top1_id,
+       t1.top1_cos,
+       h.hit_count >= 3 AS recall_ok
+FROM hits h JOIN t1 ON h.query_id = t1.query_id
+"""
+
+
 # q222: the streaming quantile state is the batch sketch of the
 # prefix (gen-b == quantile_sketch(slices <= b) row-for-row), so per
 # slice the oracle recomputes the hash-threshold sample over the

@@ -3259,10 +3259,14 @@ def q136_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair supports → lift, the association-rule surface. The pair
     explode is quadratic PER BASKET, never per corpus — baskets are
     bounded by order size (cap upstream for pathological carts), so
-    the pair table is Σ|basket|², linear in orders. Brand comes from
-    a part join (dimension, AQE-sized); supports are exact integers;
-    lift is the one rational division (the q122 no-libm rule).
-    Top-20 by (lift desc, brand pair) with n_both ≥ 5."""
+    the pair table is Σ|basket|², linear in orders. Pairs come from
+    ONE groupBy-to-array + in-memory combination expansion (round 10
+    — the previous basket-table self-join shuffled the basket table
+    twice and built a join hash; at 100 TB that second shuffle is
+    pure waste since every pair lives inside one order's array).
+    Brand comes from a part join (dimension, AQE-sized); supports
+    are exact integers; lift is the one rational division (the q122
+    no-libm rule). Top-20 by (lift desc, brand pair), n_both ≥ 5."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     baskets = (
@@ -3275,11 +3279,20 @@ def q136_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("long").alias("_n_orders")
     )
     per_brand = baskets.groupBy("p_brand").agg(F.count("*").alias("n_o"))
-    a = baskets.withColumnsRenamed({"p_brand": "brand_a"})
-    b = baskets.withColumnsRenamed({"p_brand": "brand_b"})
+    arr = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> transform("
+                    "slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 5)
@@ -7817,6 +7830,95 @@ def q223_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q224_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN audit (extension; operators/
+    similarity.py::pq_codebook/pq_encode/pq_adc_shortlist — Jégou,
+    Douze & Schmid, "Product quantization for nearest neighbor
+    search", TPAMI 2011). The rung below q223's int8: 64-dim floats
+    become 8 one-byte codes (32× compression), and candidate scoring
+    reads ONLY codes + a per-query 8×64 lookup table — at 100 TB the
+    raw vectors never leave cold storage during retrieval; the
+    production shape is ADC shortlist (top-50) → exact-cosine rerank
+    of the 50 candidates → top-5.
+
+    Determinism design (what makes a FLOAT ANN operator fully
+    value-oracled): the sampled codebook is the 64 lowest-id vectors
+    (training-free; a k-means codebook changes only that frame),
+    assignment argmin and per-sub dot products are fixed-order IEEE
+    folds with centroid-id tiebreaks, and the ADC score is a
+    left-to-right fold over subspaces — never a float groupBy-sum,
+    whose accumulation order Spark does not pin. DuckDB replays the
+    codes, every shortlist, the rerank, and the hit counts.
+
+    Contract per query (vec_id < 10): reranked-top-5 hit count vs
+    exact full-corpus top-5 (measured 4-5/5), the reranked top-1,
+    and ``recall_ok`` pinning hits ≥ 3."""
+    from bigdataflink_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        dot,
+        norm,
+        pq_adc_shortlist,
+        pq_codebook,
+        pq_encode,
+    )
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = pq_codebook(emb, ncent=64)
+    codes = pq_encode(emb, cb)
+    short = pq_adc_shortlist(codes, cb, queries, k=50)
+    cand = short.select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    ).join(emb, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    rr = cand.join(F.broadcast(qv), "query_id").withColumn(
+        "cos",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (norm(F.col("q_vec")) * norm(F.col("c_vec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    final = rr.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    hits = (
+        final.select("query_id", F.col("neighbor_id").alias("nid"))
+        .join(
+            exact.select(
+                "query_id", F.col("neighbor_id").alias("nid")
+            ).withColumn("_hit", F.lit(1)),
+            ["query_id", "nid"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit_count"))
+    )
+    top1 = final.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_id"),
+        F.col("cos").alias("top1_cos"),
+    )
+    return hits.join(top1, "query_id").select(
+        "query_id",
+        F.col("hit_count").cast("long").alias("hit_count"),
+        "top1_id",
+        "top1_cos",
+        (F.col("hit_count") >= 3).alias("recall_ok"),
+    )
+
+
 def q221_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set-operation audit (extension; operators/
     sketches.py::theta_set_ops — Beyer et al. SIGMOD 2007 / the
@@ -8110,4 +8212,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q221_theta_set_ops": q221_theta_set_ops,
     "q222_streaming_quantile": q222_streaming_quantile,
     "q223_int8_ann": q223_int8_ann,
+    "q224_pq_ann": q224_pq_ann,
 }

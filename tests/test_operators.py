@@ -2367,3 +2367,35 @@ def test_int8_topk_recall_vs_float_cosine(spark):
     hand = sum(x * y for x, y in zip(qv[row.query_id], qv[row.neighbor_id]))
     assert hand == row.qdot
     assert sum(v * v for v in qv[row.neighbor_id]) == row.c_nn
+
+
+def test_pq_encode_and_shortlist_properties(spark):
+    """PQ structural pins: a centroid vector encodes to its own code
+    in every subspace, codes are 8 ints in [0, 64), a rerun is
+    identical, and the ADC top-50 shortlist contains >= 3 of the
+    exact float top-5 per query (the rerank's raw material)."""
+    from pyspark.sql import functions as F
+
+    from bigdataflink_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cb = similarity.pq_codebook(emb, ncent=64)
+    codes = similarity.pq_encode(emb, cb)
+    rows = {r.id: r.codes for r in codes.collect()}
+    for cid in (0, 3, 63):  # codebook members self-encode
+        assert rows[cid] == [cid] * 8
+    for cs in list(rows.values())[:100]:
+        assert len(cs) == 8 and all(0 <= c < 64 for c in cs)
+    again = {r.id: r.codes for r in similarity.pq_encode(emb, cb).collect()}
+    assert again == rows
+    short = similarity.pq_adc_shortlist(
+        codes, cb, emb.filter(F.col("vec_id") < 6), k=50
+    )
+    exact = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 6), k=5
+    )
+    a = {(r.query_id, r.neighbor_id) for r in short.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    for qid in range(6):
+        hits = len({p for p in a if p[0] == qid} & e)
+        assert hits >= 3, (qid, hits)
