@@ -236,6 +236,11 @@ NOTES = {
     "q184_wav_container": "Two chained Arrow map stages (wrap PCM16 in real RIFF/WAVE, chunk-walk decode + stats) — zero shuffles, the q166 shape with genuine container parsing in the middle.",
     "q183_png_codec": "Two chained Arrow map stages (encode real PNGs, inflate+unfilter+stats) — zero shuffles, zero joins, q71's embarrassingly-parallel shape with a genuinely compressed wire format in the middle; at 100 TB the encode stage is replaced by a binary-column scan.",
     "q182_snapshot_drift_gate": "Cross-snapshot release gate: ONE aggregate scan per snapshot (all drift rules share it — count, null counts, distinct via the Expand rewrite), then 1-row×1-row arithmetic; drift ppm in exact DECIMAL(38,0) cross-products with one integral division, so verdicts are partition-order-free.",
+    "q220_jpeg_arithmetic": "Arithmetic JPEG (SOF9/SOF10) contract: q212's Arrow-map shape over the doc_id%11==6 slice, zero joins; per row the SAME quantized coefficients flow through SOF0 Huffman and SOF9/SOF10 QM-coded entropy layers (operators/jpeg_arith.py) and must decode to IDENTICAL pixels — any coder/model/stuffing/carry slip flips a boolean; stream pins (SOF9+DAC present, no DHT) read from the bytes via the real marker walk; arith_smaller pins genuine adaptive-estimation compression.",
+    "q221_theta_set_ops": "Theta set-operation audit: both bottom-k sketches build with q213's shape (per-partition k-capped minima in one Arrow stage, k·P candidate rows to a TakeOrdered), then ALL set algebra happens on two 1-row arrays — sub-theta filter/intersect/except are array expressions, estimates are int64 DIV. The only corpus-shuffling legs are the audit-only exact intersection/union; at 100 TB the operator itself moves two <=k arrays.",
+    "q222_streaming_quantile": "Streaming quantile sketch: three accept_batch steps, each ONE <=49-level census groupBy (map-side combined) + a broadcast semantic-cutoff filter over <=cap state rows + the batch scan, publishing cmsfreq-style generations (replay rewrites identically, _SUCCESS = visibility); gen-b == batch quantile_sketch(prefix) row-for-row, so each per-batch summary replays in SQL — full value oracle for stateful streaming quantiles.",
+    "q223_int8_ann": "Int8-quantized ANN audit: quantization is a whole-stage-codegen array projection (floor over IEEE doubles, no Python), scoring is q24's broadcast shape with exact int64 dot products and one correctly-rounded divide+sqrt as the rank key — the retrieval RESULT (not just its quality band) is engine-deterministic; the float exact-cosine leg is the audit, the int8 pass is the 100 TB path (4x smaller vectors).",
+    "q224_pq_ann": "PQ ANN audit: encode = one broadcast codebook join + rank-1 window per (id, sub); ADC scoring reads ONLY codes + a per-query broadcast 8x64 LUT with a fixed-order fold over subspaces (never a float groupBy-sum); shortlist top-50 -> exact-cosine rerank touches 50 raw vectors per query. At 100 TB retrieval scans 8-byte codes, not 256-byte vectors — the raw corpus stays cold.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -247,6 +252,10 @@ EXPECTED_BNLJ = {
     "q218_streaming_kmv": "the BNLJ is the 1-row kth-threshold scalar broadcast into each batch hash filter - the q213 scalar pattern.",
     "q219_streaming_cms": "the BNLJs are the 1-row n_prefix scalar stitched onto the 4 probe rows per slice - the q216 scalar pattern.",
     "q214_bloom_seen_set": "the BNLJ is the 1-row bits_set scalar stitched onto the 1-row probe aggregate - the q61/q93 scalar pattern.",
+    "q221_theta_set_ops": "every BNLJ is a 1-row x 1-row crossJoin stitching the two sketch arrays and the exact-audit scalars - the q213 pattern; the set algebra itself is array expressions on one row.",
+    "q222_streaming_quantile": "the BNLJs are the 1-row semantic-cutoff and clamp scalars broadcast into each batch's <=cap-row state filter - the q217 scalar pattern, once per micro-batch.",
+    "q223_int8_ann": "the BNLJ is q24's brute-force semantics (10-query set broadcast against the streaming corpus with a != condition); the int8 scorer exists to make exactly this pass cheap at scale.",
+    "q224_pq_ann": "the BNLJs are the per-query 8x64 LUT broadcast fanned onto the code scan (a scalar-table fan-out, not a pairing) and q24's broadcast audit leg; the candidate scoring never touches raw vectors.",
     "q24_embedding_topk": "BNLJ is the semantics here: brute-force = score EVERY (query, corpus) pair; the broadcast side is the small query set, the corpus streams. The scale path is q26.",
     "q98_knn_label_vote": "the BNLJ is q24's brute-force scorer (small query set broadcast against the streaming corpus); swap in ivf_topk for web scale — the vote stage is scorer-agnostic.",
     "q26_ivf_topk": "the BNLJ is only the query→centroid routing table (|queries| × |cells|, both tiny); the corpus-sized scoring join is the cell-keyed BroadcastHashJoin.",

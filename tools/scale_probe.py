@@ -164,6 +164,11 @@ PROBE100 = {
     # dominant language stratum grows 100x but the rank window's
     # input stays ~allocation, so wall must be scan-bound sub-linear
     "q209_exact_stratified_sample": QUERIES["q209_exact_stratified_sample"],
+    # r10 additions: the quantized-ANN pair — int8 scoring is one
+    # scan-shaped pass; PQ's ADC reads only codes + a broadcast LUT,
+    # and the exact legs (float top-5 audits) are the linear residue
+    "q223_int8_ann": QUERIES["q223_int8_ann"],
+    "q224_pq_ann": QUERIES["q224_pq_ann"],
 }
 FIXED100 = ["region", "nation", "customer", "supplier", "part"]
 
