@@ -143,6 +143,9 @@ HEADLINE = [
     "q220_jpeg_arithmetic",
     "q221_theta_set_ops",
     "q222_streaming_quantile",
+    "q223_int8_ann",
+    "q224_pq_ann",
+    "q225_jpeg_arith_lossless",
 ]
 
 

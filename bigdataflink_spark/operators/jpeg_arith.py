@@ -1,6 +1,7 @@
 """Arithmetic-coded JPEG (SOF9 extended sequential / SOF10
-progressive) — ITU-T T.81 Annex D QM coder with the Annex F.1.4 /
-Annex G.1.3 DCT statistical models.
+progressive / SOF11 lossless) — ITU-T T.81 Annex D QM coder with the
+Annex F.1.4 / G.1.3 DCT statistical models and the H.1.2.2
+conditioned lossless difference model.
 
 Round 10 (VERDICT r9 "What's missing #3" / Next-round #5): the last
 DCT-based JPEG entropy profile the decoder gated on. The DCT front
@@ -1029,3 +1030,246 @@ def jpeg_encode_arithmetic(
         out += _seg(0xDA, sos_body) + entropy
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Lossless arithmetic (SOF11) — T.81 Annex H predictors (shared with
+# the SOF3 path in multimodal.py) + the H.1.2.2 conditioned DC-style
+# difference model: contexts classify the left/above coded
+# differences (Da, Db) into 5 categories each via the DC model's
+# L/U bounds (defaults 0/1 → zero / |d| ≤ 2 small± / large±), giving
+# 25 × 4 decision bins; magnitude categories continue in one of two
+# X/M areas (15 X + 14 M = 29 bins each) selected by whether Db
+# classifies large. 100 + 2·29 = 158 statistics bins — exactly the
+# lossless stats-area size T.81 specifies, which is the structural
+# cross-check on this reading of H.1.2.2. No external SOF11 decoder
+# exists to differentially test against (libjpeg never implemented
+# it); the pins are byte-exact round-trips (lossless = equality),
+# stream structure, and compression vs the Huffman twin.
+# --------------------------------------------------------------------------
+
+_LL_STATS = 158
+_LL_X0 = 100  # X/M area when Db is not large
+_LL_X1 = 129  # X/M area when Db is large
+
+
+def _ll_cat5(d: int, L: int, U: int) -> int:
+    """5-category classification of a coded difference: 0 zero,
+    1 small+, 2 large+, 3 small-, 4 large- — the DC model's
+    magnitude-category bounds applied to the difference."""
+    if d == 0:
+        return 0
+    sign = d < 0
+    v = (-d if sign else d) - 1
+    m = 0 if v == 0 else 1 << (v.bit_length() - 1)
+    if m < (1 << L) >> 1:
+        return 0
+    big = m > (1 << U) >> 1
+    return (3 if sign else 1) + (1 if big else 0)
+
+
+def _ll_diff_encode(enc, stats, da, db, diff, L, U):
+    ctx = 4 * (_ll_cat5(da, L, U) + 5 * _ll_cat5(db, L, U))
+    if diff == 0:
+        enc.encode(stats, ctx, 0)
+        return
+    enc.encode(stats, ctx, 1)
+    sign = 0 if diff > 0 else 1
+    enc.encode(stats, ctx + 1, sign)
+    v = diff if diff > 0 else -diff
+    st = ctx + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        st = _LL_X1 if _ll_cat5(db, L, U) in (2, 4) else _LL_X0
+        v2 = v
+        while v2 := v2 >> 1:
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    st += 14
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(stats, st, 1 if (mm & v) else 0)
+
+
+def _ll_diff_decode(dec, stats, da, db, L, U) -> int:
+    ctx = 4 * (_ll_cat5(da, L, U) + 5 * _ll_cat5(db, L, U))
+    if dec.decode(stats, ctx) == 0:
+        return 0
+    sign = dec.decode(stats, ctx + 1)
+    st = ctx + 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = _LL_X1 if _ll_cat5(db, L, U) in (2, 4) else _LL_X0
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x10000:
+                raise ValueError("arithmetic lossless magnitude overflow")
+            st += 1
+    v = m
+    st += 14
+    while m := m >> 1:
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def arith_lossless_scan(
+    entropy: bytes,
+    scan_comps: list,
+    predictor: int,
+    pt: int,
+    lplanes: dict,
+    h: int,
+    w: int,
+    precision: int,
+    restart_interval: int,
+    cond: dict,
+) -> int:
+    """Decode one SOF11 scan in place (the arithmetic twin of
+    multimodal._jpeg_lossless_scan — same sample walk, same
+    _ll_predict state, QM-coded conditioned differences instead of
+    Huffman categories). Returns the entropy index for the caller's
+    marker walk. Conditioning differences reset to 0 across restart
+    boundaries, matching the encoder (prediction, statistics, and
+    the coder itself all re-initialize per Annex H)."""
+    from bigdataflink_spark.operators.multimodal import _ll_predict
+
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"illegal lossless predictor {predictor}")
+    default = 1 << (precision - pt - 1)
+    dec = ArithDecoder(entropy)
+
+    def fresh():
+        return {td: bytearray(_LL_STATS) for _, td, _ in scan_comps}
+
+    stats = fresh()
+    dplanes = {cs: [[0] * w for _ in range(h)] for cs, _, _ in scan_comps}
+    ri = rj = mcu = 0
+    t0 = 0  # linear index where the current restart interval opened
+    for i in range(h):
+        for j in range(w):
+            t = i * w + j
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                dec.sync_restart(mcu // restart_interval - 1)
+                stats = fresh()
+                ri, rj = i, j
+                t0 = t
+            for cs, td, _ta in scan_comps:
+                L, U = cond["dc"].get(td, (0, 1))
+                dpl = dplanes[cs]
+                da = dpl[i][j - 1] if j > 0 and t - 1 >= t0 else 0
+                db = dpl[i - 1][j] if i > 0 and t - w >= t0 else 0
+                d = _ll_diff_decode(dec, stats[td], da, db, L, U)
+                dpl[i][j] = d
+                pl = lplanes[cs]
+                pl[i][j] = (
+                    _ll_predict(pl, i, j, ri, rj, default, predictor) + d
+                ) & 0xFFFF
+            mcu += 1
+    return dec.pos
+
+
+def jpeg_encode_lossless_arith(
+    img: "np.ndarray",
+    predictor: int = 4,
+    point_transform: int = 0,
+    precision: "int | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode as an ARITHMETIC-CODED LOSSLESS JPEG (SOF11): the
+    Annex H prediction of ``multimodal.jpeg_encode_lossless`` with
+    the QM-coded conditioned difference model instead of Huffman —
+    ``jpeg_decode`` returns the input bit-for-bit (<< Pt for a
+    nonzero point transform). Adaptive binary estimation with 2-D
+    difference conditioning typically beats the Huffman twin's
+    per-image optimal tables (pinned on smooth signal in q225).
+    Same input contract as the Huffman encoder: 2-D grayscale or
+    (h, w, 3) RGB coded directly (no color transform), precision
+    2..16, restart intervals re-initializing prediction, statistics
+    and the coder."""
+    from bigdataflink_spark.operators.multimodal import (
+        _ll_predict,
+        _seg,
+    )
+
+    gray = img.ndim == 2
+    assert gray or (img.ndim == 3 and img.shape[2] == 3)
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    assert 2 <= precision <= 16
+    pt = point_transform
+    assert 0 <= pt < precision
+    assert int(img.max(initial=0)) <= (1 << precision) - 1, (
+        "sample exceeds declared precision"
+    )
+    h, w = img.shape[:2]
+    ncomp = 1 if gray else 3
+    planes = [
+        [
+            [int(v) >> pt for v in row]
+            for row in (img if gray else img[:, :, c]).tolist()
+        ]
+        for c in range(ncomp)
+    ]
+    default = 1 << (precision - pt - 1)
+    L, U = _DEFAULT_COND["dc"][0]
+
+    enc = ArithEncoder()
+    stats = [bytearray(_LL_STATS) for _ in range(ncomp)]
+    dplanes = [[[0] * w for _ in range(h)] for _ in range(ncomp)]
+    ri = rj = mcu = 0
+    t0 = 0
+    for i in range(h):
+        for j in range(w):
+            t = i * w + j
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                enc.restart(mcu // restart_interval - 1)
+                stats = [bytearray(_LL_STATS) for _ in range(ncomp)]
+                ri, rj = i, j
+                t0 = t
+            for ci in range(ncomp):
+                pl = planes[ci]
+                pred = _ll_predict(pl, i, j, ri, rj, default, predictor)
+                d = (pl[i][j] - pred) & 0xFFFF
+                if d >= 32768:
+                    d -= 65536
+                dpl = dplanes[ci]
+                da = dpl[i][j - 1] if j > 0 and t - 1 >= t0 else 0
+                db = dpl[i - 1][j] if i > 0 and t - w >= t0 else 0
+                _ll_diff_encode(enc, stats[ci], da, db, d, L, U)
+                dpl[i][j] = d
+            mcu += 1
+    enc.flush()
+    scan = bytes(enc.out)
+
+    dac_body = bytearray()
+    for ci in range(ncomp):
+        dac_body += bytes((0x00 | ci, (U << 4) | L))
+    dac = (
+        bytes((0xFF, 0xCC))
+        + struct.pack(">H", len(dac_body) + 2)
+        + bytes(dac_body)
+    )
+    sof = _seg(
+        0xCB,
+        struct.pack(">BHHB", precision, h, w, ncomp)
+        + b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp)),
+    )
+    sos = _seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes([ci + 1, ci << 4]) for ci in range(ncomp))
+        + bytes([predictor, 0, pt]),
+    )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dac + dri + sof + sos + scan + b"\xff\xd9"

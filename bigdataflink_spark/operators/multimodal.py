@@ -2953,8 +2953,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     store and the reconstruction shares the sequential path's
     batched IDCT, with nearest-neighbor chroma upsampling that
     handles fractional sampling ratios (3x1 luma over 2x1 chroma)
-    via the T.81 A.1.1 index formula. Raises NotImplementedError for
-    lossless SOFs."""
+    via the T.81 A.1.1 index formula. LOSSLESS (SOF3, round 9 —
+    Annex H prediction, byte-exact) and the ARITHMETIC profiles
+    (round 10, operators/jpeg_arith.py: SOF9 sequential, SOF10
+    progressive, SOF11 lossless, with DAC conditioning) decode too;
+    only differential/hierarchical SOFs raise NotImplementedError."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -3031,21 +3034,21 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 else:  # AC: Cs = Kx
                     arith_cond["ac"][tc_tb & 0x0F] = cs
                 b += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0 baseline / SOF1 extended sequential (round 8 —
             # baseline machinery with a 12-bit-capable sample width) /
             # SOF2 progressive / SOF3 lossless (round 9 — Annex H
             # predictive coding, no DCT, decodes bit-exactly) /
-            # SOF9 + SOF10 arithmetic sequential/progressive (round
-            # 10 — same DCT machinery, QM-coded entropy layer in
-            # operators/jpeg_arith.py)
+            # SOF9 + SOF10 + SOF11 arithmetic sequential/progressive/
+            # lossless (round 10 — same DCT/prediction machinery,
+            # QM-coded entropy layer in operators/jpeg_arith.py)
             progressive = marker in (0xC2, 0xCA)
-            arithmetic = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
+            arithmetic = marker in (0xC9, 0xCA, 0xCB)
+            lossless = marker in (0xC3, 0xCB)
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if marker == 0xC3:
+            if marker in (0xC3, 0xCB):
                 allowed = tuple(range(2, 17))
             elif marker in (0xC1, 0xC9, 0xCA):
                 allowed = (8, 12)
@@ -3063,10 +3066,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0} (arithmetic-lossless/differential/"
-                "hierarchical) not supported"
+                f"SOF{marker - 0xC0} (differential/hierarchical) "
+                "not supported"
             )
         elif marker == 0xDA:  # SOS — decode this scan in place
             if comps is None:
@@ -3105,13 +3108,33 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             if arithmetic:
                 from bigdataflink_spark.operators.jpeg_arith import (
                     arith_decode_scan,
+                    arith_lossless_scan,
                 )
 
-                p = arith_decode_scan(
-                    entropy, scan_comps, ss, se, ah, al, progressive,
-                    store, nb, comp_blocks, by_id, mcus_y, mcus_x,
-                    restart_interval, arith_cond,
-                )
+                if lossless:
+                    if lplanes is None:
+                        for cid, ch, cv, _ in comps:
+                            if ch != 1 or cv != 1:
+                                raise NotImplementedError(
+                                    "lossless JPEG with subsampling not "
+                                    "supported (Hi=Vi=1 only)"
+                                )
+                        lplanes = {
+                            cid: [[0] * w for _ in range(h)]
+                            for cid, _, _, _ in comps
+                        }
+                    for cs, _, _ in scan_comps:
+                        lpt[cs] = al
+                    p = arith_lossless_scan(
+                        entropy, scan_comps, ss, al, lplanes, h, w,
+                        precision, restart_interval, arith_cond,
+                    )
+                else:
+                    p = arith_decode_scan(
+                        entropy, scan_comps, ss, se, ah, al, progressive,
+                        store, nb, comp_blocks, by_id, mcus_y, mcus_x,
+                        restart_interval, arith_cond,
+                    )
                 saw_scan = True
                 while True:
                     nxt = entropy.find(b"\xff", p)

@@ -4650,6 +4650,21 @@ FROM th, cnt, ex
 """
 
 
+# q225: arithmetic lossless is byte-exact by definition and the
+# stream/size pins are by construction — TRUE like q212's.
+ORACLES["q225_jpeg_arith_lossless"] = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       TRUE AS rt8_exact,
+       TRUE AS rt12_exact,
+       TRUE AS rt16_exact,
+       TRUE AS sof11_stream,
+       TRUE AS arith_smaller
+FROM documents WHERE doc_id % 11 = 7
+"""
+
+
 # q217: the hash-threshold sample is a pure function of the key set,
 # so DuckDB recomputes the sample, the power-of-two cutoff, both
 # discrete quantiles AND the integer rank-error booleans bit-for-bit

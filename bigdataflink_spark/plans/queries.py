@@ -7919,6 +7919,131 @@ def q224_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q225_jpeg_arith_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic LOSSLESS JPEG contract (SOF11 — round 10, the last
+    non-differential JPEG profile: T.81 Annex H prediction with the
+    H.1.2.2 conditioned QM difference model, operators/
+    jpeg_arith.py::jpeg_encode_lossless_arith). Per sampled doc the
+    q212 signal set runs the full encode→decode loop:
+
+    * byte-EXACT round trips (lossless = equality): 8-bit RGB
+      predictor 4, 12-bit gray predictor 7, 16-bit gray predictor 1
+      with restart markers — one slip in the coder, the conditioning
+      contexts, or the shared predictors flips a boolean;
+    * ``sof11_stream`` pins the marker structure from the bytes (SOF11
+      + DAC present; NO DHT, NO DQT — an arithmetic lossless stream
+      carries neither Huffman nor quantization tables) and the SOS
+      predictor byte;
+    * ``arith_smaller`` pins that 2-D difference conditioning beats
+      the Huffman twin's per-image OPTIMAL tables on predictable
+      signal (measured ~4× on the gradient) — the estimator doing
+      real work, not just round-tripping.
+
+    No external SOF11 decoder exists anywhere (libjpeg never
+    implemented it), so unlike q220 there is no gated differential;
+    byte equality + the 158-bin stats-area structure matching T.81's
+    published size are the available pins, stated honestly. Audited
+    on the deterministic doc_id%11==7 slice. One Arrow map stage:
+    zero shuffles, zero joins."""
+    import pandas as pd_
+
+    from bigdataflink_spark.operators.jpeg_arith import (
+        jpeg_encode_lossless_arith,
+    )
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+        jpeg_markers,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 7)
+    width, height = 16, 12
+
+    def _batches(it):
+        import numpy as np
+
+        n = width * height
+        ks = np.arange(n, dtype=np.int64)
+        cols = ("media_id", "width", "height", "rt8_exact",
+                "rt12_exact", "rt16_exact", "sof11_stream",
+                "arith_smaller")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = (i * 7 + ks // width * 3 + ks % width * 5) % 256
+                rgb = np.stack(
+                    [base, (base + 31) % 256, (base + 67) % 256],
+                    axis=-1,
+                ).astype(np.uint8).reshape(height, width, 3)
+                blob8 = jpeg_encode_lossless_arith(rgb, predictor=4)
+                dec8 = jpeg_decode(blob8)
+                g12 = (((i * 31 + ks) * 16) % 4096).astype(
+                    np.uint16
+                ).reshape(height, width)
+                dec12 = jpeg_decode(
+                    jpeg_encode_lossless_arith(
+                        g12, precision=12, predictor=7
+                    )
+                )
+                g16 = ((i * 131 + ks * 257) % 65536).astype(
+                    np.uint16
+                ).reshape(height, width)
+                dec16 = jpeg_decode(
+                    jpeg_encode_lossless_arith(
+                        g16, precision=16, predictor=1,
+                        restart_interval=40,
+                    )
+                )
+                marks = jpeg_markers(blob8)
+                codes = [m for m, _ in marks]
+                sos_at = next(o for m, o in marks if m == 0xDA)
+                ns = blob8[sos_at + 4]
+                stream_ok = (
+                    0xCB in codes
+                    and 0xCC in codes
+                    and not {0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xDB}
+                    & set(codes)
+                    and blob8[sos_at + 5 + 2 * ns] == 4  # Ss = pred
+                )
+                rows["media_id"].append(i)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["rt8_exact"].append(
+                    bool(dec8.dtype == np.uint8 and (dec8 == rgb).all())
+                )
+                rows["rt12_exact"].append(
+                    bool(
+                        dec12.dtype == np.uint16
+                        and (dec12[:, :, 0] == g12).all()
+                    )
+                )
+                rows["rt16_exact"].append(
+                    bool(
+                        dec16.dtype == np.uint16
+                        and (dec16[:, :, 0] == g16).all()
+                    )
+                )
+                rows["sof11_stream"].append(bool(stream_ok))
+                rows["arith_smaller"].append(
+                    bool(
+                        len(blob8)
+                        < len(jpeg_encode_lossless(rgb, predictor=4))
+                    )
+                )
+            yield pd_.DataFrame(rows)
+
+    fanout = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(fanout).mapInPandas(
+        _batches,
+        schema=(
+            "media_id long, width int, height int, rt8_exact boolean, "
+            "rt12_exact boolean, rt16_exact boolean, "
+            "sof11_stream boolean, arith_smaller boolean"
+        ),
+    )
+
+
 def q221_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set-operation audit (extension; operators/
     sketches.py::theta_set_ops — Beyer et al. SIGMOD 2007 / the
@@ -8213,4 +8338,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q222_streaming_quantile": q222_streaming_quantile,
     "q223_int8_ann": q223_int8_ann,
     "q224_pq_ann": q224_pq_ann,
+    "q225_jpeg_arith_lossless": q225_jpeg_arith_lossless,
 }

@@ -220,12 +220,13 @@ def test_restart_out_of_sequence_raises():
         jpeg_decode(bytes(blob))
 
 
-def test_sof11_arith_lossless_still_gated():
+def test_differential_sofs_still_gated():
     blob = bytearray(jpeg_encode_arithmetic(_smooth(16, 16)))
     i = blob.find(b"\xff\xc9")
-    blob[i + 1] = 0xCB
-    with pytest.raises(NotImplementedError):
-        jpeg_decode(bytes(blob))
+    for sof in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+        blob[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(bytes(blob))
 
 
 # -- marker-gated external differential (the ffprobe pattern) ---------------
@@ -253,3 +254,89 @@ def test_djpeg_differential():
     # IDCT implementations may differ by +-1 per sample
     assert theirs.shape == ours.shape
     assert int(np.abs(theirs.astype(int) - ours.astype(int)).max()) <= 1
+
+
+# -- SOF11: arithmetic lossless ----------------------------------------------
+
+
+def test_sof11_roundtrip_all_predictors_rgb8():
+    from bigdataflink_spark.operators.jpeg_arith import (
+        jpeg_encode_lossless_arith,
+    )
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (19, 27, 3)).astype(np.uint8)
+    for p in range(1, 8):
+        dec = jpeg_decode(jpeg_encode_lossless_arith(img, predictor=p))
+        assert dec.dtype == np.uint8 and (dec == img).all(), f"pred {p}"
+
+
+def test_sof11_gray_precisions_pt_restarts():
+    from bigdataflink_spark.operators.jpeg_arith import (
+        jpeg_encode_lossless_arith,
+    )
+
+    rng = np.random.RandomState(32)
+    for prec in (2, 4, 8, 12, 16):
+        maxv = (1 << prec) - 1
+        dt = np.uint8 if prec <= 8 else np.uint16
+        g = rng.randint(0, maxv + 1, (13, 9)).astype(dt)
+        dec = jpeg_decode(jpeg_encode_lossless_arith(g, precision=prec))
+        assert dec.dtype == dt and (dec[:, :, 0] == g).all(), prec
+    g = rng.randint(0, 4096, (11, 7)).astype(np.uint16)
+    dec = jpeg_decode(
+        jpeg_encode_lossless_arith(g, precision=12, point_transform=3)
+    )
+    assert (dec[:, :, 0] == ((g >> 3) << 3)).all()
+    img = rng.randint(0, 256, (16, 21, 3)).astype(np.uint8)
+    blob = jpeg_encode_lossless_arith(img, predictor=5, restart_interval=29)
+    assert (jpeg_decode(blob) == img).all()
+    assert sum(blob.count(bytes([0xFF, 0xD0 + k])) for k in range(8)) > 0
+
+
+def test_sof11_stream_structure_and_compression():
+    from bigdataflink_spark.operators.jpeg_arith import (
+        jpeg_encode_lossless_arith,
+    )
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_encode_lossless,
+    )
+
+    img = _smooth(24, 32, seed=5)
+    blob = jpeg_encode_lossless_arith(img, predictor=4)
+    codes = [m for m, _ in jpeg_markers(blob)]
+    assert 0xCB in codes and 0xCC in codes
+    assert 0xC4 not in codes and 0xDB not in codes  # no DHT, no DQT
+    # conditioned adaptive estimation beats per-image optimal Huffman
+    # on predictable signal by a wide margin
+    hb = jpeg_encode_lossless(img, predictor=4)
+    assert len(blob) < len(hb)
+    assert np.array_equal(jpeg_decode(blob), jpeg_decode(hb))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(4, 24),
+    w=st.integers(4, 24),
+    predictor=st.integers(1, 7),
+    prec=st.sampled_from([8, 8, 12, 16]),
+    pt=st.integers(0, 3),
+    ri=st.sampled_from([0, 0, 7]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_sof11_fuzz_roundtrip(h, w, predictor, prec, pt, ri, seed):
+    from bigdataflink_spark.operators.jpeg_arith import (
+        jpeg_encode_lossless_arith,
+    )
+
+    rng = np.random.RandomState(seed)
+    maxv = (1 << prec) - 1
+    dt = np.uint8 if prec <= 8 else np.uint16
+    g = rng.randint(0, maxv + 1, (h, w)).astype(dt)
+    dec = jpeg_decode(
+        jpeg_encode_lossless_arith(
+            g, predictor=predictor, precision=prec, point_transform=pt,
+            restart_interval=ri,
+        )
+    )
+    assert (dec[:, :, 0] == ((g >> pt) << pt)).all()

@@ -104,17 +104,17 @@ def test_optimal_dht_never_assigns_all_ones_code():
 
 
 def test_wild_profile_gates_updated():
-    # SOF1 (round 8), SOF3 (round 9) and SOF9/SOF10 (round 10) no
-    # longer gate; the remaining arithmetic-lossless / differential /
-    # hierarchical SOFs still do, clearly
+    # SOF1 (round 8), SOF3 (round 9) and SOF9/SOF10/SOF11 (round 10)
+    # no longer gate; the remaining differential / hierarchical SOFs
+    # still do, clearly
     img = _img12(16, 16, seed=9)
     blob = bytearray(jpeg_encode_extended(img, precision=12))
     j = blob.find(b"\xff\xc1")
-    blob[j + 1] = 0xCB  # masquerade as arithmetic lossless (SOF11)
-    with pytest.raises(NotImplementedError, match="SOF11"):
-        jpeg_decode(bytes(blob))
     blob[j + 1] = 0xC5  # differential sequential (SOF5)
     with pytest.raises(NotImplementedError, match="SOF5"):
+        jpeg_decode(bytes(blob))
+    blob[j + 1] = 0xCD  # differential arithmetic sequential (SOF13)
+    with pytest.raises(NotImplementedError, match="SOF13"):
         jpeg_decode(bytes(blob))
     # a Huffman stream masquerading as SOF9 routes to the arithmetic
     # path and behaves CONTROLLED: arbitrary bits are a LEGAL QM

@@ -119,11 +119,12 @@ def test_gates_and_bad_args():
     blob[sos_at + 5 + 2 * blob[sos_at + 4]] = 0
     with pytest.raises(ValueError, match="predictor"):
         jpeg_decode(bytes(blob))
-    # arithmetic/differential SOFs gate honestly
+    # differential/hierarchical SOFs gate honestly (SOF11 arithmetic
+    # lossless decodes since round 10 — tests/test_jpeg_arith.py)
     blob2 = bytearray(jpeg_encode_lossless(g, predictor=1))
     sof_at = next(o for m, o in jpeg_markers(bytes(blob2)) if m == 0xC3)
-    blob2[sof_at + 1] = 0xCB  # SOF11 = arithmetic lossless
-    with pytest.raises(NotImplementedError, match="SOF11"):
+    blob2[sof_at + 1] = 0xC7  # SOF7 = differential lossless
+    with pytest.raises(NotImplementedError, match="SOF7"):
         jpeg_decode(bytes(blob2))
 
 

@@ -241,6 +241,7 @@ NOTES = {
     "q222_streaming_quantile": "Streaming quantile sketch: three accept_batch steps, each ONE <=49-level census groupBy (map-side combined) + a broadcast semantic-cutoff filter over <=cap state rows + the batch scan, publishing cmsfreq-style generations (replay rewrites identically, _SUCCESS = visibility); gen-b == batch quantile_sketch(prefix) row-for-row, so each per-batch summary replays in SQL — full value oracle for stateful streaming quantiles.",
     "q223_int8_ann": "Int8-quantized ANN audit: quantization is a whole-stage-codegen array projection (floor over IEEE doubles, no Python), scoring is q24's broadcast shape with exact int64 dot products and one correctly-rounded divide+sqrt as the rank key — the retrieval RESULT (not just its quality band) is engine-deterministic; the float exact-cosine leg is the audit, the int8 pass is the 100 TB path (4x smaller vectors).",
     "q224_pq_ann": "PQ ANN audit: encode = one broadcast codebook join + rank-1 window per (id, sub); ADC scoring reads ONLY codes + a per-query broadcast 8x64 LUT with a fixed-order fold over subspaces (never a float groupBy-sum); shortlist top-50 -> exact-cosine rerank touches 50 raw vectors per query. At 100 TB retrieval scans 8-byte codes, not 256-byte vectors — the raw corpus stays cold.",
+    "q225_jpeg_arith_lossless": "Arithmetic lossless JPEG (SOF11) contract: q212's Arrow-map shape over the doc_id%11==7 slice, zero joins; per row the Annex-H predictors drive the H.1.2.2 conditioned QM difference model (25 gradient contexts + dual X/M areas = the 158 stats bins T.81 publishes) through byte-EXACT round trips at 8/12/16-bit; stream pins (SOF11+DAC, no DHT/DQT) from the real marker walk; arith_smaller pins conditioned estimation beating per-image optimal Huffman.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
