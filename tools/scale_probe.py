@@ -169,6 +169,11 @@ PROBE100 = {
     # and the exact legs (float top-5 audits) are the linear residue
     "q223_int8_ann": QUERIES["q223_int8_ann"],
     "q224_pq_ann": QUERIES["q224_pq_ann"],
+    # r10 codec additions: the arithmetic JPEG profiles — per-bit
+    # Python entropy layers inside the embarrassingly-parallel Arrow
+    # map shape; wall tracks the x100 OUTPUT rows, per-doc cost flat
+    "q220_jpeg_arithmetic": QUERIES["q220_jpeg_arithmetic"],
+    "q225_jpeg_arith_lossless": QUERIES["q225_jpeg_arith_lossless"],
 }
 FIXED100 = ["region", "nation", "customer", "supplier", "part"]
 
