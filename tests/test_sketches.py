@@ -295,3 +295,62 @@ def test_theta_subset_relation(spark):
         kmv_sketch(A, "key", k=256), kmv_sketch(B, "key", k=256), 256
     ).collect()[0]
     assert row.n_b_only == 0 and row.est_b_only == 0
+
+
+def test_theta_symmetry_and_union_consistency(spark):
+    # symmetry: swapping A and B swaps the difference counts and
+    # leaves theta / intersection / union identical; the theta union
+    # estimate agrees with the kmv_merge estimate whenever the merged
+    # sketch's theta equals min(theta_a, theta_b) (always true here:
+    # the union's kth smallest <= either side's kth smallest <= ...
+    # checked explicitly rather than assumed)
+    from bigdataflink_spark.operators.sketches import theta_set_ops
+
+    A = spark.range(0, 7_000).select(F.col("id").alias("key"))
+    B = spark.range(4_000, 12_000).select(F.col("id").alias("key"))
+    sa, sb = kmv_sketch(A, "key", k=256), kmv_sketch(B, "key", k=256)
+    ab = theta_set_ops(sa, sb, 256).collect()[0]
+    ba = theta_set_ops(sb, sa, 256).collect()[0]
+    assert ab.theta == ba.theta
+    assert (ab.n_inter, ab.est_inter) == (ba.n_inter, ba.est_inter)
+    assert (ab.n_a_only, ab.n_b_only) == (ba.n_b_only, ba.n_a_only)
+    assert ab.est_union == ba.est_union
+    merged = kmv_merge(256, sa, sb)
+    m = merged.select(
+        kmv_estimate_expr(256).alias("est"),
+        F.element_at("ks", 256).alias("kth"),
+    ).collect()[0]
+    if m.kth is not None and m.kth == ab.theta:
+        # same theta => identical sub-theta sample => same estimate
+        # up to the DIV roundings of the split parts (<= 3 floors)
+        assert 0 <= m.est - ab.est_union <= 3 or 0 <= ab.est_union - m.est <= 3
+
+
+def test_quantile_stream_parity_random_slicings(spark, tmp_path):
+    # the streaming twin must equal the batch sketch of the prefix for
+    # ANY batch slicing — three different deterministic slicings of
+    # the same corpus, including a pathological tiny-first-batch one
+    from bigdataflink_spark.operators.sketches import quantile_sketch
+    from bigdataflink_spark.streaming import quantsketch
+
+    df = spark.range(8_000).select(
+        F.col("id").alias("key"), (F.col("id") % 613).cast("double").alias("v")
+    )
+    slicings = {
+        "mod4": [F.col("key") % 4 == i for i in range(4)],
+        "skew": [F.col("key") < 10, (F.col("key") >= 10) & (F.col("key") < 4000),
+                 F.col("key") >= 4000],
+        "hash": [F.md5(F.col("key").cast("string")).substr(1, 1) < "8",
+                 F.md5(F.col("key").cast("string")).substr(1, 1) >= "8"],
+    }
+    for name, preds in slicings.items():
+        state = f"{tmp_path}/{name}/state"
+        prefix = None
+        for b, pred in enumerate(preds):
+            batch = df.filter(pred)
+            got = quantsketch.accept_batch(spark, batch, state, b, cap=512)
+            prefix = batch if prefix is None else prefix.unionByName(batch)
+            want = quantile_sketch(prefix, "key", "v", cap=512)
+            gh = sorted(r.h for r in got.select("h").collect())
+            wh = sorted(r.h for r in want.select("h").collect())
+            assert gh == wh, (name, b)
