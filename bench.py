@@ -146,6 +146,7 @@ HEADLINE = [
     "q223_int8_ann",
     "q224_pq_ann",
     "q225_jpeg_arith_lossless",
+    "q226_substring_dedup",
 ]
 
 
@@ -155,6 +156,27 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["q02_revenue_by_region"](spark, SF_DIR).count()
+
+    # Python-worker warmup (VERDICT r10 #2): the first codec-family
+    # Arrow stage otherwise pays n_workers × ~0.7 s importing the
+    # heavy operator modules (operators/multimodal is 5 kLoC) inside
+    # each forked worker, which on a loaded host can survive into
+    # run-2/3 of best-of-3 and masquerade as a plan regression
+    # (q212 r10: recorded 3.75-7.34 s vs 1.05 s warm). One pass with
+    # more tasks than workers pre-imports everything in the pool;
+    # workers are reused afterwards (spark.python.worker.reuse).
+    n_warm = int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 4
+
+    def _preimport(it):
+        import bigdataflink_spark.operators.jpeg_arith  # noqa: F401
+        import bigdataflink_spark.operators.multimodal  # noqa: F401
+        import bigdataflink_spark.operators.zstd  # noqa: F401
+
+        yield from it
+
+    spark.range(n_warm, numPartitions=n_warm).mapInPandas(
+        _preimport, "id long"
+    ).count()
 
     # hardware calibration: a fixed pure-JVM aggregation whose cost is
     # independent of this repo's code. Round-over-round comparisons
@@ -207,9 +229,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # calib-normalized per-query values (VERDICT r10 #7): host
+        # speed varies between rounds; sec/calib_sec is the number
+        # comparable across rounds without manual drift arithmetic.
+        "queries_norm": {k: round(v / calib, 3) for k, v in times.items()},
         "sf": float(sf) if sf else None,
         "calib_sec": calib,
         "r1_set_subtotal": r1_subtotal,
+        "r1_set_subtotal_norm": round(r1_subtotal / calib, 3),
+        "value_norm": round(total / calib, 3),
         "n_queries": len(times),
     }
     print(json.dumps(detail))
@@ -228,6 +256,8 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "calib_sec": calib,
                 "r1_set_subtotal": r1_subtotal,
+                "r1_set_subtotal_norm": round(r1_subtotal / calib, 3),
+                "value_norm": round(total / calib, 3),
                 "n_queries": len(times),
             }
         )

@@ -287,3 +287,89 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         token_count_regex(text_col).alias("regex_tokens"),
         fingerprint(text_col).alias("fp"),
     ).drop("_tk")
+
+
+def substring_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per doc, the MAXIMAL
+    repeated token spans of length >= ``min_len`` — arbitrary-length,
+    not the fixed non-overlapping passages of passage_dedup_stats.
+
+    Contract: a token position is DUPLICATED iff some length-L window
+    covering it occurs >= 2 times in the corpus (other docs or other
+    positions of the same doc — Lee et al. dedup within documents
+    too). A doc's duplicated positions are reported as maximal merged
+    intervals: (n_spans, dup_tokens = union coverage, max_span). The
+    suffix-array machinery of the paper is a single-node construction;
+    this is the distributed equivalent for the same accounting —
+    every maximal repeated span of length S >= L appears as a run of
+    S - L + 1 duplicated window starts, which the interval merge
+    reassembles exactly.
+
+    Shape (all linear, no pairwise comparison):
+      1. one projection: overlapping L-token windows with positions
+         (posexplode) — O(total tokens) rows;
+      2. one groupBy on the window text for global occurrence counts
+         (map-side partial aggregation applies);
+      3. one join back on the window key, keeping duplicated starts;
+      4. per-doc interval merge via lag() — window starts are sorted
+         per doc, and end = pos + L - 1 is monotonic in pos, so a new
+         span begins exactly when pos > lag(pos) + L; no running max
+         needed.
+    At 100 TB, shuffle xxhash64(window) instead of the window text to
+    cut shuffle bytes ~5x (string key kept here for bit-exact oracle
+    parity), and salt the count of any pathological ultra-hot window.
+    """
+    L = int(min_len)
+    toked = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).filter(F.size("_tk") >= L)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_tk") - L),
+        lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, L), " "),
+    )
+    win = toked.select(
+        F.col(id_col),
+        F.size("_tk").alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    counts = win.groupBy("gram").agg(F.count("*").alias("_n"))
+    dup = (
+        win.join(counts, "gram")
+        .filter(F.col("_n") >= 2)
+        .select(id_col, "n_tokens", "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
+    islands = dup.select(
+        id_col, "n_tokens", "pos", brk.alias("_brk")
+    ).select(
+        id_col,
+        "n_tokens",
+        "pos",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    spans = islands.groupBy(id_col, "n_tokens", "_isl").agg(
+        (F.max("pos") - F.min("pos") + L).alias("_span_len")
+    )
+    return spans.groupBy(id_col, "n_tokens").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("_span_len").cast("long").alias("dup_tokens"),
+        F.max("_span_len").cast("long").alias("max_span"),
+        F.round(
+            F.sum("_span_len").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_ratio"),
+    ).select(
+        id_col,
+        "n_spans",
+        "dup_tokens",
+        "max_span",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_ratio",
+    )

@@ -4820,3 +4820,48 @@ FROM est e
 JOIN tru ON tru.key = e.key AND tru.slice = e.slice
 JOIN n ON n.slice = e.slice
 """
+
+# q226: exact substring dedup — overlapping 10-token windows with
+# positions (struct-comprehension unnest), global occurrence counts,
+# lag()-based interval merge per doc. DuckDB lists are 1-indexed and
+# slices inclusive; lag() is NULL on the first row so the break flag
+# coalesces to 0 (first window always opens island 0).
+ORACLES["q226_substring_dedup"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+w AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         unnest([{{'pos': i, 'gram': array_to_string(tk[i+1 : i+10], ' ')}}
+                 for i in range(len(tk) - 10 + 1)]) AS s
+  FROM d WHERE len(tk) >= 10
+),
+g AS (SELECT doc_id, n_tokens, s.pos AS pos, s.gram AS gram FROM w),
+pc AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+dup AS (
+  SELECT doc_id, n_tokens, pos FROM g JOIN pc USING (gram) WHERE pc.n >= 2
+),
+brk AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+              THEN 1 ELSE 0 END AS b
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, n_tokens, island,
+         MAX(pos) - MIN(pos) + 10 AS span_len
+  FROM isl GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+       CAST(MAX(span_len) AS BIGINT) AS max_span,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(span_len) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS dup_ratio
+FROM spans GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+"""

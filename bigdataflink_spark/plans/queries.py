@@ -8116,6 +8116,26 @@ def q221_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q226_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (round 11, VERDICT r10 "What's
+    missing #3" — the last canonical LLM-dedup family member, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): per doc, the MAXIMAL repeated token spans of length
+    >= 10, arbitrary-length — unlike q96's fixed non-overlapping
+    3-token passages, this finds every repeated run and reports its
+    true extent (text.py substring_span_stats; contract and the
+    window-start/interval-merge reconstruction documented there).
+
+    Linear shape: overlapping 10-token windows with positions (one
+    projection + posexplode), global occurrence counts (one keyed
+    shuffle with map-side combine), join back, per-doc lag()-based
+    interval merge — never pairwise, never a suffix array on one
+    node. Output: docs with >= 1 duplicated span, their span count,
+    union token coverage, longest span, and coverage ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.substring_span_stats(docs, min_len=10).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -8339,4 +8359,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q223_int8_ann": q223_int8_ann,
     "q224_pq_ann": q224_pq_ann,
     "q225_jpeg_arith_lossless": q225_jpeg_arith_lossless,
+    "q226_substring_dedup": q226_substring_dedup,
 }

@@ -2399,3 +2399,63 @@ def test_pq_encode_and_shortlist_properties(spark):
     for qid in range(6):
         hits = len({p for p in a if p[0] == qid} & e)
         assert hits >= 3, (qid, hits)
+
+
+def test_substring_span_stats_maximal_spans(spark):
+    """The interval merge reconstructs MAXIMAL repeated spans: a
+    shared 12-token run (3 duplicated 10-window starts) reports as ONE
+    span of length 12; a within-doc repeat counts (Lee et al. dedup
+    within documents too); disjoint runs separated by > L unique
+    tokens stay separate spans; docs with no >= 10-token repeat are
+    absent."""
+    from bigdataflink_spark.operators.text import substring_span_stats
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token shared run
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            # doc 1: shared run at pos 3..14 inside unique padding
+            (1, f"{uniq('a', 3)} {shared} {uniq('b', 15)}"),
+            # doc 2: the same run at pos 0, then >L unique tokens,
+            # then ANOTHER copy — within-doc + cross-doc, two spans
+            (2, f"{shared} {uniq('c', 11)} {shared}"),
+            # doc 3: 9-token overlap with the run only — below L
+            (3, " ".join(f"s{i}" for i in range(9)) + " " + uniq("d", 10)),
+            # doc 4: fully unique
+            (4, uniq("e", 30)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in substring_span_stats(docs, min_len=10).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_spans == 1 and rows[1].dup_tokens == 12
+    assert rows[1].max_span == 12 and rows[1].n_tokens == 30
+    assert rows[2].n_spans == 2 and rows[2].dup_tokens == 24
+    assert rows[2].max_span == 12 and rows[2].dup_ratio == round(24 / 35, 6)
+
+
+def test_substring_span_stats_gap_merge_boundary(spark):
+    """Two duplicated windows whose coverage abuts exactly (next start
+    == prev start + L) merge into one span; one token of unique gap
+    between coverages splits them."""
+    from bigdataflink_spark.operators.text import substring_span_stats
+
+    run_a = " ".join(f"a{i}" for i in range(10))
+    run_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            # abutting: [a-run][b-run] both duplicated -> starts 0 and
+            # 10 -> coverage [0,9] + [10,19] merges to one 20-span
+            (1, f"{run_a} {run_b}"),
+            (2, f"{run_a} {run_b}"),
+            # split: unique token between the runs -> starts 0 and 11
+            # -> 11 > 0 + 10 -> two spans of 10
+            (3, f"{run_a} gap3x {run_b}"),
+            (4, f"{run_a} gap4x {run_b}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in substring_span_stats(docs, min_len=10).collect()}
+    assert rows[1].n_spans == 1 and rows[1].dup_tokens == 20
+    assert rows[3].n_spans == 2 and rows[3].dup_tokens == 20
+    assert rows[3].max_span == 10
