@@ -147,6 +147,7 @@ HEADLINE = [
     "q224_pq_ann",
     "q225_jpeg_arith_lossless",
     "q226_substring_dedup",
+    "q227_bpe_train",
 ]
 
 
@@ -192,7 +193,21 @@ def main() -> None:
     # single scheduler hiccup can't masquerade as a plan regression —
     # the q22 r1→r2 ×1.94 "outlier" was exactly this ambiguity at n=2
     times: dict[str, float] = {}
+    local_calib: dict[str, float] = {}
     for name in HEADLINE:
+        # per-query LOCAL calibration (round 11): the sandbox host's
+        # speed swings ±2.5× within one bench run (measured calib
+        # 1.535 → 0.665 in minutes), so one run-level calib can't
+        # normalize a query that landed in a slow window — r10's q212
+        # "regression" was exactly this. A 25M-row mini-calib (~0.1 s)
+        # right before each query's reps, scaled to the 200M-row
+        # unit, gives the per-query denominator.
+        c = float("inf")
+        for _ in range(3):
+            c0 = time.perf_counter()
+            spark.range(25_000_000).selectExpr("sum(id * 3 % 7)").collect()
+            c = min(c, time.perf_counter() - c0)
+        local_calib[name] = round(c * 8.0, 3)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -230,9 +245,14 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         # calib-normalized per-query values (VERDICT r10 #7): host
-        # speed varies between rounds; sec/calib_sec is the number
+        # speed varies between rounds AND within one run; sec divided
+        # by the per-query local calib (measured immediately before
+        # that query's reps, in 200M-row units) is the number
         # comparable across rounds without manual drift arithmetic.
-        "queries_norm": {k: round(v / calib, 3) for k, v in times.items()},
+        "queries_norm": {
+            k: round(v / local_calib[k], 3) for k, v in times.items()
+        },
+        "queries_calib": local_calib,
         "sf": float(sf) if sf else None,
         "calib_sec": calib,
         "r1_set_subtotal": r1_subtotal,

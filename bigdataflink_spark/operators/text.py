@@ -373,3 +373,108 @@ def substring_span_stats(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "dup_ratio",
     )
+
+
+# Symbol wrappers for the BPE trainer: each symbol is stored as
+# SOH||sym||STX inside a word string, so "merge pair (l, r)" is a
+# LITERAL string replace of SOH l STX SOH r STX with SOH lr STX —
+# replace() scans left-to-right non-overlapping in both Spark and
+# DuckDB, which is exactly BPE's greedy within-word merge order, and
+# the wrappers make cross-symbol-boundary matches impossible.
+_BPE_SOH = "\x01"
+_BPE_STX = "\x02"
+
+
+def _bpe_wrap(word: Column) -> Column:
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.split(word, ""),
+            lambda c: F.concat(F.lit(_BPE_SOH), c, F.lit(_BPE_STX)),
+        ),
+    )
+
+
+def _bpe_symbols(s: Column) -> Column:
+    inner = F.substring(s, 2, F.length(s) - 2)
+    return F.split(inner, _BPE_STX + _BPE_SOH)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer training, end-to-end (Sennrich et al. 2016): N
+    iterated merges over the corpus, returning the merge table
+    (step, left_sym, right_sym, merged, pair_count) — the iterated
+    trainer completing q150's single merge-candidate census.
+
+    The Sennrich trick makes this scale: after ONE corpus pass
+    (word → count), every iteration runs over the DISTINCT-WORD vocab
+    weighted by counts — bounded by vocabulary size, not corpus size,
+    so 100 TB of text trains at the same per-iteration cost as 100 GB
+    once the word census is done. Per iteration: one pair-explode +
+    keyed sum over the vocab (map-side combine applies), a driver
+    collect of exactly ONE row (the argmax pair — the q178
+    driver-loop idiom), and one projection applying the merge via
+    literal replace(). Ties break (count desc, left asc, right asc) —
+    deterministic, so the oracle can unroll the identical N
+    iterations in SQL and match bit-for-bit.
+
+    Pair counts follow the classic trainer: every adjacent occurrence
+    counts, including repeats within one word ("aaaa" counts (a,a)
+    three times before the first merge).
+    """
+    words = docs.select(F.explode(tokens(text_col)).alias("_w"))
+    vocab = (
+        words.groupBy("_w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(_bpe_wrap(F.col("_w")).alias("s"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, int(n_merges) + 1):
+        pairs = (
+            vocab.select("cnt", _bpe_symbols(F.col("s")).alias("_syms"))
+            # guard BEFORE sequence(): a 1-symbol word would make
+            # sequence(1, 0) count DOWN and emit phantom pairs
+            .filter(F.size("_syms") >= 2)
+            .select(
+                F.col("cnt"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_syms", i).alias("l"),
+                            F.element_at("_syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("_p"),
+            )
+        )
+        top = (
+            pairs.groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged — nothing left to pair
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((step, l, r, l + r, n))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"),
+                F.lit(_BPE_SOH + l + _BPE_STX + _BPE_SOH + r + _BPE_STX),
+                F.lit(_BPE_SOH + l + r + _BPE_STX),
+            ).alias("s"),
+            "cnt",
+        )
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )

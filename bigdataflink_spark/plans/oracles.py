@@ -4865,3 +4865,48 @@ SELECT doc_id,
 FROM spans GROUP BY doc_id, n_tokens
 ORDER BY doc_id
 """
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """Unrolled-iteration oracle for q227 (the q178 idiom applied to
+    BPE): the identical N trainer iterations as chained CTEs — word
+    census once, then per step a pair census over the wrapped-symbol
+    vocab, the deterministic argmax (count desc, left, right), and
+    the literal-replace merge. Symbol wrappers chr(1)/chr(2) make
+    cross-boundary matches impossible and give replace() exactly
+    BPE's greedy left-to-right non-overlapping within-word order
+    (operators/text.py::bpe_train documents the contract)."""
+    parts = [f"""WITH v0 AS (
+  SELECT array_to_string([chr(1)||c||chr(2) for c in string_split(w, '')], '') AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT cnt,
+           unnest([{{'l': syms[i+1], 'r': syms[i+2]}}
+                   for i in range(len(syms) - 1)]) AS pr
+    FROM (SELECT string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1)) AS syms, cnt
+          FROM v{k-1})
+  )
+  GROUP BY pr.l, pr.r
+),
+b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+v{k} AS (
+  SELECT replace(s, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+                 chr(1)||b.l||b.r||chr(2)) AS s, cnt
+  FROM v{k-1}, b{k} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, "
+        f"l||r AS merged, n AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\nSELECT * FROM (\n" + union + "\n) ORDER BY step"
+
+
+ORACLES["q227_bpe_train"] = _bpe_train_oracle(8)

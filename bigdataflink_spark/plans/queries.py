@@ -8136,6 +8136,20 @@ def q226_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.substring_span_stats(docs, min_len=10).orderBy("doc_id")
 
 
+def q227_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training end-to-end (round 11, VERDICT r10
+    "Next round" #4): 8 iterated merges over the documents corpus —
+    the driver-loop trainer completing q150's single merge-candidate
+    census (text.py bpe_train; the q178 unrolled-iteration oracle
+    idiom). One corpus pass builds the word census; every iteration
+    then runs over the bounded distinct-word vocab (Sennrich trick),
+    collects exactly one argmax row, and applies the merge as a
+    literal replace() — deterministic tiebreaks so the oracle unrolls
+    the identical 8 iterations in SQL and matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_train(docs, n_merges=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -8360,4 +8374,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q224_pq_ann": q224_pq_ann,
     "q225_jpeg_arith_lossless": q225_jpeg_arith_lossless,
     "q226_substring_dedup": q226_substring_dedup,
+    "q227_bpe_train": q227_bpe_train,
 }

@@ -2459,3 +2459,42 @@ def test_substring_span_stats_gap_merge_boundary(spark):
     assert rows[1].n_spans == 1 and rows[1].dup_tokens == 20
     assert rows[3].n_spans == 2 and rows[3].dup_tokens == 20
     assert rows[3].max_span == 10
+
+
+def test_bpe_train_textbook_merges_and_ties(spark):
+    """Sennrich toy corpus: the canonical merge order l+o, lo+w, then
+    e+w / n+ew; step 5 is an exact (e,r)-vs-(low,e) count tie that the
+    lexicographic tiebreak must resolve to (e, r). Within-word repeats
+    count individually ('aaaa' yields 3 (a,a) pairs)."""
+    from bigdataflink_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
+    assert got == [
+        (1, "l", "o", "lo", 6),
+        (2, "lo", "w", "low", 6),
+        (3, "e", "w", "ew", 3),
+        (4, "n", "ew", "new", 3),
+        (5, "e", "r", "er", 2),  # tie vs (low, e): 'e' < 'low'
+    ]
+
+    rep = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(rep, n_merges=2).collect()]
+    # 2 words x 3 adjacent (a,a) occurrences = 6; greedy merge turns
+    # each word into [aa, aa] -> step 2 is (aa, aa) with count 2
+    assert got[0] == (1, "a", "a", "aa", 6)
+    assert got[1] == (2, "aa", "aa", "aaaa", 2)
+
+
+def test_bpe_train_early_exhaustion(spark):
+    """A vocabulary of single-char words has no pairs: the trainer
+    stops early and returns an empty merge table (schema intact)."""
+    from bigdataflink_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    out = bpe_train(docs, n_merges=4)
+    assert out.count() == 0
+    assert out.columns == ["step", "left_sym", "right_sym", "merged", "pair_count"]
