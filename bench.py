@@ -148,6 +148,7 @@ HEADLINE = [
     "q225_jpeg_arith_lossless",
     "q226_substring_dedup",
     "q227_bpe_train",
+    "q228_ivf_int8_rerank",
 ]
 
 

@@ -4382,7 +4382,9 @@ scored AS (
          list_sum(list_transform(range(1, len(q_qv) + 1),
            i -> CAST(q_qv[i] AS BIGINT) * c_qv[i])) AS qdot,
          c_nn
-  FROM qq, cc WHERE query_id <> neighbor_id
+  -- c_nn > 0: zero vectors would score 0/sqrt(0)=NaN and Spark
+  -- sorts NaN largest (ADVICE r10) — excluded on both engines
+  FROM qq, cc WHERE query_id <> neighbor_id AND c_nn > 0
 ),
 approx AS (
   SELECT query_id, neighbor_id, qdot, c_nn,
@@ -4910,3 +4912,130 @@ v{k} AS (
 
 
 ORACLES["q227_bpe_train"] = _bpe_train_oracle(8)
+
+# q228: the composed ANN stack — quantization (q223's CTEs), centroid
+# routing with nprobe=2 (q26's), int8 shortlist within routed cells
+# (zero vectors excluded), exact rerank of the shortlist, plus the
+# cell-exact and global-exact audit legs.
+ORACLES["q228_ivf_int8_rerank"] = f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+scaled AS (
+  SELECT id, x, list_max(list_transform(x, v -> abs(v))) AS s FROM base
+),
+qv AS (
+  SELECT id,
+         CASE WHEN s = 0 THEN list_transform(x, v -> 0)
+              ELSE list_transform(x, v -> CAST(GREATEST(-127.0,
+                     LEAST(127.0, floor(v * 127.0 / s))) AS INT))
+         END AS qvec
+  FROM scaled
+),
+ex AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+              generate_subscripts(embedding, 1) AS pos
+       FROM embeddings),
+cent AS (SELECT label, pos, ROUND(AVG(v), 6) AS c FROM ex GROUP BY label, pos),
+carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qvf FROM embeddings WHERE vec_id < 10),
+routed AS (
+  SELECT query_id, probe_label FROM (
+    SELECT q.query_id, carr.label AS probe_label,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND({_cos('q.qvf', 'carr.centroid')}, 6) DESC,
+                      carr.label) AS crank
+    FROM q, carr)
+  WHERE crank <= 2
+),
+qq AS (SELECT id AS query_id, qvec AS q_qv FROM qv WHERE id < 10),
+cells AS (
+  SELECT qv.id, e.label AS probe_label, qv.qvec,
+         list_sum(list_transform(range(1, len(qv.qvec) + 1),
+           i -> CAST(qv.qvec[i] AS BIGINT) * qv.qvec[i])) AS c_nn
+  FROM qv JOIN embeddings e ON e.vec_id = qv.id
+),
+cand AS (
+  SELECT r.query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qq.q_qv) + 1),
+           i -> CAST(qq.q_qv[i] AS BIGINT) * c.qvec[i])) AS qdot,
+         c.c_nn
+  FROM routed r
+  JOIN cells c ON c.probe_label = r.probe_label
+  JOIN qq ON qq.query_id = r.query_id
+  WHERE c.id <> r.query_id AND c.c_nn > 0
+),
+shortl AS (
+  SELECT query_id, neighbor_id, qdot, n_candidates FROM (
+    SELECT query_id, neighbor_id, qdot,
+           COUNT(*) OVER (PARTITION BY query_id) AS n_candidates,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(c_nn AS DOUBLE))
+                      DESC, neighbor_id) AS srank
+    FROM cand)
+  WHERE srank <= 32
+),
+rr AS (
+  SELECT query_id, neighbor_id, n_candidates, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM (
+    SELECT s.query_id, s.neighbor_id, s.n_candidates,
+           ROUND({_cos('q.qvf', 'e.embedding')}, 6) AS cos
+    FROM shortl s
+    JOIN q ON q.query_id = s.query_id
+    JOIN embeddings e ON e.vec_id = s.neighbor_id)
+),
+out5 AS (SELECT * FROM rr WHERE rank <= 5),
+cellx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT r.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY r.query_id
+             ORDER BY ROUND({_cos('q.qvf', 'e.embedding')}, 6) DESC,
+                      e.vec_id) AS xrank
+    FROM routed r
+    JOIN q ON q.query_id = r.query_id
+    JOIN embeddings e ON e.label = r.probe_label AND e.vec_id <> r.query_id)
+  WHERE xrank <= 5
+),
+globx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND({_cos('q.qvf', 'e.embedding')}, 6) DESC,
+                      e.vec_id) AS grank
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+  WHERE grank <= 5
+),
+ch AS (
+  SELECT o.query_id,
+         SUM(CASE WHEN cx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS cell_hits
+  FROM out5 o LEFT JOIN cellx cx
+    ON cx.query_id = o.query_id AND cx.neighbor_id = o.neighbor_id
+  GROUP BY o.query_id
+),
+gh AS (
+  SELECT o.query_id,
+         SUM(CASE WHEN gx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS global_hits
+  FROM out5 o LEFT JOIN globx gx
+    ON gx.query_id = o.query_id AND gx.neighbor_id = o.neighbor_id
+  GROUP BY o.query_id
+),
+t1 AS (
+  SELECT query_id, neighbor_id AS top1_id, cos AS top1_cos, n_candidates
+  FROM rr WHERE rank = 1
+),
+nc AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT t1.query_id,
+       CAST(t1.n_candidates AS BIGINT) AS n_candidates,
+       t1.n_candidates * 2 < nc.n AS pruned_ok,
+       t1.top1_id,
+       t1.top1_cos,
+       CAST(ch.cell_hits AS BIGINT) AS cell_hits,
+       ch.cell_hits >= 4 AS cell_recall_ok,
+       CAST(gh.global_hits AS BIGINT) AS global_hits
+FROM t1 JOIN ch ON ch.query_id = t1.query_id
+JOIN gh ON gh.query_id = t1.query_id
+CROSS JOIN nc
+"""

@@ -2498,3 +2498,58 @@ def test_bpe_train_early_exhaustion(spark):
     out = bpe_train(docs, n_merges=4)
     assert out.count() == 0
     assert out.columns == ["step", "left_sym", "right_sym", "merged", "pair_count"]
+
+
+def test_ivf_int8_rerank_converges_to_bruteforce(spark):
+    """With nprobe = n_cells and shortlist = corpus size, the composed
+    stack's exact rerank must equal brute-force exact top-k (ids and
+    6dp cosines) — the ANN dial degenerating to exact, composed
+    across all three stages."""
+    import random
+
+    from bigdataflink_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_int8_rerank,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qs = emb.filter("vec_id < 3")
+    got = ivf_int8_rerank(emb, qs, k=4, nprobe=3, shortlist=40)
+    want = cosine_topk_bruteforce(emb, qs, k=4)
+    g = sorted((r.query_id, r.rank, r.neighbor_id, r.cos) for r in got.collect())
+    w = sorted((r.query_id, r.rank, r.neighbor_id, r.cos) for r in want.collect())
+    assert g == w
+    # pruning pin: every candidate set was the full corpus minus self
+    assert {r.n_candidates for r in got.collect()} == {39}
+
+
+def test_int8_topk_excludes_zero_vectors(spark):
+    """ADVICE r10: an all-zero corpus vector quantizes to qvec of
+    zeros with c_nn = 0 -> qscore NaN, which Spark sorts LARGEST.
+    The guard must keep zero vectors out of every ranking."""
+    from bigdataflink_spark.operators.similarity import (
+        int8_topk,
+        quantize_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.5, -0.25]),
+            (1, [0.9, 0.55, -0.2]),
+            (2, [0.0, 0.0, 0.0]),   # zero vector — must never rank
+            (3, [-1.0, 0.3, 0.8]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qz = quantize_int8(emb)
+    out = int8_topk(qz, qz.filter("id = 0"), k=3).collect()
+    ranked = [r.neighbor_id for r in out]
+    assert 2 not in ranked
+    assert ranked[0] == 1  # the near-parallel vector wins
