@@ -772,7 +772,31 @@ def pq_encode(
     import pandas as pd
 
     cb_rows = codebook.collect()  # bounded: ncent x nsub x dsub
+    # ADVICE r10: a sparse/empty codebook (corpus without ids
+    # 0..ncent-1) would otherwise crash opaquely on max() or leave
+    # zero-filled centroid rows that silently skew every assignment
+    if not cb_rows:
+        raise ValueError(
+            "pq_encode: empty codebook — the corpus has no vectors "
+            "with ids below ncent (pq_codebook samples centroids by "
+            "lowest id); pass a corpus containing them or a trained "
+            "codebook frame."
+        )
     ncent = max(r.cent for r in cb_rows) + 1
+    seen = {(r.sub, r.cent) for r in cb_rows}
+    missing = [
+        (s, c)
+        for s in range(nsub)
+        for c in range(ncent)
+        if (s, c) not in seen
+    ]
+    if missing:
+        raise ValueError(
+            f"pq_encode: codebook is sparse — missing (sub, cent) "
+            f"entries {missing[:5]}{'...' if len(missing) > 5 else ''} "
+            f"of the dense 0..{nsub - 1} x 0..{ncent - 1} grid; "
+            f"zero-filling them would skew every assignment."
+        )
     cb = np.zeros((nsub, ncent, dsub), dtype=np.float64)
     for r in cb_rows:
         cb[r.sub, r.cent, :] = r.cv
@@ -849,9 +873,20 @@ def pq_adc_shortlist(
     lut_rows = qs.join(F.broadcast(codebook), "sub").select(
         "query_id", "sub", "cent", pd_.alias("pdot")
     ).collect()  # bounded: |queries| x nsub x ncent
+    if not lut_rows:
+        raise ValueError(
+            "pq_adc_shortlist: empty LUT — no queries, or the "
+            "codebook is empty (see pq_encode's density check)."
+        )
     qids = sorted({r.query_id for r in lut_rows})
     qpos = {q: i for i, q in enumerate(qids)}
     ncent = max(r.cent for r in lut_rows) + 1
+    if len(lut_rows) != len(qids) * nsub * ncent:
+        raise ValueError(
+            f"pq_adc_shortlist: sparse LUT ({len(lut_rows)} rows, "
+            f"expected {len(qids)}x{nsub}x{ncent}) — a sparse "
+            f"codebook would zero-fill sub-dots and skew every adc."
+        )
     lut = np.zeros((len(qids), nsub, ncent), dtype=np.float64)
     for r in lut_rows:
         lut[qpos[r.query_id], r.sub, r.cent] = r.pdot

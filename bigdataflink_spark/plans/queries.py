@@ -7440,10 +7440,16 @@ def q217_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_disc_expr((1, 2)).alias("p50_est"),
         quantile_disc_expr((9, 10)).alias("p90_est"),
     )
-    # merge == direct: rebuild from two disjoint hash-parity slices
+    # merge == direct: rebuild from two disjoint hash-parity slices.
+    # Each half is ≤ cap rows AFTER rethreshold — checkpoint THERE so
+    # the merged rebuild reuses them instead of re-running both
+    # corpus scans (the union would otherwise re-execute each half's
+    # lineage: 2 extra full scans, the bulk of the ×100-probe wall)
     hashed = quantile_hashes(orders, "o_orderkey", "o_totalprice")
     halves = [
-        quantile_rethreshold(hashed.filter(F.col("h") % 2 == i), cap)
+        quantile_rethreshold(
+            hashed.filter(F.col("h") % 2 == i), cap
+        ).localCheckpoint(eager=True)
         for i in range(2)
     ]
     merged = quantile_rethreshold(halves[0].unionByName(halves[1]), cap)
@@ -7576,34 +7582,61 @@ def q219_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         from bigdataflink_spark.operators.sketches import cms_estimate
 
         est = cms_estimate(probes, "key", counters, d=d, w=w)
-        prefix = orders.filter(F.col("o_orderkey") % 3 <= s)
-        pref_keys = prefix.select(
-            F.col("o_custkey").cast("string").alias("pkey")
-        )
-        truth = (
+        # audit leg is BATCH-LOCAL (VERDICT r10 "What's wrong #3"):
+        # per-slice probe truths and row counts scan only this batch;
+        # the prefix values the bounds need come from a bounded
+        # window cumsum AFTER the union (3 slices x 4 probes), so the
+        # per-trigger cost stays O(batch + state) instead of
+        # rescanning an ever-longer prefix every micro-batch.
+        batch_keys = batch.select(F.col("key").cast("string").alias("pkey"))
+        batch_truth = (
             probes.join(
-                pref_keys, probes["key"] == pref_keys["pkey"], "left"
+                batch_keys, probes["key"] == batch_keys["pkey"], "left"
             )
             .groupBy("key")
-            .agg(F.count("pkey").cast("long").alias("true_cnt"))
+            .agg(F.count("pkey").cast("long").alias("batch_cnt"))
         )
-        n_pref = prefix.agg(F.count("*").cast("long").alias("n_prefix"))
+        n_batch = batch.agg(F.count("*").cast("long").alias("n_batch"))
         outs.append(
-            est.join(truth, est["probe_key"] == truth["key"])
-            .crossJoin(n_pref)
+            est.join(batch_truth, est["probe_key"] == batch_truth["key"])
+            .crossJoin(n_batch)
             .select(
                 F.lit(s).cast("int").alias("slice"),
                 "probe_key",
                 F.col("est").alias("est_cnt"),
-                "true_cnt",
-                (F.col("est") >= F.col("true_cnt")).alias("over_ok"),
-                (
-                    (F.col("est") - F.col("true_cnt")) * F.lit(w)
-                    <= F.lit(8) * F.col("n_prefix")
-                ).alias("bound_ok"),
+                "batch_cnt",
+                "n_batch",
             )
         )
-    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+    union = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    wk = (
+        Window.partitionBy("probe_key")
+        .orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("slice")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    n_slice = union.groupBy("slice").agg(
+        F.max("n_batch").alias("_nb")
+    ).withColumn("n_prefix", F.sum("_nb").over(wn)).select("slice", "n_prefix")
+    return (
+        union.withColumn("true_cnt", F.sum("batch_cnt").over(wk))
+        .join(n_slice, "slice")
+        .select(
+            "slice",
+            "probe_key",
+            "est_cnt",
+            "true_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias("over_ok"),
+            (
+                (F.col("est_cnt") - F.col("true_cnt")) * F.lit(w)
+                <= F.lit(8) * F.col("n_prefix")
+            ).alias("bound_ok"),
+        )
+    )
 
 
 def q220_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,6 +98,26 @@ def accept_batch(
         .select("h", "v", "lvl", "m")
     )
     merged = merged.localCheckpoint(eager=True)
+    if merged.isEmpty():
+        # ADVICE r10: m* rides ON the sample rows, so an empty
+        # published sample would lose the clamp — the next batch's
+        # max('m') coalesces back to FULL_LEVEL and silently breaks
+        # gen-b == batch-sketch-of-prefix. Empty + m* = FULL_LEVEL is
+        # a genuinely empty prefix (no information to lose); empty
+        # with a REAL clamp means cap is far too small for the data's
+        # level distribution (the count at the lowest present level
+        # alone exceeded cap) — refuse loudly rather than publish a
+        # generation that corrupts every later one.
+        m_val = int(cutoff.collect()[0]["m"])
+        if m_val < FULL_LEVEL:
+            raise ValueError(
+                f"quantile stream state would lose its clamp: the "
+                f"batch-{batch_id} census overflows cap at the lowest "
+                f"present level (semantic cutoff m*={m_val}, sample "
+                f"empty). Raise cap above the per-level row count; a "
+                f"generation published like this cannot be merged "
+                f"correctly."
+            )
     merged.write.mode("overwrite").parquet(_gen_path(state_dir, batch_id))
     return merged
 

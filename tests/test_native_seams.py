@@ -17,6 +17,8 @@ pattern applied to the container surface.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -256,3 +258,53 @@ def test_ffprobe_mp4_container_differential(tmp_path):
         assert (
             int(s["duration_ts"]) * 1000 // den == t["duration_ms"]
         )
+
+
+_FOREIGN_JPEGS = [
+    # (path, height, width) — real libjpeg-encoded streams that ship
+    # with Python/IPython/Rust doc installs on this image: a foreign
+    # ENCODER's baseline (SOF0) and progressive (SOF2) bytes through
+    # our decoder, the strongest Huffman-path interop available
+    # without djpeg. The arithmetic profiles (SOF9-11) still have no
+    # external fixture anywhere in this sandbox (no cjpeg, no
+    # network) — that gap stays honestly open (ADVICE r10 #4); these
+    # pin the shared marker walk, Huffman tables, dequant + IDCT.
+    (
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/site-packages/IPython/core/tests/2x2.jpg",
+        2, 2,
+    ),
+    (
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/test/test_email/data/python.jpg",
+        16, 16,
+    ),
+    (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+        "share/doc/rust/html/embedded-book/assets/f3.jpg",
+        477, 720,
+    ),
+]
+
+
+@pytest.mark.skipif(
+    not all(os.path.exists(p) for p, _, _ in _FOREIGN_JPEGS),
+    reason="foreign JPEG fixtures not present on this image",
+)
+def test_foreign_encoder_jpegs_decode():
+    import numpy as np
+
+    from bigdataflink_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_markers,
+    )
+
+    for path, h, w in _FOREIGN_JPEGS:
+        blob = open(path, "rb").read()
+        codes = [m for m, _ in jpeg_markers(blob)]
+        assert 0xD8 in codes and 0xDA in codes  # SOI + SOS walk
+        img = jpeg_decode(blob)
+        assert img.shape == (h, w, 3) and img.dtype == np.uint8
+        # decoded content is real (not a constant or garbage ramp):
+        # natural images land comfortably inside wide pixel bands
+        assert 20.0 < float(img.mean()) < 235.0

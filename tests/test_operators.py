@@ -2553,3 +2553,24 @@ def test_int8_topk_excludes_zero_vectors(spark):
     ranked = [r.neighbor_id for r in out]
     assert 2 not in ranked
     assert ranked[0] == 1  # the near-parallel vector wins
+
+
+def test_pq_rejects_sparse_or_empty_codebook(spark):
+    """ADVICE r10: a corpus missing ids 0..ncent-1 must produce a
+    CLEAR error from pq_encode (not an opaque max() crash or
+    zero-filled centroids that skew every assignment)."""
+    import pytest as _pytest
+
+    from bigdataflink_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    # ids start at 1000 -> pq_codebook's id<ncent sample is empty
+    emb = spark.createDataFrame(
+        [(1000 + i, [float(i)] * 16) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook(emb, nsub=2, dsub=8, ncent=4)
+    with _pytest.raises(ValueError, match="empty codebook"):
+        pq_encode(emb, cb, nsub=2, dsub=8).collect()

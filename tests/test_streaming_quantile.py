@@ -162,3 +162,33 @@ def test_quant_run_stream_file_source(spark, tmp_path):
     assert (last.sample_n, last.p50_est, last.p90_est) == (
         want.n, want.p50, want.p90,
     )
+
+
+def test_quantsketch_refuses_clamp_losing_generation(spark, tmp_path):
+    """ADVICE r10: with a cap smaller than the count at the lowest
+    present hash level, the published sample would be EMPTY while its
+    semantic cutoff m* is real — and m* rides on sample rows, so the
+    clamp would be silently lost. accept_batch must refuse loudly.
+    Keys 534/1496 share md5 level 39 (precomputed), so cap=1
+    overflows at the lowest present level."""
+    import pytest
+
+    from bigdataflink_spark.streaming.quantsketch import accept_batch
+
+    batch = spark.createDataFrame(
+        [(534, 1.0), (1496, 2.0)], "key long, v double"
+    )
+    with pytest.raises(ValueError, match="lose its clamp"):
+        accept_batch(
+            spark, batch, str(tmp_path / "state"), batch_id=0, cap=1
+        )
+
+    # one key at that level is fine: sample of 1 row publishes
+    ok = accept_batch(
+        spark,
+        spark.createDataFrame([(534, 1.0)], "key long, v double"),
+        str(tmp_path / "state2"),
+        batch_id=0,
+        cap=1,
+    )
+    assert ok.count() == 1
