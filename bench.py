@@ -149,6 +149,7 @@ HEADLINE = [
     "q226_substring_dedup",
     "q227_bpe_train",
     "q228_ivf_int8_rerank",
+    "q229_bpe_segment_census",
 ]
 
 

@@ -400,32 +400,12 @@ def _bpe_symbols(s: Column) -> Column:
     return F.split(inner, _BPE_STX + _BPE_SOH)
 
 
-def bpe_train(
-    docs: DataFrame,
-    n_merges: int = 8,
-    text_col: str = "text",
-) -> DataFrame:
-    """BPE tokenizer training, end-to-end (Sennrich et al. 2016): N
-    iterated merges over the corpus, returning the merge table
-    (step, left_sym, right_sym, merged, pair_count) — the iterated
-    trainer completing q150's single merge-candidate census.
-
-    The Sennrich trick makes this scale: after ONE corpus pass
-    (word → count), every iteration runs over the DISTINCT-WORD vocab
-    weighted by counts — bounded by vocabulary size, not corpus size,
-    so 100 TB of text trains at the same per-iteration cost as 100 GB
-    once the word census is done. Per iteration: one pair-explode +
-    keyed sum over the vocab (map-side combine applies), a driver
-    collect of exactly ONE row (the argmax pair — the q178
-    driver-loop idiom), and one projection applying the merge via
-    literal replace(). Ties break (count desc, left asc, right asc) —
-    deterministic, so the oracle can unroll the identical N
-    iterations in SQL and match bit-for-bit.
-
-    Pair counts follow the classic trainer: every adjacent occurrence
-    counts, including repeats within one word ("aaaa" counts (a,a)
-    three times before the first merge).
-    """
+def _bpe_loop(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """Shared trainer loop: returns (final wrapped-symbol vocab with
+    counts, merge list). bpe_train exposes the merges;
+    bpe_segment_census exposes the encoded corpus the merges imply."""
     words = docs.select(F.explode(tokens(text_col)).alias("_w"))
     vocab = (
         words.groupBy("_w")
@@ -433,7 +413,6 @@ def bpe_train(
         .select(_bpe_wrap(F.col("_w")).alias("s"), "cnt")
         .localCheckpoint(eager=True)
     )
-    spark = docs.sparkSession
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, int(n_merges) + 1):
         pairs = (
@@ -473,8 +452,75 @@ def bpe_train(
             ).alias("s"),
             "cnt",
         )
+    return vocab, merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer training, end-to-end (Sennrich et al. 2016): N
+    iterated merges over the corpus, returning the merge table
+    (step, left_sym, right_sym, merged, pair_count) — the iterated
+    trainer completing q150's single merge-candidate census.
+
+    The Sennrich trick makes this scale: after ONE corpus pass
+    (word → count), every iteration runs over the DISTINCT-WORD vocab
+    weighted by counts — bounded by vocabulary size, not corpus size,
+    so 100 TB of text trains at the same per-iteration cost as 100 GB
+    once the word census is done. Per iteration: one pair-explode +
+    keyed sum over the vocab (map-side combine applies), a driver
+    collect of exactly ONE row (the argmax pair — the q178
+    driver-loop idiom), and one projection applying the merge via
+    literal replace(). Ties break (count desc, left asc, right asc) —
+    deterministic, so the oracle can unroll the identical N
+    iterations in SQL and match bit-for-bit.
+
+    Pair counts follow the classic trainer: every adjacent occurrence
+    counts, including repeats within one word ("aaaa" counts (a,a)
+    three times before the first merge).
+    """
+    spark = docs.sparkSession
+    _, merges = _bpe_loop(docs, int(n_merges), text_col)
     return spark.createDataFrame(
         merges,
         "step int, left_sym string, right_sym string, "
         "merged string, pair_count long",
+    )
+
+
+def bpe_segment_census(
+    docs: DataFrame,
+    n_merges: int = 8,
+    topk: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ENCODE side of the trainer: segment the corpus with the N
+    trained merges and report the top-``topk`` resulting symbols by
+    corpus-weighted occurrence count — train → apply in one operator
+    (the tokenizer's actual deliverable; bpe_train's merge table is
+    its recipe). Multi-char symbols in this census are exactly the
+    merges paying for themselves on the corpus they were trained on.
+
+    Cost over bpe_train: one more vocab-sized explode + keyed sum —
+    the corpus is still touched exactly once (the shared word
+    census). Ordering (count desc, symbol asc) deterministic."""
+    vocab, _ = _bpe_loop(docs, int(n_merges), text_col)
+    syms = vocab.select(
+        "cnt", F.explode(_bpe_symbols(F.col("s"))).alias("symbol")
+    )
+    census = syms.groupBy("symbol").agg(
+        F.sum("cnt").cast("long").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("symbol"))
+    return (
+        census.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "rank",
+            "symbol",
+            "n_occurrences",
+            F.length("symbol").cast("int").alias("sym_len"),
+        )
     )

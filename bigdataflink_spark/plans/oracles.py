@@ -5039,3 +5039,32 @@ FROM t1 JOIN ch ON ch.query_id = t1.query_id
 JOIN gh ON gh.query_id = t1.query_id
 CROSS JOIN nc
 """
+
+
+def _bpe_census_oracle(n_merges: int = 8, topk: int = 20) -> str:
+    """q229: the q227 unrolled chain, then the symbol census over the
+    final vocab — the encode side of the trainer in SQL."""
+    train = _bpe_train_oracle(n_merges)
+    # keep only the CTE chain (drop the merge-table SELECT tail)
+    chain = train[: train.index("\nSELECT * FROM (")]
+    return chain + f"""
+SELECT rank, symbol, n_occurrences,
+       CAST(length(symbol) AS INT) AS sym_len
+FROM (
+  SELECT symbol, n_occurrences,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol)
+              AS INT) AS rank
+  FROM (
+    SELECT sym AS symbol, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT cnt,
+             unnest(string_split(substr(s, 2, length(s) - 2),
+                                 chr(2)||chr(1))) AS sym
+      FROM v{n_merges})
+    GROUP BY sym))
+WHERE rank <= {topk}
+ORDER BY rank
+"""
+
+
+ORACLES["q229_bpe_segment_census"] = _bpe_census_oracle(8, 20)

@@ -8268,6 +8268,22 @@ def q228_ivf_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q229_bpe_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE census (round 11 — the apply side of q227's
+    trainer): segment the corpus with the 8 trained merges and report
+    the top-20 resulting symbols by corpus-weighted occurrence count
+    (text.py bpe_segment_census). Multi-char symbols here are the
+    trained merges paying for themselves on their training corpus —
+    the tokenizer's actual deliverable, completing train → apply.
+
+    Same scale shape as q227 (one corpus census, vocab-sized rounds)
+    plus one more vocab-sized explode + keyed sum; the window for the
+    top-20 runs over the bounded symbol census. Oracle: the identical
+    unrolled 8 iterations, then the census over the final vocab."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_segment_census(docs, n_merges=8, topk=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -8494,4 +8510,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q226_substring_dedup": q226_substring_dedup,
     "q227_bpe_train": q227_bpe_train,
     "q228_ivf_int8_rerank": q228_ivf_int8_rerank,
+    "q229_bpe_segment_census": q229_bpe_segment_census,
 }

@@ -2574,3 +2574,22 @@ def test_pq_rejects_sparse_or_empty_codebook(spark):
     cb = pq_codebook(emb, nsub=2, dsub=8, ncent=4)
     with _pytest.raises(ValueError, match="empty codebook"):
         pq_encode(emb, cb, nsub=2, dsub=8).collect()
+
+
+def test_bpe_segment_census_applies_merges(spark):
+    """The encode census reflects the trained merges: on the Sennrich
+    toy corpus after 5 merges, 'low' is a single symbol with corpus
+    count 6 (4 standalone + lower + lowest) and 'new' counts 3."""
+    from bigdataflink_spark.operators.text import bpe_segment_census
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    out = {r.symbol: r for r in bpe_segment_census(docs, n_merges=5).collect()}
+    assert out["low"].n_occurrences == 6 and out["low"].sym_len == 3
+    assert out["new"].n_occurrences == 3
+    assert out["er"].n_occurrences == 2  # merge 5 paid for itself
+    # ranks are 1..n with the deterministic (count desc, symbol) order
+    ranks = sorted(r.rank for r in out.values())
+    assert ranks == list(range(1, len(ranks) + 1))

@@ -242,6 +242,10 @@ NOTES = {
     "q223_int8_ann": "Int8-quantized ANN audit: quantization is a whole-stage-codegen array projection (floor over IEEE doubles, no Python), scoring is q24's broadcast shape with exact int64 dot products and one correctly-rounded divide+sqrt as the rank key — the retrieval RESULT (not just its quality band) is engine-deterministic; the float exact-cosine leg is the audit, the int8 pass is the 100 TB path (4x smaller vectors).",
     "q224_pq_ann": "PQ ANN audit: encode = one broadcast codebook join + rank-1 window per (id, sub); ADC scoring reads ONLY codes + a per-query broadcast 8x64 LUT with a fixed-order fold over subspaces (never a float groupBy-sum); shortlist top-50 -> exact-cosine rerank touches 50 raw vectors per query. At 100 TB retrieval scans 8-byte codes, not 256-byte vectors — the raw corpus stays cold.",
     "q225_jpeg_arith_lossless": "Arithmetic lossless JPEG (SOF11) contract: q212's Arrow-map shape over the doc_id%11==7 slice, zero joins; per row the Annex-H predictors drive the H.1.2.2 conditioned QM difference model (25 gradient contexts + dual X/M areas = the 158 stats bins T.81 publishes) through byte-EXACT round trips at 8/12/16-bit; stream pins (SOF11+DAC, no DHT/DQT) from the real marker walk; arith_smaller pins conditioned estimation beating per-image optimal Huffman.",
+    "q226_substring_dedup": "Exact substring dedup: overlapping 10-token windows materialize in the scan projection (transform over sequence) and posexplode; ONE shuffle on the window text for global occurrence counts (map-side combine), one join back keyed the same way, then a per-doc window sort for the lag()-based interval merge — linear in total tokens, no pairwise join, no suffix array.",
+    "q227_bpe_train": "BPE trainer: one corpus pass for the word census (explode + count shuffle), localCheckpoint bounds the vocab lineage; each of the 8 driver-loop iterations is a pair-explode + keyed sum over the DISTINCT-WORD table (vocab-sized, not corpus-sized) + a 1-row collect + a pure replace() projection. The corpus is touched exactly once.",
+    "q228_ivf_int8_rerank": "Composed ANN: centroid build is q26's bounded posexplode agg; routing joins the tiny centroid table broadcast; quantized scoring joins corpus cells to the BROADCAST routed-query table on cell id (only routed cells scanned); shortlist + n_candidates share one per-query window; exact rerank touches <=32 raw vectors per query. Audit legs (cell-exact, global brute force) are the linear residue.",
+    "q229_bpe_segment_census": "q227's trainer loop (one corpus census + 8 vocab-sized rounds) plus one more vocab-sized symbol explode + keyed sum; the top-20 window runs over the bounded symbol census. Corpus touched exactly once.",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
@@ -257,6 +261,7 @@ EXPECTED_BNLJ = {
     "q222_streaming_quantile": "the BNLJs are the 1-row semantic-cutoff and clamp scalars broadcast into each batch's <=cap-row state filter - the q217 scalar pattern, once per micro-batch.",
     "q223_int8_ann": "the BNLJ is q24's brute-force semantics (10-query set broadcast against the streaming corpus with a != condition); the int8 scorer exists to make exactly this pass cheap at scale.",
     "q224_pq_ann": "the BNLJs are the per-query 8x64 LUT broadcast fanned onto the code scan (a scalar-table fan-out, not a pairing) and q24's broadcast audit leg; the candidate scoring never touches raw vectors.",
+    "q228_ivf_int8_rerank": "the BNLJs are the query->centroid routing table (|queries| x |cells|, both tiny), q24's brute-force GLOBAL audit leg (reported unpinned), and the 1-row corpus-count scalar stitched into pruned_ok - the production scoring join is the cell-keyed broadcast hash join over routed cells only.",
     "q24_embedding_topk": "BNLJ is the semantics here: brute-force = score EVERY (query, corpus) pair; the broadcast side is the small query set, the corpus streams. The scale path is q26.",
     "q98_knn_label_vote": "the BNLJ is q24's brute-force scorer (small query set broadcast against the streaming corpus); swap in ivf_topk for web scale — the vote stage is scorer-agnostic.",
     "q26_ivf_topk": "the BNLJ is only the query→centroid routing table (|queries| × |cells|, both tiny); the corpus-sized scoring join is the cell-keyed BroadcastHashJoin.",

@@ -174,6 +174,15 @@ PROBE100 = {
     # map shape; wall tracks the x100 OUTPUT rows, per-doc cost flat
     "q220_jpeg_arithmetic": QUERIES["q220_jpeg_arithmetic"],
     "q225_jpeg_arith_lossless": QUERIES["q225_jpeg_arith_lossless"],
+    # r11 additions: exact substring dedup (window explode + count
+    # shuffle + interval merge — must track total tokens ~linearly),
+    # the BPE trainer (one corpus census, then 8 vocab-sized rounds —
+    # wall should grow ≪ corpus), and the composed ANN stack (routed
+    # cells only: candidate rows ∝ cell size; the exact audit legs
+    # are the linear residue)
+    "q226_substring_dedup": QUERIES["q226_substring_dedup"],
+    "q227_bpe_train": QUERIES["q227_bpe_train"],
+    "q228_ivf_int8_rerank": QUERIES["q228_ivf_int8_rerank"],
 }
 FIXED100 = ["region", "nation", "customer", "supplier", "part"]
 
