@@ -339,8 +339,15 @@ def substring_span_stats(
         F.posexplode(grams).alias("pos", "gram"),
     )
     counts = win.groupBy("gram").agg(F.count("*").alias("_n"))
+    # The duplicated-gram table GROWS WITH THE CORPUS (every corpus
+    # has more distinct repeated windows at 100× the data), so it
+    # must never broadcast: AQE's post-filter size guess undershoots
+    # and the driver OOMs building the HashedRelation (reproduced at
+    # the ×100 probe — ~1M+ gram strings). shuffle_hash keys both
+    # sides on the gram: one linear exchange, build side bounded per
+    # partition by spark.sql.shuffle.partitions.
     dup = (
-        win.join(counts, "gram")
+        win.join(counts.hint("shuffle_hash"), "gram")
         .filter(F.col("_n") >= 2)
         .select(id_col, "n_tokens", "pos")
     )
