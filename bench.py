@@ -150,6 +150,7 @@ HEADLINE = [
     "q227_bpe_train",
     "q228_ivf_int8_rerank",
     "q229_bpe_segment_census",
+    "q230_streaming_substr_dedup",
 ]
 
 

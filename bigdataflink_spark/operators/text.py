@@ -326,18 +326,7 @@ def substring_span_stats(
     parity), and salt the count of any pathological ultra-hot window.
     """
     L = int(min_len)
-    toked = docs.select(
-        F.col(id_col), tokens(text_col).alias("_tk")
-    ).filter(F.size("_tk") >= L)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("_tk") - L),
-        lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, L), " "),
-    )
-    win = toked.select(
-        F.col(id_col),
-        F.size("_tk").alias("n_tokens"),
-        F.posexplode(grams).alias("pos", "gram"),
-    )
+    win = substring_windows(docs, id_col, text_col, L)
     counts = win.groupBy("gram").agg(F.count("*").alias("_n"))
     # The duplicated-gram table GROWS WITH THE CORPUS (every corpus
     # has more distinct repeated windows at 100× the data), so it
@@ -351,6 +340,20 @@ def substring_span_stats(
         .filter(F.col("_n") >= 2)
         .select(id_col, "n_tokens", "pos")
     )
+    return merge_duplicated_spans(dup, id_col, L)
+
+
+def merge_duplicated_spans(
+    dup: DataFrame, id_col: str, min_len: int
+) -> DataFrame:
+    """Shared interval-merge tail of substring dedup: given
+    (id, n_tokens, pos) rows of DUPLICATED window starts, merge them
+    into maximal spans and aggregate per-doc stats. Window starts are
+    sorted per doc and end = pos + L - 1 is monotonic in pos, so a
+    new span begins exactly when pos > lag(pos) + L. Used by the
+    batch operator and the streaming twin (streaming/substrdedup.py).
+    """
+    L = int(min_len)
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
     islands = dup.select(
@@ -379,6 +382,30 @@ def substring_span_stats(
         "max_span",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "dup_ratio",
+    )
+
+
+def substring_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """The window-extraction head of substring dedup, shared with the
+    streaming twin: (id, n_tokens, pos, gram) rows for every
+    overlapping ``min_len``-token window."""
+    L = int(min_len)
+    toked = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).filter(F.size("_tk") >= L)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_tk") - L),
+        lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, L), " "),
+    )
+    return toked.select(
+        F.col(id_col),
+        F.size("_tk").alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "gram"),
     )
 
 

@@ -5068,3 +5068,75 @@ ORDER BY rank
 
 
 ORACLES["q229_bpe_segment_census"] = _bpe_census_oracle(8, 20)
+
+
+def _substr_stream_oracle(n_slices: int = 3, L: int = 10,
+                          salt: str = "ssd-v1") -> str:
+    """q230: per-slice prefix replay of the streaming span detector.
+    A slice-s window is duplicated iff its gram hash occurs >= 2
+    times WITHIN slice s, or at all in slices < s — the at-arrival
+    contract of streaming/substrdedup.py, hashed identically (60-bit
+    md5 of salt||gram) so parity is exact by construction."""
+    parts = ["WITH "]
+    w_cte = []
+    for s in range(n_slices):
+        w_cte.append(f"""w{s} AS (
+  SELECT doc_id, n_tokens, st.pos AS pos,
+         CAST('0x' || substr(md5('{salt}' || st.gram), 1, 15) AS BIGINT) AS gh
+  FROM (
+    SELECT doc_id, len(tk) AS n_tokens,
+           unnest([{{'pos': i, 'gram': array_to_string(tk[i+1 : i+{L}], ' ')}}
+                   for i in range(len(tk) - {L} + 1)]) AS st
+    FROM (SELECT doc_id, {_TOKS} AS tk FROM documents
+          WHERE doc_id % {n_slices} = {s})
+    WHERE len(tk) >= {L}
+  )
+)""")
+    d_cte = []
+    for s in range(n_slices):
+        prior = " UNION ".join(f"SELECT gh FROM w{i}" for i in range(s))
+        prior_leg = f" OR gh IN ({prior})" if prior else ""
+        d_cte.append(f"""d{s} AS (
+  SELECT doc_id, n_tokens, pos FROM w{s}
+  WHERE gh IN (SELECT gh FROM w{s} GROUP BY gh HAVING COUNT(*) >= 2)
+        {prior_leg}
+)""")
+    s_cte = []
+    for s in range(n_slices):
+        s_cte.append(f"""b{s} AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {L}
+              THEN 1 ELSE 0 END AS brk
+  FROM d{s}
+),
+i{s} AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM b{s}
+),
+sp{s} AS (
+  SELECT doc_id, n_tokens, island,
+         MAX(pos) - MIN(pos) + {L} AS span_len
+  FROM i{s} GROUP BY doc_id, n_tokens, island
+),
+o{s} AS (
+  SELECT CAST({s} AS INT) AS slice, doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+         CAST(MAX(span_len) AS BIGINT) AS max_span,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(span_len) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           AS dup_ratio
+  FROM sp{s} GROUP BY doc_id, n_tokens
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM o{s}" for s in range(n_slices)
+    )
+    return (
+        "WITH "
+        + ",\n".join(w_cte + d_cte + s_cte)
+        + "\nSELECT * FROM (\n" + union + "\n) ORDER BY slice, doc_id"
+    )
+
+
+ORACLES["q230_streaming_substr_dedup"] = _substr_stream_oracle(3, 10)

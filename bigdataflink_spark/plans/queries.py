@@ -8284,6 +8284,51 @@ def q229_bpe_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_segment_census(docs, n_merges=8, topk=20)
 
 
+def q230_streaming_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring dedup (round 11 — the q226 span
+    detector gains the streaming twin every other dedup family member
+    has; streaming/substrdedup.py). Documents arrive as three
+    micro-batches (doc_id % 3 slices); each batch's docs are judged
+    at arrival against the PREFIX — a window is duplicated iff its
+    gram was seen in any earlier batch or >= 2 times within this one
+    — and duplicated starts merge into maximal spans exactly as in
+    the batch operator.
+
+    State is the append-only distinct set of 60-bit md5 gram hashes
+    (anti-joined appends → idempotent replay); the oracle hashes the
+    same way, so verdicts replay in SQL exactly BY CONSTRUCTION, the
+    full value-hash gate the other twins carry. Stream-over-one-batch
+    ≡ batch substring_span_stats (parity-tested)."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.substrdedup import accept_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="q230_ssd_") + "/state"
+    outs = []
+    for s in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == s)
+        outs.append(
+            accept_batch(spark, batch, state).withColumn(
+                "slice", F.lit(s).cast("int")
+            )
+        )
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .unionByName(outs[2])
+        .select(
+            "slice",
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "max_span",
+            "n_tokens",
+            "dup_ratio",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -8511,4 +8556,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q227_bpe_train": q227_bpe_train,
     "q228_ivf_int8_rerank": q228_ivf_int8_rerank,
     "q229_bpe_segment_census": q229_bpe_segment_census,
+    "q230_streaming_substr_dedup": q230_streaming_substr_dedup,
 }

@@ -27,10 +27,33 @@ def read_state(spark: SparkSession, path: str) -> "DataFrame | None":
     """Read a parquet state directory; ``None`` iff the path does not
     exist (first batch). Read errors on an EXISTING path propagate —
     treating them as "empty state" would silently reset the
-    operator's memory (round-9 verdict finding #2)."""
+    operator's memory (round-9 verdict finding #2).
+
+    The read pins the CALL-TIME file list, not the directory path
+    (round-11 finding): two ``spark.read.parquet(dir)`` scans of the
+    same state directory canonicalize as EQUAL plans even when their
+    listings were snapshotted between appends, so exchange/subquery
+    REUSE silently substitutes batch b-1's older state for batch b's
+    when several batch subtrees evaluate in one lazy plan (caught by
+    q230's oracle: slice-2 verdicts computed against slice-1's
+    listing). Enumerating the files makes each snapshot a distinct
+    plan — reuse can only unify scans of the SAME snapshot, which is
+    correct — and also pins the snapshot against appends that land
+    between the read_state call and the verdict's evaluation."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return None
-    return spark.read.parquet(path)
+    files = [
+        st.getPath().toString()
+        for st in fs.listStatus(hpath)
+        if not st.isDirectory()
+        and not st.getPath().getName().startswith("_")
+        and not st.getPath().getName().startswith(".")
+    ]
+    if not files:
+        # existing dir, no data files (e.g. only _SUCCESS from a
+        # crashed write): keep the original loud failure mode
+        return spark.read.parquet(path)
+    return spark.read.parquet(*files)

@@ -1,0 +1,123 @@
+"""Streaming exact-substring dedup — the streaming twin of
+``operators.text.substring_span_stats`` (round 11: the substring
+family member joined the dedup suite in q226; every other member —
+exact/LWW, MinHash near-dup, SemDeDup, Bloom seen-set — already
+carries a streaming twin, and now the span detector does too).
+
+Semantics (at-arrival, the q215 discipline): each micro-batch's docs
+are judged against the PREFIX — a window is DUPLICATED iff its gram
+was seen in any EARLIER batch, or occurs >= 2 times within this
+batch. Duplicated window starts merge into maximal spans exactly as
+in the batch operator. Like q215's Bloom verdicts, a doc is judged
+once, when it arrives; a gram's FIRST occurrence is never
+retro-flagged when a later duplicate appears (a stream cannot emit
+into the past — the standard crawl-dedup contract).
+
+State is one append-only parquet dir of DISTINCT 60-bit md5 gram
+hashes (``<state>/grams``): linear in distinct grams seen — the
+honest cost of EXACT substring dedup (the sketch twins bound state
+because they answer approximate questions; exact span detection
+cannot). Appends are anti-joined, so replayed batches are idempotent
+and the directory holds each hash once. Verdict joins key on the
+hash, so state rows are 8 bytes, ~10x smaller than gram text; the
+oracle hashes the same way (md5 is cross-engine), so parity is exact
+BY CONSTRUCTION even in the astronomically-unlikely collision case —
+a collision flags a span as duplicated in both engines.
+
+Stream-over-one-batch == the batch operator row-for-row (within one
+batch, "seen earlier or twice here" degenerates to "count >= 2"),
+which the parity test pins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataflink_spark.operators.hashing import md5_int
+from bigdataflink_spark.operators.text import (
+    merge_duplicated_spans,
+    substring_windows,
+)
+from bigdataflink_spark.streaming.statestore import read_state
+
+SALT = "ssd-v1"
+
+
+def accept_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    salt: str = SALT,
+) -> DataFrame:
+    """One streaming step: per-doc maximal duplicated spans of this
+    batch's docs judged against the prefix, then fold the batch's
+    gram hashes into state. Returns the batch's span stats (docs with
+    >= 1 duplicated span). Usable directly for backfills."""
+    gh_dir = os.path.join(state_dir, "grams")
+    win = substring_windows(batch_docs, id_col, text_col, min_len).select(
+        id_col,
+        "n_tokens",
+        "pos",
+        md5_int(F.concat(F.lit(salt), F.col("gram")), bits=60).alias("gh"),
+    )
+    win = win.localCheckpoint(eager=True)  # verdict + append both read it
+    counts = win.groupBy("gh").agg(F.count("*").alias("_n"))
+    # a read error on EXISTING state propagates loudly; only a missing
+    # directory means "first batch" (the round-10 state-read rule)
+    state = read_state(spark, gh_dir)
+    within = counts.filter(F.col("_n") >= 2).select("gh")
+    if state is not None:
+        seen = counts.join(state, "gh", "left_semi").select("gh")
+        dup_gh = within.unionByName(seen).distinct()
+    else:
+        dup_gh = within
+    # dup_gh grows with the prefix — never broadcast it (the q226
+    # AQE-underestimate lesson); shuffle_hash keys both sides on gh
+    dup = win.join(dup_gh.hint("shuffle_hash"), "gh").select(
+        id_col, "n_tokens", "pos"
+    )
+    out = merge_duplicated_spans(dup, id_col, min_len)
+    new_gh = counts.select("gh")
+    if state is not None:
+        new_gh = new_gh.join(state, "gh", "left_anti")
+    new_gh.write.mode("append").parquet(gh_dir)
+    return out
+
+
+def run_substr_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    salt: str = SALT,
+) -> None:
+    """Drain ``stream`` (availableNow) through the online span
+    detector; per batch, span-stat rows (+ batch_id) land in
+    ``out_dir`` as parquet."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = accept_batch(
+            spark, batch_df, state_dir, id_col, text_col, min_len, salt
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

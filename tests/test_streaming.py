@@ -1276,3 +1276,45 @@ def test_rollup_compaction_under_live_stream(spark, workdir):
     # and compaction folds the post-resume batches into the next gen
     compact_rollup(spark, parts)
     assert _rollup_totals(spark, parts) == want
+
+
+def test_state_read_snapshot_survives_lazy_union(spark, tmp_path):
+    """Round-11 regression (caught by q230's oracle): two
+    spark.read.parquet(dir) scans of the SAME state directory
+    canonicalize as equal plans even when listed between appends, so
+    exchange/subquery REUSE substitutes batch b-1's older state
+    snapshot for batch b's when several batch subtrees evaluate in
+    one lazy plan. read_state must pin the call-time FILE LIST so
+    each snapshot is a distinct plan.
+
+    Construction: slice 2 shares a 10-token run ONLY with slice 1 —
+    under the reuse bug, slice 2's verdict is computed against slice
+    1's state listing (slice 0 only) and misses it."""
+    from pyspark.sql import functions as F
+
+    from bigdataflink_spark.streaming.substrdedup import accept_batch
+
+    run_a = " ".join(f"a{i}" for i in range(10))
+    run_b = " ".join(f"b{i}" for i in range(10))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    slices = [
+        spark.createDataFrame([(0, f"{run_a} {uniq('p', 5)}")],
+                              "doc_id long, text string"),
+        spark.createDataFrame([(1, f"{run_b} {uniq('q', 5)}")],
+                              "doc_id long, text string"),
+        # doc 2 duplicates slice-1's run (NOT slice-0's)
+        spark.createDataFrame([(2, f"{run_b} {uniq('r', 5)}")],
+                              "doc_id long, text string"),
+    ]
+    state = str(tmp_path / "state")
+    outs = []
+    for s, batch in enumerate(slices):
+        outs.append(
+            accept_batch(spark, batch, state).withColumn("slice", F.lit(s))
+        )
+    # LAZY union evaluated once — the exact shape that triggered reuse
+    u = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    got = {(r.slice, r.doc_id): r.dup_tokens for r in u.collect()}
+    assert (2, 2) in got, "slice-2 verdict used a stale state snapshot"
+    assert got[(2, 2)] == 10
+    assert (0, 0) not in got and (1, 1) not in got  # first sights clean

@@ -246,6 +246,7 @@ NOTES = {
     "q227_bpe_train": "BPE trainer: one corpus pass for the word census (explode + count shuffle), localCheckpoint bounds the vocab lineage; each of the 8 driver-loop iterations is a pair-explode + keyed sum over the DISTINCT-WORD table (vocab-sized, not corpus-sized) + a 1-row collect + a pure replace() projection. The corpus is touched exactly once.",
     "q228_ivf_int8_rerank": "Composed ANN: centroid build is q26's bounded posexplode agg; routing joins the tiny centroid table broadcast; quantized scoring joins corpus cells to the BROADCAST routed-query table on cell id (only routed cells scanned); shortlist + n_candidates share one per-query window; exact rerank touches <=32 raw vectors per query. Audit legs (cell-exact, global brute force) are the linear residue.",
     "q229_bpe_segment_census": "q227's trainer loop (one corpus census + 8 vocab-sized rounds) plus one more vocab-sized symbol explode + keyed sum; the top-20 window runs over the bounded symbol census. Corpus touched exactly once.",
+    "q230_streaming_substr_dedup": "Streaming substring dedup: per batch one window projection + posexplode, a gh-keyed count, a shuffle_hash join against the prior-gram state (pinned call-time file list - the round-11 snapshot-reuse fix), the shared interval merge, and an anti-joined state append. Per-trigger cost O(batch + state read).",
 }
 
 # Queries where a BroadcastNestedLoopJoin is the intended shape, with
