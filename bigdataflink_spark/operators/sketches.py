@@ -356,6 +356,63 @@ def bloom_membership(
     )
 
 
+def bloom_membership_bits(
+    probes: DataFrame,
+    key: "str | Column",
+    filter_positions: DataFrame,
+    m: int = 16_384,
+    k: int = 4,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """``bloom_membership`` with the filter packed into a BITSET: the
+    ≤ m position rows collect into m/64 signed longs (bounded by
+    construction — the same reason Bloom state survives an unbounded
+    stream), broadcast as ONE row, and each distinct probe key runs k
+    pure-JVM bit tests. Verdicts are IDENTICAL to bloom_membership
+    (same md5 position formula); what changes is the plan — the
+    explode(k)+join+groupBy verdict leg's two extra shuffles become
+    zero (only the probe distinct remains), which is the per-trigger
+    win for the streaming twin (q215's heaviest leg at the ×100
+    probe). The collect is ≤ m rows — the sanctioned bounded-state
+    collect class (PQ LUT, strata counts)."""
+    rows = filter_positions.select("pos").collect()  # bounded: <= m
+    words = [0] * ((m + 63) // 64)
+    for r in rows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # Spark longs are signed 64-bit; wrap the Python ints to match
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    spark = probes.sparkSession
+    bits = spark.createDataFrame([(words,)], "bits array<bigint>")
+    col = F.col(key) if isinstance(key, str) else key
+    named = probes.select(col.cast("string").alias("probe_key")).distinct()
+    out = named.crossJoin(F.broadcast(bits))
+    tests = []
+    for j in range(k):
+        # EXACTLY bloom_positions' formula: md5(salt || j || '-' || key) % m
+        pos = (
+            md5_int(
+                F.concat(
+                    F.lit(salt), F.lit(str(j)), F.lit("-"),
+                    F.col("probe_key"),
+                )
+            )
+            % F.lit(m)
+        )
+        out = out.withColumn(f"_p{j}", pos)
+        tests.append(
+            F.expr(
+                f"(shiftrightunsigned(element_at(bits,"
+                f" CAST(_p{j} DIV 64 AS INT) + 1),"
+                f" CAST(_p{j} % 64 AS INT)) & 1) = 1"
+            )
+        )
+    member = tests[0]
+    for t in tests[1:]:
+        member = member & t
+    return out.select("probe_key", member.alias("member"))
+
+
 def theta_set_ops(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
     """Theta-sketch set operations over two same-salt KMV sketches
     (the a-priori / theta framework of Dasgupta et al., "Theta
