@@ -7441,18 +7441,38 @@ def q217_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_disc_expr((9, 10)).alias("p90_est"),
     )
     # merge == direct: rebuild from two disjoint hash-parity slices.
-    # Each half is ≤ cap rows AFTER rethreshold — checkpoint THERE so
-    # the merged rebuild reuses them instead of re-running both
-    # corpus scans (the union would otherwise re-execute each half's
-    # lineage: 2 extra full scans, the bulk of the ×100-probe wall)
+    # Both halves share ONE census scan and ONE filter scan (round
+    # 11): the per-parity level census cumsums under one window
+    # (partitioned by parity), each parity's cutoff is
+    # max(lvl | cum ≤ cap) — exactly quantile_rethreshold's rule; a
+    # parity whose lowest level overflows has no cutoff row and the
+    # inner join drops it, matching the NULL-cutoff empty result —
+    # and one filter pass tags both halves. Two corpus scans instead
+    # of four; the ≤ 2·cap surviving rows checkpoint so the merged
+    # rebuild never rescans.
     hashed = quantile_hashes(orders, "o_orderkey", "o_totalprice")
-    halves = [
-        quantile_rethreshold(
-            hashed.filter(F.col("h") % 2 == i), cap
-        ).localCheckpoint(eager=True)
-        for i in range(2)
-    ]
-    merged = quantile_rethreshold(halves[0].unionByName(halves[1]), cap)
+    tagged = hashed.withColumn("_par", F.col("h") % 2)
+    par_census = tagged.groupBy("_par", "lvl").agg(F.count("*").alias("c"))
+    par_cum = par_census.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("_par")
+            .orderBy("lvl")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    par_cuts = (
+        par_cum.filter(F.col("cum") <= cap)
+        .groupBy("_par")
+        .agg(F.max("lvl").alias("_m"))
+    )
+    halves = (
+        tagged.join(F.broadcast(par_cuts), "_par")
+        .filter(F.col("lvl") <= F.col("_m"))
+        .select("h", "v", "lvl")
+        .localCheckpoint(eager=True)
+    )
+    merged = quantile_rethreshold(halves, cap)
     eq = (
         sk.agg(F.sort_array(F.collect_list("h")).alias("hs_d"))
         .crossJoin(merged.agg(F.sort_array(F.collect_list("h")).alias("hs_m")))
