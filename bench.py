@@ -198,6 +198,12 @@ def main() -> None:
     times: dict[str, float] = {}
     local_calib: dict[str, float] = {}
     for name in HEADLINE:
+        # force a JVM GC between queries (round 11): accumulated heap
+        # from 100+ queries in one shared JVM otherwise inflates
+        # late-suite measurements by up to ×8 (q212 measured 5.5 s
+        # in-suite vs 0.66 s with GC'd runs of the identical prefix —
+        # suite position, not the plan). ~0.1-0.5 s per query.
+        spark._jvm.System.gc()
         # per-query LOCAL calibration (round 11): the sandbox host's
         # speed swings ±2.5× within one bench run (measured calib
         # 1.535 → 0.665 in minutes), so one run-level calib can't
