@@ -414,7 +414,10 @@ def substring_windows(
 # LITERAL string replace of SOH l STX SOH r STX with SOH lr STX —
 # replace() scans left-to-right non-overlapping in both Spark and
 # DuckDB, which is exactly BPE's greedy within-word merge order, and
-# the wrappers make cross-symbol-boundary matches impossible.
+# the wrappers make cross-symbol-boundary matches impossible — as
+# long as tokens don't themselves contain SOH/STX (control chars
+# 0x01/0x02; real tokenizer preprocessing strips control chars, and
+# both engines wrap identically so oracle parity holds regardless).
 _BPE_SOH = "\x01"
 _BPE_STX = "\x02"
 
