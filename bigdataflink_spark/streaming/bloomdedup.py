@@ -26,11 +26,16 @@ State is one append-only parquet dir of DISTINCT positions:
   broadcasts it.
 
 Exactly-once caveat (same as run_neardup_stream/run_semdedup_stream):
-the state append is not transactional with the checkpoint — but a
-replayed batch is IDEMPOTENT here (its positions are already
-present; re-appended rows are filtered by the anti-join, and
-re-emitted verdicts overwrite equal values), the quiet benefit of a
-set-union state.
+the state append is not transactional with the checkpoint. STATE is
+idempotent under replay (re-appended positions are filtered by the
+anti-join; the directory never grows past m rows) — but a replayed
+batch's VERDICTS are at-arrival: if the failed attempt had already
+appended, the replay probes against a filter that contains the
+batch's own keys and flags them seen_before. That is the standard
+at-least-once horizon of a monotone seen-set (a key is never
+UN-seen), stated here precisely because it is easy to oversell
+(round-11 correction; the substring twin's replay test pins the same
+shape for its family).
 """
 
 from __future__ import annotations
