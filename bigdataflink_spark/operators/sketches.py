@@ -410,6 +410,11 @@ def bloom_membership_bits(
     member = tests[0]
     for t in tests[1:]:
         member = member & t
+    # NULL probe key → md5(concat(.., NULL)) is NULL → every bit test
+    # is NULL → AND-chain is NULL. bloom_membership's join+count leg
+    # returns false for the same key (the NULL pos matches nothing),
+    # so pin verdict parity: a NULL key was never inserted → false.
+    member = F.coalesce(member, F.lit(False))
     return out.select("probe_key", member.alias("member"))
 
 

@@ -5077,7 +5077,6 @@ def _substr_stream_oracle(n_slices: int = 3, L: int = 10,
     times WITHIN slice s, or at all in slices < s — the at-arrival
     contract of streaming/substrdedup.py, hashed identically (60-bit
     md5 of salt||gram) so parity is exact by construction."""
-    parts = ["WITH "]
     w_cte = []
     for s in range(n_slices):
         w_cte.append(f"""w{s} AS (

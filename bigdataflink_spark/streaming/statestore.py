@@ -45,9 +45,28 @@ def read_state(spark: SparkSession, path: str) -> "DataFrame | None":
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return None
+    statuses = fs.listStatus(hpath)
+    subdirs = [
+        st.getPath().getName()
+        for st in statuses
+        if st.isDirectory()
+        and not st.getPath().getName().startswith("_")
+        and not st.getPath().getName().startswith(".")
+    ]
+    if subdirs:
+        # The file-list pin enumerates only the top level; a
+        # partitioned (or otherwise nested) writer would leave its
+        # data in subdirectories this listing silently drops —
+        # partial state is a silent reset in disguise, so fail loud.
+        raise ValueError(
+            f"state dir {path} contains data-bearing subdirectories "
+            f"{subdirs}: read_state pins a flat top-level file list "
+            "and would silently drop nested rows; flatten the writer "
+            "or extend the pin to recurse"
+        )
     files = [
         st.getPath().toString()
-        for st in fs.listStatus(hpath)
+        for st in statuses
         if not st.isDirectory()
         and not st.getPath().getName().startswith("_")
         and not st.getPath().getName().startswith(".")

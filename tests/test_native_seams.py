@@ -260,36 +260,29 @@ def test_ffprobe_mp4_container_differential(tmp_path):
         )
 
 
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "data", "foreign_jpeg"
+)
 _FOREIGN_JPEGS = [
-    # (path, height, width) — real libjpeg-encoded streams that ship
-    # with Python/IPython/Rust doc installs on this image: a foreign
+    # (filename, height, width) — real libjpeg-encoded streams from
+    # public open-source test suites (IPython's 2x2.jpg, CPython's
+    # test_email python.jpg, the Rust embedded-book's f3.jpg),
+    # checked into tests/data/ as redistributable fixtures: a foreign
     # ENCODER's baseline (SOF0) and progressive (SOF2) bytes through
     # our decoder, the strongest Huffman-path interop available
     # without djpeg. The arithmetic profiles (SOF9-11) still have no
-    # external fixture anywhere in this sandbox (no cjpeg, no
-    # network) — that gap stays honestly open (ADVICE r10 #4); these
-    # pin the shared marker walk, Huffman tables, dequant + IDCT.
-    (
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-        "python3.11/site-packages/IPython/core/tests/2x2.jpg",
-        2, 2,
-    ),
-    (
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-        "python3.11/test/test_email/data/python.jpg",
-        16, 16,
-    ),
-    (
-        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
-        "share/doc/rust/html/embedded-book/assets/f3.jpg",
-        477, 720,
-    ),
+    # external fixture (no cjpeg, no network) — that gap stays
+    # honestly open (ADVICE r10 #4); these pin the shared marker
+    # walk, Huffman tables, dequant + IDCT.
+    (os.path.join(_FIXTURE_DIR, "ipython_2x2.jpg"), 2, 2),
+    (os.path.join(_FIXTURE_DIR, "cpython_email_python.jpg"), 16, 16),
+    (os.path.join(_FIXTURE_DIR, "rust_embedded_f3.jpg"), 477, 720),
 ]
 
 
 @pytest.mark.skipif(
     not all(os.path.exists(p) for p, _, _ in _FOREIGN_JPEGS),
-    reason="foreign JPEG fixtures not present on this image",
+    reason="foreign JPEG fixtures not present in tests/data",
 )
 def test_foreign_encoder_jpegs_decode():
     import numpy as np

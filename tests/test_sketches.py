@@ -370,7 +370,8 @@ def test_bloom_membership_bits_identical_verdicts(spark):
         [(f"k{i}",) for i in range(300)], "key string"
     )
     probes = spark.createDataFrame(
-        [(f"k{i}",) for i in range(250, 600)] + [("zz-absent",)],
+        [(f"k{i}",) for i in range(250, 600)]
+        + [("zz-absent",), (None,)],  # NULL probe: both paths => false
         "key string",
     )
     state = bloom_positions(keys, "key", m=512, k=4)  # small m -> real FPs
@@ -387,3 +388,8 @@ def test_bloom_membership_bits_identical_verdicts(spark):
     assert a == b
     # no false negatives on either path
     assert all(a[f"k{i}"] for i in range(250, 300))
+    # a NULL key was never inserted: verdict is False (not NULL) on
+    # BOTH paths — the bitset path coalesces its NULL-propagating
+    # AND-chain to match the join path's count-based false (ADVICE
+    # r11: verdict parity for NULL probes)
+    assert a[None] is False and b[None] is False

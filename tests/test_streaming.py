@@ -1318,3 +1318,23 @@ def test_state_read_snapshot_survives_lazy_union(spark, tmp_path):
     assert (2, 2) in got, "slice-2 verdict used a stale state snapshot"
     assert got[(2, 2)] == 10
     assert (0, 0) not in got and (1, 1) not in got  # first sights clean
+
+
+def test_state_read_rejects_nested_data_dirs(spark, tmp_path):
+    """read_state pins a FLAT top-level file list; a partitioned (or
+    otherwise nested) writer would leave data in subdirectories that
+    the pin silently drops — partial state is a silent reset in
+    disguise, so it must fail loudly (ADVICE r11)."""
+    import pytest as _pytest
+
+    from bigdataflink_spark.streaming.statestore import read_state
+
+    path = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df.write.partitionBy("k").parquet(path)  # nested k=1/, k=2/ dirs
+    with _pytest.raises(ValueError, match="subdirectories"):
+        read_state(spark, path)
+    # flat state still reads fine and ignores hidden/_SUCCESS entries
+    flat = str(tmp_path / "flat")
+    df.write.parquet(flat)
+    assert read_state(spark, flat).count() == 2
