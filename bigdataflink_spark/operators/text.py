@@ -612,6 +612,147 @@ def bpe_train(
     )
 
 
+def _bpe_ids(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[DataFrame, dict[str, int], int]:
+    """Shared vocab/ID head of the tokenizer deliverable: run the
+    trainer, then assign DETERMINISTIC token ids GPT-2 style — base
+    characters first (sorted, ids 0..B-1), then merged symbols in
+    merge-step order (first step wins if two merge paths ever mint
+    the same string — length-2+ strings, so no base collision).
+    Returns (final wrapped-symbol vocab, symbol→id dict, base count).
+
+    Both collects are the sanctioned bounded class: the charset
+    (alphabet-sized) and the merge table (``n_merges`` rows, already
+    driver-side from the trainer's argmax loop). The corpus is still
+    touched exactly once (the trainer's word census)."""
+    vocab, merges = _bpe_loop(docs, int(n_merges), text_col)
+    vocab = vocab.localCheckpoint(eager=True)  # reused: chars + encode
+    word = F.array_join(_bpe_symbols(F.col("s")), "")
+    chars = sorted(
+        r.c
+        for r in vocab.select(F.explode(F.split(word, "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    sym2id = {c: i for i, c in enumerate(chars)}
+    first_step: dict[str, int] = {}
+    for step, _l, _r, merged, _n in merges:
+        if merged not in first_step:
+            first_step[merged] = step
+    for merged, _step in sorted(first_step.items(), key=lambda kv: kv[1]):
+        sym2id[merged] = len(sym2id)
+    return vocab, sym2id, len(chars)
+
+
+def bpe_vocab_export(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """The exported tokenizer vocabulary — (token_id, symbol, kind)
+    with the deterministic id scheme of ``_bpe_ids``: what a training
+    pipeline ships alongside the encoded shards so decode is possible
+    without the trainer. ``kind`` = 'base' for single characters,
+    'merged' for trained merges (all retained, GPT-2 style, even if a
+    later merge absorbs every occurrence)."""
+    spark = docs.sparkSession
+    _vocab, sym2id, n_base = _bpe_ids(docs, n_merges, text_col)
+    rows = [
+        (tid, sym, "base" if tid < n_base else "merged")
+        for sym, tid in sym2id.items()
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "token_id int, symbol string, kind string"
+    )
+
+
+def bpe_doc_ids(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Documents encoded to token-ID sequences (``array<int>``) — the
+    tokenizer's end product, ready for sequence packing. Per DISTINCT
+    word the final trainer vocab already holds the segmentation (the
+    merges were applied to it in training order), so encode is: map
+    each word's symbols through the bounded symbol→id literal map
+    (one vocab-sized projection, no corpus re-segmentation), join the
+    corpus's (doc, pos, word) explode against that word→ids table,
+    and reassemble per doc in position order.
+
+    The word→ids build side is corpus-derived (grows with the
+    vocabulary) — pinned off the broadcast path (q226 AQE lesson).
+    The per-doc ``collect_list`` is bounded by doc length, the same
+    bound every per-doc array op here already carries."""
+    vocab, sym2id, _ = _bpe_ids(docs, n_merges, text_col)
+    mp = F.create_map(
+        *[x for kv in sym2id.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    syms = _bpe_symbols(F.col("s"))
+    word_ids = vocab.select(
+        F.array_join(syms, "").alias("_w"),
+        F.transform(
+            syms, lambda x: F.element_at(mp, x).cast("int")
+        ).alias("_ids"),
+    )
+    toks = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(tokens(text_col)).alias("_p", "_w"),
+    )
+    j = toks.join(word_ids.hint("shuffle_hash"), "_w")
+    return j.groupBy(id_col, *extra_cols).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_ids"))),
+                lambda x: x["_ids"],
+            )
+        ).alias("ids")
+    )
+
+
+def bpe_encode_pack(
+    docs: DataFrame,
+    n_merges: int = 8,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train → vocab → token-ID encode → sequence packing, composed:
+    the full pipeline a tokenizer sharder runs (q94's deterministic
+    streaming packer, now consuming REAL token ids instead of
+    whitespace token counts). Per language, docs stream in id order
+    into contiguous ``seq_len``-id bins (a doc's bin is the bin of
+    its starting offset); per bin: doc count, total ids, and the sum
+    of all id values — the checksum that forces any oracle to agree
+    on every encoded id, not just lengths."""
+    per_doc = bpe_doc_ids(docs, n_merges, text_col, id_col, ("lang",))
+    n_ids = F.size("ids").cast("long")
+    cksum = F.aggregate(
+        "ids", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = per_doc.select(
+        "lang",
+        n_ids.alias("_n"),
+        cksum.alias("_ck"),
+        F.floor((F.sum(n_ids).over(w) - n_ids) / F.lit(seq_len)).alias(
+            "bin_id"
+        ),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n").cast("long").alias("bin_ids"),
+        F.sum("_ck").cast("long").alias("ids_checksum"),
+    )
+
+
 def bpe_segment_census(
     docs: DataFrame,
     n_merges: int = 8,

@@ -5117,6 +5117,115 @@ ORDER BY rank
 ORACLES["q229_bpe_segment_census"] = _bpe_census_oracle(8, 20)
 
 
+def _bpe_vocab_id_ctes(n_merges: int) -> str:
+    """Shared CTE tail for q232/q233: base-char census over the word
+    vocab (v0 with the chr(1)/chr(2) wrappers stripped), merge-symbol
+    dedup by first step, and the deterministic id assignment — base
+    chars sorted get 0..B-1, merges in step order get B, B+1, ...
+    (operators/text.py::_bpe_ids documents the scheme)."""
+    merges_union = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, l||r AS merged FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f""",
+base AS (
+  SELECT DISTINCT unnest(string_split(
+    replace(replace(s, chr(1), ''), chr(2), ''), '')) AS symbol
+  FROM v0
+),
+base_ids AS (
+  SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS INT) AS token_id,
+         symbol, 'base' AS kind
+  FROM base
+),
+mm AS (
+  SELECT merged AS symbol, MIN(step) AS step
+  FROM ({merges_union})
+  GROUP BY merged
+),
+nb AS (SELECT COUNT(*) AS b FROM base),
+merge_ids AS (
+  SELECT CAST(b - 1 + row_number() OVER (ORDER BY step) AS INT) AS token_id,
+         symbol, 'merged' AS kind
+  FROM mm, nb
+),
+sym_ids AS (
+  SELECT token_id, symbol, kind FROM base_ids
+  UNION ALL
+  SELECT token_id, symbol, kind FROM merge_ids
+)"""
+
+
+def _bpe_vocab_oracle(n_merges: int = 8) -> str:
+    """q232: the unrolled trainer chain, then the vocab/id table."""
+    train = _bpe_train_oracle(n_merges)
+    chain = train[: train.index("\nSELECT * FROM (")]
+    return chain + _bpe_vocab_id_ctes(n_merges) + """
+SELECT token_id, symbol, kind FROM sym_ids ORDER BY token_id
+"""
+
+
+ORACLES["q232_bpe_vocab_export"] = _bpe_vocab_oracle(8)
+
+
+def _bpe_pack_oracle(n_merges: int = 8, seq_len: int = 2048) -> str:
+    """q233: encode every doc to token ids through the final vocab's
+    per-word segmentation (v{n}'s symbols ARE the trained encode of
+    each distinct word), then q94's offset-derived packing over the
+    id sequences, with a per-bin sum-of-ids checksum."""
+    train = _bpe_train_oracle(n_merges)
+    chain = train[: train.index("\nSELECT * FROM (")]
+    return chain + _bpe_vocab_id_ctes(n_merges) + f""",
+enc AS (
+  SELECT array_to_string(syms, '') AS word, u.i AS i, u.sym AS sym
+  FROM (
+    SELECT syms, unnest([{{'i': i, 'sym': syms[i+1]}}
+                         for i in range(len(syms))]) AS u
+    FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+                              chr(2)||chr(1)) AS syms
+          FROM v{n_merges})
+  )
+),
+wids AS (
+  SELECT word, list(token_id ORDER BY i) AS ids
+  FROM enc JOIN sym_ids ON enc.sym = sym_ids.symbol
+  GROUP BY word
+),
+dt AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+dtoks AS (
+  SELECT doc_id, lang, u.p AS p, u.w AS w
+  FROM (SELECT doc_id, lang,
+               unnest([{{'p': i, 'w': tk[i+1]}} for i in range(len(tk))]) AS u
+        FROM dt)
+),
+docids AS (
+  SELECT doc_id, lang, flatten(list(ids ORDER BY p)) AS ids
+  FROM dtoks JOIN wids ON dtoks.w = wids.word
+  GROUP BY doc_id, lang
+),
+per AS (
+  SELECT doc_id, lang, len(ids) AS n_ids,
+         CAST(list_sum(ids) AS BIGINT) AS ck
+  FROM docids
+),
+binned AS (
+  SELECT lang, n_ids, ck,
+         CAST(FLOOR((SUM(n_ids) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_ids)
+              / {seq_len}.0) AS BIGINT) AS bin_id
+  FROM per
+)
+SELECT lang, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_ids) AS BIGINT) AS bin_ids,
+       CAST(SUM(ck) AS BIGINT) AS ids_checksum
+FROM binned GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
+ORACLES["q233_bpe_encode_pack"] = _bpe_pack_oracle(8, 2048)
+
+
 def _substr_stream_oracle(n_slices: int = 3, L: int = 10,
                           salt: str = "ssd-v1") -> str:
     """q230: per-slice prefix replay of the streaming span detector.

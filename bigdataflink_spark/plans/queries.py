@@ -8349,6 +8349,37 @@ def q230_streaming_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q232_bpe_vocab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary export (round 12, VERDICT r11 "What's
+    missing #2"): the deterministic (token_id, symbol, kind) table
+    the 8-merge trainer implies — base characters sorted (ids 0..B-1)
+    then merges in step order, GPT-2 style, every symbol retained
+    (text.py bpe_vocab_export). This is the artifact a training
+    pipeline ships next to its encoded shards so decode needs no
+    trainer. Oracle: the q227 unrolled chain plus a char census and
+    the same id assignment in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_vocab_export(docs, n_merges=8).orderBy("token_id")
+
+
+def q233_bpe_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer end-to-end (round 12, VERDICT r11 "What's missing
+    #2"): train 8 merges → assign vocab ids → encode every document
+    to its token-ID sequence → pack the ID sequences per language
+    into contiguous 2048-id bins (q94's deterministic streaming
+    packer, now consuming REAL ids; text.py bpe_encode_pack). Per
+    (lang, bin): doc count, total ids, and the sum of every id value
+    — the checksum that makes the oracle agree on each encoded id,
+    not just lengths. Scale shape: corpus touched once (word census +
+    one (doc,pos,word) explode-join keyed on the vocab-derived word
+    table, pinned off the broadcast path), everything else
+    vocab-sized or per-doc bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_encode_pack(docs, n_merges=8, seq_len=2048).orderBy(
+        "lang", "bin_id"
+    )
+
+
 def q231_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-span EXCISION (round 12, VERDICT r11 "What's missing
     #1"): the repaired corpus — q226 reports where the duplicated
@@ -8593,4 +8624,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q229_bpe_segment_census": q229_bpe_segment_census,
     "q230_streaming_substr_dedup": q230_streaming_substr_dedup,
     "q231_substring_excise": q231_substring_excise,
+    "q232_bpe_vocab_export": q232_bpe_vocab_export,
+    "q233_bpe_encode_pack": q233_bpe_encode_pack,
 }

@@ -2523,6 +2523,81 @@ def test_bpe_train_textbook_merges_and_ties(spark):
     assert got[1] == (2, "aa", "aa", "aaaa", 2)
 
 
+def test_bpe_vocab_ids_and_encode(spark):
+    """Deterministic id scheme (base chars sorted, then merges in
+    step order) on the Sennrich toy corpus, and per-doc encoding
+    through the final vocab's segmentation. Decode roundtrip: mapping
+    ids back through the vocab and concatenating per-word symbols
+    reproduces the whitespace-normalized token stream."""
+    from bigdataflink_spark.operators.text import (
+        bpe_doc_ids,
+        bpe_vocab_export,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest", "en"),
+            (2, "new newer newest low", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    vocab = {
+        r.token_id: (r.symbol, r.kind)
+        for r in bpe_vocab_export(docs, n_merges=5).collect()
+    }
+    # base: e l n o r s t w -> ids 0..7; merges lo low ew new er -> 8..12
+    assert [vocab[i][0] for i in range(8)] == list("elnorstw")
+    assert all(vocab[i][1] == "base" for i in range(8))
+    assert [vocab[i][0] for i in range(8, 13)] == \
+        ["lo", "low", "ew", "new", "er"]
+    assert all(vocab[i][1] == "merged" for i in range(8, 13))
+
+    ids = {
+        r.doc_id: r.ids
+        for r in bpe_doc_ids(docs, n_merges=5).collect()
+    }
+    # low low low low+er low+e+s+t | new new+er new+e+s+t low
+    assert ids[1] == [9, 9, 9, 9, 12, 9, 0, 5, 6]
+    assert ids[2] == [11, 11, 12, 11, 0, 5, 6, 9]
+    # decode roundtrip == whitespace-joined tokens of the doc
+    decoded1 = "".join(vocab[i][0] for i in ids[1])
+    assert decoded1 == "lowlowlowlowerlowest"
+
+
+def test_bpe_encode_pack_consumes_real_ids(spark):
+    """The packer bins id SEQUENCES (not whitespace counts): bin
+    boundaries follow id-sequence lengths and the checksum is the sum
+    of actual id values, verified by hand."""
+    from bigdataflink_spark.operators.text import (
+        bpe_doc_ids,
+        bpe_encode_pack,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest", "en"),
+            (2, "new newer newest low", "en"),
+            (3, "lowest newest", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    ids = {r.doc_id: r.ids for r in bpe_doc_ids(docs, n_merges=5).collect()}
+    got = {
+        (r.lang, r.bin_id): (r.n_docs, r.bin_ids, r.ids_checksum)
+        for r in bpe_encode_pack(docs, n_merges=5, seq_len=8).collect()
+    }
+    # en: doc1 starts at offset 0 (bin 0), doc2 at len(ids[1]) (bin
+    # depends on the real encoded length); de: doc3 alone in bin 0
+    b1 = len(ids[1]) // 8
+    assert got[("en", 0)][0] >= 1
+    assert got[("en", b1)][0] >= 1
+    assert got[("de", 0)] == (1, len(ids[3]), sum(ids[3]))
+    total_ids = sum(len(v) for v in ids.values())
+    total_ck = sum(sum(v) for v in ids.values())
+    assert sum(v[1] for v in got.values()) == total_ids
+    assert sum(v[2] for v in got.values()) == total_ck
+
+
 def test_bpe_train_early_exhaustion(spark):
     """A vocabulary of single-char words has no pairs: the trainer
     stops early and returns an empty merge table (schema intact)."""
