@@ -151,6 +151,10 @@ HEADLINE = [
     "q228_ivf_int8_rerank",
     "q229_bpe_segment_census",
     "q230_streaming_substr_dedup",
+    "q231_substring_excise",
+    "q232_bpe_vocab_export",
+    "q233_bpe_encode_pack",
+    "q234_quantile_sketch_audit",
 ]
 
 

@@ -4667,12 +4667,41 @@ FROM documents WHERE doc_id % 11 = 7
 """
 
 
-# q217: the hash-threshold sample is a pure function of the key set,
-# so DuckDB recomputes the sample, the power-of-two cutoff, both
-# discrete quantiles AND the integer rank-error booleans bit-for-bit
-# (bin() renders without leading zeros in both engines; bin(0)='0'
-# is excluded by the h=0 CASE).
+# q217 (production build, round-12 split): the hash-threshold sample
+# is a pure function of the key set, so DuckDB recomputes the
+# sample, the power-of-two cutoff and both discrete quantiles
+# bit-for-bit (bin() renders without leading zeros in both engines;
+# bin(0)='0' is excluded by the h=0 CASE).
 ORACLES["q217_quantile_sketch"] = """
+WITH h AS (
+  SELECT CAST('0x' || substr(
+           md5('qsk-v1' || CAST(o_orderkey AS VARCHAR)), 1, 12
+         ) AS BIGINT) AS h,
+         o_totalprice AS v
+  FROM orders
+),
+lv AS (
+  SELECT h, v,
+         CASE WHEN h = 0 THEN 0 ELSE length(bin(h)) END AS lvl
+  FROM h
+),
+census AS (SELECT lvl, count(*) AS c FROM lv GROUP BY lvl),
+cum AS (SELECT lvl, sum(c) OVER (ORDER BY lvl) AS cum FROM census),
+cut AS (SELECT max(lvl) AS m FROM cum WHERE cum <= 1024),
+samp AS (SELECT lv.* FROM lv, cut WHERE lv.lvl <= cut.m)
+SELECT CAST(1024 AS INT) AS cap,
+       CAST(count(*) AS BIGINT) AS sample_n,
+       CAST(max(lvl) AS INT) AS lvl_cut,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50_est,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p90_est
+FROM samp
+"""
+
+
+# q234 (the on-demand audit half of the round-12 split): exact
+# ranks, the integer rank-error booleans, and the merge pin — the
+# round-9 q217 oracle unchanged.
+ORACLES["q234_quantile_sketch_audit"] = """
 WITH h AS (
   SELECT CAST('0x' || substr(
            md5('qsk-v1' || CAST(o_orderkey AS VARCHAR)), 1, 12

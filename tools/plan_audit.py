@@ -213,7 +213,11 @@ NOTES = {
     "q214_bloom_seen_set": "Bloom seen-set audit: the filter is a DISTINCT-positions aggregate bounded by m=16384 rows and BROADCAST to the probe join (probe side never shuffles on a cluster); the false-positive count is deterministic (md5) so it is value-hashed exactly; bound boolean uses IEEE multiplies and a power-of-two divide, never libm pow.",
     "q215_streaming_bloom": "Streaming Bloom seen-set: three accept_batch steps, each ONE broadcast membership join of the batch against <=16384 parquet position rows plus one anti-joined bounded append (state never exceeds the filter size, so an unbounded stream has bounded state); stream-over-slices == per-slice batch membership exactly, giving a stateful streaming operator a FULL value-hash oracle (the q192 pattern).",
     "q216_cms_frequency": "Count-Min frequency sketch audit: ONE token-explode scan feeds the bounded d*w counter aggregate (<=32768 rows regardless of corpus - additive sums, merge = re-sum) and the audit-only exact top-10 leg; estimates broadcast-join the counter table (probe side never shuffles); both contract booleans (est>=true hard guarantee, (est-true)*w <= 8N) are pure integer math.",
-    "q217_quantile_sketch": "Quantile sketch audit (hash-threshold sampling): the level census is ONE groupBy over <=49 bit-length levels (map-side combine -> <=49*P rows move), the power-of-two cutoff broadcasts back into the scan filter, and every downstream sort touches <=cap=1024 retained rows; the audit-only exact percentile_disc and rank legs may shuffle (the sketch is the thing that does not); 1-row scalar crossJoins stitch the summary, exact, rank and merge-pin legs; both rank-error booleans are pure integer math.",
+    "q217_quantile_sketch": "Quantile sketch PRODUCTION build (round-12 split): the level census is ONE groupBy over <=49 bit-length levels (map-side combine -> <=49*P rows move), the power-of-two cutoff broadcasts back into one threshold filter scan, and the summary sorts <=cap=1024 retained rows — exactly 2 corpus passes, nothing else; the validation legs live in q234.",
+    "q231_substring_excise": "Substring excision: q226's head unchanged (window projection + posexplode, gh... gram-keyed count shuffle with the counts join PINNED shuffle_hash off the broadcast path), dup starts merge to per-doc intervals under one lag window, intervals collect_list per doc (bounded by doc length), and ONE higher-order JVM projection filters each token array against its interval list — no Python, no extra corpus pass beyond q226's.",
+    "q232_bpe_vocab_export": "Vocab export: q227's trainer loop (one corpus word census + 8 vocab-sized argmax rounds), then a charset-bounded distinct collect and the n_merges-row merge table assembled driver-side into the (token_id, symbol, kind) table — both collects are the sanctioned bounded class (alphabet + n_merges rows).",
+    "q233_bpe_encode_pack": "Tokenizer end-to-end: trainer (corpus census once) + bounded symbol->id literal map; encode is one vocab-sized projection (per-word ids via the final vocab's own segmentation) joined shuffle_hash to the corpus's (doc,pos,word) posexplode (vocab build side never broadcasts - the q226 lesson), reassembled per doc by one collect_list bounded by doc length; packing is q94's one window cumsum + one agg keyed on lang.",
+    "q234_quantile_sketch_audit": "Quantile sketch ON-DEMAND audit (round-12 split): q217's 2 build passes plus the validation legs — exact percentile_disc, the full-data rank census, and the merge pin's shared parity census/filter pair (3 extra corpus passes, deliberately priced here, not in the production query); 1-row scalar crossJoins stitch summary, exact, rank and merge-pin legs; both rank-error booleans are pure integer math.",
     "q218_streaming_kmv": "Streaming KMV distinct: three accept_batch steps, each ONE broadcast kth-threshold filter over the batch hashes + one bounded anti-join append into the entered-bottom-k state (<= k rows per batch worst case, k(1+ln(n/k)) expected) + a TakeOrdered over the tiny state; stream-over-slices == batch bottom-k over the prefix EXACTLY, full value-hash oracle (the q215 pattern).",
     "q219_streaming_cms": "Streaming CMS: three accept_batch steps, each re-summing the batch counters into the newest complete GENERATION (<= d*w = 32768 rows, parquet _SUCCESS = visibility, replay rewrites its generation identically); per-batch probe estimates broadcast-join the bounded counter table; stream == batch re-sum over the prefix EXACTLY, full value oracle + est>=true + integer bound.",
     "q212_jpeg_lossless": "Lossless JPEG (SOF3) contract: q210's Arrow-map shape over the doc_id%7==2 slice (the last free seventh), zero joins; three per-row Annex-H predictive encode/decode round-trips (8-bit RGB pred 4, 12-bit gray pred 7, 16-bit gray pred 1 + restarts) are byte-EXACT by construction — the one JPEG mode where the contract is equality, not an error floor — and sof3_stream/compressed_smaller are read from the emitted bytes via the real marker walk.",
@@ -254,7 +258,8 @@ NOTES = {
 EXPECTED_BNLJ = {
     "q216_cms_frequency": "the BNLJ is the 1-row total-token scalar stitched onto the 13 probe rows - the q61/q93 scalar pattern.",
     "q213_kmv_distinct": "both BNLJs are 1-row x 1-row crossJoins stitching the direct sketch, merged sketch, and exact-count scalars - the q179 pattern, one row per side.",
-    "q217_quantile_sketch": "every BNLJ is a scalar stitch: the <=49-row level-census cutoff broadcasting into the sample filter (twice more for the merge halves/union), the 1-row summary broadcast into the rank scan, and the 1-row x 1-row crossJoins assembling the final row - the q213 pattern.",
+    "q217_quantile_sketch": "the one BNLJ is the <=49-row level-census cutoff broadcasting into the sample filter scan - the q213 scalar pattern.",
+    "q234_quantile_sketch_audit": "every BNLJ is a scalar stitch: the <=49-row level-census cutoff broadcasting into the sample filter (twice more for the merge halves/union), the 1-row summary broadcast into the rank scan, and the 1-row x 1-row crossJoins assembling the final row - the q213 pattern.",
     "q218_streaming_kmv": "the BNLJ is the 1-row kth-threshold scalar broadcast into each batch hash filter - the q213 scalar pattern.",
     "q219_streaming_cms": "the BNLJs are the 1-row n_prefix scalar stitched onto the 4 probe rows per slice - the q216 scalar pattern.",
     "q214_bloom_seen_set": "the BNLJ is the 1-row bits_set scalar stitched onto the 1-row probe aggregate - the q61/q93 scalar pattern.",

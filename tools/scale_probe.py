@@ -183,6 +183,11 @@ PROBE100 = {
     "q226_substring_dedup": QUERIES["q226_substring_dedup"],
     "q227_bpe_train": QUERIES["q227_bpe_train"],
     "q228_ivf_int8_rerank": QUERIES["q228_ivf_int8_rerank"],
+    # r12 additions: excision (q226's head + one per-doc HOF
+    # projection — must track q226), and the tokenizer end-to-end
+    # (corpus census + one explode-join; vocab-sized everything else)
+    "q231_substring_excise": QUERIES["q231_substring_excise"],
+    "q233_bpe_encode_pack": QUERIES["q233_bpe_encode_pack"],
 }
 FIXED100 = ["region", "nation", "customer", "supplier", "part"]
 
@@ -459,6 +464,14 @@ def main_sketch() -> None:
         "q219_streaming_cms",
         "q221_theta_set_ops",
         "q222_streaming_quantile",
+        # r12: the q217 split — production build must probe ~flat-ish
+        # (2 corpus passes), the audit carries the linear residue
+        "q234_quantile_sketch_audit",
+        # r12 (VERDICT r11 "What's wrong #2"): the substring twin —
+        # EXACT dedup state is honestly linear in distinct grams, so
+        # per-batch cost tracks batch + state scan; compaction bounds
+        # the file count, not the bytes
+        "q230_streaming_substr_dedup",
     ):
         n_small, t_small = steady(QUERIES[name], SRC)
         n_big, t_big = steady(QUERIES[name], DST100)
