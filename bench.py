@@ -155,6 +155,7 @@ HEADLINE = [
     "q232_bpe_vocab_export",
     "q233_bpe_encode_pack",
     "q234_quantile_sketch_audit",
+    "q235_ivf_pq_rerank",
 ]
 
 

@@ -747,6 +747,7 @@ def pq_encode(
     dsub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    label_col: "str | None" = None,
 ) -> DataFrame:
     """Encode vectors to ``nsub`` byte-sized codes: per subspace,
     argmin squared L2 to the codebook (ties broken by centroid id —
@@ -802,9 +803,13 @@ def pq_encode(
         cb[r.sub, r.cent, :] = r.cv
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(cb)
-    src = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    )
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if label_col is not None:
+        # pass the cell label through the encode stage (IVF-PQ: at
+        # deployment the code store is partitioned by cell, so codes
+        # carry their cell without a corpus-sized join-back)
+        cols.append(F.col(label_col).cast("int").alias("label"))
+    src = corpus.select(*cols)
 
     def _encode(it):
         cb_ = bc.value
@@ -823,11 +828,62 @@ def pq_encode(
                     d = xs[:, i : i + 1] - cents[None, :, i]
                     d2 += d * d
                 codes[:, s] = np.argmin(d2, axis=1)  # first min = low cent
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "codes": list(codes)}
-            )
+            out = {"id": pdf["id"].to_numpy(), "codes": list(codes)}
+            if label_col is not None:
+                out["label"] = pdf["label"].to_numpy()
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(_encode, schema="id long, codes array<int>")
+    schema = "id long, codes array<int>"
+    if label_col is not None:
+        schema += ", label int"
+    return src.mapInPandas(_encode, schema=schema)
+
+
+def _pq_lut(
+    codebook: DataFrame,
+    queries: DataFrame,
+    nsub: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+    caller: str,
+) -> "tuple[list, object]":
+    """Shared ADC lookup-table build: per query × subspace × centroid
+    the sub-dot-product, computed with the dimension-ordered
+    zip_with/aggregate fold (bit-identical to the SQL oracle's), then
+    collected (bounded — |queries|·nsub·ncent doubles, the sanctioned
+    ANN collect) into a dense numpy (|Q|, nsub, ncent) array.
+    Density-checked like pq_encode's codebook. Returns
+    (sorted query ids, lut)."""
+    import numpy as np
+
+    qs = _pq_subvectors(queries, id_col, vec_col, nsub, dsub, "query_id")
+    pd_ = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut_rows = qs.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "cent", pd_.alias("pdot")
+    ).collect()  # bounded: |queries| x nsub x ncent
+    if not lut_rows:
+        raise ValueError(
+            f"{caller}: empty LUT — no queries, or the "
+            "codebook is empty (see pq_encode's density check)."
+        )
+    qids = sorted({r.query_id for r in lut_rows})
+    qpos = {q: i for i, q in enumerate(qids)}
+    ncent = max(r.cent for r in lut_rows) + 1
+    if len(lut_rows) != len(qids) * nsub * ncent:
+        raise ValueError(
+            f"{caller}: sparse LUT ({len(lut_rows)} rows, "
+            f"expected {len(qids)}x{nsub}x{ncent}) — a sparse "
+            f"codebook would zero-fill sub-dots and skew every adc."
+        )
+    lut = np.zeros((len(qids), nsub, ncent), dtype=np.float64)
+    for r in lut_rows:
+        lut[qpos[r.query_id], r.sub, r.cent] = r.pdot
+    return qids, lut
 
 
 def pq_adc_shortlist(
@@ -864,32 +920,9 @@ def pq_adc_shortlist(
     import numpy as np
     import pandas as pd
 
-    qs = _pq_subvectors(queries, id_col, vec_col, nsub, dsub, "query_id")
-    pd_ = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    qids, lut = _pq_lut(
+        codebook, queries, nsub, dsub, id_col, vec_col, "pq_adc_shortlist"
     )
-    lut_rows = qs.join(F.broadcast(codebook), "sub").select(
-        "query_id", "sub", "cent", pd_.alias("pdot")
-    ).collect()  # bounded: |queries| x nsub x ncent
-    if not lut_rows:
-        raise ValueError(
-            "pq_adc_shortlist: empty LUT — no queries, or the "
-            "codebook is empty (see pq_encode's density check)."
-        )
-    qids = sorted({r.query_id for r in lut_rows})
-    qpos = {q: i for i, q in enumerate(qids)}
-    ncent = max(r.cent for r in lut_rows) + 1
-    if len(lut_rows) != len(qids) * nsub * ncent:
-        raise ValueError(
-            f"pq_adc_shortlist: sparse LUT ({len(lut_rows)} rows, "
-            f"expected {len(qids)}x{nsub}x{ncent}) — a sparse "
-            f"codebook would zero-fill sub-dots and skew every adc."
-        )
-    lut = np.zeros((len(qids), nsub, ncent), dtype=np.float64)
-    for r in lut_rows:
-        lut[qpos[r.query_id], r.sub, r.cent] = r.pdot
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast((qids, lut))
 
@@ -1040,4 +1073,167 @@ def ivf_int8_rerank(
             "query_id", "neighbor_id", "qdot", "cos", "rank",
             F.col("n_candidates").cast("long").alias("n_candidates"),
         )
+    )
+
+
+def ivf_pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 32,
+    nsub: int = 8,
+    dsub: int = 8,
+    ncent: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ (round 12, VERDICT r11 "Next round" #6): the q228
+    routing idiom over q224's PQ codes — the FAISS-IVFPQ shape, the
+    memory-bounded variant at 100 TB where int8 still stores full
+    dimensions but PQ stores ``nsub`` bytes per vector (32× smaller
+    at the defaults):
+
+      1. route each query to its ``nprobe`` nearest cell centroids
+         (tiny centroid table broadcast; exact cosine, 6dp — exactly
+         ivf_int8_rerank's stage 1);
+      2. ADC scoring ONLY inside routed cells: codes carry their
+         cell label through the encode stage (no corpus join-back),
+         the per-query LUT broadcasts into ONE Arrow stage whose
+         routing sets are a bounded driver dict (|queries|·nprobe
+         labels), each batch scores only rows whose cell is routed
+         for that query (fixed sub-order accumulation — the oracle's
+         fold), and keeps its local top-``shortlist``;
+      3. exact float rerank of the global shortlist only (≤
+         ``shortlist`` raw vectors per query), top-k by (cos desc,
+         neighbor_id).
+
+    ``n_candidates`` per query = Σ routed cell sizes − (1 if the
+    query's own vector sits in a routed cell) — computed from the
+    ncells-row cell census, never from a second scan of the codes.
+    Determinism: the ADC doubles follow one fixed accumulation
+    order, everything else is exact or a single rounded IEEE op, so
+    the composition carries a FULL value oracle.
+
+    Returns (query_id, neighbor_id, adc, cos, rank, n_candidates).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    # -- stage 1: routing (q228's) --
+    cents = label_centroids(corpus, label_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    routed = (
+        q.join(F.broadcast(cents))
+        .withColumn(
+            "ccos", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6)
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("ccos"), F.asc(label_col)
+                )
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", F.col(label_col).cast("int").alias("probe_label"))
+    )
+    routed_rows = routed.collect()  # bounded: |queries| x nprobe
+    rsets: dict[int, set[int]] = {}
+    for r in routed_rows:
+        rsets.setdefault(r.query_id, set()).add(r.probe_label)
+
+    # -- stage 2: PQ codes (cell label carried through the encode) --
+    codebook = pq_codebook(corpus, nsub, dsub, ncent, id_col, vec_col)
+    codes = pq_encode(
+        corpus, codebook, nsub, dsub, id_col, vec_col, label_col=label_col
+    )
+    qids, lut = _pq_lut(
+        codebook, queries, nsub, dsub, id_col, vec_col, "ivf_pq_rerank"
+    )
+    bc = spark.sparkContext.broadcast((qids, lut, rsets))
+
+    def _score(it):
+        qids_, lut_, rsets_ = bc.value
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            cm = np.vstack(pdf["codes"].to_numpy())
+            labels = pdf["label"].to_numpy()
+            outs = {"query_id": [], "neighbor_id": [], "adc": []}
+            for qi, qid in enumerate(qids_):
+                cells_ = rsets_.get(qid)
+                if not cells_:
+                    continue
+                mask = np.isin(labels, list(cells_)) & (ids != qid)
+                if not mask.any():
+                    continue
+                mc = cm[mask]
+                # fixed-order accumulation: sub 0, then += sub 1..
+                s = lut_[qi, 0, mc[:, 0]].copy()
+                for sub in range(1, nsub):
+                    s += lut_[qi, sub, mc[:, sub]]
+                mids = ids[mask]
+                order = np.lexsort((mids, -s))[:shortlist]
+                outs["query_id"].extend([qid] * len(order))
+                outs["neighbor_id"].extend(mids[order].tolist())
+                outs["adc"].extend(s[order].tolist())
+            yield pd.DataFrame(outs)
+
+    local = codes.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, adc double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    short = (
+        local.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id", "adc")
+    )
+
+    # -- n_candidates from the ncells-row census --
+    cell_sizes = codes.groupBy(F.col("label").alias("probe_label")).agg(
+        F.count("*").alias("_csz")
+    )
+    own = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("probe_label"),
+    )
+    n_cand = (
+        routed.join(F.broadcast(cell_sizes), "probe_label")
+        .join(own.withColumn("_own", F.lit(1)), ["query_id", "probe_label"], "left")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum("_csz") - F.sum(F.coalesce("_own", F.lit(0)))
+            ).cast("long").alias("n_candidates")
+        )
+    )
+
+    # -- stage 3: exact rerank of the shortlist only --
+    c_raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rerank = (
+        short.join(q, "query_id")
+        .join(c_raw, "neighbor_id")
+        .withColumn(
+            "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(n_cand), "query_id")
+        .select("query_id", "neighbor_id", "adc", "cos", "rank", "n_candidates")
     )

@@ -5117,6 +5117,146 @@ CROSS JOIN nc
 """
 
 
+# q235: IVF-PQ — q228's routing CTEs in front of q224's codebook /
+# codes / LUT CTEs; ADC scores only routed-cell rows (the list_sum
+# fold q224 proved bit-compatible), shortlist 32, exact rerank,
+# census-derived n_candidates, and the aggregate recall pin.
+ORACLES["q235_ivf_pq_rerank"] = f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+subs AS (
+  SELECT id, s.s AS sub, list_slice(x, s.s * 8 + 1, s.s * 8 + 8) AS sv
+  FROM base, (SELECT unnest(range(0, 8)) AS s) s
+),
+cents AS (
+  SELECT CAST(id AS INT) AS cent, sub, sv AS cv FROM subs WHERE id < 64
+),
+assign AS (
+  SELECT id, sub, cent,
+         row_number() OVER (PARTITION BY id, sub ORDER BY
+           list_sum(list_transform(range(1, 9),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cent ASC
+         ) AS rn
+  FROM subs JOIN cents USING (sub)
+),
+codes AS (
+  SELECT id, list(cent ORDER BY sub) AS codes
+  FROM assign WHERE rn = 1 GROUP BY id
+),
+ex AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+              generate_subscripts(embedding, 1) AS pos
+       FROM embeddings),
+cent AS (SELECT label, pos, ROUND(AVG(v), 6) AS c FROM ex GROUP BY label, pos),
+carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qvf FROM embeddings WHERE vec_id < 10),
+routed AS (
+  SELECT query_id, probe_label FROM (
+    SELECT q.query_id, carr.label AS probe_label,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND({_cos('q.qvf', 'carr.centroid')}, 6) DESC,
+                      carr.label) AS crank
+    FROM q, carr)
+  WHERE crank <= 2
+),
+qsubs AS (SELECT id AS query_id, sub, sv FROM subs WHERE id < 10),
+lut_rows AS (
+  SELECT query_id, sub, cent,
+         list_sum(list_transform(range(1, 9), i -> sv[i] * cv[i]))
+           AS pdot
+  FROM qsubs JOIN cents USING (sub)
+),
+per_sub AS (
+  SELECT query_id, sub, list(pdot ORDER BY cent) AS arr
+  FROM lut_rows GROUP BY query_id, sub
+),
+lut AS (
+  SELECT query_id, list(arr ORDER BY sub) AS lut
+  FROM per_sub GROUP BY query_id
+),
+lab AS (SELECT vec_id AS id, label FROM embeddings),
+scored AS (
+  SELECT l.query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> l.lut[i][c.codes[i] + 1])) AS adc
+  FROM lut l
+  JOIN routed r ON r.query_id = l.query_id
+  JOIN lab ON lab.label = r.probe_label
+  JOIN codes c ON c.id = lab.id
+  WHERE c.id <> l.query_id
+),
+short AS (
+  SELECT query_id, neighbor_id, adc
+  FROM (SELECT query_id, neighbor_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, neighbor_id) AS srank
+        FROM scored)
+  WHERE srank <= 32
+),
+rr AS (
+  SELECT query_id, neighbor_id, adc, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM (
+    SELECT s.query_id, s.neighbor_id, s.adc,
+           ROUND({_cos('q.qvf', 'e.embedding')}, 6) AS cos
+    FROM short s
+    JOIN q ON q.query_id = s.query_id
+    JOIN embeddings e ON e.vec_id = s.neighbor_id)
+),
+out5 AS (SELECT * FROM rr WHERE rank <= 5),
+csz AS (SELECT label, COUNT(*) AS csz FROM embeddings GROUP BY label),
+ncand AS (
+  SELECT r.query_id,
+         CAST(SUM(csz.csz)
+              - SUM(CASE WHEN ql.label = r.probe_label THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_candidates
+  FROM routed r
+  JOIN csz ON csz.label = r.probe_label
+  JOIN lab ql ON ql.id = r.query_id
+  GROUP BY r.query_id
+),
+cellx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT r.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY r.query_id
+             ORDER BY ROUND({_cos('q.qvf', 'e.embedding')}, 6) DESC,
+                      e.vec_id) AS xrank
+    FROM routed r
+    JOIN q ON q.query_id = r.query_id
+    JOIN embeddings e ON e.label = r.probe_label AND e.vec_id <> r.query_id)
+  WHERE xrank <= 5
+),
+ch AS (
+  SELECT o.query_id,
+         SUM(CASE WHEN cx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS cell_hits
+  FROM out5 o LEFT JOIN cellx cx
+    ON cx.query_id = o.query_id AND cx.neighbor_id = o.neighbor_id
+  GROUP BY o.query_id
+),
+t1 AS (
+  SELECT query_id, neighbor_id AS top1_id, cos AS top1_cos
+  FROM rr WHERE rank = 1
+),
+nc AS (SELECT COUNT(*) AS n FROM embeddings),
+th AS (SELECT CAST(SUM(cell_hits) AS BIGINT) AS recall50 FROM ch)
+SELECT t1.query_id,
+       ncand.n_candidates,
+       ncand.n_candidates * 2 < nc.n AS pruned_ok,
+       t1.top1_id,
+       t1.top1_cos,
+       CAST(ch.cell_hits AS BIGINT) AS cell_hits,
+       ch.cell_hits >= 1 AS cell_floor_ok,
+       th.recall50,
+       th.recall50 >= 40 AS recall_ok
+FROM t1 JOIN ch ON ch.query_id = t1.query_id
+JOIN ncand ON ncand.query_id = t1.query_id
+CROSS JOIN nc CROSS JOIN th
+"""
+
+
 def _bpe_census_oracle(n_merges: int = 8, topk: int = 20) -> str:
     """q229: the q227 unrolled chain, then the symbol census over the
     final vocab — the encode side of the trainer in SQL."""

@@ -2639,6 +2639,63 @@ def test_ivf_int8_rerank_converges_to_bruteforce(spark):
     assert {r.n_candidates for r in got.collect()} == {39}
 
 
+def test_ivf_pq_rerank_converges_to_bruteforce(spark):
+    """IVF-PQ with nprobe = n_cells and shortlist = corpus size: the
+    ADC ordering stops mattering (everything reaches the exact
+    rerank), so the composition must equal brute-force exact top-k —
+    and the census-derived n_candidates must equal corpus minus
+    self."""
+    import random
+
+    from bigdataflink_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_pq_rerank,
+    )
+
+    rng = random.Random(12)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 3)
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qs = emb.filter("vec_id < 3")
+    got = ivf_pq_rerank(
+        emb, qs, k=4, nprobe=3, shortlist=80, nsub=8, dsub=8, ncent=16
+    )
+    want = cosine_topk_bruteforce(emb, qs, k=4)
+    g = sorted((r.query_id, r.rank, r.neighbor_id, r.cos) for r in got.collect())
+    w = sorted((r.query_id, r.rank, r.neighbor_id, r.cos) for r in want.collect())
+    assert g == w
+    assert {r.n_candidates for r in got.collect()} == {79}
+
+
+def test_pq_encode_label_passthrough(spark):
+    """pq_encode with label_col carries the cell label through the
+    Arrow stage without changing any code assignment."""
+    import random
+
+    from bigdataflink_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 5)
+        for i in range(70)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cb = pq_codebook(emb, ncent=16)
+    plain = {r.id: r.codes for r in pq_encode(emb, cb).collect()}
+    labeled = pq_encode(emb, cb, label_col="label").collect()
+    assert {r.id: r.codes for r in labeled} == plain
+    assert all(r.label == r.id % 5 for r in labeled)
+
+
 def test_int8_topk_excludes_zero_vectors(spark):
     """ADVICE r10: an all-zero corpus vector quantizes to qvec of
     zeros with c_nn = 0 -> qscore NaN, which Spark sorts LARGEST.

@@ -217,6 +217,7 @@ NOTES = {
     "q231_substring_excise": "Substring excision: q226's head unchanged (window projection + posexplode, gh... gram-keyed count shuffle with the counts join PINNED shuffle_hash off the broadcast path), dup starts merge to per-doc intervals under one lag window, intervals collect_list per doc (bounded by doc length), and ONE higher-order JVM projection filters each token array against its interval list — no Python, no extra corpus pass beyond q226's.",
     "q232_bpe_vocab_export": "Vocab export: q227's trainer loop (one corpus word census + 8 vocab-sized argmax rounds), then a charset-bounded distinct collect and the n_merges-row merge table assembled driver-side into the (token_id, symbol, kind) table — both collects are the sanctioned bounded class (alphabet + n_merges rows).",
     "q233_bpe_encode_pack": "Tokenizer end-to-end: trainer (corpus census once) + bounded symbol->id literal map; encode is one vocab-sized projection (per-word ids via the final vocab's own segmentation) joined shuffle_hash to the corpus's (doc,pos,word) posexplode (vocab build side never broadcasts - the q226 lesson), reassembled per doc by one collect_list bounded by doc length; packing is q94's one window cumsum + one agg keyed on lang.",
+    "q235_ivf_pq_rerank": "IVF-PQ composed ANN: q228's broadcast centroid routing, PQ codes carrying their cell label THROUGH the encode Arrow stage (no corpus join-back), per-query LUT + bounded routing dict broadcast into ONE Arrow scoring stage that touches only routed-cell rows, global shortlist window over <=shortlist*P*|Q| local rows, exact rerank of <=32 raw vectors/query; n_candidates from the ncells-row census, never a second code scan. The cell-exact recall leg is the linear residue (as in q228).",
     "q234_quantile_sketch_audit": "Quantile sketch ON-DEMAND audit (round-12 split): q217's 2 build passes plus the validation legs — exact percentile_disc, the full-data rank census, and the merge pin's shared parity census/filter pair (3 extra corpus passes, deliberately priced here, not in the production query); 1-row scalar crossJoins stitch summary, exact, rank and merge-pin legs; both rank-error booleans are pure integer math.",
     "q218_streaming_kmv": "Streaming KMV distinct: three accept_batch steps, each ONE broadcast kth-threshold filter over the batch hashes + one bounded anti-join append into the entered-bottom-k state (<= k rows per batch worst case, k(1+ln(n/k)) expected) + a TakeOrdered over the tiny state; stream-over-slices == batch bottom-k over the prefix EXACTLY, full value-hash oracle (the q215 pattern).",
     "q219_streaming_cms": "Streaming CMS: three accept_batch steps, each re-summing the batch counters into the newest complete GENERATION (<= d*w = 32768 rows, parquet _SUCCESS = visibility, replay rewrites its generation identically); per-batch probe estimates broadcast-join the bounded counter table; stream == batch re-sum over the prefix EXACTLY, full value oracle + est>=true + integer bound.",
@@ -259,6 +260,7 @@ EXPECTED_BNLJ = {
     "q216_cms_frequency": "the BNLJ is the 1-row total-token scalar stitched onto the 13 probe rows - the q61/q93 scalar pattern.",
     "q213_kmv_distinct": "both BNLJs are 1-row x 1-row crossJoins stitching the direct sketch, merged sketch, and exact-count scalars - the q179 pattern, one row per side.",
     "q217_quantile_sketch": "the one BNLJ is the <=49-row level-census cutoff broadcasting into the sample filter scan - the q213 scalar pattern.",
+    "q235_ivf_pq_rerank": "the BNLJs are the query->centroid routing table (|queries| x |cells|, both tiny), the cell-exact recall leg's routed cross, and the 1-row corpus-count / recall-total scalars stitched into the flags - the q228 pattern; ADC scoring itself is the Arrow stage, not a join.",
     "q234_quantile_sketch_audit": "every BNLJ is a scalar stitch: the <=49-row level-census cutoff broadcasting into the sample filter (twice more for the merge halves/union), the 1-row summary broadcast into the rank scan, and the 1-row x 1-row crossJoins assembling the final row - the q213 pattern.",
     "q218_streaming_kmv": "the BNLJ is the 1-row kth-threshold scalar broadcast into each batch hash filter - the q213 scalar pattern.",
     "q219_streaming_cms": "the BNLJs are the 1-row n_prefix scalar stitched onto the 4 probe rows per slice - the q216 scalar pattern.",

@@ -188,6 +188,9 @@ PROBE100 = {
     # (corpus census + one explode-join; vocab-sized everything else)
     "q231_substring_excise": QUERIES["q231_substring_excise"],
     "q233_bpe_encode_pack": QUERIES["q233_bpe_encode_pack"],
+    # r12: IVF-PQ — ADC work ∝ routed cells, codes 8 bytes/vector;
+    # the cell-exact recall leg is the linear residue (as in q228)
+    "q235_ivf_pq_rerank": QUERIES["q235_ivf_pq_rerank"],
 }
 FIXED100 = ["region", "nation", "customer", "supplier", "part"]
 
