@@ -489,11 +489,59 @@ def main_sketch() -> None:
     print(json.dumps({"tier": "sketch", "copies": COPIES100, "queries": report}, indent=2))
 
 
+def main_r12() -> None:
+    """Round-12 tier: the deliverable-emitting operators at ×100,
+    consumed via a NOOP WRITE — count() prunes final projections, and
+    for q231/q233 the expensive work IS the projection (repaired-text
+    assembly / id flattening): the round-10 "probe the CONSUMED
+    column" lesson applied to string/array outputs.
+
+    Run: python tools/scale_probe.py r12
+    """
+    spark = get_spark("scale-probe-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DST100}/lineitem.parquet"):
+        print("building synthetic sf10 ...", file=sys.stderr)
+        build_sf10(spark)
+    report = {}
+
+    def consume(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def steady(fn, sf, reps=3):
+        n = fn(spark, sf).count()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            consume(fn(spark, sf))
+            best = min(best, time.perf_counter() - t0)
+        return n, round(best, 3)
+
+    for name in (
+        "q231_substring_excise",
+        "q233_bpe_encode_pack",
+        "q235_ivf_pq_rerank",
+    ):
+        n_small, t_small = steady(QUERIES[name], SRC)
+        n_big, t_big = steady(QUERIES[name], DST100)
+        report[name] = {
+            "sf0.1_s": t_small,
+            "sf10_s": t_big,
+            "x": round(t_big / t_small, 2) if t_small else None,
+            "rows0.1": n_small,
+            "rows10": n_big,
+        }
+        print(f"{name}: {report[name]}", file=sys.stderr)
+    print(json.dumps({"tier": "r12", "copies": COPIES100, "queries": report}, indent=2))
+
+
 if __name__ == "__main__":
     if "state" in sys.argv[1:]:
         main_state()
     elif "sketch" in sys.argv[1:]:
         main_sketch()
+    elif "r12" in sys.argv[1:]:
+        main_r12()
     elif "100" in sys.argv[1:]:
         main_100()
     else:
