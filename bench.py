@@ -156,6 +156,8 @@ HEADLINE = [
     "q233_bpe_encode_pack",
     "q234_quantile_sketch_audit",
     "q235_ivf_pq_rerank",
+    "q236_streaming_substr_excise",
+    "q237_curated_corpus",
 ]
 
 

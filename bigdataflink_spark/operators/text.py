@@ -425,6 +425,26 @@ def substring_excise(
         .filter(F.col("_n") >= 2)
         .select(id_col, "pos")
     )
+    return excise_from_dup(docs, dup, id_col, text_col, L)
+
+
+def excise_from_dup(
+    docs: DataFrame,
+    dup: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+) -> DataFrame:
+    """Shared excision tail of substring dedup: given (id, pos) rows
+    of DUPLICATED window starts, merge them into maximal per-doc
+    intervals (the lag idiom), collect each doc's interval list
+    (bounded by doc length), and cut the covered positions from the
+    token array in ONE JVM-side higher-order projection. Used by the
+    batch operator (substring_excise) and the streaming twin
+    (streaming/substrdedup.py::accept_batch_excise). Every doc of
+    ``docs`` appears in the output, untouched docs pass through
+    whitespace-normalized."""
+    L = int(min_len)
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
     islands = dup.select(id_col, "pos", brk.alias("_brk")).select(

@@ -5395,16 +5395,16 @@ ORDER BY lang, bin_id
 ORACLES["q233_bpe_encode_pack"] = _bpe_pack_oracle(8, 2048)
 
 
-def _substr_stream_oracle(n_slices: int = 3, L: int = 10,
-                          salt: str = "ssd-v1") -> str:
-    """q230: per-slice prefix replay of the streaming span detector.
-    A slice-s window is duplicated iff its gram hash occurs >= 2
-    times WITHIN slice s, or at all in slices < s — the at-arrival
-    contract of streaming/substrdedup.py, hashed identically (60-bit
-    md5 of salt||gram) so parity is exact by construction."""
-    w_cte = []
+def _substr_stream_wd_ctes(n_slices: int, L: int, salt: str) -> list:
+    """Shared w{s}/d{s} CTEs of the streaming substring twins
+    (q230 span stats, q236 excision): per slice the hashed windows,
+    and the DUPLICATED window starts under the at-arrival contract —
+    gram hash occurs >= 2 times WITHIN slice s, or at all in slices
+    < s (60-bit md5 of salt||gram, identical to
+    streaming/substrdedup.py, so parity is exact by construction)."""
+    ctes = []
     for s in range(n_slices):
-        w_cte.append(f"""w{s} AS (
+        ctes.append(f"""w{s} AS (
   SELECT doc_id, n_tokens, st.pos AS pos,
          CAST('0x' || substr(md5('{salt}' || st.gram), 1, 15) AS BIGINT) AS gh
   FROM (
@@ -5416,15 +5416,22 @@ def _substr_stream_oracle(n_slices: int = 3, L: int = 10,
     WHERE len(tk) >= {L}
   )
 )""")
-    d_cte = []
     for s in range(n_slices):
         prior = " UNION ".join(f"SELECT gh FROM w{i}" for i in range(s))
         prior_leg = f" OR gh IN ({prior})" if prior else ""
-        d_cte.append(f"""d{s} AS (
+        ctes.append(f"""d{s} AS (
   SELECT doc_id, n_tokens, pos FROM w{s}
   WHERE gh IN (SELECT gh FROM w{s} GROUP BY gh HAVING COUNT(*) >= 2)
         {prior_leg}
 )""")
+    return ctes
+
+
+def _substr_stream_oracle(n_slices: int = 3, L: int = 10,
+                          salt: str = "ssd-v1") -> str:
+    """q230: per-slice prefix replay of the streaming span detector
+    (the shared w/d CTEs, then the interval merge per slice)."""
+    wd = _substr_stream_wd_ctes(n_slices, L, salt)
     s_cte = []
     for s in range(n_slices):
         s_cte.append(f"""b{s} AS (
@@ -5458,9 +5465,125 @@ o{s} AS (
     )
     return (
         "WITH "
-        + ",\n".join(w_cte + d_cte + s_cte)
+        + ",\n".join(wd + s_cte)
         + "\nSELECT * FROM (\n" + union + "\n) ORDER BY slice, doc_id"
     )
 
 
 ORACLES["q230_streaming_substr_dedup"] = _substr_stream_oracle(3, 10)
+
+
+def _substr_stream_excise_oracle(n_slices: int = 3, L: int = 10,
+                                 salt: str = "ssd-v1") -> str:
+    """q236: the shared w/d prefix-replay CTEs, then per slice the
+    EXCISION — every token position covered by an at-arrival
+    duplicated window start is dropped, survivors re-joined in
+    position order; every slice doc returned (the q231 tail applied
+    per slice)."""
+    wd = _substr_stream_wd_ctes(n_slices, L, salt)
+    e_cte = []
+    for s in range(n_slices):
+        e_cte.append(f"""dd{s} AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+  WHERE doc_id % {n_slices} = {s}
+),
+tk{s} AS (
+  SELECT doc_id, u.p AS p, u.t AS t FROM (
+    SELECT doc_id,
+           unnest([{{'p': i, 't': tk[i+1]}} for i in range(len(tk))]) AS u
+    FROM dd{s}
+  )
+),
+r{s} AS (
+  SELECT CAST({s} AS INT) AS slice, d.doc_id,
+         CAST(len(d.tk) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(k.kc, 0) AS BIGINT) AS kept_tokens,
+         CAST(len(d.tk) - COALESCE(k.kc, 0) AS BIGINT) AS removed_tokens,
+         COALESCE(k.repaired, '') AS repaired
+  FROM dd{s} d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS kc,
+           string_agg(t, ' ' ORDER BY p) AS repaired
+    FROM tk{s} tt
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d{s} x
+      WHERE x.doc_id = tt.doc_id AND tt.p BETWEEN x.pos AND x.pos + {L - 1}
+    )
+    GROUP BY doc_id
+  ) k ON k.doc_id = d.doc_id
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM r{s}" for s in range(n_slices)
+    )
+    return (
+        "WITH "
+        + ",\n".join(wd + e_cte)
+        + "\nSELECT * FROM (\n" + union + "\n) ORDER BY slice, doc_id"
+    )
+
+
+ORACLES["q236_streaming_substr_excise"] = _substr_stream_excise_oracle(3, 10)
+
+# q237: the curated corpus — q86's gate expressions filter, exact
+# whole-doc dedup keeps the lowest doc_id per identical text, then
+# the q231 excision CTEs run over the SURVIVORS (order pinned: a
+# removed clone leaves no spans behind).
+ORACLES["q237_curated_corpus"] = f"""
+WITH d0 AS (SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents),
+gate AS (
+  SELECT doc_id, lang, text, tk FROM d0 WHERE
+    (len(tk) >= 30 AND len(tk) <= 5000)
+    AND (CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+           / CAST(len(tk) AS DOUBLE) BETWEEN 2.5 AND 12.0)
+    AND (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it')))
+              AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.02)
+    AND COALESCE(
+          CASE WHEN len(tk) >= 2 THEN
+            1.0 - CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
+                                          FOR i IN range(1, len(tk))])) AS DOUBLE)
+                  / CAST(len(tk) - 1 AS DOUBLE)
+          END <= 0.4, FALSE)
+),
+uniq AS (
+  SELECT doc_id, lang, text, tk FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM gate
+  ) WHERE rn = 1
+),
+w AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'gram': array_to_string(tk[i+1 : i+10], ' ')}}
+                 for i in range(len(tk) - 10 + 1)]) AS s
+  FROM uniq WHERE len(tk) >= 10
+),
+g AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM w),
+pc AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+dup AS (SELECT doc_id, pos FROM g JOIN pc USING (gram) WHERE pc.n >= 2),
+toks AS (
+  SELECT doc_id, u.p AS p, u.t AS t FROM (
+    SELECT doc_id,
+           unnest([{{'p': i, 't': tk[i+1]}} for i in range(len(tk))]) AS u
+    FROM uniq
+  )
+),
+kept AS (
+  SELECT tt.doc_id, tt.p, tt.t
+  FROM toks tt
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup x
+    WHERE x.doc_id = tt.doc_id AND tt.p BETWEEN x.pos AND x.pos + 9
+  )
+),
+rep AS (
+  SELECT doc_id, COUNT(*) AS kc,
+         string_agg(t, ' ' ORDER BY p) AS repaired
+  FROM kept GROUP BY doc_id
+)
+SELECT u.doc_id,
+       u.lang,
+       CAST(len(u.tk) AS BIGINT) AS n_tokens_in,
+       CAST(COALESCE(r.kc, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(u.tk) - COALESCE(r.kc, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(r.repaired, '') AS repaired
+FROM uniq u LEFT JOIN rep r ON r.doc_id = u.doc_id
+ORDER BY u.doc_id
+"""

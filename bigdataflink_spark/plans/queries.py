@@ -8482,6 +8482,94 @@ def q235_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q236_streaming_substr_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming substring EXCISION (round 12 — q231's repaired-corpus
+    deliverable at arrival, exactly as q230 is q226's span report at
+    arrival; streaming/substrdedup.py::accept_batch_excise). Documents
+    arrive as three micro-batches (doc_id % 3); each batch's docs come
+    back with their prefix-or-within-batch duplicated spans cut and
+    survivors re-joined — the output stream IS the deduplicated
+    corpus. A span's upstream first sight stays intact (a stream
+    cannot edit the past — the q215 at-arrival discipline); every
+    batch doc is emitted, untouched ones whitespace-normalized.
+    State/replay semantics are q230's (shared judge; anti-joined
+    append, file-list-pinned reads, compactable)."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.substrdedup import accept_batch_excise
+
+    docs = _t(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="q236_sse_") + "/state"
+    outs = []
+    for s in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == s)
+        outs.append(
+            accept_batch_excise(spark, batch, state).withColumn(
+                "slice", F.lit(s).cast("int")
+            )
+        )
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .unionByName(outs[2])
+        .select(
+            "slice",
+            "doc_id",
+            "n_tokens",
+            "kept_tokens",
+            "removed_tokens",
+            "repaired",
+        )
+    )
+
+
+def q237_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATED CORPUS, end to end (round 12): q86's Gopher-style
+    quality gates → exact whole-doc dedup (lowest doc_id survives)
+    → substring-span excision across the survivors — composed into
+    the one artifact a training-data pipeline actually ships, every
+    surviving doc's repaired text value-hashed by the oracle (q86
+    reports the funnel COUNTS; this emits what passes it).
+
+    Scale shape: the gates are scan-stage predicates on one
+    projection; the dedup window shuffles on the text key once (at
+    100 TB key on xxhash64(text) — same rule as the gram shuffle);
+    excision is q231's linear machinery over the (smaller) surviving
+    corpus. Excision runs AFTER dedup, so removing an exact clone
+    does not leave its spans flagged (order matters and is pinned by
+    the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.col("_tk")
+    gated = (
+        docs.select("doc_id", "lang", "text", text.tokens("text").alias("_tk"))
+        .filter(
+            (F.size(tk) >= 30) & (F.size(tk) <= 5000)
+            & text.mean_token_len(tk).between(2.5, 12.0)
+            & (text.stopword_ratio(tk) >= 0.02)
+            & F.coalesce(text.dup_ngram_ratio(tk, 2) <= 0.4, F.lit(False))
+        )
+    )
+    wdup = Window.partitionBy("text").orderBy("doc_id")
+    uniq = (
+        gated.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    rep = text.substring_excise(uniq, min_len=10)
+    return (
+        rep.join(uniq.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").alias("n_tokens_in"),
+            "kept_tokens",
+            "removed_tokens",
+            "repaired",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q231_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-span EXCISION (round 12, VERDICT r11 "What's missing
     #1"): the repaired corpus — q226 reports where the duplicated
@@ -8730,4 +8818,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q233_bpe_encode_pack": q233_bpe_encode_pack,
     "q234_quantile_sketch_audit": q234_quantile_sketch_audit,
     "q235_ivf_pq_rerank": q235_ivf_pq_rerank,
+    "q236_streaming_substr_excise": q236_streaming_substr_excise,
+    "q237_curated_corpus": q237_curated_corpus,
 }

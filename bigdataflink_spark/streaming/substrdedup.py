@@ -93,19 +93,20 @@ def maintain_gram_state(
     return compact_dir(spark, gh_dir, ["gh"], target_rows_per_file)
 
 
-def accept_batch(
+def _judge_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
     state_dir: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_len: int = 10,
-    salt: str = SALT,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    salt: str,
 ) -> DataFrame:
-    """One streaming step: per-doc maximal duplicated spans of this
-    batch's docs judged against the prefix, then fold the batch's
-    gram hashes into state. Returns the batch's span stats (docs with
-    >= 1 duplicated span). Usable directly for backfills."""
+    """Shared head of both streaming twins: the batch's DUPLICATED
+    window starts (id, n_tokens, pos), judged at arrival against the
+    prefix (gram seen in any earlier batch, or >= 2 times within this
+    one), with the batch's new gram hashes folded into state
+    (anti-joined append → idempotent replay)."""
     gh_dir = os.path.join(state_dir, "grams")
     win = substring_windows(batch_docs, id_col, text_col, min_len).select(
         id_col,
@@ -129,12 +130,57 @@ def accept_batch(
     dup = win.join(dup_gh.hint("shuffle_hash"), "gh").select(
         id_col, "n_tokens", "pos"
     )
-    out = merge_duplicated_spans(dup, id_col, min_len)
     new_gh = counts.select("gh")
     if state is not None:
         new_gh = new_gh.join(state, "gh", "left_anti")
     new_gh.write.mode("append").parquet(gh_dir)
-    return out
+    return dup
+
+
+def accept_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    salt: str = SALT,
+) -> DataFrame:
+    """One streaming step: per-doc maximal duplicated spans of this
+    batch's docs judged against the prefix, then fold the batch's
+    gram hashes into state. Returns the batch's span stats (docs with
+    >= 1 duplicated span). Usable directly for backfills."""
+    dup = _judge_batch(
+        spark, batch_docs, state_dir, id_col, text_col, min_len, salt
+    )
+    return merge_duplicated_spans(dup, id_col, min_len)
+
+
+def accept_batch_excise(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    salt: str = SALT,
+) -> DataFrame:
+    """The streaming REPAIRED-CORPUS twin (round 12 — q231's
+    deliverable at arrival, as q230 is q226's): each batch's docs come
+    back with their prefix-or-within-batch duplicated spans EXCISED
+    (drop-all-repeats at arrival: a span already seen upstream is cut
+    from this batch's copy; the upstream first sight stays intact —
+    a stream cannot edit the past, the q215 at-arrival discipline).
+    Every doc of the batch is returned (untouched docs
+    whitespace-normalized, removed_tokens = 0) — the output stream IS
+    the deduplicated corpus a training pipeline consumes. State and
+    replay semantics are exactly accept_batch's (shared judge)."""
+    from bigdataflink_spark.operators.text import excise_from_dup
+
+    dup = _judge_batch(
+        spark, batch_docs, state_dir, id_col, text_col, min_len, salt
+    ).select(id_col, "pos")
+    return excise_from_dup(batch_docs, dup, id_col, text_col, min_len)
 
 
 def run_substr_stream(

@@ -2564,6 +2564,38 @@ def test_bpe_vocab_ids_and_encode(spark):
     assert decoded1 == "lowlowlowlowerlowest"
 
 
+def test_bpe_doc_ids_decode_roundtrip_corpus(spark):
+    """Corpus-wide invertibility of the id pipeline at sf0.001: for
+    EVERY document, mapping ids back through the exported vocab and
+    concatenating reproduces the doc's token stream with whitespace
+    removed. (Word boundaries are not encoded — this is the
+    marker-free Sennrich variant, so the roundtrip pin is
+    boundary-free: segmentation + id assignment lose nothing else.)"""
+    from bigdataflink_spark.operators.text import (
+        bpe_doc_ids,
+        bpe_vocab_export,
+    )
+    from bigdataflink_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    id2sym = {
+        r.token_id: r.symbol
+        for r in bpe_vocab_export(docs, n_merges=8).collect()
+    }
+    ids = {
+        r.doc_id: r.ids for r in bpe_doc_ids(docs, n_merges=8).collect()
+    }
+    raw = {
+        r.doc_id: "".join(r.text.split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    checked = 0
+    for doc_id, seq in ids.items():
+        assert "".join(id2sym[i] for i in seq) == raw[doc_id]
+        checked += 1
+    assert checked == sum(1 for t in raw.values() if t)
+
+
 def test_bpe_encode_pack_consumes_real_ids(spark):
     """The packer bins id SEQUENCES (not whitespace counts): bin
     boundaries follow id-sequence lengths and the checksum is the sum

@@ -135,3 +135,54 @@ def test_compaction_bounds_state_files_verdicts_unchanged(spark, tmp_path):
     a = {r.gh for r in spark.read.parquet(f"{plain}/grams").collect()}
     b = {r.gh for r in spark.read.parquet(f"{comp}/grams").collect()}
     assert a == b
+
+
+def test_one_batch_excise_equals_batch_operator(spark, tmp_path):
+    """Stream-over-one-batch ≡ the batch excision row-for-row (within
+    one batch, "seen earlier or twice here" degenerates to
+    "count >= 2" — the q230 parity applied to the repaired text)."""
+    from bigdataflink_spark.operators.text import substring_excise
+    from bigdataflink_spark.streaming.substrdedup import (
+        accept_batch_excise,
+    )
+
+    docs = _docs(spark)
+    got = sorted(
+        tuple(r)
+        for r in accept_batch_excise(
+            spark, docs, str(tmp_path / "s1")
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in substring_excise(docs, min_len=10).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_excise_at_arrival_cuts_repeat_keeps_first(spark, tmp_path):
+    """The at-arrival contract on repaired text: a batch-2 doc that
+    repeats a batch-1 run gets it CUT; the batch-1 first sight was
+    already emitted intact and a stream cannot edit the past."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from bigdataflink_spark.streaming.substrdedup import (
+        accept_batch_excise,
+    )
+
+    run = " ".join(f"r{i}" for i in range(10))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, f"{uniq('a', 4)} {run}")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, f"{run} {uniq('b', 4)}")], "doc_id long, text string"
+    )
+    out1 = {r.doc_id: r for r in accept_batch_excise(spark, b1, state).collect()}
+    out2 = {r.doc_id: r for r in accept_batch_excise(spark, b2, state).collect()}
+    # batch 1: run unseen, nothing within-batch duplicated -> intact
+    assert out1[1].removed_tokens == 0
+    assert out1[1].repaired == f"{uniq('a', 4)} {run}"
+    # batch 2: the run is prefix-duplicated -> cut; padding survives
+    assert out2[2].removed_tokens == 10
+    assert out2[2].repaired == uniq("b", 4)

@@ -217,6 +217,8 @@ NOTES = {
     "q231_substring_excise": "Substring excision: q226's head unchanged (window projection + posexplode, gh... gram-keyed count shuffle with the counts join PINNED shuffle_hash off the broadcast path), dup starts merge to per-doc intervals under one lag window, intervals collect_list per doc (bounded by doc length), and ONE higher-order JVM projection filters each token array against its interval list — no Python, no extra corpus pass beyond q226's.",
     "q232_bpe_vocab_export": "Vocab export: q227's trainer loop (one corpus word census + 8 vocab-sized argmax rounds), then a charset-bounded distinct collect and the n_merges-row merge table assembled driver-side into the (token_id, symbol, kind) table — both collects are the sanctioned bounded class (alphabet + n_merges rows).",
     "q233_bpe_encode_pack": "Tokenizer end-to-end: trainer (corpus census once) + bounded symbol->id literal map; encode is one vocab-sized projection (per-word ids via the final vocab's own segmentation) joined shuffle_hash to the corpus's (doc,pos,word) posexplode (vocab build side never broadcasts - the q226 lesson), reassembled per doc by one collect_list bounded by doc length; packing is q94's one window cumsum + one agg keyed on lang.",
+    "q236_streaming_substr_excise": "Streaming excision twin: q230's per-batch judge unchanged (window projection + posexplode, gh-keyed count, shuffle_hash join vs the file-list-pinned gram state, anti-joined append), then q231's excision tail per batch (interval merge + per-doc collect_list + ONE HOF projection over the batch's token arrays). Per-trigger cost O(batch + state read); output stream = the repaired corpus at arrival.",
+    "q237_curated_corpus": "Curated-corpus composition: the q86 gates are scan-stage predicates on one tokenized projection; exact dedup is one window shuffle on the text key (xxhash64 at deployment); excision is q231's linear machinery over the ~3/4 surviving corpus (counts join pinned shuffle_hash). Gates -> dedup -> excision order pinned by the oracle.",
     "q235_ivf_pq_rerank": "IVF-PQ composed ANN: q228's broadcast centroid routing, PQ codes carrying their cell label THROUGH the encode Arrow stage (no corpus join-back), per-query LUT + bounded routing dict broadcast into ONE Arrow scoring stage that touches only routed-cell rows, global shortlist window over <=shortlist*P*|Q| local rows, exact rerank of <=32 raw vectors/query; n_candidates from the ncells-row census, never a second code scan. The cell-exact recall leg is the linear residue (as in q228).",
     "q234_quantile_sketch_audit": "Quantile sketch ON-DEMAND audit (round-12 split): q217's 2 build passes plus the validation legs — exact percentile_disc, the full-data rank census, and the merge pin's shared parity census/filter pair (3 extra corpus passes, deliberately priced here, not in the production query); 1-row scalar crossJoins stitch summary, exact, rank and merge-pin legs; both rank-error booleans are pure integer math.",
     "q218_streaming_kmv": "Streaming KMV distinct: three accept_batch steps, each ONE broadcast kth-threshold filter over the batch hashes + one bounded anti-join append into the entered-bottom-k state (<= k rows per batch worst case, k(1+ln(n/k)) expected) + a TakeOrdered over the tiny state; stream-over-slices == batch bottom-k over the prefix EXACTLY, full value-hash oracle (the q215 pattern).",

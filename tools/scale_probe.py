@@ -521,6 +521,8 @@ def main_r12() -> None:
         "q231_substring_excise",
         "q233_bpe_encode_pack",
         "q235_ivf_pq_rerank",
+        "q236_streaming_substr_excise",
+        "q237_curated_corpus",
     ):
         n_small, t_small = steady(QUERIES[name], SRC)
         n_big, t_big = steady(QUERIES[name], DST100)
