@@ -158,6 +158,7 @@ HEADLINE = [
     "q235_ivf_pq_rerank",
     "q236_streaming_substr_excise",
     "q237_curated_corpus",
+    "q238_streaming_pq_index",
 ]
 
 

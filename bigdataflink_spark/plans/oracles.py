@@ -5523,6 +5523,103 @@ r{s} AS (
 
 ORACLES["q236_streaming_substr_excise"] = _substr_stream_excise_oracle(3, 10)
 
+# q238: streaming PQ-index ingest — codebook frozen from the
+# bootstrap slice's 64 lowest ids (densely re-indexed by id rank),
+# the q224 assignment/LUT idioms, then per slice the ADC top-3 over
+# the PREFIX code store plus its size.
+ORACLES["q238_streaming_pq_index"] = f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+subs AS (
+  SELECT id, s.s AS sub, list_slice(x, s.s * 8 + 1, s.s * 8 + 8) AS sv
+  FROM base, (SELECT unnest(range(0, 8)) AS s) s
+),
+bootr AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+        ORDER BY vec_id LIMIT 64)
+),
+cents AS (
+  SELECT br.cent, s.sub, s.sv AS cv
+  FROM bootr br JOIN subs s ON s.id = br.vec_id
+),
+assign AS (
+  SELECT id, sub, cent,
+         row_number() OVER (PARTITION BY id, sub ORDER BY
+           list_sum(list_transform(range(1, 9),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cent ASC
+         ) AS rn
+  FROM subs JOIN cents USING (sub)
+),
+codes AS (
+  SELECT id, list(cent ORDER BY sub) AS codes
+  FROM assign WHERE rn = 1 GROUP BY id
+),
+qsubs AS (SELECT id AS query_id, sub, sv FROM subs WHERE id < 10),
+lut_rows AS (
+  SELECT query_id, sub, cent,
+         list_sum(list_transform(range(1, 9), i -> sv[i] * cv[i]))
+           AS pdot
+  FROM qsubs JOIN cents USING (sub)
+),
+per_sub AS (
+  SELECT query_id, sub, list(pdot ORDER BY cent) AS arr
+  FROM lut_rows GROUP BY query_id, sub
+),
+lut AS (
+  SELECT query_id, list(arr ORDER BY sub) AS lut
+  FROM per_sub GROUP BY query_id
+),
+sc0 AS (
+  SELECT l.query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> l.lut[i][c.codes[i] + 1])) AS adc
+  FROM lut l, codes c WHERE c.id % 3 <= 0 AND c.id <> l.query_id
+),
+sc1 AS (
+  SELECT l.query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> l.lut[i][c.codes[i] + 1])) AS adc
+  FROM lut l, codes c WHERE c.id % 3 <= 1 AND c.id <> l.query_id
+),
+sc2 AS (
+  SELECT l.query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> l.lut[i][c.codes[i] + 1])) AS adc
+  FROM lut l, codes c WHERE c.id % 3 <= 2 AND c.id <> l.query_id
+),
+n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed FROM codes WHERE id % 3 <= 0),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed FROM codes WHERE id % 3 <= 1),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed FROM codes WHERE id % 3 <= 2),
+o0 AS (
+  SELECT CAST(0 AS INT) AS slice, query_id, neighbor_id, adc,
+         CAST(rank AS INT) AS rank, n_indexed
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, neighbor_id) AS rank FROM sc0), n0
+  WHERE rank <= 3
+),
+o1 AS (
+  SELECT CAST(1 AS INT) AS slice, query_id, neighbor_id, adc,
+         CAST(rank AS INT) AS rank, n_indexed
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, neighbor_id) AS rank FROM sc1), n1
+  WHERE rank <= 3
+),
+o2 AS (
+  SELECT CAST(2 AS INT) AS slice, query_id, neighbor_id, adc,
+         CAST(rank AS INT) AS rank, n_indexed
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, neighbor_id) AS rank FROM sc2), n2
+  WHERE rank <= 3
+)
+SELECT * FROM (
+  SELECT * FROM o0 UNION ALL SELECT * FROM o1 UNION ALL SELECT * FROM o2
+) ORDER BY slice, query_id, rank
+"""
+
 # q237: the curated corpus — q86's gate expressions filter, exact
 # whole-doc dedup keeps the lowest doc_id per identical text, then
 # the q231 excision CTEs run over the SURVIVORS (order pinned: a

@@ -8570,6 +8570,44 @@ def q237_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q238_streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ-index ingest (round 12 — the similarity family's
+    streaming twin; streaming/pqindex.py). Embeddings arrive as three
+    micro-batches (vec_id % 3); the first batch freezes the codebook
+    (its 64 lowest ids, densely re-indexed — codebook changes would
+    force a full-store re-encode, so deployments freeze at
+    bootstrap), each batch PQ-encodes into the accreting 8-byte/vec
+    code store (anti-joined appends → replay emits IDENTICAL rows —
+    scoring runs over the post-append snapshot), and the standing
+    query set (vec_id < 10) retrieves its ADC top-3 over everything
+    indexed so far. ``n_indexed`` pins store growth; per-batch
+    retrieval ≡ batch pq_adc_shortlist over the same prefix BY
+    CONSTRUCTION (shared operator). Full value oracle: codebook,
+    codes, LUT and the fixed-order ADC fold all replay in SQL (the
+    q224 idioms per slice prefix)."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.pqindex import accept_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    state = tempfile.mkdtemp(prefix="q238_pqix_") + "/state"
+    outs = []
+    for s in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == s)
+        outs.append(
+            accept_batch(spark, batch, qs, state, k=3).withColumn(
+                "slice", F.lit(s).cast("int")
+            )
+        )
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .unionByName(outs[2])
+        .select("slice", "query_id", "neighbor_id", "adc", "rank", "n_indexed")
+    )
+
+
 def q231_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-span EXCISION (round 12, VERDICT r11 "What's missing
     #1"): the repaired corpus — q226 reports where the duplicated
@@ -8820,4 +8858,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q235_ivf_pq_rerank": q235_ivf_pq_rerank,
     "q236_streaming_substr_excise": q236_streaming_substr_excise,
     "q237_curated_corpus": q237_curated_corpus,
+    "q238_streaming_pq_index": q238_streaming_pq_index,
 }

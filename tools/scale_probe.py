@@ -523,6 +523,7 @@ def main_r12() -> None:
         "q235_ivf_pq_rerank",
         "q236_streaming_substr_excise",
         "q237_curated_corpus",
+        "q238_streaming_pq_index",
     ):
         n_small, t_small = steady(QUERIES[name], SRC)
         n_big, t_big = steady(QUERIES[name], DST100)
