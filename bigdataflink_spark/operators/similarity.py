@@ -1199,9 +1199,14 @@ def ivf_pq_rerank(
     )
 
     # -- n_candidates from the ncells-row census --
-    cell_sizes = codes.groupBy(F.col("label").alias("probe_label")).agg(
-        F.count("*").alias("_csz")
-    )
+    # Census the CORPUS labels, not the codes frame: cell size does
+    # not depend on the encode, and `codes` is an uncached mapInPandas
+    # stage — a second consumer would re-run the whole PQ encode (and
+    # the codebook job behind it) over the full corpus (ADVICE r12).
+    # This scan is column-pruned to the label alone.
+    cell_sizes = corpus.groupBy(
+        F.col(label_col).cast("int").alias("probe_label")
+    ).agg(F.count("*").alias("_csz"))
     own = corpus.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).cast("int").alias("probe_label"),

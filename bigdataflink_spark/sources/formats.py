@@ -156,6 +156,54 @@ def write_sharded(
     )
 
 
+def recover_compact_crash(spark: SparkSession, path: str) -> "str | None":
+    """Repair the crash window of :func:`compact_dir`'s two-rename
+    swap (ADVICE r12): a crash BETWEEN ``rename(path, path.compact_old)``
+    and ``rename(path.compact_tmp, path)`` leaves NO directory at the
+    state path — a naive "missing dir means empty state" reader would
+    silently bootstrap empty and re-admit everything ever seen. The
+    three reachable crash states, all repaired idempotently here:
+
+    * ``.compact_old`` exists, ``path`` missing → crash between the
+      renames: restore the old layout via one atomic rename (state
+      content is identical pre/post compaction, so restoring OLD is
+      always correct) and drop the staged ``.compact_tmp``;
+    * ``.compact_old`` AND ``path`` both exist → crash after the
+      swap-in but before cleanup: the new layout is live, delete the
+      stale ``.compact_old``;
+    * ``.compact_tmp`` exists, ``path`` intact → crash during the
+      staged rewrite: the tmp dir is garbage, delete it.
+
+    Called at the top of every :func:`compact_dir` run and by
+    ``streaming.statestore.read_state`` before it treats a missing
+    path as "first batch". Returns a short tag of the repair applied
+    (``"restored"`` / ``"dropped_old"`` / ``"dropped_tmp"``) or
+    ``None`` when nothing needed repair."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_tmp")
+    if fs.exists(old):
+        if fs.exists(hpath):
+            fs.delete(old, True)
+            return "dropped_old"
+        if not fs.rename(old, hpath):
+            raise IOError(
+                f"recover_compact_crash: {path} is missing and the "
+                f"dangling {old} from a crashed compaction could not "
+                "be restored — refusing to proceed (treating this as "
+                "empty state would silently reset the operator)"
+            )
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        return "restored"
+    if fs.exists(tmp) and fs.exists(hpath):
+        fs.delete(tmp, True)
+        return "dropped_tmp"
+    return None
+
+
 def compact_dir(
     spark: SparkSession,
     path: str,
@@ -173,8 +221,11 @@ def compact_dir(
     not the bytes. Compaction is a full rewrite of the directory —
     run it per partition directory on partitioned layouts so each
     maintenance job stays bounded. The rewrite goes through a temp
-    dir + rename swap so a crash leaves either the old or the new
-    layout, never a mix. All filesystem ops go through the Hadoop
+    dir + rename swap; a crash leaves either the old or the new
+    layout (possibly parked at a ``.compact_old`` sibling during the
+    two-rename window), never a mix — :func:`recover_compact_crash`
+    runs first here and in ``read_state`` to repair every reachable
+    crash state before anyone could mistake parked state for empty. All filesystem ops go through the Hadoop
     FileSystem API (NOT driver-local os/shutil), so the helper works
     unchanged on file://, hdfs://, and s3a:// paths — the same
     contract as streaming/merge.py's state probes.
@@ -182,6 +233,7 @@ def compact_dir(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    recover_compact_crash(spark, path)
 
     def _count(p) -> int:
         return sum(

@@ -44,7 +44,19 @@ def read_state(spark: SparkSession, path: str) -> "DataFrame | None":
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
-        return None
+        # A missing dir is only "first batch" if no compaction crash
+        # left the state parked at '<path>.compact_old' (ADVICE r12:
+        # compact_dir's two-rename swap has a window where neither
+        # rename target holds the path). recover_compact_crash
+        # restores it via one atomic rename — or raises, because
+        # silently returning None here would re-admit every
+        # previously-seen key as a first sight.
+        from bigdataflink_spark.sources.formats import (
+            recover_compact_crash,
+        )
+
+        if recover_compact_crash(spark, path) != "restored":
+            return None
     statuses = fs.listStatus(hpath)
     subdirs = [
         st.getPath().getName()

@@ -56,8 +56,10 @@ def maintain_gram_state(
     """Periodic maintenance for the gram seen-set: once the
     append-per-trigger layout exceeds ``max_files`` data files,
     rewrite ``<state>/grams`` into range-sharded gh-sorted files via
-    ``compact_dir`` (temp-dir + rename swap — a crash leaves old or
-    new, never a mix). Returns (files_before, files_after) when a
+    ``compact_dir`` (temp-dir + rename swap; a crash mid-swap parks
+    the state at ``.compact_old``, which both ``compact_dir`` and
+    ``read_state`` repair via ``recover_compact_crash`` before
+    proceeding — never a mix, never a silent empty bootstrap). Returns (files_before, files_after) when a
     compaction ran, ``None`` when below threshold.
 
     Why this matters at deployment trigger counts: every

@@ -656,3 +656,56 @@ def test_snapshot_tvd_drift_rule(spark, tmp_path):
             [{"rule": "r", "type": "tvd_drift", "col": "x", "edges": [5, 5], "max_tvd_ppm": 1}],
             0,
         )
+
+
+def test_compact_crash_recovery_states(spark, tmp_path):
+    """ADVICE r12: compact_dir's two-rename swap has a crash window
+    where the state dir exists only as '<path>.compact_old' — a naive
+    missing-dir-means-empty reader would silently reset the operator.
+    Exercise all three reachable crash states through
+    recover_compact_crash and the read_state entry point."""
+    import os
+    import shutil
+
+    from bigdataflink_spark.sources.formats import (
+        compact_dir,
+        recover_compact_crash,
+    )
+    from bigdataflink_spark.streaming.statestore import read_state
+
+    src = load_table(spark, "orders", SF).select("o_orderkey")
+    out = str(tmp_path / "state")
+    for i in range(4):
+        src.filter(F.col("o_orderkey") % 4 == i).write.mode(
+            "append"
+        ).parquet(out)
+    n = src.count()
+
+    # state 2: crash BETWEEN the renames — path missing, .compact_old
+    # holds the full state. read_state must restore, not return None.
+    shutil.move(out, out + ".compact_old")
+    os.makedirs(out + ".compact_tmp", exist_ok=True)  # staged garbage
+    assert not os.path.exists(out)
+    restored = read_state(spark, out)
+    assert restored is not None and restored.count() == n
+    assert os.path.exists(out)
+    assert not os.path.exists(out + ".compact_old")
+    assert not os.path.exists(out + ".compact_tmp")
+
+    # state 3: crash after swap-in, before cleanup — both dirs exist;
+    # recovery keeps the live path and drops the stale .compact_old.
+    shutil.copytree(out, out + ".compact_old")
+    assert recover_compact_crash(spark, out) == "dropped_old"
+    assert not os.path.exists(out + ".compact_old")
+    assert read_state(spark, out).count() == n
+
+    # state 1: crash during the staged rewrite — tmp garbage beside an
+    # intact path; compact_dir's own entry recovery clears it and the
+    # compaction then runs to completion.
+    os.makedirs(out + ".compact_tmp", exist_ok=True)
+    before, after = compact_dir(spark, out, ["o_orderkey"], 100000)
+    assert not os.path.exists(out + ".compact_tmp")
+    assert spark.read.parquet(out).count() == n
+
+    # clean state: recovery is a no-op
+    assert recover_compact_crash(spark, out) is None
