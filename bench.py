@@ -159,6 +159,7 @@ HEADLINE = [
     "q236_streaming_substr_excise",
     "q237_curated_corpus",
     "q238_streaming_pq_index",
+    "q239_substring_excise_keepfirst",
 ]
 
 

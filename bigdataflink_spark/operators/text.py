@@ -399,12 +399,13 @@ def substring_excise(
 
     Policy: drop-all-repeats — every occurrence of a duplicated span
     is cut, including the first (the default of Lee et al.'s released
-    exact-substring tool). Keeping one canonical copy would need a
-    global "who is first" election per span (an extra corpus-wide
-    ranked shuffle and an arbitrary tiebreak); dropping all keeps the
-    operator embarrassingly parallel and its guarantee strictly
-    stronger for decontamination-style uses. Documented trade-off:
-    aggressive on text that is popular BECAUSE it is good.
+    exact-substring tool); the guarantee is strictly stronger for
+    decontamination-style uses, at the documented cost of being
+    aggressive on text that is popular BECAUSE it is good. The
+    curation-grade alternative that elects a canonical first
+    occurrence per window and keeps it is
+    :func:`substring_excise_keep_first` (round 13) — same shuffle
+    count, min-struct election fused into the gram aggregation.
 
     Shape: the q226 head unchanged (windows → counts → dup starts,
     counts join pinned off the broadcast path), dup starts merged to
@@ -423,6 +424,65 @@ def substring_excise(
     dup = (
         win.join(counts.hint("shuffle_hash"), "gram")
         .filter(F.col("_n") >= 2)
+        .select(id_col, "pos")
+    )
+    return excise_from_dup(docs, dup, id_col, text_col, L)
+
+
+def substring_excise_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """KEEP-FIRST excision (round 13, VERDICT r12 "Next round" #4):
+    the curation-grade variant of :func:`substring_excise`. Drop-all-
+    repeats is the right call for decontamination, but corpus curation
+    usually wants popular-BECAUSE-good text to survive exactly once —
+    so each duplicated window elects a global canonical occurrence
+    (the minimum (id, pos) — arrival order; at 100 TB substitute
+    arrival_seq for the id) and only the NON-elected occurrences are
+    cut. A token position is excised iff some duplicated window
+    covering it lost its election.
+
+    Shape — the extra "who is first" election costs NO extra shuffle
+    over drop-all-repeats: the same per-gram aggregation that counts
+    occurrences also takes ``min(struct(id, pos))`` (struct ordering
+    is lexicographic, so the min IS the earliest occurrence), both
+    with map-side partial aggregation — this is why the election is a
+    grouped min-struct rather than a per-gram ranked window, whose
+    row_number would haul every occurrence of a pathological ultra-hot
+    gram into one partition with no partial aggregation to shield it.
+    The join back is the q226 template: corpus-derived build side,
+    pinned ``shuffle_hash``, never broadcast.
+
+    Caveat (inherent to window-level election, documented): when
+    overlapping spans from DIFFERENT docs interleave, an elected
+    window can still lose tokens to a neighbouring window that lost
+    its own election — the guarantee is per-WINDOW (each duplicated
+    L-gram survives at its earliest occurrence unless overlapped by a
+    losing window), not per maximal span. On disjoint repeated
+    passages — the common case — the first copy survives verbatim.
+    Output schema = substring_excise's: every doc appears, untouched
+    docs whitespace-normalized."""
+    L = int(min_len)
+    win = substring_windows(docs, id_col, text_col, L)
+    firsts = win.groupBy("gram").agg(
+        F.count("*").alias("_n"),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("_first"),
+    )
+    # corpus-derived build side: never broadcast (q226 AQE lesson)
+    dup = (
+        win.join(firsts.hint("shuffle_hash"), "gram")
+        .filter(
+            (F.col("_n") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("_first.i"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
         .select(id_col, "pos")
     )
     return excise_from_dup(docs, dup, id_col, text_col, L)

@@ -4945,6 +4945,57 @@ ORDER BY d.doc_id
 """
 
 
+# q239: keep-first excision — q231's CTE chain, but the dup set
+# excludes each duplicated gram's globally-first occurrence
+# (min (doc_id, pos), computed as a per-gram rank — rn = 1 is the
+# elected canonical copy and survives; rn >= 2 loses and is cut).
+ORACLES["q239_substring_excise_keepfirst"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'gram': array_to_string(tk[i+1 : i+10], ' ')}}
+                 for i in range(len(tk) - 10 + 1)]) AS s
+  FROM d WHERE len(tk) >= 10
+),
+g AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM w),
+r AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gram) AS n,
+         ROW_NUMBER() OVER (PARTITION BY gram
+                            ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+dup AS (SELECT doc_id, pos FROM r WHERE n >= 2 AND rn >= 2),
+toks AS (
+  SELECT doc_id, u.p AS p, u.t AS t FROM (
+    SELECT doc_id,
+           unnest([{{'p': i, 't': tk[i+1]}} for i in range(len(tk))]) AS u
+    FROM d
+  )
+),
+kept AS (
+  SELECT tt.doc_id, tt.p, tt.t
+  FROM toks tt
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup x
+    WHERE x.doc_id = tt.doc_id AND tt.p BETWEEN x.pos AND x.pos + 9
+  )
+),
+rep AS (
+  SELECT doc_id, COUNT(*) AS kc,
+         string_agg(t, ' ' ORDER BY p) AS repaired
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.tk) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.kc, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(d.tk) - COALESCE(r.kc, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(r.repaired, '') AS repaired
+FROM d LEFT JOIN rep r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _bpe_train_oracle(n_merges: int = 8) -> str:
     """Unrolled-iteration oracle for q227 (the q178 idiom applied to
     BPE): the identical N trainer iterations as chained CTEs — word

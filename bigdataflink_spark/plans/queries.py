@@ -8623,6 +8623,26 @@ def q231_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.substring_excise(docs, min_len=10).orderBy("doc_id")
 
 
+def q239_substring_excise_keepfirst(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KEEP-FIRST substring excision (round 13, VERDICT r12 "Next
+    round" #4): q231's repaired corpus under the curation policy —
+    each duplicated window elects its global first occurrence
+    (min (doc_id, pos)) and only the later occurrences are cut, so
+    popular-because-good text survives exactly once instead of
+    vanishing everywhere (text.py substring_excise_keep_first). The
+    election is a min-struct fused into the SAME gram aggregation
+    that counts occurrences — no extra shuffle over q231, and the
+    per-gram partial aggregation shields ultra-hot grams (a ranked
+    window would haul every occurrence into one partition). Output
+    schema = q231's; every doc appears."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.substring_excise_keep_first(docs, min_len=10).orderBy(
+        "doc_id"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -8859,4 +8879,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q236_streaming_substr_excise": q236_streaming_substr_excise,
     "q237_curated_corpus": q237_curated_corpus,
     "q238_streaming_pq_index": q238_streaming_pq_index,
+    "q239_substring_excise_keepfirst": q239_substring_excise_keepfirst,
 }

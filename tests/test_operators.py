@@ -2495,6 +2495,55 @@ def test_substring_excise_repaired_text(spark):
     assert rows[4].repaired == "e0 e1 e2" and rows[4].removed_tokens == 0
 
 
+def test_substring_excise_keep_first_popular_text_survives_once(spark):
+    """Keep-first policy (round 13): each duplicated window's
+    globally-first occurrence (min (doc_id, pos)) is elected and
+    KEPT; later occurrences are cut. Popular-because-good text
+    survives exactly once — in the earliest doc — where drop-all
+    would erase every copy."""
+    from bigdataflink_spark.operators.text import (
+        substring_excise,
+        substring_excise_keep_first,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            # earliest holder of the popular passage: keeps it whole
+            (1, f"{uniq('a', 3)} {shared} {uniq('b', 15)}"),
+            # later copies: the passage is cut, padding survives
+            (2, f"{uniq('c', 11)} {shared}"),
+            (3, shared),
+            # within-doc repeat of the SAME passage: the global first
+            # lives in doc 1, so BOTH of doc 4's copies lose
+            (4, f"{shared} {uniq('d', 4)} {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    kf = {
+        r.doc_id: r
+        for r in substring_excise_keep_first(docs, min_len=10).collect()
+    }
+    assert kf[1].repaired == f"{uniq('a', 3)} {shared} {uniq('b', 15)}"
+    assert kf[1].removed_tokens == 0
+    assert kf[2].repaired == uniq("c", 11) and kf[2].removed_tokens == 12
+    assert kf[3].repaired == "" and kf[3].removed_tokens == 12
+    assert kf[4].repaired == uniq("d", 4)
+    assert kf[4].removed_tokens == 24
+    # the passage appears EXACTLY once across the repaired corpus
+    assert sum(r.repaired.count(shared) for r in kf.values()) == 1
+    # vs drop-all: every copy gone, nothing survives anywhere
+    da = {
+        r.doc_id: r for r in substring_excise(docs, min_len=10).collect()
+    }
+    assert sum(r.repaired.count(shared) for r in da.values()) == 0
+    # keep-first never removes more than drop-all
+    assert all(
+        kf[i].removed_tokens <= da[i].removed_tokens for i in kf
+    )
+
+
 def test_bpe_train_textbook_merges_and_ties(spark):
     """Sennrich toy corpus: the canonical merge order l+o, lo+w, then
     e+w / n+ew; step 5 is an exact (e,r)-vs-(low,e) count tie that the

@@ -151,3 +151,58 @@ def test_substring_excise_corpus_invariant(spark):
         "doc_id", F.col("repaired").alias("text")
     )
     assert substring_span_stats(rep, min_len=10).count() == 0
+
+
+def ref_excise_keep_first(
+    texts: list[str], min_len: int = L
+) -> dict[int, str]:
+    """Keep-first reference: each duplicated window's globally-first
+    occurrence (min (doc_id, pos)) survives its election; a position
+    is cut iff covered by a NON-elected duplicated window."""
+    docs = [[t for t in s.split(" ") if t != ""] for s in texts]
+    first: dict[str, tuple[int, int]] = {}
+    grams: Counter = Counter()
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - min_len + 1):
+            g = " ".join(toks[p : p + min_len])
+            grams[g] += 1
+            if g not in first:
+                first[g] = (i, p)
+    out = {}
+    for i, toks in enumerate(docs):
+        covered = set()
+        for p in range(len(toks) - min_len + 1):
+            g = " ".join(toks[p : p + min_len])
+            if grams[g] >= 2 and first[g] != (i, p):
+                covered.update(range(p, p + min_len))
+        out[i] = " ".join(
+            t for q, t in enumerate(toks) if q not in covered
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_substring_excise_keep_first_matches_reference(spark, texts):
+    from bigdataflink_spark.operators.text import (
+        substring_excise_keep_first,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in substring_excise_keep_first(docs, min_len=L).collect()
+    }
+    want = ref_excise_keep_first(texts)
+    assert set(rows) == set(want)
+    for i, rep in want.items():
+        r = rows[i]
+        assert r.repaired == rep
+        assert r.kept_tokens == len([t for t in rep.split(" ") if t])
+        assert r.removed_tokens == r.n_tokens - r.kept_tokens
