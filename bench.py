@@ -160,6 +160,7 @@ HEADLINE = [
     "q237_curated_corpus",
     "q238_streaming_pq_index",
     "q239_substring_excise_keepfirst",
+    "q240_streaming_ivf_pq_index",
 ]
 
 

@@ -5671,6 +5671,171 @@ SELECT * FROM (
 ) ORDER BY slice, query_id, rank
 """
 
+# q240: IVF-routed streaming PQ index — the q238 frozen-codebook
+# CTEs, plus frozen IVF centroids (8 lowest slice-0 ids), the
+# 6dp-cosine cell assignment for every vector, per-query nprobe=2
+# routing, and per-slice-prefix ADC scoring restricted to routed
+# cells with the scanned-mass census (self included: it is scanned,
+# then excluded from scoring).
+ORACLES["q240_streaming_ivf_pq_index"] = f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+subs AS (
+  SELECT id, s.s AS sub, list_slice(x, s.s * 8 + 1, s.s * 8 + 8) AS sv
+  FROM base, (SELECT unnest(range(0, 8)) AS s) s
+),
+bootr AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+        ORDER BY vec_id LIMIT 64)
+),
+cents AS (
+  SELECT br.cent, s.sub, s.sv AS cv
+  FROM bootr br JOIN subs s ON s.id = br.vec_id
+),
+assign AS (
+  SELECT id, sub, cent,
+         row_number() OVER (PARTITION BY id, sub ORDER BY
+           list_sum(list_transform(range(1, 9),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cent ASC
+         ) AS rn
+  FROM subs JOIN cents USING (sub)
+),
+codes AS (
+  SELECT id, list(cent ORDER BY sub) AS codes
+  FROM assign WHERE rn = 1 GROUP BY id
+),
+bootc AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+        ORDER BY vec_id LIMIT 8)
+),
+centv AS (
+  SELECT bc.cell, b.x AS cv FROM bootc bc JOIN base b ON b.id = bc.vec_id
+),
+cellof AS (
+  SELECT id, cell FROM (
+    SELECT b.id, c.cell,
+           row_number() OVER (PARTITION BY b.id
+             ORDER BY ROUND({_cos('b.x', 'c.cv')}, 6) DESC, c.cell) AS rn
+    FROM base b, centv c)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvf FROM embeddings
+      WHERE vec_id < 10),
+routedq AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND({_cos('q.qvf', 'c.cv')}, 6) DESC, c.cell)
+             AS crank
+    FROM q, centv c)
+  WHERE crank <= 2
+),
+qsubs AS (SELECT id AS query_id, sub, sv FROM subs WHERE id < 10),
+lut_rows AS (
+  SELECT query_id, sub, cent,
+         list_sum(list_transform(range(1, 9), i -> sv[i] * cv[i]))
+           AS pdot
+  FROM qsubs JOIN cents USING (sub)
+),
+per_sub AS (
+  SELECT query_id, sub, list(pdot ORDER BY cent) AS arr
+  FROM lut_rows GROUP BY query_id, sub
+),
+lut AS (
+  SELECT query_id, list(arr ORDER BY sub) AS lut
+  FROM per_sub GROUP BY query_id
+),
+sc0 AS (
+  SELECT l.query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> l.lut[i][c.codes[i] + 1])) AS adc
+  FROM lut l
+  JOIN routedq r ON r.query_id = l.query_id
+  JOIN cellof cf ON cf.cell = r.cell
+  JOIN codes c ON c.id = cf.id
+  WHERE c.id % 3 <= 0 AND c.id <> l.query_id
+),
+ns0 AS (
+  SELECT r.query_id,
+         CAST(SUM(COALESCE(cz.cnt, 0)) AS BIGINT) AS n_scanned
+  FROM routedq r LEFT JOIN (
+    SELECT cell, COUNT(*) AS cnt FROM cellof
+    WHERE id % 3 <= 0 GROUP BY cell
+  ) cz ON cz.cell = r.cell
+  GROUP BY r.query_id
+),
+o0 AS (
+  SELECT CAST(0 AS INT) AS slice, s.query_id, neighbor_id, adc,
+         CAST(rank AS INT) AS rank, ns.n_scanned
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, neighbor_id) AS rank FROM sc0) s
+  JOIN ns0 ns ON ns.query_id = s.query_id
+  WHERE rank <= 3
+),
+sc1 AS (
+  SELECT l.query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> l.lut[i][c.codes[i] + 1])) AS adc
+  FROM lut l
+  JOIN routedq r ON r.query_id = l.query_id
+  JOIN cellof cf ON cf.cell = r.cell
+  JOIN codes c ON c.id = cf.id
+  WHERE c.id % 3 <= 1 AND c.id <> l.query_id
+),
+ns1 AS (
+  SELECT r.query_id,
+         CAST(SUM(COALESCE(cz.cnt, 0)) AS BIGINT) AS n_scanned
+  FROM routedq r LEFT JOIN (
+    SELECT cell, COUNT(*) AS cnt FROM cellof
+    WHERE id % 3 <= 1 GROUP BY cell
+  ) cz ON cz.cell = r.cell
+  GROUP BY r.query_id
+),
+o1 AS (
+  SELECT CAST(1 AS INT) AS slice, s.query_id, neighbor_id, adc,
+         CAST(rank AS INT) AS rank, ns.n_scanned
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, neighbor_id) AS rank FROM sc1) s
+  JOIN ns1 ns ON ns.query_id = s.query_id
+  WHERE rank <= 3
+),
+sc2 AS (
+  SELECT l.query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> l.lut[i][c.codes[i] + 1])) AS adc
+  FROM lut l
+  JOIN routedq r ON r.query_id = l.query_id
+  JOIN cellof cf ON cf.cell = r.cell
+  JOIN codes c ON c.id = cf.id
+  WHERE c.id % 3 <= 2 AND c.id <> l.query_id
+),
+ns2 AS (
+  SELECT r.query_id,
+         CAST(SUM(COALESCE(cz.cnt, 0)) AS BIGINT) AS n_scanned
+  FROM routedq r LEFT JOIN (
+    SELECT cell, COUNT(*) AS cnt FROM cellof
+    WHERE id % 3 <= 2 GROUP BY cell
+  ) cz ON cz.cell = r.cell
+  GROUP BY r.query_id
+),
+o2 AS (
+  SELECT CAST(2 AS INT) AS slice, s.query_id, neighbor_id, adc,
+         CAST(rank AS INT) AS rank, ns.n_scanned
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, neighbor_id) AS rank FROM sc2) s
+  JOIN ns2 ns ON ns.query_id = s.query_id
+  WHERE rank <= 3
+)
+SELECT * FROM (
+  SELECT * FROM o0 UNION ALL SELECT * FROM o1 UNION ALL SELECT * FROM o2
+) ORDER BY slice, query_id, rank
+"""
+
 # q237: the curated corpus — q86's gate expressions filter, exact
 # whole-doc dedup keeps the lowest doc_id per identical text, then
 # the q231 excision CTEs run over the SURVIVORS (order pinned: a

@@ -8584,7 +8584,10 @@ def q238_streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval ≡ batch pq_adc_shortlist over the same prefix BY
     CONSTRUCTION (shared operator). Full value oracle: codebook,
     codes, LUT and the fixed-order ADC fold all replay in SQL (the
-    q224 idioms per slice prefix)."""
+    q224 idioms per slice prefix). NOTE: the per-trigger retrieval
+    here scans the FULL store — kept as the exact baseline; the
+    scale path is q240's IVF-routed index, which reads only routed
+    cell directories."""
     import tempfile
 
     from bigdataflink_spark.streaming.pqindex import accept_batch
@@ -8640,6 +8643,49 @@ def q239_substring_excise_keepfirst(
     docs = _t(spark, sf_dir, "documents")
     return text.substring_excise_keep_first(docs, min_len=10).orderBy(
         "doc_id"
+    )
+
+
+def q240_streaming_ivf_pq_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-ROUTED streaming PQ index (round 13, VERDICT r12 "Next
+    round" #1 — the round's one flagged scale-killer fixed): q238's
+    ingest with q235's cell routing wired in
+    (streaming/pqindex.py::accept_batch_routed). The bootstrap batch
+    freezes the codebook AND the IVF centroids (8 lowest slice-0 ids;
+    re-assignment on centroid drift would be the same full-store
+    rewrite a codebook change is); every batch's codes land
+    CELL-KEYED (codes/label=<cell>/ directories), and each trigger's
+    retrieval reads ONLY the standing queries' nprobe=2 routed cell
+    directories — listing and scan proportional to routed-cell mass,
+    never store size (q238 scanned the whole store per trigger).
+    ``n_scanned`` pins the per-query scanned mass; replay stays
+    idempotent with the anti-join narrowed to the batch's own cells.
+    Full value oracle: the q238 CTEs plus the 6dp-cosine cell
+    assignment and per-slice-prefix routed scoring in SQL."""
+    import tempfile
+
+    from bigdataflink_spark.streaming.pqindex import accept_batch_routed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    state = tempfile.mkdtemp(prefix="q240_rpq_") + "/state"
+    outs = []
+    for s in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == s)
+        outs.append(
+            accept_batch_routed(
+                spark, batch, qs, state, k=3, nprobe=2, ncells=8
+            ).withColumn("slice", F.lit(s).cast("int"))
+        )
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .unionByName(outs[2])
+        .select(
+            "slice", "query_id", "neighbor_id", "adc", "rank", "n_scanned"
+        )
     )
 
 
@@ -8880,4 +8926,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q237_curated_corpus": q237_curated_corpus,
     "q238_streaming_pq_index": q238_streaming_pq_index,
     "q239_substring_excise_keepfirst": q239_substring_excise_keepfirst,
+    "q240_streaming_ivf_pq_index": q240_streaming_ivf_pq_index,
 }

@@ -25,6 +25,16 @@ call-time file-list pinning):
 Scoring is at-arrival over the store AFTER the batch's append, so a
 replayed batch scores against identical state and emits identical
 rows — stronger than the substring twin's at-arrival caveat.
+
+Round 13 adds the IVF-ROUTED variant (:func:`accept_batch_routed`,
+q240): ``accept_batch``'s per-trigger ADC scan of the ENTIRE store was
+round 12's one flagged scale-killer, so the routed index freezes IVF
+centroids at bootstrap beside the codebook (``<state>/centroids``),
+lands codes CELL-KEYED (``<state>/codes/label=<cell>/`` directories),
+and per trigger reads only the standing queries' nprobe routed cell
+dirs — listing and scan proportional to routed-cell mass, never store
+size. ``accept_batch`` remains the exact-full-scan baseline (and the
+nprobe=ncells degenerate case of the routed index — parity-tested).
 """
 
 from __future__ import annotations
@@ -36,7 +46,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdataflink_spark.operators.similarity import (
+    _pq_lut,
     _pq_subvectors,
+    cosine,
     pq_adc_shortlist,
     pq_encode,
 )
@@ -106,4 +118,239 @@ def accept_batch(
     n_indexed = store.agg(F.count("*").cast("long").alias("n_indexed"))
     return out.crossJoin(F.broadcast(n_indexed)).select(
         "query_id", "neighbor_id", "adc", "rank", "n_indexed"
+    )
+
+# -- IVF-routed variant (round 13, VERDICT r12 "Next round" #1) ---------------
+
+
+def ivf_centroids_lowest(
+    corpus: DataFrame,
+    ncells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell centroids from the ``ncells`` LOWEST ids PRESENT in
+    the bootstrap batch, re-indexed densely 0..ncells-1 by id rank —
+    the routing twin of pq_codebook_lowest (same hole-tolerant rule,
+    same one-ORDER-BY SQL replay). Returns (cell int,
+    centroid array<double>)."""
+    lowest = corpus.orderBy(id_col).limit(ncells)
+    w = Window.orderBy(id_col)
+    return lowest.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell"),
+        F.expr(
+            f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+        ).alias("centroid"),
+    )
+
+
+def assign_cells(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its IVF cell: argmax cosine against the
+    frozen centroids, 6dp-rounded with ties to the lowest cell (the
+    q228/q235 routing determinism contract, so the SQL oracle lands
+    on the identical cell). Returns ``vecs`` + ``cell`` int.
+
+    Shape: the centroid table broadcasts (ncells rows), the argmax is
+    a per-id window over batch × ncells rows — linear in the batch.
+    At very large ncells fold the assignment into an Arrow GEMM stage
+    like pq_encode's instead; the frame contract stays the same."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_ccos"), F.asc("cell")
+    )
+    return (
+        vecs.join(F.broadcast(centroids))
+        .withColumn(
+            "_ccos", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+        )
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") == 1)
+        .drop("centroid", "_ccos", "_crank")
+    )
+
+
+def accept_batch_routed(
+    spark: SparkSession,
+    batch_vecs: DataFrame,
+    queries: DataFrame,
+    state_dir: str,
+    k: int = 3,
+    nprobe: int = 2,
+    nsub: int = 8,
+    dsub: int = 8,
+    ncent: int = 64,
+    ncells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One ingest step of the IVF-ROUTED streaming PQ index — the
+    sublinear upgrade of :func:`accept_batch`, whose per-trigger ADC
+    scan of the ENTIRE code store was round 12's one flagged
+    scale-killer (at 10^12 vectors the 8 B/vec store is ~8 TB scanned
+    per trigger). q235's cell routing wired into q238's state:
+
+    * bootstrap freezes the PQ codebook AND the IVF centroids
+      (``<state>/centroids``) from the first batch — frozen together
+      because re-assigning cells on a centroid change would be the
+      same full-store rewrite a codebook change is;
+    * each batch vector is routed to its cell (6dp-cosine argmax,
+      deterministic) and its PQ codes land CELL-KEYED —
+      ``<state>/codes/label=<cell>/`` via partitionBy, so the cell is
+      directory structure, not row data;
+    * replay idempotence narrows with the routing: the anti-join
+      reads only the cells this batch TOUCHES (assignment is
+      deterministic, so a replayed id always lands in the same cell);
+    * retrieval reads ONLY the ≤ |queries|·nprobe routed cell
+      directories — the per-trigger listing and scan are proportional
+      to routed cells, never to store size. Scoring is the
+      ivf_pq_rerank Arrow stage (per-query cell masks from a bounded
+      driver dict, fixed sub-order ADC fold).
+
+    Returns (query_id, neighbor_id, adc, rank, n_scanned) with
+    ``n_scanned`` = rows read from the query's routed cells at this
+    trigger (its own indexed vector included — it is scanned, then
+    self-excluded from scoring): the per-query pin that retrieval
+    cost tracks routed-cell mass, not the store."""
+    import numpy as np
+    import pandas as pd
+
+    cb_dir = os.path.join(state_dir, "codebook")
+    cent_dir = os.path.join(state_dir, "centroids")
+    codes_dir = os.path.join(state_dir, "codes")
+    cb = read_state(spark, cb_dir)
+    if cb is None:
+        pq_codebook_lowest(
+            batch_vecs, nsub, dsub, ncent, id_col, vec_col
+        ).write.parquet(cb_dir)
+        cb = read_state(spark, cb_dir)
+    cents = read_state(spark, cent_dir)
+    if cents is None:
+        ivf_centroids_lowest(batch_vecs, ncells, id_col, vec_col).write.parquet(
+            cent_dir
+        )
+        cents = read_state(spark, cent_dir)
+
+    # -- encode cell-keyed; idempotent append touching only the
+    #    batch's own cells --
+    assigned = assign_cells(batch_vecs, cents, id_col, vec_col)
+    codes_new = pq_encode(
+        assigned, cb, nsub, dsub, id_col, vec_col, label_col="cell"
+    ).localCheckpoint(eager=True)  # touched-collect + anti-join + write
+    touched = sorted(
+        r.label for r in codes_new.select("label").distinct().collect()
+    )  # bounded: <= ncells
+    prior_ids = None
+    for c in touched:
+        st = read_state(spark, os.path.join(codes_dir, f"label={c}"))
+        if st is not None:
+            ids = st.select("id")
+            prior_ids = ids if prior_ids is None else prior_ids.unionByName(ids)
+    if prior_ids is not None:
+        codes_new = codes_new.join(prior_ids, "id", "left_anti")
+    codes_new.write.partitionBy("label").mode("append").parquet(codes_dir)
+
+    # -- route the standing queries; read ONLY their cells --
+    q_routed = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .join(F.broadcast(cents))
+        .withColumn(
+            "_ccos", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6)
+        )
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_ccos"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("_crank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    routed_rows = q_routed.collect()  # bounded: |queries| x nprobe
+    rsets: "dict[int, set[int]]" = {}
+    for r in routed_rows:
+        rsets.setdefault(r.query_id, set()).add(r.cell)
+    cells_needed = sorted({r.cell for r in routed_rows})
+    store = None
+    for c in cells_needed:
+        st = read_state(spark, os.path.join(codes_dir, f"label={c}"))
+        if st is not None:
+            part = st.select("id", "codes").withColumn(
+                "cell", F.lit(int(c)).cast("int")
+            )
+            store = part if store is None else store.unionByName(part)
+    out_schema = (
+        "query_id long, neighbor_id long, adc double, rank int, "
+        "n_scanned long"
+    )
+    if store is None:
+        return spark.createDataFrame([], out_schema)
+    store = store.localCheckpoint(eager=True)  # scored + censused once
+
+    qids, lut = _pq_lut(
+        cb, queries, nsub, dsub, id_col, vec_col, "accept_batch_routed"
+    )
+    bc = spark.sparkContext.broadcast((qids, lut, rsets))
+
+    def _score(it):
+        qids_, lut_, rsets_ = bc.value
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            cm = np.vstack(pdf["codes"].to_numpy())
+            labels = pdf["cell"].to_numpy()
+            outs = {"query_id": [], "neighbor_id": [], "adc": []}
+            for qi, qid in enumerate(qids_):
+                cells_ = rsets_.get(qid)
+                if not cells_:
+                    continue
+                mask = np.isin(labels, list(cells_)) & (ids != qid)
+                if not mask.any():
+                    continue
+                mc = cm[mask]
+                # fixed-order accumulation: sub 0, then += sub 1.. —
+                # the oracle's fold, bit-identical
+                s = lut_[qi, 0, mc[:, 0]].copy()
+                for sub in range(1, nsub):
+                    s += lut_[qi, sub, mc[:, sub]]
+                mids = ids[mask]
+                order = np.lexsort((mids, -s))[:k]
+                outs["query_id"].extend([qid] * len(order))
+                outs["neighbor_id"].extend(mids[order].tolist())
+                outs["adc"].extend(s[order].tolist())
+            yield pd.DataFrame(outs)
+
+    local = store.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    topk = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+    # per-query scanned mass from the ncells-row census of the read
+    # slice (never a second pass over unrouted state)
+    csz = store.groupBy("cell").agg(F.count("*").alias("_csz"))
+    n_scan = (
+        q_routed.join(F.broadcast(csz), "cell", "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_csz", F.lit(0))).cast("long").alias(
+                "n_scanned"
+            )
+        )
+    )
+    return topk.join(F.broadcast(n_scan), "query_id").select(
+        "query_id", "neighbor_id", "adc", "rank", "n_scanned"
     )

@@ -86,3 +86,151 @@ def test_codebook_frozen_and_replay_idempotent(spark, tmp_path):
     # the store only grows: every batch's n_indexed is strictly larger
     sizes = [rows[0][-1] for rows in outs]
     assert sizes[0] < sizes[1] < sizes[2] == n_codes
+
+
+def test_routed_equals_full_scan_when_probing_all_cells(spark, tmp_path):
+    """nprobe = ncells routes every query to EVERY cell, so the
+    IVF-routed index must reproduce accept_batch's full-store ADC
+    top-k exactly (same frozen codebook rule, same fold, same tie
+    order) — the routing machinery changes WHAT is read, never the
+    scores. n_scanned then equals n_indexed."""
+    from bigdataflink_spark.streaming.pqindex import (
+        accept_batch,
+        accept_batch_routed,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") < 10)
+    full = accept_batch(spark, emb, qs, str(tmp_path / "flat"), k=4)
+    routed = accept_batch_routed(
+        spark, emb, qs, str(tmp_path / "routed"), k=4, nprobe=4, ncells=4
+    )
+    f = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.adc, 9))
+        for r in full.collect()
+    )
+    g = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.adc, 9))
+        for r in routed.collect()
+    )
+    assert f == g and len(f) == 40
+    n = emb.count()
+    assert {r.n_scanned for r in routed.collect()} == {n}
+
+
+def test_routed_ingest_cell_keyed_sublinear_and_idempotent(spark, tmp_path):
+    """The scale contract: codes land cell-keyed (label=<cell>/
+    directories), every retrieved neighbor comes from the query's
+    routed cells, n_scanned equals the independent routed-cell census
+    (strictly below the store for at least one query — the
+    sublinearity pin), and replaying a batch changes neither state
+    nor output."""
+    import os
+
+    from bigdataflink_spark.streaming.pqindex import (
+        accept_batch_routed,
+        assign_cells,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") < 10)
+    state = str(tmp_path / "state")
+    outs = []
+    for s in range(3):
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in accept_batch_routed(
+                    spark,
+                    emb.filter(F.col("vec_id") % 3 == s),
+                    qs,
+                    state,
+                    k=3,
+                    nprobe=2,
+                    ncells=8,
+                ).collect()
+            )
+        )
+    # cell-keyed layout: the codes dir holds label=<cell> partitions
+    parts = sorted(
+        d for d in os.listdir(f"{state}/codes") if d.startswith("label=")
+    )
+    assert len(parts) >= 2
+    # independent census: assign every vector with the FROZEN
+    # centroids; per query, n_scanned must equal the routed-cell mass
+    cents = spark.read.parquet(f"{state}/centroids")
+    cellof = {
+        r.vec_id: r.cell
+        for r in assign_cells(emb, cents).select("vec_id", "cell").collect()
+    }
+    csz: dict[int, int] = {}
+    for c in cellof.values():
+        csz[c] = csz.get(c, 0) + 1
+    routed_cells: dict[int, set[int]] = {}
+    for r in (
+        qs.select("vec_id", "embedding")
+        .join(F.broadcast(cents))
+        .withColumn(
+            "_c",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, centroid,"
+                    " (a, b) -> CAST(a AS DOUBLE) * b), 0D,"
+                    " (acc, v) -> acc + v)"
+                )
+                / (
+                    F.sqrt(
+                        F.expr(
+                            "aggregate(zip_with(embedding, embedding,"
+                            " (a, b) -> CAST(a AS DOUBLE) * b), 0D,"
+                            " (acc, v) -> acc + v)"
+                        )
+                    )
+                    * F.sqrt(
+                        F.expr(
+                            "aggregate(zip_with(centroid, centroid,"
+                            " (a, b) -> a * b), 0D, (acc, v) -> acc + v)"
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+        .collect()
+    ):
+        routed_cells.setdefault(r.vec_id, []).append((r._c, r.cell))
+    routed_top = {
+        q: {c for _, c in sorted(v, key=lambda t: (-t[0], t[1]))[:2]}
+        for q, v in routed_cells.items()
+    }
+    total = emb.count()
+    last = outs[2]
+    seen_n = {}
+    for row in last:
+        qid, nid, adc, rank, n_scanned = row
+        assert cellof[nid] in routed_top[qid]  # neighbor from routed cells
+        seen_n[qid] = n_scanned
+    for qid, n_scanned in seen_n.items():
+        assert n_scanned == sum(csz.get(c, 0) for c in routed_top[qid])
+    assert min(seen_n.values()) < total  # sublinear for someone
+    # replay the LAST batch: identical rows, nothing appended
+    n_codes = sum(
+        spark.read.parquet(f"{state}/codes/{d}").count() for d in parts
+    )
+    replay = sorted(
+        tuple(r)
+        for r in accept_batch_routed(
+            spark,
+            emb.filter(F.col("vec_id") % 3 == 2),
+            qs,
+            state,
+            k=3,
+            nprobe=2,
+            ncells=8,
+        ).collect()
+    )
+    assert replay == outs[2]
+    assert (
+        sum(spark.read.parquet(f"{state}/codes/{d}").count() for d in parts)
+        == n_codes
+    )
