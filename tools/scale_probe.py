@@ -130,6 +130,7 @@ def time_suite(spark, sf_dir: str) -> dict[str, float]:
 #   fixed → FK keys get 100× hotter, a real skew stress).
 
 DST100 = "/tmp/spark_graft_sf10"
+DST100_DOMAIN = "/tmp/spark_graft_sf10_domain"
 COPIES100 = 100
 DIM = 64
 
@@ -538,6 +539,113 @@ def main_r12() -> None:
     print(json.dumps({"tier": "r12", "copies": COPIES100, "queries": report}, indent=2))
 
 
+def build_sf10_domain(spark) -> None:
+    """×100 documents clone that PRESERVES function-word identity
+    (round 13, VERDICT r12 "What's missing #1"): the original clone
+    suffix-tags EVERY token, which keeps dedup structure but turns
+    'the' into 'thex7' — any stopword-keyed quality gate then rejects
+    the whole synthetic corpus and composed curation queries measure
+    0 rows at ×100. Here only CONTENT tokens get the per-clone tag;
+    the 8 gate stopwords pass through verbatim, so stopword_ratio,
+    mean-token-length band and dup-bigram structure survive cloning
+    and the Gopher gates admit clones at the same rate as originals.
+    Cross-clone duplicate grams can only be all-stopword runs (rare
+    by construction); within-clone dedup structure is exactly the
+    original's.
+
+    Layout: ``DST100_DOMAIN`` holds symlinks to every sf10 table
+    except documents.parquet, which is the domain-preserving clone —
+    so any query runs unchanged against the dir."""
+    from bigdataflink_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, "documents", SRC)
+    dspan = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+
+    def clone(i):
+        if i == 0:
+            return docs
+        toked = F.split(F.col("text"), " ")
+        mapped = F.transform(
+            toked,
+            lambda t: F.when(
+                (t == "") | t.isin(*STOPWORDS), t
+            ).otherwise(F.concat(t, F.lit(f"x{i}"))),
+        )
+        return docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * dspan)
+        ).withColumn("text", F.array_join(mapped, " "))
+
+    os.makedirs(DST100_DOMAIN, exist_ok=True)
+    _union_all([clone(i) for i in range(COPIES100)]).write.mode(
+        "overwrite"
+    ).parquet(f"{DST100_DOMAIN}/documents.parquet")
+    for t in FIXED100 + ["lineitem", "orders", "events", "embeddings"]:
+        link = f"{DST100_DOMAIN}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{DST100}/{t}.parquet", link)
+
+
+def main_r13() -> None:
+    """Round-13 tier:
+
+    * q237 composed curated corpus at ×100 on the DOMAIN-PRESERVING
+      clone (the r12 gap: the token-tagged clone failed the stopword
+      gate and q237 measured 0 rows — part-by-part only);
+    * q239 keep-first excision (vs q231's drop-all machinery);
+    * q240 routed streaming PQ index, with the measured per-trigger
+      scan fraction (avg n_scanned / store size) at both scales —
+      the scored-rows-proportional-to-routed-cells pin.
+
+    Run: python tools/scale_probe.py r13
+    """
+    spark = get_spark("scale-probe-r13")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DST100}/lineitem.parquet"):
+        print("building synthetic sf10 ...", file=sys.stderr)
+        build_sf10(spark)
+    if not os.path.exists(f"{DST100_DOMAIN}/documents.parquet"):
+        print("building domain-preserving sf10 documents ...", file=sys.stderr)
+        build_sf10_domain(spark)
+    report = {}
+
+    def consume(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def steady(fn, sf, reps=3):
+        n = fn(spark, sf).count()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            consume(fn(spark, sf))
+            best = min(best, time.perf_counter() - t0)
+        return n, round(best, 3)
+
+    for name, big_dir in (
+        ("q237_curated_corpus", DST100_DOMAIN),
+        ("q239_substring_excise_keepfirst", DST100),
+        ("q240_streaming_ivf_pq_index", DST100),
+    ):
+        n_small, t_small = steady(QUERIES[name], SRC)
+        n_big, t_big = steady(QUERIES[name], big_dir)
+        report[name] = {
+            "sf0.1_s": t_small,
+            "sf10_s": t_big,
+            "x": round(t_big / t_small, 2) if t_small else None,
+            "rows0.1": n_small,
+            "rows10": n_big,
+        }
+        if name == "q240_streaming_ivf_pq_index":
+            for tag, d in (("scan_frac0.1", SRC), ("scan_frac10", big_dir)):
+                rows = QUERIES[name](spark, d).collect()
+                total = load_table(spark, "embeddings", d).count()
+                last = [r for r in rows if r.slice == 2]
+                if last:
+                    avg = sum(r.n_scanned for r in last) / len(last)
+                    report[name][tag] = round(avg / total, 4)
+        print(f"{name}: {report[name]}", file=sys.stderr)
+    print(json.dumps({"tier": "r13", "copies": COPIES100, "queries": report}, indent=2))
+
+
 if __name__ == "__main__":
     if "state" in sys.argv[1:]:
         main_state()
@@ -545,6 +653,8 @@ if __name__ == "__main__":
         main_sketch()
     elif "r12" in sys.argv[1:]:
         main_r12()
+    elif "r13" in sys.argv[1:]:
+        main_r13()
     elif "100" in sys.argv[1:]:
         main_100()
     else:
