@@ -354,3 +354,56 @@ def accept_batch_routed(
     return topk.join(F.broadcast(n_scan), "query_id").select(
         "query_id", "neighbor_id", "adc", "rank", "n_scanned"
     )
+
+
+def maintain_code_state(
+    spark: SparkSession,
+    state_dir: str,
+    max_files: int = 64,
+    target_rows_per_file: int = 4_000_000,
+) -> "dict[int, tuple[int, int]]":
+    """Periodic maintenance for the cell-keyed code store: every
+    ``accept_batch_routed`` trigger appends one file-set into each
+    touched ``codes/label=<cell>/`` directory, and read_state's
+    call-time pin lists that directory per retrieval — the same
+    accretion the gram seen-set has (substrdedup.maintain_gram_state).
+    Compact each cell directory whose data-file count exceeds
+    ``max_files`` via compact_dir (id-sorted shards; crash-safe via
+    recover_compact_crash). Per-cell jobs keep each maintenance run
+    bounded by ONE cell's mass — the partitioned-layout discipline
+    compact_dir's docstring prescribes. Returns {cell: (files_before,
+    files_after)} for the cells compacted.
+
+    SAFETY: same as the gram state — compaction deletes the old
+    files, so run only after the trigger's output is durably written
+    (no lazy plan still pinning a pre-compaction file list)."""
+    from bigdataflink_spark.sources.formats import compact_dir
+
+    codes_dir = os.path.join(state_dir, "codes")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(codes_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return {}
+    done: "dict[int, tuple[int, int]]" = {}
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith("label="):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if not f.isDirectory()
+            and not f.getPath().getName().startswith("_")
+            and not f.getPath().getName().startswith(".")
+        )
+        if n <= max_files:
+            continue
+        cell = int(name.split("=", 1)[1])
+        done[cell] = compact_dir(
+            spark,
+            os.path.join(codes_dir, name),
+            ["id"],
+            target_rows_per_file,
+        )
+    return done

@@ -234,3 +234,77 @@ def test_routed_ingest_cell_keyed_sublinear_and_idempotent(spark, tmp_path):
         sum(spark.read.parquet(f"{state}/codes/{d}").count() for d in parts)
         == n_codes
     )
+
+
+def test_code_state_compaction_preserves_retrieval(spark, tmp_path):
+    """maintain_code_state rewrites over-fragmented cell directories
+    (per-cell compact_dir — id-sorted shards, crash-safe swap) without
+    changing state content: file counts drop, per-cell rows are
+    identical, and a replayed trigger produces byte-identical output
+    against the compacted layout."""
+    import os
+
+    from bigdataflink_spark.streaming.pqindex import (
+        accept_batch_routed,
+        maintain_code_state,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") < 10)
+    state = str(tmp_path / "state")
+    last = None
+    for s in range(3):
+        last = sorted(
+            tuple(r)
+            for r in accept_batch_routed(
+                spark,
+                emb.filter(F.col("vec_id") % 3 == s),
+                qs,
+                state,
+                k=3,
+                nprobe=2,
+                ncells=4,
+            ).collect()
+        )
+    codes = f"{state}/codes"
+    parts = sorted(d for d in os.listdir(codes) if d.startswith("label="))
+
+    def census():
+        return {
+            d: sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{codes}/{d}").collect()
+            )
+            for d in parts
+        }
+
+    def filecount(d):
+        return sum(
+            1 for f in os.listdir(f"{codes}/{d}") if f.startswith("part-")
+        )
+
+    before_rows = census()
+    before_files = {d: filecount(d) for d in parts}
+    done = maintain_code_state(spark, state, max_files=1)
+    assert done  # at least one cell exceeded 1 file after 3 triggers
+    for cell, (fb, fa) in done.items():
+        assert fa <= fb and filecount(f"label={cell}") == fa
+    assert census() == before_rows  # content identical, layout only
+    # replay of the last trigger against the compacted layout:
+    # identical rows, nothing re-appended
+    replay = sorted(
+        tuple(r)
+        for r in accept_batch_routed(
+            spark,
+            emb.filter(F.col("vec_id") % 3 == 2),
+            qs,
+            state,
+            k=3,
+            nprobe=2,
+            ncells=4,
+        ).collect()
+    )
+    assert replay == last
+    assert census() == before_rows
+    # below-threshold call is a no-op
+    assert maintain_code_state(spark, state, max_files=10_000) == {}
