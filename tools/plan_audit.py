@@ -217,6 +217,8 @@ NOTES = {
     "q231_substring_excise": "Substring excision: q226's head unchanged (window projection + posexplode, gh... gram-keyed count shuffle with the counts join PINNED shuffle_hash off the broadcast path), dup starts merge to per-doc intervals under one lag window, intervals collect_list per doc (bounded by doc length), and ONE higher-order JVM projection filters each token array against its interval list — no Python, no extra corpus pass beyond q226's.",
     "q232_bpe_vocab_export": "Vocab export: q227's trainer loop (one corpus word census + 8 vocab-sized argmax rounds), then a charset-bounded distinct collect and the n_merges-row merge table assembled driver-side into the (token_id, symbol, kind) table — both collects are the sanctioned bounded class (alphabet + n_merges rows).",
     "q233_bpe_encode_pack": "Tokenizer end-to-end: trainer (corpus census once) + bounded symbol->id literal map; encode is one vocab-sized projection (per-word ids via the final vocab's own segmentation) joined shuffle_hash to the corpus's (doc,pos,word) posexplode (vocab build side never broadcasts - the q226 lesson), reassembled per doc by one collect_list bounded by doc length; packing is q94's one window cumsum + one agg keyed on lang.",
+    "q239_substring_excise_keepfirst": "Keep-first excision: q231's window head, but the per-gram aggregation that counts occurrences ALSO takes min(struct(id,pos)) - the global first-occurrence election rides the same map-side-combining shuffle, no extra exchange. Join back pinned shuffle_hash (corpus-derived build side, the q226 AQE lesson); excision tail shared with q231 (interval merge + one JVM HOF projection).",
+    "q240_streaming_ivf_pq_index": "IVF-routed streaming PQ index: bootstrap freezes codebook AND centroids; per batch one cell-assignment window (batch x ncells broadcast join) + one encode Arrow stage; codes land partitionBy(cell) so the per-trigger retrieval LISTS AND SCANS only the queries' nprobe routed cell dirs (scan_frac ~= nprobe/ncells at both probe scales - SCALE.md r13); anti-join for replay reads only the batch's own cells; ADC scoring one Arrow stage with per-query cell masks, census from the read slice only.",
     "q238_streaming_pq_index": "Streaming PQ-index ingest: bootstrap batch freezes the codebook (ORDER BY/LIMIT ncent + tiny window, written once), per batch ONE encode Arrow stage + anti-joined code append (8 bytes/vec state), retrieval = the batch pq_adc_shortlist operator over the file-list-pinned post-append snapshot (LUT broadcast into one Arrow stage, local top-k, global window). Per-trigger cost O(batch encode + store scan); store scan is the honest linear residue of exact-membership retrieval - IVF routing over cells is the sublinear upgrade path (q235).",
     "q236_streaming_substr_excise": "Streaming excision twin: q230's per-batch judge unchanged (window projection + posexplode, gh-keyed count, shuffle_hash join vs the file-list-pinned gram state, anti-joined append), then q231's excision tail per batch (interval merge + per-doc collect_list + ONE HOF projection over the batch's token arrays). Per-trigger cost O(batch + state read); output stream = the repaired corpus at arrival.",
     "q237_curated_corpus": "Curated-corpus composition: the q86 gates are scan-stage predicates on one tokenized projection; exact dedup is one window shuffle on the text key (xxhash64 at deployment); excision is q231's linear machinery over the ~3/4 surviving corpus (counts join pinned shuffle_hash). Gates -> dedup -> excision order pinned by the oracle.",
@@ -263,6 +265,7 @@ EXPECTED_BNLJ = {
     "q216_cms_frequency": "the BNLJ is the 1-row total-token scalar stitched onto the 13 probe rows - the q61/q93 scalar pattern.",
     "q213_kmv_distinct": "both BNLJs are 1-row x 1-row crossJoins stitching the direct sketch, merged sketch, and exact-count scalars - the q179 pattern, one row per side.",
     "q217_quantile_sketch": "the one BNLJ is the <=49-row level-census cutoff broadcasting into the sample filter scan - the q213 scalar pattern.",
+    "q240_streaming_ivf_pq_index": "the BNLJs are the batch x ncells centroid cross joins of the cell-assignment/routing stages (ncells-row broadcast build side - the q228 routing idiom, bounded) per micro-batch.",
     "q238_streaming_pq_index": "the BNLJs are the 1-row n_indexed store-size scalar crossJoined into every output row per batch - the q213 scalar-stitch pattern, once per micro-batch.",
     "q235_ivf_pq_rerank": "the BNLJs are the query->centroid routing table (|queries| x |cells|, both tiny), the cell-exact recall leg's routed cross, and the 1-row corpus-count / recall-total scalars stitched into the flags - the q228 pattern; ADC scoring itself is the Arrow stage, not a join.",
     "q234_quantile_sketch_audit": "every BNLJ is a scalar stitch: the <=49-row level-census cutoff broadcasting into the sample filter (twice more for the merge halves/union), the 1-row summary broadcast into the rank scan, and the 1-row x 1-row crossJoins assembling the final row - the q213 pattern.",
