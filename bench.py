@@ -161,6 +161,8 @@ HEADLINE = [
     "q238_streaming_pq_index",
     "q239_substring_excise_keepfirst",
     "q240_streaming_ivf_pq_index",
+    "q241_curated_corpus_keepfirst",
+    "q242_pq_kmeans_ann",
 ]
 
 

@@ -1242,3 +1242,85 @@ def ivf_pq_rerank(
         .join(F.broadcast(n_cand), "query_id")
         .select("query_id", "neighbor_id", "adc", "cos", "rank", "n_candidates")
     )
+
+
+def pq_codebook_kmeans(
+    corpus: DataFrame,
+    nsub: int = 8,
+    dsub: int = 8,
+    ncent: int = 64,
+    iters: int = 2,
+    train_ids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-TRAINED PQ codebook (round 13) — the upgrade q224's
+    docstring reserved ("a k-means codebook changes only this
+    frame"): start from the sampled codebook (the ``ncent`` lowest
+    ids) and run ``iters`` Lloyd iterations over a bounded training
+    sample (ids below ``train_ids`` — PQ trainers always fit on a
+    sample; FAISS defaults to ~256 points per centroid), each
+    iteration one assignment + one centroid update:
+
+    * assignment: per (point, sub), argmin squared L2 against the
+      current codebook — the zip_with/aggregate LEFT-TO-RIGHT fold
+      (bit-identical to the SQL oracle's list fold), ties to the
+      lowest centroid;
+    * update: per (sub, cent, dim), ``ROUND(AVG(component), 6)`` —
+      the 6dp rounding is the label_centroids determinism idiom:
+      both engines compute nearly-identical doubles whose rounded
+      value agrees, and the ROUNDED centroids feed the next
+      iteration, so divergence cannot compound;
+    * empty clusters keep their previous centroid (left-join
+      coalesce), so the codebook stays dense and pq_encode's density
+      check holds by construction.
+
+    Scale shape: every iteration works on sample × ncent rows
+    (bounded by ``train_ids``·nsub·ncent — driver-chosen, corpus-size
+    independent), codebook broadcast, lineage truncated per iteration
+    (localCheckpoint — the iterative-algorithm rule from q178).
+    Returns (cent int, sub, cv) — drop-in for pq_codebook wherever
+    codes are (re-)built; recall vs the sampled codebook is pinned by
+    q242."""
+    cb = pq_codebook(corpus, nsub, dsub, ncent, id_col, vec_col)
+    sample = corpus.filter(F.col(id_col) < train_ids)
+    ssubs = _pq_subvectors(
+        sample, id_col, vec_col, nsub, dsub, "id"
+    ).localCheckpoint(eager=True)  # reused every iteration
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("id", "sub").orderBy(F.asc("_d2"), F.asc("cent"))
+    for _ in range(int(iters)):
+        assign = (
+            ssubs.join(F.broadcast(cb), "sub")
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("sub", "cent", "sv")
+        )
+        upd = (
+            assign.select("sub", "cent", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub", "cent", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+            .groupBy("sub", "cent")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv_new")
+            )
+        )
+        cb = (
+            cb.alias("p")
+            .join(upd.alias("n"), ["sub", "cent"], "left")
+            .select(
+                F.col("cent"),
+                F.col("sub"),
+                F.coalesce(F.col("n.cv_new"), F.col("p.cv")).alias("cv"),
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+    return cb.select(F.col("cent").cast("int").alias("cent"), "sub", "cv")

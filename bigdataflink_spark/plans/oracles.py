@@ -5168,6 +5168,152 @@ CROSS JOIN nc
 """
 
 
+def _pq_kmeans_ann_oracle(iters: int = 2, train: int = 256) -> str:
+    """q242: the q224 CTE chain run TWICE — once on the sampled
+    codebook, once on the Lloyd-trained one — with the training
+    trajectory unrolled (the q178 iterative idiom): per iteration an
+    assignment CTE (argmin d2, lowest-cent ties) over the bounded
+    sample and an update CTE (ROUND(AVG, 6) per (sub, cent, dim),
+    empty clusters coalesced to the previous centroid)."""
+    d2 = ("list_sum(list_transform(range(1, 9), "
+          "i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))")
+    parts = [f"""WITH base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+subs AS (
+  SELECT id, s.s AS sub, list_slice(x, s.s * 8 + 1, s.s * 8 + 8) AS sv
+  FROM base, (SELECT unnest(range(0, 8)) AS s) s
+),
+cb0 AS (
+  SELECT CAST(id AS INT) AS cent, sub, sv AS cv FROM subs WHERE id < 64
+),
+ssubs AS (SELECT id, sub, sv FROM subs WHERE id < {train})"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+a{k} AS (
+  SELECT id, sub, cent FROM (
+    SELECT s.id, s.sub, c.cent,
+           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+             {d2} ASC, c.cent ASC) AS rn
+    FROM ssubs s JOIN cb{k-1} c USING (sub))
+  WHERE rn = 1
+),
+u{k} AS (
+  SELECT a.sub, a.cent, d.i AS pos, ROUND(AVG(s.sv[d.i]), 6) AS c
+  FROM a{k} a
+  JOIN ssubs s ON s.id = a.id AND s.sub = a.sub,
+       (SELECT unnest(range(1, 9)) AS i) d
+  GROUP BY a.sub, a.cent, d.i
+),
+cb{k} AS (
+  SELECT p.cent, p.sub, COALESCE(n.cv, p.cv) AS cv
+  FROM cb{k-1} p LEFT JOIN (
+    SELECT sub, cent, list(c ORDER BY pos) AS cv
+    FROM u{k} GROUP BY sub, cent) n
+  ON n.sub = p.sub AND n.cent = p.cent
+)""")
+    # the q224 retrieval chain, parameterized by codebook CTE name
+    def chain(cb: str, tag: str) -> str:
+        return f""",
+assign_{tag} AS (
+  SELECT id, sub, cent,
+         row_number() OVER (PARTITION BY id, sub ORDER BY
+           {d2} ASC, cent ASC) AS rn
+  FROM subs JOIN {cb} USING (sub)
+),
+codes_{tag} AS (
+  SELECT id, list(cent ORDER BY sub) AS codes
+  FROM assign_{tag} WHERE rn = 1 GROUP BY id
+),
+lutr_{tag} AS (
+  SELECT q.id AS query_id, q.sub, c.cent,
+         list_sum(list_transform(range(1, 9), i -> q.sv[i] * c.cv[i]))
+           AS pdot
+  FROM subs q JOIN {cb} c USING (sub)
+  WHERE q.id >= 300 AND q.id < 310
+),
+lut_{tag} AS (
+  SELECT query_id, list(arr ORDER BY sub) AS lut FROM (
+    SELECT query_id, sub, list(pdot ORDER BY cent) AS arr
+    FROM lutr_{tag} GROUP BY query_id, sub)
+  GROUP BY query_id
+),
+scored_{tag} AS (
+  SELECT query_id, c.id AS neighbor_id,
+         list_sum(list_transform(range(1, 9),
+           i -> lut[i][codes[i] + 1])) AS adc
+  FROM codes_{tag} c, lut_{tag} WHERE query_id <> c.id
+),
+short_{tag} AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, neighbor_id) AS rank
+        FROM scored_{tag})
+  WHERE rank <= 50
+),
+final_{tag} AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id) AS rank
+  FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND({_cos('qv.qvf', 'c.cvf')}, 6) AS cos
+    FROM short_{tag} s
+    JOIN (SELECT vec_id, embedding AS cvf FROM embeddings) c
+      ON s.neighbor_id = c.vec_id
+    JOIN qv ON s.query_id = qv.query_id)
+),
+f5_{tag} AS (SELECT * FROM final_{tag} WHERE rank <= 5),
+hits_{tag} AS (
+  SELECT a.query_id,
+         CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS hits
+  FROM f5_{tag} a LEFT JOIN exact5 e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+)"""
+    shared = f""",
+qv AS (SELECT vec_id AS query_id, embedding AS qvf
+       FROM embeddings WHERE vec_id >= 300 AND vec_id < 310),
+fc AS (SELECT vec_id AS neighbor_id, embedding AS cvf FROM embeddings),
+exact5 AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY ROUND({_cos('qv.qvf', 'fc.cvf')}, 6) DESC,
+                          neighbor_id) AS rank
+        FROM qv, fc WHERE query_id <> neighbor_id)
+  WHERE rank <= 5
+)"""
+    tail = f"""
+SELECT t.query_id,
+       t.hits AS hits_trained,
+       s.hits AS hits_sampled,
+       t1.top1_trained,
+       t1.top1_cos,
+       rt.recall50_trained,
+       rs.recall50_sampled,
+       rt.recall50_trained >= rs.recall50_sampled AS trained_not_worse
+FROM hits_t t
+JOIN hits_s s ON s.query_id = t.query_id
+JOIN (SELECT query_id, neighbor_id AS top1_trained, cos AS top1_cos
+      FROM f5_t WHERE rank = 1) t1 ON t1.query_id = t.query_id
+CROSS JOIN (SELECT CAST(SUM(hits) AS BIGINT) AS recall50_trained
+            FROM hits_t) rt
+CROSS JOIN (SELECT CAST(SUM(hits) AS BIGINT) AS recall50_sampled
+            FROM hits_s) rs
+ORDER BY t.query_id
+"""
+    return ("".join(parts) + shared + chain(f"cb{iters}", "t")
+            + chain("cb0", "s") + tail)
+
+
+ORACLES["q242_pq_kmeans_ann"] = _pq_kmeans_ann_oracle(2, 256)
+
+
 # q235: IVF-PQ — q228's routing CTEs in front of q224's codebook /
 # codes / LUT CTEs; ADC scores only routed-cell rows (the list_sum
 # fold q224 proved bit-compatible), shortlist 32, exact rerank,
@@ -5871,6 +6017,77 @@ w AS (
 g AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM w),
 pc AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
 dup AS (SELECT doc_id, pos FROM g JOIN pc USING (gram) WHERE pc.n >= 2),
+toks AS (
+  SELECT doc_id, u.p AS p, u.t AS t FROM (
+    SELECT doc_id,
+           unnest([{{'p': i, 't': tk[i+1]}} for i in range(len(tk))]) AS u
+    FROM uniq
+  )
+),
+kept AS (
+  SELECT tt.doc_id, tt.p, tt.t
+  FROM toks tt
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup x
+    WHERE x.doc_id = tt.doc_id AND tt.p BETWEEN x.pos AND x.pos + 9
+  )
+),
+rep AS (
+  SELECT doc_id, COUNT(*) AS kc,
+         string_agg(t, ' ' ORDER BY p) AS repaired
+  FROM kept GROUP BY doc_id
+)
+SELECT u.doc_id,
+       u.lang,
+       CAST(len(u.tk) AS BIGINT) AS n_tokens_in,
+       CAST(COALESCE(r.kc, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(u.tk) - COALESCE(r.kc, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(r.repaired, '') AS repaired
+FROM uniq u LEFT JOIN rep r ON r.doc_id = u.doc_id
+ORDER BY u.doc_id
+"""
+
+# q241: the curated corpus under KEEP-FIRST excision — q237's CTE
+# chain with the dup set swapped for q239's per-gram rank election
+# (rn = 1, the globally-first occurrence among the SURVIVING docs,
+# keeps its text; rn >= 2 is cut).
+ORACLES["q241_curated_corpus_keepfirst"] = f"""
+WITH d0 AS (SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents),
+gate AS (
+  SELECT doc_id, lang, text, tk FROM d0 WHERE
+    (len(tk) >= 30 AND len(tk) <= 5000)
+    AND (CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+           / CAST(len(tk) AS DOUBLE) BETWEEN 2.5 AND 12.0)
+    AND (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it')))
+              AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.02)
+    AND COALESCE(
+          CASE WHEN len(tk) >= 2 THEN
+            1.0 - CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
+                                          FOR i IN range(1, len(tk))])) AS DOUBLE)
+                  / CAST(len(tk) - 1 AS DOUBLE)
+          END <= 0.4, FALSE)
+),
+uniq AS (
+  SELECT doc_id, lang, text, tk FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM gate
+  ) WHERE rn = 1
+),
+w AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'gram': array_to_string(tk[i+1 : i+10], ' ')}}
+                 for i in range(len(tk) - 10 + 1)]) AS s
+  FROM uniq WHERE len(tk) >= 10
+),
+g AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM w),
+rk AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gram) AS n,
+         ROW_NUMBER() OVER (PARTITION BY gram
+                            ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+dup AS (SELECT doc_id, pos FROM rk WHERE n >= 2 AND rn >= 2),
 toks AS (
   SELECT doc_id, u.p AS p, u.t AS t FROM (
     SELECT doc_id,

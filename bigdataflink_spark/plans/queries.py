@@ -7927,7 +7927,9 @@ def q224_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism design (what makes a FLOAT ANN operator fully
     value-oracled): the sampled codebook is the 64 lowest-id vectors
-    (training-free; a k-means codebook changes only that frame),
+    (training-free; the Lloyd-TRAINED frame is q242's
+    pq_codebook_kmeans — drop-in, measured not-worse on fair
+    queries),
     assignment argmin and per-sub dot products are fixed-order IEEE
     folds with centroid-id tiebreaks, and the ADC score is a
     left-to-right fold over subspaces — never a float groupBy-sum,
@@ -8689,6 +8691,170 @@ def q240_streaming_ivf_pq_index(
     )
 
 
+def q241_curated_corpus_keepfirst(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curated corpus under the KEEP-FIRST policy (round 13):
+    q237's funnel — Gopher gates → exact whole-doc dedup (lowest
+    doc_id survives) → substring excision across the survivors — with
+    the excision stage swapped to q239's keep-first election, so a
+    popular passage survives exactly once in its earliest surviving
+    doc instead of vanishing from every doc. This is the curation
+    composition a training pipeline actually wants (drop-all is the
+    decontamination stance); same scale shape as q237 — the election
+    is fused into the gram aggregation, no extra shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.col("_tk")
+    gated = (
+        docs.select("doc_id", "lang", "text", text.tokens("text").alias("_tk"))
+        .filter(
+            (F.size(tk) >= 30) & (F.size(tk) <= 5000)
+            & text.mean_token_len(tk).between(2.5, 12.0)
+            & (text.stopword_ratio(tk) >= 0.02)
+            & F.coalesce(text.dup_ngram_ratio(tk, 2) <= 0.4, F.lit(False))
+        )
+    )
+    wdup = Window.partitionBy("text").orderBy("doc_id")
+    uniq = (
+        gated.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    rep = text.substring_excise_keep_first(uniq, min_len=10)
+    return (
+        rep.join(uniq.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").alias("n_tokens_in"),
+            "kept_tokens",
+            "removed_tokens",
+            "repaired",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q242_pq_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-TRAINED PQ codebook vs the sampled one (round 13 —
+    cashing the cheque q224's docstring wrote: "a k-means codebook
+    changes only this frame"). pq_codebook_kmeans runs 2 Lloyd
+    iterations over a bounded training sample (ids < 256; assignment
+    = the oracle's left-to-right d2 fold with lowest-cent ties,
+    update = ROUND(AVG, 6) per (sub, cent, dim) — the label_centroids
+    determinism idiom, so the ENTIRE training trajectory replays in
+    SQL as unrolled CTEs), then both codebooks drive the identical
+    q224 production shape: encode → ADC top-50 shortlist → exact
+    rerank → top-5. Per query: hit counts vs exact full-corpus top-5
+    for BOTH codebooks, the trained top-1, and the aggregate
+    recalls with ``trained_not_worse`` making the quality claim a
+    value-checked output, not prose.
+
+    Query-set fairness: the usual vec_id < 10 standing queries ARE
+    the first ten SAMPLED-codebook centroids — their subvectors
+    encode to themselves exactly, inflating the sampled codebook's
+    recall by construction (measured: 45 vs 40 at sf0.001 with the
+    biased set). Quality is therefore measured on ids 300-309 —
+    inside neither codebook's atom set — where Lloyd ties or beats
+    sampling (46=46 at sf0.001, 43>39 at sf0.01)."""
+    from bigdataflink_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        dot,
+        norm,
+        pq_adc_shortlist,
+        pq_codebook,
+        pq_codebook_kmeans,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 310)
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+
+    def rerank5(cb: DataFrame) -> DataFrame:
+        codes = pq_encode(emb, cb)
+        short = pq_adc_shortlist(codes, cb, queries, k=50)
+        cand = (
+            short.select("query_id", F.col("neighbor_id").alias("vec_id"))
+            .join(emb, "vec_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_vec"),
+            )
+        )
+        rr = cand.join(F.broadcast(qv), "query_id").withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (norm(F.col("q_vec")) * norm(F.col("c_vec"))),
+                6,
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            rr.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "cos", "rank")
+        )
+
+    def hits(final: DataFrame, out: str) -> DataFrame:
+        return (
+            final.select("query_id", F.col("neighbor_id").alias("nid"))
+            .join(
+                exact.select(
+                    "query_id", F.col("neighbor_id").alias("nid")
+                ).withColumn("_h", F.lit(1)),
+                ["query_id", "nid"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("_h", F.lit(0))).cast("long").alias(out))
+        )
+
+    f_t = rerank5(pq_codebook_kmeans(emb, iters=2, train_ids=256))
+    f_s = rerank5(pq_codebook(emb))
+    h_t = hits(f_t, "hits_trained")
+    h_s = hits(f_s, "hits_sampled")
+    t1 = f_t.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_trained"),
+        F.col("cos").alias("top1_cos"),
+    )
+    rt = h_t.agg(
+        F.sum("hits_trained").cast("long").alias("recall50_trained")
+    )
+    rs = h_s.agg(
+        F.sum("hits_sampled").cast("long").alias("recall50_sampled")
+    )
+    return (
+        h_t.join(h_s, "query_id")
+        .join(t1, "query_id")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(rs))
+        .select(
+            "query_id",
+            "hits_trained",
+            "hits_sampled",
+            "top1_trained",
+            "top1_cos",
+            "recall50_trained",
+            "recall50_sampled",
+            (
+                F.col("recall50_trained") >= F.col("recall50_sampled")
+            ).alias("trained_not_worse"),
+        )
+        .orderBy("query_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_region": q02_revenue_by_region,
@@ -8927,4 +9093,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q238_streaming_pq_index": q238_streaming_pq_index,
     "q239_substring_excise_keepfirst": q239_substring_excise_keepfirst,
     "q240_streaming_ivf_pq_index": q240_streaming_ivf_pq_index,
+    "q241_curated_corpus_keepfirst": q241_curated_corpus_keepfirst,
+    "q242_pq_kmeans_ann": q242_pq_kmeans_ann,
 }

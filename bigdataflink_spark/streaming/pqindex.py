@@ -407,3 +407,54 @@ def maintain_code_state(
             target_rows_per_file,
         )
     return done
+
+
+def run_pq_index_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    queries: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    k: int = 3,
+    nprobe: int = 2,
+    nsub: int = 8,
+    dsub: int = 8,
+    ncent: int = 64,
+    ncells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_after_files: "int | None" = 64,
+) -> None:
+    """Drain ``stream`` (availableNow) through the IVF-routed PQ
+    index: per micro-batch, :func:`accept_batch_routed` encodes and
+    folds the batch cell-keyed, the standing ``queries``' routed
+    top-k rows (+ batch_id) land in ``out_dir`` as parquet, and —
+    AFTER the trigger's output is durably written, the
+    run_substr_stream ordering discipline — over-fragmented cell
+    directories are compacted via :func:`maintain_code_state`
+    (``None`` disables maintenance). An empty micro-batch is skipped
+    entirely (a bootstrap batch must carry vectors — an empty frozen
+    codebook would be wrong forever)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = accept_batch_routed(
+            spark, batch_df, queries, state_dir, k, nprobe, nsub,
+            dsub, ncent, ncells, id_col, vec_col,
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+        if compact_after_files is not None:
+            maintain_code_state(spark, state_dir, compact_after_files)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -2840,3 +2840,41 @@ def test_bpe_segment_census_applies_merges(spark):
     # ranks are 1..n with the deterministic (count desc, symbol) order
     ranks = sorted(r.rank for r in out.values())
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_pq_kmeans_codebook_dense_deterministic_not_worse(spark):
+    """Lloyd-trained PQ codebook (round 13): the trained frame stays
+    DENSE (every (sub, cent) present — empty clusters coalesce to
+    their previous centroid, so pq_encode's density check holds by
+    construction), training is deterministic run-to-run (6dp-rounded
+    centroid updates, fixed-order folds, lowest-cent ties), and on
+    the fair query set (ids 300-309 — atoms of neither codebook) the
+    trained codebook's recall never drops below the sampled one's
+    (q242's value-checked claim, asserted here at sf0.001)."""
+    from bigdataflink_spark.operators.similarity import (
+        pq_codebook_kmeans,
+        pq_encode,
+    )
+    from bigdataflink_spark.plans.queries import QUERIES
+    from bigdataflink_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    cb = pq_codebook_kmeans(emb, iters=2, train_ids=256)
+    rows1 = sorted(
+        (r.sub, r.cent, tuple(r.cv)) for r in cb.collect()
+    )
+    rows2 = sorted(
+        (r.sub, r.cent, tuple(r.cv))
+        for r in pq_codebook_kmeans(emb, iters=2, train_ids=256).collect()
+    )
+    assert rows1 == rows2  # deterministic trajectory
+    assert {(s_, c) for s_, c, _ in rows1} == {
+        (s_, c) for s_ in range(8) for c in range(64)
+    }  # dense grid
+    # the trained frame is a drop-in for pq_encode (density check ok)
+    assert pq_encode(emb, cb).count() == emb.count()
+    out = QUERIES["q242_pq_kmeans_ann"](spark, sf).collect()
+    assert len(out) == 10
+    assert all(r.trained_not_worse for r in out)
+    assert out[0].recall50_trained >= out[0].recall50_sampled

@@ -308,3 +308,71 @@ def test_code_state_compaction_preserves_retrieval(spark, tmp_path):
     assert census() == before_rows
     # below-threshold call is a no-op
     assert maintain_code_state(spark, state, max_files=10_000) == {}
+
+
+def test_routed_run_stream_file_source(spark, tmp_path):
+    """End-to-end foreachBatch drain of the ROUTED index through a
+    real Structured Streaming file source (one slice file per
+    trigger, arrival order pinned via mtimes): every trigger's output
+    rows equal the manual accept_batch_routed loop over the same
+    slices, with per-cell compaction running live between triggers
+    (compact_after_files=1 — content-preserving by the r13
+    maintenance contract)."""
+    import os
+
+    from bigdataflink_spark.streaming.pqindex import (
+        accept_batch_routed,
+        run_pq_index_stream,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") < 10)
+    src = f"{tmp_path}/src"
+    for i in range(3):
+        d = f"{src}/slice={i}"
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(d)
+        t = 1_700_000_000 + i * 10  # pin arrival order (oldest first)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_pq_index_stream(
+        spark,
+        stream,
+        qs,
+        f"{tmp_path}/state",
+        f"{tmp_path}/ckpt",
+        f"{tmp_path}/out",
+        k=3,
+        nprobe=2,
+        ncells=4,
+        compact_after_files=1,
+    )
+    out = spark.read.parquet(f"{tmp_path}/out")
+    got = {
+        b: sorted(
+            (r.query_id, r.neighbor_id, round(r.adc, 9), r.rank, r.n_scanned)
+            for r in out.filter(F.col("batch_id") == b).collect()
+        )
+        for b in range(3)
+    }
+    want = {}
+    manual = str(tmp_path / "manual")
+    for s in range(3):
+        want[s] = sorted(
+            (r.query_id, r.neighbor_id, round(r.adc, 9), r.rank, r.n_scanned)
+            for r in accept_batch_routed(
+                spark,
+                emb.filter(F.col("vec_id") % 3 == s),
+                qs,
+                manual,
+                k=3,
+                nprobe=2,
+                ncells=4,
+            ).collect()
+        )
+    assert got == want

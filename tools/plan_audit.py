@@ -217,6 +217,8 @@ NOTES = {
     "q231_substring_excise": "Substring excision: q226's head unchanged (window projection + posexplode, gh... gram-keyed count shuffle with the counts join PINNED shuffle_hash off the broadcast path), dup starts merge to per-doc intervals under one lag window, intervals collect_list per doc (bounded by doc length), and ONE higher-order JVM projection filters each token array against its interval list — no Python, no extra corpus pass beyond q226's.",
     "q232_bpe_vocab_export": "Vocab export: q227's trainer loop (one corpus word census + 8 vocab-sized argmax rounds), then a charset-bounded distinct collect and the n_merges-row merge table assembled driver-side into the (token_id, symbol, kind) table — both collects are the sanctioned bounded class (alphabet + n_merges rows).",
     "q233_bpe_encode_pack": "Tokenizer end-to-end: trainer (corpus census once) + bounded symbol->id literal map; encode is one vocab-sized projection (per-word ids via the final vocab's own segmentation) joined shuffle_hash to the corpus's (doc,pos,word) posexplode (vocab build side never broadcasts - the q226 lesson), reassembled per doc by one collect_list bounded by doc length; packing is q94's one window cumsum + one agg keyed on lang.",
+    "q242_pq_kmeans_ann": "Lloyd-trained vs sampled PQ codebook through the identical q224 production shape: training is iters bounded-sample joins (train_ids x ncent rows, codebook broadcast, lineage localCheckpoint-truncated per iteration); both encodes are one Arrow stage each; shortlists/reranks the q224 plan. Exact top-5 leg is the priced brute-force audit (queries broadcast, corpus streams).",
+    "q241_curated_corpus_keepfirst": "q237's funnel with the excision stage swapped to the keep-first election: gates scan-stage, dedup one text-keyed window shuffle, election fused into the gram aggregation (min-struct beside the count - no exchange over q237), join back pinned shuffle_hash.",
     "q239_substring_excise_keepfirst": "Keep-first excision: q231's window head, but the per-gram aggregation that counts occurrences ALSO takes min(struct(id,pos)) - the global first-occurrence election rides the same map-side-combining shuffle, no extra exchange. Join back pinned shuffle_hash (corpus-derived build side, the q226 AQE lesson); excision tail shared with q231 (interval merge + one JVM HOF projection).",
     "q240_streaming_ivf_pq_index": "IVF-routed streaming PQ index: bootstrap freezes codebook AND centroids; per batch one cell-assignment window (batch x ncells broadcast join) + one encode Arrow stage; codes land partitionBy(cell) so the per-trigger retrieval LISTS AND SCANS only the queries' nprobe routed cell dirs (scan_frac ~= nprobe/ncells at both probe scales - SCALE.md r13); anti-join for replay reads only the batch's own cells; ADC scoring one Arrow stage with per-query cell masks, census from the read slice only.",
     "q238_streaming_pq_index": "Streaming PQ-index ingest: bootstrap batch freezes the codebook (ORDER BY/LIMIT ncent + tiny window, written once), per batch ONE encode Arrow stage + anti-joined code append (8 bytes/vec state), retrieval = the batch pq_adc_shortlist operator over the file-list-pinned post-append snapshot (LUT broadcast into one Arrow stage, local top-k, global window). Per-trigger cost O(batch encode + store scan); store scan is the honest linear residue of exact-membership retrieval - IVF routing over cells is the sublinear upgrade path (q235).",
