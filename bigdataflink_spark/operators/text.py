@@ -114,14 +114,41 @@ def fingerprint(c: str | Column) -> Column:
     return F.md5(normalized)
 
 
+def bind_once(arr: Column, f) -> Column:
+    """Evaluate ``arr`` ONCE per row and apply ``f`` to the bound
+    value: ``transform(array(arr), x -> f(x))[1]``. Catalyst has no
+    subexpression elimination across higher-order-function lambdas,
+    and filter pushdown inlines projected aliases into predicates —
+    so an expression like ``tokens(text)`` referenced k times inside
+    one gate/feature expression is otherwise re-evaluated k times
+    (the round-13 plan audit measured the q237 gate re-splitting each
+    doc's text O(n²) times through ngrams' per-element F.get).
+    The lambda variable is a true binding: the array is computed
+    once, every reference inside ``f`` is O(1)."""
+    return F.element_at(F.transform(F.array(arr), f), 1)
+
+
 def ngrams(t: Column, n: int) -> Column:
-    """Order-preserving (NON-distinct) word n-grams from a
-    MATERIALIZED token-array column — the repetition detectors need
-    multiplicity, unlike dedup.shingles_from_tokens which distincts.
-    Docs shorter than n tokens yield an empty array."""
-    idx = F.sequence(F.lit(0), F.size(t) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)]))
-    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    """Order-preserving (NON-distinct) word n-grams from a token-array
+    expression — the repetition detectors need multiplicity, unlike
+    dedup.shingles_from_tokens which distincts. Docs shorter than n
+    tokens yield an empty array.
+
+    The input is bound ONCE (bind_once): per-gram element access hits
+    the bound array, not the original expression — with an inlined
+    ``tokens(text)`` input the old form re-split the text 2·n times
+    per row (10.8 s of the 15 s q237 gate at sf0.1; 0.9 s bound)."""
+    def _g(tt: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(tt) - n)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.get(tt, i + j) for j in range(n)]),
+        )
+        return F.when(F.size(tt) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(t, _g)
 
 
 def dup_token_ratio(t: Column) -> Column:
@@ -147,11 +174,17 @@ def top_token_ratio(t: Column) -> Column:
 def dup_ngram_ratio(t: Column, n: int) -> Column:
     """Fraction of word n-grams that are duplicates — the classic
     duplicate-line/paragraph proxy for corpora without line structure.
-    NULL for docs with < n tokens (no n-grams to judge)."""
-    g = ngrams(t, n)
-    return F.when(
-        F.size(g) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double"),
+    NULL for docs with < n tokens (no n-grams to judge). The gram
+    array is bound once (bind_once) — the three references below
+    would otherwise each rebuild it."""
+    return bind_once(
+        ngrams(t, n),
+        lambda g: F.when(
+            F.size(g) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double")
+            / F.size(g).cast("double"),
+        ),
     )
 
 
@@ -267,6 +300,24 @@ def mean_token_len(t: Column) -> Column:
     return total.cast("double") / F.size(t).cast("double")
 
 
+def gopher_gate(text_col: "str | Column") -> Column:
+    """The q86/q237/q241 Gopher-style quality gate as ONE boolean
+    expression with the tokenization bound once: length band, mean
+    word length, stopword floor, bigram-repetition cap. Semantically
+    identical to AND-ing the four gate expressions over tokens(text)
+    — but that form re-splits the text per sub-expression once filter
+    pushdown inlines the token alias (measured 12.9 s → 1.6 s for the
+    q237 gate pass at sf0.1)."""
+    return bind_once(
+        tokens(text_col),
+        lambda tk: (F.size(tk) >= 30)
+        & (F.size(tk) <= 5000)
+        & mean_token_len(tk).between(2.5, 12.0)
+        & (stopword_ratio(tk) >= 0.02)
+        & F.coalesce(dup_ngram_ratio(tk, 2) <= 0.4, F.lit(False)),
+    )
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + per-doc feature columns (the full text pass).
 
@@ -313,34 +364,101 @@ def substring_span_stats(
 
     Shape (all linear, no pairwise comparison):
       1. one projection: overlapping L-token windows with positions
-         (posexplode) — O(total tokens) rows;
-      2. one groupBy on the window text for global occurrence counts
-         (map-side partial aggregation applies);
-      3. one join back on the window key, keeping duplicated starts;
+         (posexplode), immediately reduced to (id, n_tokens, pos,
+         xxhash64(window)) and materialized ONCE (localCheckpoint) —
+         the window table feeds both the census and the join-back,
+         and without the checkpoint Spark re-scans the corpus and
+         re-generates every window string for each consumer (the
+         round-13 plan audit showed 2 full Generate subtrees);
+      2. one groupBy on the 8-byte window hash for global occurrence
+         counts (map-side partial aggregation applies) — shuffling
+         the hash instead of the ~L-token window text cuts shuffle
+         bytes ~6× (measured; the oracle still groups by the window
+         text — outputs are identical absent a 64-bit collision,
+         which the 3-SF sweeps verify on the actual corpora);
+      3. one join back on the window hash, keeping duplicated starts;
       4. per-doc interval merge via lag() — window starts are sorted
          per doc, and end = pos + L - 1 is monotonic in pos, so a new
          span begins exactly when pos > lag(pos) + L; no running max
          needed.
-    At 100 TB, shuffle xxhash64(window) instead of the window text to
-    cut shuffle bytes ~5x (string key kept here for bit-exact oracle
-    parity), and salt the count of any pathological ultra-hot window.
+    Salt the count of any pathological ultra-hot window at 100 TB.
     """
     L = int(min_len)
-    win = substring_windows(docs, id_col, text_col, L)
-    counts = win.groupBy("gram").agg(F.count("*").alias("_n"))
-    # The duplicated-gram table GROWS WITH THE CORPUS (every corpus
+    dup = _dup_window_starts(
+        docs, id_col, text_col, L, keep_first=False, with_ntokens=True
+    )
+    return merge_duplicated_spans(dup, id_col, L)
+
+
+def _dup_window_starts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    keep_first: bool,
+    with_ntokens: bool,
+) -> DataFrame:
+    """Shared head of the batch substring-dedup family: the DUPLICATED
+    window starts (id[, n_tokens], pos) of ``docs``, computed on
+    xxhash64(window) keys with the window table materialized once.
+
+    Round-13 optimization (guide §2.3/§2.4): the window table is
+    reduced to fixed-width rows (~24 B: id, pos, 8-byte hash) BEFORE
+    any exchange and localCheckpoint'ed, so (a) the corpus is scanned
+    and the O(total tokens) window strings generated ONCE instead of
+    twice (census + join-back no longer each re-run the Generate
+    subtree), and (b) both exchanges carry the hash, not ~60 B of
+    window text. The hash is xxhash64 — pure codegen, no Python. The
+    DuckDB oracles keep grouping by the window TEXT: results are
+    identical unless two distinct windows of one corpus collide in 64
+    bits (~n²/2⁶⁵; the full sweeps at sf0.001/0.01/0.1 verify the
+    actual corpora are collision-free). The streaming twin
+    (streaming/substrdedup.py) is UNCHANGED — its state contract
+    hashes with salted md5-60 on both engines.
+
+    ``keep_first``: also elect min(struct(id, pos)) per window inside
+    the SAME aggregation (no extra shuffle; partial aggregation
+    shields ultra-hot windows) and exempt the elected occurrence.
+    """
+    L = int(min_len)
+    cols = [id_col, "n_tokens", "pos"] if with_ntokens else [id_col, "pos"]
+    # LAZY checkpoint: materializes once, on the first action that
+    # actually needs the window table, and is then reused by the
+    # census AND the join-back (one corpus scan + one Generate). A
+    # count()-style probe whose optimized plan eliminates the whole
+    # dup subtree (q231's left-outer join is provably 1:1) never pays
+    # for it — eager=True would force the materialization even then.
+    win = (
+        substring_windows(docs, id_col, text_col, L)
+        .select(*cols, F.xxhash64("gram").alias("_gh"))
+        .localCheckpoint(eager=False)
+    )
+    if keep_first:
+        agg = win.groupBy("_gh").agg(
+            F.count("*").alias("_n"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("_first"),
+        )
+        cond = (F.col("_n") >= 2) & ~(
+            (F.col(id_col) == F.col("_first.i"))
+            & (F.col("pos") == F.col("_first.p"))
+        )
+    else:
+        agg = win.groupBy("_gh").agg(F.count("*").alias("_n"))
+        cond = F.col("_n") >= 2
+    # The duplicated-window table GROWS WITH THE CORPUS (every corpus
     # has more distinct repeated windows at 100× the data), so it
     # must never broadcast: AQE's post-filter size guess undershoots
     # and the driver OOMs building the HashedRelation (reproduced at
-    # the ×100 probe — ~1M+ gram strings). shuffle_hash keys both
-    # sides on the gram: one linear exchange, build side bounded per
-    # partition by spark.sql.shuffle.partitions.
-    dup = (
-        win.join(counts.hint("shuffle_hash"), "gram")
-        .filter(F.col("_n") >= 2)
-        .select(id_col, "n_tokens", "pos")
+    # the ×100 probe — ~1M+ grams). shuffle_hash keys both sides on
+    # the hash: one linear exchange, build side bounded per partition
+    # by spark.sql.shuffle.partitions.
+    return (
+        win.join(agg.hint("shuffle_hash"), "_gh")
+        .filter(cond)
+        .select(*cols)
     )
-    return merge_duplicated_spans(dup, id_col, L)
 
 
 def merge_duplicated_spans(
@@ -390,6 +508,7 @@ def substring_excise(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 10,
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """The REPAIRED corpus — substring dedup's actual deliverable
     (Lee et al. 2022: the pipeline's output is clean training text,
@@ -415,18 +534,21 @@ def substring_excise(
     token array against the interval list: O(n_tokens · n_spans) per
     doc, no Python, no extra shuffle beyond q226's. Docs shorter than
     ``min_len`` tokens pass through whitespace-normalized (no window
-    can cover them). Output keeps EVERY doc: (id, n_tokens,
-    kept_tokens, removed_tokens, repaired)."""
+    can cover them). Output keeps EVERY doc: (id, *extra_cols,
+    n_tokens, kept_tokens, removed_tokens, repaired) — ``extra_cols``
+    are carried through unchanged so compositions (q237/q241) don't
+    need a join back to recover sibling columns.
+
+    Round 13: the windows → counts → dup-starts head runs on
+    xxhash64 keys with the window table materialized once
+    (:func:`_dup_window_starts` — 1 corpus scan + 1 window Generate
+    instead of 2 of each, 8-byte shuffle keys; same output, verified
+    against the unchanged string-keyed oracles at three SFs)."""
     L = int(min_len)
-    win = substring_windows(docs, id_col, text_col, L)
-    counts = win.groupBy("gram").agg(F.count("*").alias("_n"))
-    # corpus-derived build side: never broadcast (q226 AQE lesson)
-    dup = (
-        win.join(counts.hint("shuffle_hash"), "gram")
-        .filter(F.col("_n") >= 2)
-        .select(id_col, "pos")
+    dup = _dup_window_starts(
+        docs, id_col, text_col, L, keep_first=False, with_ntokens=False
     )
-    return excise_from_dup(docs, dup, id_col, text_col, L)
+    return excise_from_dup(docs, dup, id_col, text_col, L, extra_cols)
 
 
 def substring_excise_keep_first(
@@ -434,6 +556,7 @@ def substring_excise_keep_first(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 10,
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """KEEP-FIRST excision (round 13, VERDICT r12 "Next round" #4):
     the curation-grade variant of :func:`substring_excise`. Drop-all-
@@ -463,29 +586,16 @@ def substring_excise_keep_first(
     L-gram survives at its earliest occurrence unless overlapped by a
     losing window), not per maximal span. On disjoint repeated
     passages — the common case — the first copy survives verbatim.
-    Output schema = substring_excise's: every doc appears, untouched
-    docs whitespace-normalized."""
+    Output schema = substring_excise's (incl. ``extra_cols``
+    passthrough): every doc appears, untouched docs
+    whitespace-normalized. Round 13: hashed-key materialized-once
+    head (:func:`_dup_window_starts`), election fused into the same
+    aggregation as before."""
     L = int(min_len)
-    win = substring_windows(docs, id_col, text_col, L)
-    firsts = win.groupBy("gram").agg(
-        F.count("*").alias("_n"),
-        F.min(
-            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
-        ).alias("_first"),
+    dup = _dup_window_starts(
+        docs, id_col, text_col, L, keep_first=True, with_ntokens=False
     )
-    # corpus-derived build side: never broadcast (q226 AQE lesson)
-    dup = (
-        win.join(firsts.hint("shuffle_hash"), "gram")
-        .filter(
-            (F.col("_n") >= 2)
-            & ~(
-                (F.col(id_col) == F.col("_first.i"))
-                & (F.col("pos") == F.col("_first.p"))
-            )
-        )
-        .select(id_col, "pos")
-    )
-    return excise_from_dup(docs, dup, id_col, text_col, L)
+    return excise_from_dup(docs, dup, id_col, text_col, L, extra_cols)
 
 
 def excise_from_dup(
@@ -494,6 +604,7 @@ def excise_from_dup(
     id_col: str,
     text_col: str,
     min_len: int,
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Shared excision tail of substring dedup: given (id, pos) rows
     of DUPLICATED window starts, merge them into maximal per-doc
@@ -521,7 +632,11 @@ def excise_from_dup(
     spans_arr = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans")
     )
-    toked = docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    toked = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        tokens(text_col).alias("_tk"),
+    )
     empty = F.array_repeat(
         F.struct(F.lit(0).alias("s"), F.lit(0).alias("e")), 0
     )
@@ -538,6 +653,7 @@ def excise_from_dup(
         .withColumn("_kept", kept)
         .select(
             id_col,
+            *extra_cols,
             F.size("_tk").cast("long").alias("n_tokens"),
             F.size("_kept").cast("long").alias("kept_tokens"),
             (F.size("_tk") - F.size("_kept")).cast("long").alias(

@@ -8539,37 +8539,38 @@ def q237_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     excision is q231's linear machinery over the (smaller) surviving
     corpus. Excision runs AFTER dedup, so removing an exact clone
     does not leave its spans flagged (order matters and is pinned by
-    the oracle)."""
+    the oracle).
+
+    Round 13 (guide §2.4): the surviving corpus is materialized ONCE
+    (localCheckpoint) — the round-13 plan audit showed the gate
+    filter + dedup window subtree recomputed FOUR times (once per
+    excision consumer plus the lang join-back); ``lang`` now rides
+    the excision passthrough, so the join back to ``uniq`` is gone
+    entirely. 4 scans+gates+text-key shuffles → 1."""
     docs = _t(spark, sf_dir, "documents")
-    tk = F.col("_tk")
-    gated = (
-        docs.select("doc_id", "lang", "text", text.tokens("text").alias("_tk"))
-        .filter(
-            (F.size(tk) >= 30) & (F.size(tk) <= 5000)
-            & text.mean_token_len(tk).between(2.5, 12.0)
-            & (text.stopword_ratio(tk) >= 0.02)
-            & F.coalesce(text.dup_ngram_ratio(tk, 2) <= 0.4, F.lit(False))
-        )
+    # gate with tokenization bound ONCE (text.gopher_gate): the
+    # AND-of-four-gates form re-split each doc's text per
+    # sub-expression after filter pushdown inlined the _tk alias
+    # (round-13 measured 12.9 s -> 1.6 s for this pass at sf0.1)
+    gated = docs.select("doc_id", "lang", "text").filter(
+        text.gopher_gate("text")
     )
     wdup = Window.partitionBy("text").orderBy("doc_id")
     uniq = (
         gated.withColumn("_rn", F.row_number().over(wdup))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
     )
-    rep = text.substring_excise(uniq, min_len=10)
-    return (
-        rep.join(uniq.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.col("n_tokens").alias("n_tokens_in"),
-            "kept_tokens",
-            "removed_tokens",
-            "repaired",
-        )
-        .orderBy("doc_id")
-    )
+    rep = text.substring_excise(uniq, min_len=10, extra_cols=("lang",))
+    return rep.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").alias("n_tokens_in"),
+        "kept_tokens",
+        "removed_tokens",
+        "repaired",
+    ).orderBy("doc_id")
 
 
 def q238_streaming_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8702,37 +8703,37 @@ def q241_curated_corpus_keepfirst(
     doc instead of vanishing from every doc. This is the curation
     composition a training pipeline actually wants (drop-all is the
     decontamination stance); same scale shape as q237 — the election
-    is fused into the gram aggregation, no extra shuffle."""
+    is fused into the gram aggregation, no extra shuffle.
+
+    Round 13 optimization: same as q237 — survivors materialized
+    once, ``lang`` through the excision passthrough, join-back gone
+    (4 gate+dedup recomputations → 1)."""
     docs = _t(spark, sf_dir, "documents")
-    tk = F.col("_tk")
-    gated = (
-        docs.select("doc_id", "lang", "text", text.tokens("text").alias("_tk"))
-        .filter(
-            (F.size(tk) >= 30) & (F.size(tk) <= 5000)
-            & text.mean_token_len(tk).between(2.5, 12.0)
-            & (text.stopword_ratio(tk) >= 0.02)
-            & F.coalesce(text.dup_ngram_ratio(tk, 2) <= 0.4, F.lit(False))
-        )
+    # gate with tokenization bound ONCE (text.gopher_gate): the
+    # AND-of-four-gates form re-split each doc's text per
+    # sub-expression after filter pushdown inlined the _tk alias
+    # (round-13 measured 12.9 s -> 1.6 s for this pass at sf0.1)
+    gated = docs.select("doc_id", "lang", "text").filter(
+        text.gopher_gate("text")
     )
     wdup = Window.partitionBy("text").orderBy("doc_id")
     uniq = (
         gated.withColumn("_rn", F.row_number().over(wdup))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
     )
-    rep = text.substring_excise_keep_first(uniq, min_len=10)
-    return (
-        rep.join(uniq.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.col("n_tokens").alias("n_tokens_in"),
-            "kept_tokens",
-            "removed_tokens",
-            "repaired",
-        )
-        .orderBy("doc_id")
+    rep = text.substring_excise_keep_first(
+        uniq, min_len=10, extra_cols=("lang",)
     )
+    return rep.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").alias("n_tokens_in"),
+        "kept_tokens",
+        "removed_tokens",
+        "repaired",
+    ).orderBy("doc_id")
 
 
 def q242_pq_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
