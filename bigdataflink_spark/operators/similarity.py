@@ -748,6 +748,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: "str | None" = None,
+    cb_arr=None,
 ) -> DataFrame:
     """Encode vectors to ``nsub`` byte-sized codes: per subspace,
     argmin squared L2 to the codebook (ties broken by centroid id —
@@ -768,10 +769,21 @@ def pq_encode(
     n·nsub·ncent rows — ×10 wall at the ×100 probe; an
     array-expression projection avoided the shuffle but paid ~4k
     INTERPRETED HOF ops per row — ~50 s per 900k rows. This shape
-    encodes the same 900k rows in ~2 s.)"""
+    encodes the same 900k rows in ~2 s.)
+
+    ``cb_arr``: optional pre-collected dense (nsub, ncent, dsub)
+    numpy codebook — a FROZEN-codebook caller (streaming/pqindex.py)
+    collects and density-checks it once at bootstrap instead of
+    paying the collect job every trigger. ``codebook`` is ignored
+    when given."""
     import numpy as np
     import pandas as pd
 
+    if cb_arr is not None:
+        spark = corpus.sparkSession
+        return _pq_encode_stage(
+            spark, corpus, cb_arr, nsub, dsub, id_col, vec_col, label_col
+        )
     cb_rows = codebook.collect()  # bounded: ncent x nsub x dsub
     # ADVICE r10: a sparse/empty codebook (corpus without ids
     # 0..ncent-1) would otherwise crash opaquely on max() or leave
@@ -802,6 +814,26 @@ def pq_encode(
     for r in cb_rows:
         cb[r.sub, r.cent, :] = r.cv
     spark = corpus.sparkSession
+    return _pq_encode_stage(
+        spark, corpus, cb, nsub, dsub, id_col, vec_col, label_col
+    )
+
+
+def _pq_encode_stage(
+    spark,
+    corpus: DataFrame,
+    cb,
+    nsub: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+    label_col: "str | None",
+) -> DataFrame:
+    """The Arrow encode stage of pq_encode over an already-dense
+    (nsub, ncent, dsub) numpy codebook (see pq_encode)."""
+    import numpy as np
+    import pandas as pd
+
     bc = spark.sparkContext.broadcast(cb)
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if label_col is not None:
@@ -895,6 +927,7 @@ def pq_adc_shortlist(
     dsub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lut: "tuple[list, object] | None" = None,
 ) -> DataFrame:
     """Asymmetric-distance shortlist: per query, a lookup table of
     sub-dot-products against every centroid (nsub·ncent doubles),
@@ -916,15 +949,24 @@ def pq_adc_shortlist(
     vectors — that is the PQ point at 100 TB. (The first cut dragged
     the per-query LUT column through every candidate row and folded
     it with interpreted per-element expressions: ×10.6 wall at the
-    ×100 probe; this shape probes ~×2.)"""
+    ×100 probe; this shape probes ~×2.)
+
+    ``lut``: optional pre-built (qids, lut-ndarray) pair — a
+    frozen-codebook/standing-query caller (streaming/pqindex.py)
+    builds it once at bootstrap instead of paying the LUT
+    join+collect job every trigger."""
     import numpy as np
     import pandas as pd
 
-    qids, lut = _pq_lut(
-        codebook, queries, nsub, dsub, id_col, vec_col, "pq_adc_shortlist"
-    )
+    if lut is None:
+        qids, lut_arr = _pq_lut(
+            codebook, queries, nsub, dsub, id_col, vec_col,
+            "pq_adc_shortlist",
+        )
+    else:
+        qids, lut_arr = lut
     spark = codes.sparkSession
-    bc = spark.sparkContext.broadcast((qids, lut))
+    bc = spark.sparkContext.broadcast((qids, lut_arr))
 
     def _score(it):
         qids_, lut_ = bc.value

@@ -52,7 +52,10 @@ from bigdataflink_spark.operators.similarity import (
     pq_adc_shortlist,
     pq_encode,
 )
-from bigdataflink_spark.streaming.statestore import read_state
+from bigdataflink_spark.streaming.statestore import (
+    list_state_files,
+    read_state,
+)
 
 
 def pq_codebook_lowest(
@@ -80,6 +83,70 @@ def pq_codebook_lowest(
     )
 
 
+def _collect_codebook_arr(cb: DataFrame, nsub: int, dsub: int):
+    """Collect + density-check a codebook frame into the dense
+    (nsub, ncent, dsub) numpy array pq_encode's Arrow stage
+    broadcasts (the pq_encode checks, hoisted so frozen-codebook
+    callers pay the collect ONCE at bootstrap, not per trigger)."""
+    import numpy as np
+
+    cb_rows = cb.collect()
+    if not cb_rows:
+        raise ValueError("pqindex bootstrap: empty codebook")
+    ncent = max(r.cent for r in cb_rows) + 1
+    seen = {(r.sub, r.cent) for r in cb_rows}
+    missing = [
+        (s, c)
+        for s in range(nsub)
+        for c in range(ncent)
+        if (s, c) not in seen
+    ]
+    if missing:
+        raise ValueError(
+            f"pqindex bootstrap: sparse codebook — missing {missing[:5]}"
+        )
+    arr = np.zeros((nsub, ncent, dsub), dtype=np.float64)
+    for r in cb_rows:
+        arr[r.sub, r.cent, :] = r.cv
+    return arr
+
+
+def bootstrap_index(
+    spark: SparkSession,
+    batch_vecs: DataFrame,
+    queries: DataFrame,
+    state_dir: str,
+    nsub: int = 8,
+    dsub: int = 8,
+    ncent: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Freeze (or reload) the codebook and precompute everything that
+    is CONSTANT across triggers for the exact-scan index: the dense
+    codebook array (for pq_encode) and the standing queries' ADC LUT
+    (for pq_adc_shortlist). The codebook and queries never change
+    after bootstrap, so per-trigger recomputation of these was pure
+    fixed overhead — 2 collect jobs per trigger (round-13 bench:
+    q238's cost is ~all job-count overhead at bench scale). Safe on
+    replay: writes only when the codebook state is missing."""
+    cb_dir = os.path.join(state_dir, "codebook")
+    cb = read_state(spark, cb_dir)
+    if cb is None:
+        pq_codebook_lowest(
+            batch_vecs, nsub, dsub, ncent, id_col, vec_col
+        ).write.parquet(cb_dir)
+        cb = read_state(spark, cb_dir)
+    qids, lut = _pq_lut(
+        cb, queries, nsub, dsub, id_col, vec_col, "bootstrap_index"
+    )
+    return {
+        "cb": cb,
+        "cb_arr": _collect_codebook_arr(cb, nsub, dsub),
+        "lut": (qids, lut),
+    }
+
+
 def accept_batch(
     spark: SparkSession,
     batch_vecs: DataFrame,
@@ -91,21 +158,29 @@ def accept_batch(
     ncent: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    frozen: "dict | None" = None,
 ) -> DataFrame:
     """One ingest step: freeze the codebook if this is the bootstrap
     batch, PQ-encode the batch, fold the codes into the store
     (anti-joined — idempotent), then retrieve the standing
     ``queries``' top-``k`` by ADC over EVERYTHING indexed so far.
-    Returns (query_id, neighbor_id, adc, rank, n_indexed)."""
-    cb_dir = os.path.join(state_dir, "codebook")
+    Returns (query_id, neighbor_id, adc, rank, n_indexed).
+
+    ``frozen``: the :func:`bootstrap_index` dict — pass it to skip
+    the per-trigger codebook collect and LUT build (both constant
+    after bootstrap). ``None`` keeps the self-contained per-call
+    shape."""
     codes_dir = os.path.join(state_dir, "codes")
-    cb = read_state(spark, cb_dir)
-    if cb is None:
-        pq_codebook_lowest(
-            batch_vecs, nsub, dsub, ncent, id_col, vec_col
-        ).write.parquet(cb_dir)
-        cb = read_state(spark, cb_dir)
-    codes_new = pq_encode(batch_vecs, cb, nsub, dsub, id_col, vec_col)
+    if frozen is None:
+        frozen = bootstrap_index(
+            spark, batch_vecs, queries, state_dir, nsub, dsub, ncent,
+            id_col, vec_col,
+        )
+    cb = frozen["cb"]
+    codes_new = pq_encode(
+        batch_vecs, cb, nsub, dsub, id_col, vec_col,
+        cb_arr=frozen["cb_arr"],
+    )
     prior = read_state(spark, codes_dir)
     if prior is not None:
         codes_new = codes_new.join(prior.select("id"), "id", "left_anti")
@@ -113,7 +188,7 @@ def accept_batch(
     store = read_state(spark, codes_dir)  # post-append snapshot
     out = pq_adc_shortlist(
         store, cb, queries, k=k, nsub=nsub, dsub=dsub,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, lut=frozen["lut"],
     )
     n_indexed = store.agg(F.count("*").cast("long").alias("n_indexed"))
     return out.crossJoin(F.broadcast(n_indexed)).select(
@@ -173,6 +248,73 @@ def assign_cells(
     )
 
 
+def bootstrap_routed(
+    spark: SparkSession,
+    batch_vecs: DataFrame,
+    queries: DataFrame,
+    state_dir: str,
+    nprobe: int = 2,
+    nsub: int = 8,
+    dsub: int = 8,
+    ncent: int = 64,
+    ncells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Freeze (or reload) the routed index's constants and precompute
+    everything that never changes after bootstrap: the PQ codebook
+    (frame + dense array), the IVF centroids, the standing queries'
+    ADC LUT, and their cell ROUTING (rsets/cells_needed — centroids
+    and queries are both frozen, so the nprobe routing is a constant
+    of the stream). Per-trigger recomputation of these was 3 collect
+    jobs + 2 broadcast-join/window plans per trigger of pure fixed
+    overhead (round-13 bench: q240's wall is ~all job count at bench
+    scale). Safe on replay: writes only when state is missing."""
+    base = bootstrap_index(
+        spark, batch_vecs, queries, state_dir, nsub, dsub, ncent,
+        id_col, vec_col,
+    )
+    cent_dir = os.path.join(state_dir, "centroids")
+    cents = read_state(spark, cent_dir)
+    if cents is None:
+        ivf_centroids_lowest(batch_vecs, ncells, id_col, vec_col).write.parquet(
+            cent_dir
+        )
+        cents = read_state(spark, cent_dir)
+    q_routed = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .join(F.broadcast(cents))
+        .withColumn(
+            "_ccos", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6)
+        )
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_ccos"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("_crank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    routed_rows = q_routed.collect()  # bounded: |queries| x nprobe
+    rsets: "dict[int, set[int]]" = {}
+    for r in routed_rows:
+        rsets.setdefault(r.query_id, set()).add(r.cell)
+    base.update(
+        {
+            "cents": cents,
+            "routed_rows": [(int(r.query_id), int(r.cell)) for r in routed_rows],
+            "rsets": rsets,
+            "cells_needed": sorted({r.cell for r in routed_rows}),
+        }
+    )
+    return base
+
+
 def accept_batch_routed(
     spark: SparkSession,
     batch_vecs: DataFrame,
@@ -186,6 +328,7 @@ def accept_batch_routed(
     ncells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    frozen: "dict | None" = None,
 ) -> DataFrame:
     """One ingest step of the IVF-ROUTED streaming PQ index — the
     sublinear upgrade of :func:`accept_batch`, whose per-trigger ADC
@@ -214,89 +357,89 @@ def accept_batch_routed(
     ``n_scanned`` = rows read from the query's routed cells at this
     trigger (its own indexed vector included — it is scanned, then
     self-excluded from scoring): the per-query pin that retrieval
-    cost tracks routed-cell mass, not the store."""
+    cost tracks routed-cell mass, not the store.
+
+    ``frozen``: the :func:`bootstrap_routed` dict. When given, the
+    per-trigger work drops to: assign+encode (one Arrow job), ONE
+    read pass over the touched∪routed cell directories, the
+    anti-joined append, and the scoring job — the codebook collect,
+    LUT build, query routing, and the second per-cell read pass
+    (round 12 read the routed cells again AFTER the append; the
+    post-append content is prior ∪ the just-checkpointed new codes,
+    so no re-listing is needed) are gone. ``None`` keeps the
+    self-contained per-call shape."""
     import numpy as np
     import pandas as pd
 
-    cb_dir = os.path.join(state_dir, "codebook")
-    cent_dir = os.path.join(state_dir, "centroids")
     codes_dir = os.path.join(state_dir, "codes")
-    cb = read_state(spark, cb_dir)
-    if cb is None:
-        pq_codebook_lowest(
-            batch_vecs, nsub, dsub, ncent, id_col, vec_col
-        ).write.parquet(cb_dir)
-        cb = read_state(spark, cb_dir)
-    cents = read_state(spark, cent_dir)
-    if cents is None:
-        ivf_centroids_lowest(batch_vecs, ncells, id_col, vec_col).write.parquet(
-            cent_dir
+    if frozen is None:
+        frozen = bootstrap_routed(
+            spark, batch_vecs, queries, state_dir, nprobe, nsub, dsub,
+            ncent, ncells, id_col, vec_col,
         )
-        cents = read_state(spark, cent_dir)
+    cb = frozen["cb"]
+    cents = frozen["cents"]
+    rsets = frozen["rsets"]
+    cells_needed = frozen["cells_needed"]
 
     # -- encode cell-keyed; idempotent append touching only the
     #    batch's own cells --
     assigned = assign_cells(batch_vecs, cents, id_col, vec_col)
     codes_new = pq_encode(
-        assigned, cb, nsub, dsub, id_col, vec_col, label_col="cell"
-    ).localCheckpoint(eager=True)  # touched-collect + anti-join + write
+        assigned, cb, nsub, dsub, id_col, vec_col, label_col="cell",
+        cb_arr=frozen["cb_arr"],
+    ).localCheckpoint(eager=True)  # touched-collect + anti-join + write + score
     touched = sorted(
         r.label for r in codes_new.select("label").distinct().collect()
     )  # bounded: <= ncells
-    prior_ids = None
-    for c in touched:
-        st = read_state(spark, os.path.join(codes_dir, f"label={c}"))
-        if st is not None:
-            ids = st.select("id")
-            prior_ids = ids if prior_ids is None else prior_ids.unionByName(ids)
-    if prior_ids is not None:
+    # ONE pinned read over every cell this trigger touches or routes
+    # to: per-cell file lists via the state pin (call-time snapshot —
+    # later appends/compactions can't leak into this trigger's plan),
+    # then a single explicit-schema spark.read (no per-dir footer
+    # probe) with the cell recovered from the file path. Serves both
+    # the anti-join (touched cells) and the scoring read (routed).
+    files: "list[str]" = []
+    for c in sorted(set(touched) | set(cells_needed)):
+        fl = list_state_files(
+            spark, os.path.join(codes_dir, f"label={c}")
+        )
+        if fl:
+            files.extend(fl)
+    prior_all = None
+    if files:
+        prior_all = (
+            spark.read.schema("id long, codes array<int>")
+            .parquet(*files)
+            .withColumn(
+                "cell",
+                F.regexp_extract(
+                    F.input_file_name(), r"label=(\d+)", 1
+                ).cast("int"),
+            )
+        )
+    if prior_all is not None:
+        prior_ids = prior_all.filter(
+            F.col("cell").isin([int(c) for c in touched])
+        ).select("id")
         codes_new = codes_new.join(prior_ids, "id", "left_anti")
     codes_new.write.partitionBy("label").mode("append").parquet(codes_dir)
 
-    # -- route the standing queries; read ONLY their cells --
-    q_routed = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
-        .join(F.broadcast(cents))
-        .withColumn(
-            "_ccos", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6)
-        )
-        .withColumn(
-            "_crank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("_ccos"), F.asc("cell")
-                )
-            ),
-        )
-        .filter(F.col("_crank") <= nprobe)
-        .select("query_id", "cell")
-    )
-    routed_rows = q_routed.collect()  # bounded: |queries| x nprobe
-    rsets: "dict[int, set[int]]" = {}
-    for r in routed_rows:
-        rsets.setdefault(r.query_id, set()).add(r.cell)
-    cells_needed = sorted({r.cell for r in routed_rows})
+    # -- the routed cells' post-append content, with no second
+    #    listing: pre-append snapshot ∪ the batch's own (anti-joined,
+    #    checkpointed) new codes in those cells. No materialization:
+    #    the scoring pass and the n_scanned census both evaluate
+    #    inside the caller's one action over these pinned file scans.
     store = None
-    for c in cells_needed:
-        st = read_state(spark, os.path.join(codes_dir, f"label={c}"))
-        if st is not None:
-            part = st.select("id", "codes").withColumn(
-                "cell", F.lit(int(c)).cast("int")
-            )
-            store = part if store is None else store.unionByName(part)
-    out_schema = (
-        "query_id long, neighbor_id long, adc double, rank int, "
-        "n_scanned long"
-    )
-    if store is None:
-        return spark.createDataFrame([], out_schema)
-    store = store.localCheckpoint(eager=True)  # scored + censused once
+    if prior_all is not None:
+        store = prior_all.filter(
+            F.col("cell").isin([int(c) for c in cells_needed])
+        ).select("id", "codes", "cell")
+    new_in_cells = codes_new.filter(
+        F.col("label").isin([int(c) for c in cells_needed])
+    ).select("id", "codes", F.col("label").cast("int").alias("cell"))
+    store = new_in_cells if store is None else store.unionByName(new_in_cells)
 
-    qids, lut = _pq_lut(
-        cb, queries, nsub, dsub, id_col, vec_col, "accept_batch_routed"
-    )
+    qids, lut = frozen["lut"]
     bc = spark.sparkContext.broadcast((qids, lut, rsets))
 
     def _score(it):
@@ -340,7 +483,11 @@ def accept_batch_routed(
         .select("query_id", "neighbor_id", "adc", "rank")
     )
     # per-query scanned mass from the ncells-row census of the read
-    # slice (never a second pass over unrouted state)
+    # slice (never a second pass over unrouted state); the routing
+    # pairs are a bootstrap-time constant — a local relation, no job
+    q_routed = spark.createDataFrame(
+        frozen["routed_rows"], "query_id long, cell int"
+    )
     csz = store.groupBy("cell").agg(F.count("*").alias("_csz"))
     n_scan = (
         q_routed.join(F.broadcast(csz), "cell", "left")
@@ -435,14 +582,27 @@ def run_pq_index_stream(
     directories are compacted via :func:`maintain_code_state`
     (``None`` disables maintenance). An empty micro-batch is skipped
     entirely (a bootstrap batch must carry vectors — an empty frozen
-    codebook would be wrong forever)."""
+    codebook would be wrong forever).
+
+    The frozen constants (codebook array, LUT, query routing) are
+    bootstrapped ONCE from the first non-empty batch and reused for
+    every later trigger — they are pure functions of state the
+    bootstrap froze, so replays and restarts reload identical values
+    (bootstrap_routed reads state when it exists)."""
+    frozen: "dict | None" = None
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal frozen
         if batch_df.isEmpty():
             return
+        if frozen is None:
+            frozen = bootstrap_routed(
+                spark, batch_df, queries, state_dir, nprobe, nsub,
+                dsub, ncent, ncells, id_col, vec_col,
+            )
         out = accept_batch_routed(
             spark, batch_df, queries, state_dir, k, nprobe, nsub,
-            dsub, ncent, ncells, id_col, vec_col,
+            dsub, ncent, ncells, id_col, vec_col, frozen=frozen,
         )
         out.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"

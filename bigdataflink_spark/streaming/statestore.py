@@ -40,6 +40,24 @@ def read_state(spark: SparkSession, path: str) -> "DataFrame | None":
     plan — reuse can only unify scans of the SAME snapshot, which is
     correct — and also pins the snapshot against appends that land
     between the read_state call and the verdict's evaluation."""
+    files = list_state_files(spark, path)
+    if files is None:
+        return None
+    if not files:
+        # existing dir, no data files (e.g. only _SUCCESS from a
+        # crashed write): keep the original loud failure mode
+        return spark.read.parquet(path)
+    return spark.read.parquet(*files)
+
+
+def list_state_files(spark: SparkSession, path: str) -> "list[str] | None":
+    """The call-time file-list pin of :func:`read_state`, exposed for
+    callers that batch SEVERAL state directories into one
+    ``spark.read`` (streaming/pqindex.py reads every touched/routed
+    cell dir in one explicit-schema read — one footer-probe-free scan
+    instead of a per-dir listing + schema inference). ``None`` iff
+    the path does not exist; same compaction-crash recovery and loud
+    subdirectory guard as read_state."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -76,15 +94,10 @@ def read_state(spark: SparkSession, path: str) -> "DataFrame | None":
             "and would silently drop nested rows; flatten the writer "
             "or extend the pin to recurse"
         )
-    files = [
+    return [
         st.getPath().toString()
         for st in statuses
         if not st.isDirectory()
         and not st.getPath().getName().startswith("_")
         and not st.getPath().getName().startswith(".")
     ]
-    if not files:
-        # existing dir, no data files (e.g. only _SUCCESS from a
-        # crashed write): keep the original loud failure mode
-        return spark.read.parquet(path)
-    return spark.read.parquet(*files)
