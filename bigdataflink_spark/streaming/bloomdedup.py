@@ -88,9 +88,11 @@ def accept_batch(
             .distinct()
             .withColumn("seen_before", F.lit(False))
         )
-    # pin the verdict BEFORE the state gains this batch's positions
-    verdict = verdict.localCheckpoint(eager=True)
-
+    # No verdict pin needed (round 13): bloom_membership_bits
+    # COLLECTS the prior state into a driver bitset at call time, so
+    # the verdict plan has no state-file dependency the append below
+    # could corrupt — its only input is the checkpointed batch. The
+    # old eager checkpoint here was one redundant job per trigger.
     new_pos = bloom_positions(batch, key_col, m=m, k=k, salt=salt)
     if have_state:
         new_pos = new_pos.join(state, "pos", "left_anti")

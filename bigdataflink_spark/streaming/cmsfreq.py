@@ -76,7 +76,10 @@ def accept_batch(
     counters (read back from the written generation, so downstream
     probes see persisted state). Usable directly for backfills with
     caller-supplied increasing batch ids."""
-    batch = batch.localCheckpoint(eager=True)
+    # No batch checkpoint (round 13): the batch feeds exactly one
+    # consumer (the delta build below), and the merged generation is
+    # itself eagerly checkpointed before publish — materializing the
+    # raw batch first was one redundant full-batch job per trigger.
     deltas = cms_build(batch, key_col, d=d, w=w, salt=salt)
     prior = [g for g in complete_generations(spark, state_dir) if g < batch_id]
     if prior:

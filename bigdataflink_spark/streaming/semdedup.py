@@ -100,7 +100,11 @@ def accept_batch(
     vecs_dir = os.path.join(state_dir, "vecs")
     bands_dir = os.path.join(state_dir, "bands")
 
-    batch = batch.localCheckpoint(eager=True)  # pin: state append must not recompute
+    # ONE batch pin (round 13): b_sided is the only consumer of the
+    # raw batch and every downstream leg reads b_sided, so the extra
+    # eager checkpoint of the raw batch was a redundant job per
+    # trigger. The b_sided checkpoint still pins the batch content
+    # before the state appends below.
     b_sided = _sided(batch, id_col, vec_col, cell_col).localCheckpoint(eager=True)
 
     # path-missing (first batch) is the ONLY silent case; read errors
@@ -128,7 +132,18 @@ def accept_batch(
         b_bands = _band_rows(b_sided, bands, rows_per_band)
         earlier_bands = b_bands
         if have_state:
-            earlier_bands = spark.read.parquet(bands_dir).unionByName(b_bands)
+            # pinned read (round 13): the band state was read by
+            # directory path, so it relied on the verdict being
+            # eagerly checkpointed before this trigger's band append;
+            # the call-time file-list pin makes the verdict safe to
+            # evaluate lazily (the checkpoint job below is gone)
+            state_bands = read_state(spark, bands_dir)
+            if state_bands is None:
+                raise ValueError(
+                    f"semdedup state inconsistent: {vecs_dir} exists "
+                    f"but {bands_dir} is missing"
+                )
+            earlier_bands = state_bands.unionByName(b_bands)
         cand = (
             earlier_bands.alias("a")
             .join(
@@ -180,8 +195,13 @@ def accept_batch(
         .select(
             "id", "cell", F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped")
         )
-        .localCheckpoint(eager=True)
     )
+    # No eager verdict materialization (round 13): every state read
+    # above is pinned to its call-time file list (read_state), so the
+    # appends below cannot leak into the verdict plan even when the
+    # caller evaluates it lazily — the per-trigger checkpoint job that
+    # used to force the whole candidate+cosine pass is gone (it now
+    # runs once, inside the caller's action).
 
     b_sided.write.mode("append").parquet(vecs_dir)
     if rows_per_band is not None:

@@ -121,20 +121,30 @@ def _judge_batch(
     # a read error on EXISTING state propagates loudly; only a missing
     # directory means "first batch" (the round-10 state-read rule)
     state = read_state(spark, gh_dir)
-    within = counts.filter(F.col("_n") >= 2).select("gh")
     if state is not None:
-        seen = counts.join(state, "gh", "left_semi").select("gh")
-        dup_gh = within.unionByName(seen).distinct()
+        # ONE state join per trigger (round 13): the old shape joined
+        # state twice — a left_semi for "seen" verdicts plus a
+        # left_anti for the new-gram append — and then paid a
+        # union+distinct exchange to merge the within-batch leg. A
+        # single left join with a marker serves both: the lazy
+        # checkpoint materializes when the append (below) runs, and
+        # the verdict leg reads the same checkpoint. State rows are
+        # distinct gh, so the join cannot multiply counts rows.
+        marked = counts.join(
+            state.withColumn("_s", F.lit(1)), "gh", "left"
+        ).localCheckpoint(eager=False)
+        dup_gh = marked.filter(
+            (F.col("_n") >= 2) | F.col("_s").isNotNull()
+        ).select("gh")
+        new_gh = marked.filter(F.col("_s").isNull()).select("gh")
     else:
-        dup_gh = within
+        dup_gh = counts.filter(F.col("_n") >= 2).select("gh")
+        new_gh = counts.select("gh")
     # dup_gh grows with the prefix — never broadcast it (the q226
     # AQE-underestimate lesson); shuffle_hash keys both sides on gh
     dup = win.join(dup_gh.hint("shuffle_hash"), "gh").select(
         id_col, "n_tokens", "pos"
     )
-    new_gh = counts.select("gh")
-    if state is not None:
-        new_gh = new_gh.join(state, "gh", "left_anti")
     new_gh.write.mode("append").parquet(gh_dir)
     return dup
 
