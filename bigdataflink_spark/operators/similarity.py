@@ -608,7 +608,10 @@ def semantic_dedup(
 
 
 def quantize_int8(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max |component|
     (as double), q_i = clamp(floor(x_i·127/scale), -127, 127). The
@@ -621,9 +624,13 @@ def quantize_int8(
     DuckDB twin reproduces each quantized COMPONENT bit-for-bit — no
     round-half mode ambiguity (the reason this uses floor, not
     round). All-zero vectors quantize to all zeros (guarded divide).
-    Returns (id, qvec array<int>, scale double)."""
+    Returns (id, *extra_cols, qvec array<int>, scale double) —
+    ``extra_cols`` ride the scan projection so a caller that needs a
+    sibling column (q228's cell label) doesn't pay a corpus
+    self-join to re-attach it."""
     d = df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
         F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("x"),
     ).withColumn(
         "scale", F.array_max(F.expr("transform(x, v -> abs(v))"))
@@ -633,7 +640,7 @@ def quantize_int8(
         " ELSE transform(x, v -> CAST(GREATEST(-127.0,"
         " LEAST(127.0, floor(v * 127.0 / scale))) AS INT)) END"
     )
-    return d.select("id", F.expr(qv).alias("qvec"), "scale")
+    return d.select("id", *extra_cols, F.expr(qv).alias("qvec"), "scale")
 
 
 def int8_dot(a: Column, b: Column) -> Column:
@@ -1063,11 +1070,12 @@ def ivf_int8_rerank(
         F.col("id").alias("query_id"), F.col("qvec").alias("q_qv")
     )
     probe = routed.join(qz_q, "query_id")
-    cells = quantize_int8(corpus, id_col, vec_col).join(
-        corpus.select(
-            F.col(id_col).alias("id"), F.col(label_col).alias("probe_label")
-        ),
-        "id",
+    # the cell label rides the quantize projection (round 13) — the
+    # old join-back of quantize_int8's output against the corpus on
+    # id was a full corpus self-join (2 exchanges) to recover a
+    # column the scan already had
+    cells = quantize_int8(corpus, id_col, vec_col, (label_col,)).select(
+        "id", F.col(label_col).alias("probe_label"), "qvec", "scale"
     ).withColumn("c_nn", int8_dot(F.col("qvec"), F.col("qvec")))
     cand = (
         cells.join(F.broadcast(probe), "probe_label")

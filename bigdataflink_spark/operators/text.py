@@ -217,21 +217,22 @@ def passage_dedup_stats(
     Shape: one explode to distinct (doc, passage) rows, one groupBy
     on passage for document frequency, one join back, one groupBy on
     doc — two keyed shuffles total, no pairwise comparison, so cost is
-    O(total passages) at any corpus size. At 100 TB, shuffle the
-    64-bit xxhash64(passage) instead of the passage text to cut
-    shuffle bytes ~5x (the string key is kept here for bit-exact
-    oracle parity)."""
+    O(total passages) at any corpus size. Round 13: both shuffles key
+    on xxhash64(passage) instead of the passage text (~5× fewer
+    shuffle bytes; the same verified-collision-free hashing the
+    substring family uses — the oracle still counts passage strings,
+    and the 3-SF sweeps pin equality on the actual corpora)."""
     doc_pass = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(passages(tokens(text_col), width))).alias(
             "passage"
         ),
-    )
-    df_counts = doc_pass.groupBy("passage").agg(
+    ).select(F.col(id_col), F.xxhash64("passage").alias("_ph"))
+    df_counts = doc_pass.groupBy("_ph").agg(
         F.count("*").alias("_nd")  # rows are distinct per doc already
     )
     return (
-        doc_pass.join(df_counts, "passage")
+        doc_pass.join(df_counts, "_ph")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_passages"),
