@@ -90,7 +90,7 @@ NOTES = {
     "q93_important_stock": "Q11 shape: the HAVING>scalar subquery is a one-row crossJoin broadcast; the threshold comparison multiplies through so both engines compare exact decimals; one partkey shuffle after the nation semi-filter.",
     "q94_sequence_packing": "One window cumsum per lang partition and an agg on the SAME keys — a single sort-shuffle serves both; bin ids derive from token offsets, so range-sub-sharding at 100 TB changes no answer.",
     "q95_domain_mixture": "Group sizes and the token total come from one agg + one-row crossJoin broadcast; token counting is a scan-stage array expression — the mixture table costs one corpus pass.",
-    "q96_passage_dedup": "Chunking is a scan-stage array expression; one explode to distinct (doc, passage), one shuffle on the passage key for document frequency, one join back on the same key, one doc-key agg — linear in total passages, no pair join at any scale (at 100 TB shuffle xxhash64(passage) instead of the string).",
+    "q96_passage_dedup": "Chunking is a scan-stage array expression; one explode to distinct (doc, passage), then both keyed exchanges carry xxhash64(passage) (r13: ~5x fewer shuffle bytes than the passage strings; oracle still counts strings, equality pinned by the 3-SF sweeps), one join back on the hash, one doc-key agg — linear in total passages, no pair join at any scale.",
     "q97_vocab_coverage": "Explode + (lang, term) agg with map-side partials; the cumulative-coverage window sorts the VOCABULARY per lang (distinct terms, not tokens) — the sort input stays millions-scale under a 100 TB corpus while the linear explode+agg does the heavy lifting.",
     "q98_knn_label_vote": "Scoring is q24's broadcast-queries pattern (corpus never shuffles); the vote adds a k-rows-per-query groupBy and one window — negligible; labels join via broadcast. Swap the scorer for ivf_topk at web scale, vote logic unchanged.",
     "q99_scd2_history": "Change detection (lag+row_number) and interval assembly (lead+version) share the SAME (user × time) sort — Catalyst plans one shuffle + one sort feeding both Window nodes; no self-join, no per-row upserts, cost independent of history depth.",
@@ -214,16 +214,16 @@ NOTES = {
     "q215_streaming_bloom": "Streaming Bloom seen-set: three accept_batch steps, each ONE broadcast membership join of the batch against <=16384 parquet position rows plus one anti-joined bounded append (state never exceeds the filter size, so an unbounded stream has bounded state); stream-over-slices == per-slice batch membership exactly, giving a stateful streaming operator a FULL value-hash oracle (the q192 pattern).",
     "q216_cms_frequency": "Count-Min frequency sketch audit: ONE token-explode scan feeds the bounded d*w counter aggregate (<=32768 rows regardless of corpus - additive sums, merge = re-sum) and the audit-only exact top-10 leg; estimates broadcast-join the counter table (probe side never shuffles); both contract booleans (est>=true hard guarantee, (est-true)*w <= 8N) are pure integer math.",
     "q217_quantile_sketch": "Quantile sketch PRODUCTION build (round-12 split): the level census is ONE groupBy over <=49 bit-length levels (map-side combine -> <=49*P rows move), the power-of-two cutoff broadcasts back into one threshold filter scan, and the summary sorts <=cap=1024 retained rows — exactly 2 corpus passes, nothing else; the validation legs live in q234.",
-    "q231_substring_excise": "Substring excision: q226's head unchanged (window projection + posexplode, gh... gram-keyed count shuffle with the counts join PINNED shuffle_hash off the broadcast path), dup starts merge to per-doc intervals under one lag window, intervals collect_list per doc (bounded by doc length), and ONE higher-order JVM projection filters each token array against its interval list — no Python, no extra corpus pass beyond q226's.",
+    "q231_substring_excise": "Substring excision over the r13 head: the window table reduces to (id, pos, xxhash64(window)) and lazily checkpoints ONCE (census + join-back share it — one corpus scan + one window Generate, was two of each; both exchanges carry 8-byte hashes, counts join PINNED shuffle_hash off the broadcast path — x2.1-2.3 at the x100 controlled probe, SCALE.md), dup starts merge to per-doc intervals under one lag window, intervals collect_list per doc (bounded by doc length), and ONE higher-order JVM projection filters each token array against its interval list — no Python.",
     "q232_bpe_vocab_export": "Vocab export: q227's trainer loop (one corpus word census + 8 vocab-sized argmax rounds), then a charset-bounded distinct collect and the n_merges-row merge table assembled driver-side into the (token_id, symbol, kind) table — both collects are the sanctioned bounded class (alphabet + n_merges rows).",
     "q233_bpe_encode_pack": "Tokenizer end-to-end: trainer (corpus census once) + bounded symbol->id literal map; encode is one vocab-sized projection (per-word ids via the final vocab's own segmentation) joined shuffle_hash to the corpus's (doc,pos,word) posexplode (vocab build side never broadcasts - the q226 lesson), reassembled per doc by one collect_list bounded by doc length; packing is q94's one window cumsum + one agg keyed on lang.",
     "q242_pq_kmeans_ann": "Lloyd-trained vs sampled PQ codebook through the identical q224 production shape: training is iters bounded-sample joins (train_ids x ncent rows, codebook broadcast, lineage localCheckpoint-truncated per iteration); both encodes are one Arrow stage each; shortlists/reranks the q224 plan. Exact top-5 leg is the priced brute-force audit (queries broadcast, corpus streams).",
-    "q241_curated_corpus_keepfirst": "q237's funnel with the excision stage swapped to the keep-first election: gates scan-stage, dedup one text-keyed window shuffle, election fused into the gram aggregation (min-struct beside the count - no exchange over q237), join back pinned shuffle_hash.",
+    "q241_curated_corpus_keepfirst": "q237's r13 funnel (bound-once gate, survivors checkpointed once, lang passthrough) with the excision stage swapped to the keep-first election: election fused into the same hashed gram aggregation (min-struct beside the count — no extra exchange), join back pinned shuffle_hash.",
     "q239_substring_excise_keepfirst": "Keep-first excision: q231's window head, but the per-gram aggregation that counts occurrences ALSO takes min(struct(id,pos)) - the global first-occurrence election rides the same map-side-combining shuffle, no extra exchange. Join back pinned shuffle_hash (corpus-derived build side, the q226 AQE lesson); excision tail shared with q231 (interval merge + one JVM HOF projection).",
-    "q240_streaming_ivf_pq_index": "IVF-routed streaming PQ index: bootstrap freezes codebook AND centroids; per batch one cell-assignment window (batch x ncells broadcast join) + one encode Arrow stage; codes land partitionBy(cell) so the per-trigger retrieval LISTS AND SCANS only the queries' nprobe routed cell dirs (scan_frac ~= nprobe/ncells at both probe scales - SCALE.md r13); anti-join for replay reads only the batch's own cells; ADC scoring one Arrow stage with per-query cell masks, census from the read slice only.",
-    "q238_streaming_pq_index": "Streaming PQ-index ingest: bootstrap batch freezes the codebook (ORDER BY/LIMIT ncent + tiny window, written once), per batch ONE encode Arrow stage + anti-joined code append (8 bytes/vec state), retrieval = the batch pq_adc_shortlist operator over the file-list-pinned post-append snapshot (LUT broadcast into one Arrow stage, local top-k, global window). Per-trigger cost O(batch encode + store scan); store scan is the honest linear residue of exact-membership retrieval - IVF routing over cells is the sublinear upgrade path (q235).",
+    "q240_streaming_ivf_pq_index": "IVF-routed streaming PQ index, r13: bootstrap_routed freezes codebook AND centroids and precomputes the per-stream constants (dense codebook, query LUT, query->cell routing) ONCE; per batch one cell-assignment window + one encode Arrow stage; codes land partitionBy(cell); per trigger ONE pinned explicit-schema read over the touched+routed cell files serves both the replay anti-join and the scoring store (pre-append snapshot + the batch's own checkpointed codes — no post-append re-listing, no store checkpoint), so retrieval still LISTS AND SCANS only routed cells (scan_frac ~= nprobe/ncells at both probe scales - SCALE.md r13); ADC scoring one Arrow stage with per-query cell masks, census from the read slice only.",
+    "q238_streaming_pq_index": "Streaming PQ-index ingest, r13: the bootstrap-frozen constants (dense codebook array + standing-query ADC LUT) are computed ONCE per stream (bootstrap_index) instead of re-collected per trigger; per batch ONE encode Arrow stage + anti-joined code append (8 bytes/vec state), retrieval = pq_adc_shortlist over the file-list-pinned post-append snapshot with the precomputed LUT. Per-trigger cost O(batch encode + store scan); the store scan is the honest linear residue of exact-membership retrieval - IVF routing over cells is the sublinear path (q240).",
     "q236_streaming_substr_excise": "Streaming excision twin: q230's per-batch judge unchanged (window projection + posexplode, gh-keyed count, shuffle_hash join vs the file-list-pinned gram state, anti-joined append), then q231's excision tail per batch (interval merge + per-doc collect_list + ONE HOF projection over the batch's token arrays). Per-trigger cost O(batch + state read); output stream = the repaired corpus at arrival.",
-    "q237_curated_corpus": "Curated-corpus composition: the q86 gates are scan-stage predicates on one tokenized projection; exact dedup is one window shuffle on the text key (xxhash64 at deployment); excision is q231's linear machinery over the ~3/4 surviving corpus (counts join pinned shuffle_hash). Gates -> dedup -> excision order pinned by the oracle.",
+    "q237_curated_corpus": "Curated-corpus composition, r13 shape: the gates evaluate with the tokenization BOUND ONCE (text.gopher_gate — the AND-of-gates form re-split the text per sub-expression after filter pushdown inlined the alias; 12.9 s -> 1.6 s at sf0.1); the gate+dedup survivors materialize ONCE (lazy localCheckpoint — the subtree was recomputed 4x, 20 -> 10 Exchanges); lang rides the excision passthrough (join-back gone); excision is q231's hashed materialized-once machinery. Gates -> dedup -> excision order pinned by the oracle.",
     "q235_ivf_pq_rerank": "IVF-PQ composed ANN: q228's broadcast centroid routing, PQ codes carrying their cell label THROUGH the encode Arrow stage (no corpus join-back), per-query LUT + bounded routing dict broadcast into ONE Arrow scoring stage that touches only routed-cell rows, global shortlist window over <=shortlist*P*|Q| local rows, exact rerank of <=32 raw vectors/query; n_candidates from the ncells-row census, never a second code scan. The cell-exact recall leg is the linear residue (as in q228).",
     "q234_quantile_sketch_audit": "Quantile sketch ON-DEMAND audit (round-12 split): q217's 2 build passes plus the validation legs — exact percentile_disc, the full-data rank census, and the merge pin's shared parity census/filter pair (3 extra corpus passes, deliberately priced here, not in the production query); 1-row scalar crossJoins stitch summary, exact, rank and merge-pin legs; both rank-error booleans are pure integer math.",
     "q218_streaming_kmv": "Streaming KMV distinct: three accept_batch steps, each ONE broadcast kth-threshold filter over the batch hashes + one bounded anti-join append into the entered-bottom-k state (<= k rows per batch worst case, k(1+ln(n/k)) expected) + a TakeOrdered over the tiny state; stream-over-slices == batch bottom-k over the prefix EXACTLY, full value-hash oracle (the q215 pattern).",
@@ -254,9 +254,9 @@ NOTES = {
     "q223_int8_ann": "Int8-quantized ANN audit: quantization is a whole-stage-codegen array projection (floor over IEEE doubles, no Python), scoring is q24's broadcast shape with exact int64 dot products and one correctly-rounded divide+sqrt as the rank key — the retrieval RESULT (not just its quality band) is engine-deterministic; the float exact-cosine leg is the audit, the int8 pass is the 100 TB path (4x smaller vectors).",
     "q224_pq_ann": "PQ ANN audit: encode = one broadcast codebook join + rank-1 window per (id, sub); ADC scoring reads ONLY codes + a per-query broadcast 8x64 LUT with a fixed-order fold over subspaces (never a float groupBy-sum); shortlist top-50 -> exact-cosine rerank touches 50 raw vectors per query. At 100 TB retrieval scans 8-byte codes, not 256-byte vectors — the raw corpus stays cold.",
     "q225_jpeg_arith_lossless": "Arithmetic lossless JPEG (SOF11) contract: q212's Arrow-map shape over the doc_id%11==7 slice, zero joins; per row the Annex-H predictors drive the H.1.2.2 conditioned QM difference model (25 gradient contexts + dual X/M areas = the 158 stats bins T.81 publishes) through byte-EXACT round trips at 8/12/16-bit; stream pins (SOF11+DAC, no DHT/DQT) from the real marker walk; arith_smaller pins conditioned estimation beating per-image optimal Huffman.",
-    "q226_substring_dedup": "Exact substring dedup: overlapping 10-token windows materialize in the scan projection (transform over sequence) and posexplode; ONE shuffle on the window text for global occurrence counts (map-side combine), one join back keyed the same way, then a per-doc window sort for the lag()-based interval merge — linear in total tokens, no pairwise join, no suffix array.",
+    "q226_substring_dedup": "Exact substring dedup, r13 head: overlapping 10-token windows materialize in the scan projection (transform over sequence) and posexplode, immediately reduced to (id, n_tokens, pos, xxhash64(window)) and lazily checkpointed ONCE; ONE shuffle on the 8-byte window hash for global occurrence counts (map-side combine), one join back keyed the same way (pinned shuffle_hash), then a per-doc window sort for the lag()-based interval merge — linear in total tokens, no pairwise join, no suffix array. Oracle still groups window strings; 3-SF sweeps pin equality.",
     "q227_bpe_train": "BPE trainer: one corpus pass for the word census (explode + count shuffle), localCheckpoint bounds the vocab lineage; each of the 8 driver-loop iterations is a pair-explode + keyed sum over the DISTINCT-WORD table (vocab-sized, not corpus-sized) + a 1-row collect + a pure replace() projection. The corpus is touched exactly once.",
-    "q228_ivf_int8_rerank": "Composed ANN: centroid build is q26's bounded posexplode agg; routing joins the tiny centroid table broadcast; quantized scoring joins corpus cells to the BROADCAST routed-query table on cell id (only routed cells scanned); shortlist + n_candidates share one per-query window; exact rerank touches <=32 raw vectors per query. Audit legs (cell-exact, global brute force) are the linear residue.",
+    "q228_ivf_int8_rerank": "Composed ANN, r13: the cell label rides the quantize_int8 scan projection (the corpus self-join on id that re-attached it is gone — 2 fewer exchanges); centroid build is q26's bounded posexplode agg; routing joins the tiny centroid table broadcast; quantized scoring joins corpus cells to the BROADCAST routed-query table on cell id (only routed cells scanned); shortlist + n_candidates share one per-query window; exact rerank touches <=32 raw vectors per query. Audit legs (cell-exact, global brute force) are the linear residue.",
     "q229_bpe_segment_census": "q227's trainer loop (one corpus census + 8 vocab-sized rounds) plus one more vocab-sized symbol explode + keyed sum; the top-20 window runs over the bounded symbol census. Corpus touched exactly once.",
     "q230_streaming_substr_dedup": "Streaming substring dedup: per batch one window projection + posexplode, a gh-keyed count, a shuffle_hash join against the prior-gram state (pinned call-time file list - the round-11 snapshot-reuse fix), the shared interval merge, and an anti-joined state append. Per-trigger cost O(batch + state read).",
 }
