@@ -315,12 +315,38 @@ def main() -> None:
         "n_queries": len(times),
     }
     print(json.dumps(detail))
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
+        with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: the stdout copy above still has it
+    # Round-stamped copy (VERDICT r13 "Next round" #3): the driver
+    # captures only ~2 KB of stdout, so per-query data for
+    # round-over-round PERF diffs must live in a FILE whose name
+    # doesn't get overwritten by the next round's run. The round
+    # number is $SPARK_GRAFT_ROUND if set, else inferred as
+    # 1 + the highest committed BENCH_r<N>.json (the driver benches
+    # round N before writing BENCH_r<N>.json, so the inference is
+    # stable for the run that matters). Additions-only: stdout, the
+    # final compact line, and BENCH_DETAIL.json are unchanged.
+    try:
+        import re as _re
+
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            prev = [
+                int(m.group(1))
+                for f in os.listdir(repo_dir)
+                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            rnd = str(max(prev) + 1) if prev else "0"
+        with open(
+            os.path.join(repo_dir, f"BENCH_DETAIL_r{int(rnd)}.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except (OSError, ValueError):
+        pass  # read-only checkout / unparseable round: detail above
     print(
         json.dumps(
             {

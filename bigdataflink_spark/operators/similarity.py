@@ -627,7 +627,17 @@ def quantize_int8(
     Returns (id, *extra_cols, qvec array<int>, scale double) —
     ``extra_cols`` ride the scan projection so a caller that needs a
     sibling column (q228's cell label) doesn't pay a corpus
-    self-join to re-attach it."""
+    self-join to re-attach it. ``extra_cols`` must be disjoint from
+    the operator's own output/internal names — a passthrough column
+    named ``id``/``x``/``scale``/``qvec`` would silently shadow or
+    duplicate them (ADVICE r13)."""
+    _reserved = {"id", "x", "scale", "qvec"}
+    bad = _reserved.intersection(extra_cols)
+    if bad:
+        raise ValueError(
+            f"quantize_int8 extra_cols collide with reserved "
+            f"output/internal column names: {sorted(bad)}"
+        )
     d = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra_cols],

@@ -218,21 +218,34 @@ def passage_dedup_stats(
     on passage for document frequency, one join back, one groupBy on
     doc — two keyed shuffles total, no pairwise comparison, so cost is
     O(total passages) at any corpus size. Round 13: both shuffles key
-    on xxhash64(passage) instead of the passage text (~5× fewer
-    shuffle bytes; the same verified-collision-free hashing the
-    substring family uses — the oracle still counts passage strings,
-    and the 3-SF sweeps pin equality on the actual corpora)."""
+    on a hash of the passage instead of the passage text (~3× fewer
+    shuffle bytes — the oracle still counts passage strings). Round
+    14: the key is 128 bits — TWO independently-seeded xxhash64
+    columns (the second prepends a literal, which reseeds the chained
+    hash) — because a 64-bit key is only safe at bench scale: at the
+    100 TB design point the distinct-passage population is ~10¹¹ and
+    the 64-bit birthday bound (~5·10⁹) is crossed, making silent
+    merges of distinct passages EXPECTED (thousands of them), each
+    inflating a doc's n_shared. At 128 bits the expectation is
+    ~n²/2¹²⁹ ≈ 10⁻¹⁷ for n=10¹¹ — negligible at any feasible corpus.
+    16 B of key vs ~20 B of passage text keeps most of the byte win;
+    the 3-SF sweeps additionally pin exact equality on the tested
+    corpora."""
     doc_pass = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(passages(tokens(text_col), width))).alias(
             "passage"
         ),
-    ).select(F.col(id_col), F.xxhash64("passage").alias("_ph"))
-    df_counts = doc_pass.groupBy("_ph").agg(
+    ).select(
+        F.col(id_col),
+        F.xxhash64("passage").alias("_ph"),
+        F.xxhash64(F.lit(1), "passage").alias("_ph2"),
+    )
+    df_counts = doc_pass.groupBy("_ph", "_ph2").agg(
         F.count("*").alias("_nd")  # rows are distinct per doc already
     )
     return (
-        doc_pass.join(df_counts, "_ph")
+        doc_pass.join(df_counts, ["_ph", "_ph2"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_passages"),
@@ -371,12 +384,14 @@ def substring_span_stats(
          and without the checkpoint Spark re-scans the corpus and
          re-generates every window string for each consumer (the
          round-13 plan audit showed 2 full Generate subtrees);
-      2. one groupBy on the 8-byte window hash for global occurrence
-         counts (map-side partial aggregation applies) — shuffling
-         the hash instead of the ~L-token window text cuts shuffle
-         bytes ~6× (measured; the oracle still groups by the window
-         text — outputs are identical absent a 64-bit collision,
-         which the 3-SF sweeps verify on the actual corpora);
+      2. one groupBy on the 128-bit window hash (two seeded xxhash64
+         columns — see :func:`_dup_window_starts` for why 64 bits is
+         not enough at 100 TB) for global occurrence counts
+         (map-side partial aggregation applies) — shuffling 16 B of
+         hash instead of the ~L-token window text cuts shuffle bytes
+         ~4× (the oracle still groups by the window text; collision
+         expectation at 10¹² windows is ~10⁻¹⁵, and the 3-SF sweeps
+         pin exact equality on the tested corpora);
       3. one join back on the window hash, keeping duplicated starts;
       4. per-doc interval merge via lag() — window starts are sorted
          per doc, and end = pos + L - 1 is monotonic in pos, so a new
@@ -401,21 +416,38 @@ def _dup_window_starts(
 ) -> DataFrame:
     """Shared head of the batch substring-dedup family: the DUPLICATED
     window starts (id[, n_tokens], pos) of ``docs``, computed on
-    xxhash64(window) keys with the window table materialized once.
+    hashed window keys with the window table materialized once.
 
     Round-13 optimization (guide §2.3/§2.4): the window table is
-    reduced to fixed-width rows (~24 B: id, pos, 8-byte hash) BEFORE
-    any exchange and localCheckpoint'ed, so (a) the corpus is scanned
-    and the O(total tokens) window strings generated ONCE instead of
-    twice (census + join-back no longer each re-run the Generate
-    subtree), and (b) both exchanges carry the hash, not ~60 B of
-    window text. The hash is xxhash64 — pure codegen, no Python. The
-    DuckDB oracles keep grouping by the window TEXT: results are
-    identical unless two distinct windows of one corpus collide in 64
-    bits (~n²/2⁶⁵; the full sweeps at sf0.001/0.01/0.1 verify the
-    actual corpora are collision-free). The streaming twin
+    reduced to fixed-width rows BEFORE any exchange and
+    localCheckpoint'ed, so (a) the corpus is scanned and the O(total
+    tokens) window strings generated ONCE instead of twice (census +
+    join-back no longer each re-run the Generate subtree), and (b)
+    both exchanges carry the fixed-width hash, not ~60 B of window
+    text. The hash is pure codegen (xxhash64), no Python.
+
+    Round 14 (VERDICT r13 "What's wrong #1"): the key is 128 bits —
+    TWO independently-seeded xxhash64 columns. ``xxhash64(lit(1),
+    gram)`` folds the literal into the running hash first, which
+    reseeds the gram hash, so the pair is two independent 64-bit
+    functions of the gram (a SUFFIX literal would instead make the
+    second column a function of the first — zero added entropy).
+    A single 64-bit key was verified collision-free at the tested SFs
+    but is NOT safe at the declared 100 TB target: with ~10¹¹–10¹²
+    distinct windows the 64-bit birthday bound (~5·10⁹) is crossed
+    and thousands of silent window merges are EXPECTED — in the
+    drop-all path each one excises text that is not duplicated, and
+    in the keep-first path a collision can delete every copy of a
+    unique passage (the colliding gram's election has one winner, so
+    the losing gram loses even its first occurrence). At 128 bits the
+    collision expectation is ~n²/2¹²⁹ ≈ 10⁻¹⁵ for n=10¹² — negligible
+    at any feasible corpus size. Shuffle width is 16 B of key, still
+    ~4× narrower than the window strings. The DuckDB oracles keep
+    grouping by the window TEXT: the 3-SF sweeps additionally pin
+    exact equality on the tested corpora. The streaming twin
     (streaming/substrdedup.py) is UNCHANGED — its state contract
-    hashes with salted md5-60 on both engines.
+    (salted md5-60 on both engines) is part of the DECLARED oracle
+    contract; its ceiling is documented there.
 
     ``keep_first``: also elect min(struct(id, pos)) per window inside
     the SAME aggregation (no extra shuffle; partial aggregation
@@ -431,11 +463,15 @@ def _dup_window_starts(
     # for it — eager=True would force the materialization even then.
     win = (
         substring_windows(docs, id_col, text_col, L)
-        .select(*cols, F.xxhash64("gram").alias("_gh"))
+        .select(
+            *cols,
+            F.xxhash64("gram").alias("_gh"),
+            F.xxhash64(F.lit(1), "gram").alias("_gh2"),
+        )
         .localCheckpoint(eager=False)
     )
     if keep_first:
-        agg = win.groupBy("_gh").agg(
+        agg = win.groupBy("_gh", "_gh2").agg(
             F.count("*").alias("_n"),
             F.min(
                 F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
@@ -446,7 +482,7 @@ def _dup_window_starts(
             & (F.col("pos") == F.col("_first.p"))
         )
     else:
-        agg = win.groupBy("_gh").agg(F.count("*").alias("_n"))
+        agg = win.groupBy("_gh", "_gh2").agg(F.count("*").alias("_n"))
         cond = F.col("_n") >= 2
     # The duplicated-window table GROWS WITH THE CORPUS (every corpus
     # has more distinct repeated windows at 100× the data), so it
@@ -456,7 +492,7 @@ def _dup_window_starts(
     # the hash: one linear exchange, build side bounded per partition
     # by spark.sql.shuffle.partitions.
     return (
-        win.join(agg.hint("shuffle_hash"), "_gh")
+        win.join(agg.hint("shuffle_hash"), ["_gh", "_gh2"])
         .filter(cond)
         .select(*cols)
     )
@@ -541,10 +577,11 @@ def substring_excise(
     need a join back to recover sibling columns.
 
     Round 13: the windows → counts → dup-starts head runs on
-    xxhash64 keys with the window table materialized once
+    hashed keys with the window table materialized once
     (:func:`_dup_window_starts` — 1 corpus scan + 1 window Generate
-    instead of 2 of each, 8-byte shuffle keys; same output, verified
-    against the unchanged string-keyed oracles at three SFs)."""
+    instead of 2 of each, 16-byte 128-bit shuffle keys since round
+    14; same output, verified against the unchanged string-keyed
+    oracles at three SFs)."""
     L = int(min_len)
     dup = _dup_window_starts(
         docs, id_col, text_col, L, keep_first=False, with_ntokens=False
@@ -615,7 +652,20 @@ def excise_from_dup(
     batch operator (substring_excise) and the streaming twin
     (streaming/substrdedup.py::accept_batch_excise). Every doc of
     ``docs`` appears in the output, untouched docs pass through
-    whitespace-normalized."""
+    whitespace-normalized. ``extra_cols`` must be disjoint from the
+    tail's own output/internal names — a passthrough column named
+    e.g. ``n_tokens`` or ``repaired`` would silently shadow or
+    duplicate them (ADVICE r13)."""
+    _reserved = {
+        id_col, "_tk", "_spans", "_kept",
+        "n_tokens", "kept_tokens", "removed_tokens", "repaired",
+    }
+    bad = _reserved.intersection(extra_cols)
+    if bad:
+        raise ValueError(
+            f"excise_from_dup extra_cols collide with reserved "
+            f"output/internal column names: {sorted(bad)}"
+        )
     L = int(min_len)
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)

@@ -360,14 +360,15 @@ def accept_batch_routed(
     cost tracks routed-cell mass, not the store.
 
     ``frozen``: the :func:`bootstrap_routed` dict. When given, the
-    per-trigger work drops to: assign+encode (one Arrow job), ONE
-    read pass over the touched∪routed cell directories, the
-    anti-joined append, and the scoring job — the codebook collect,
-    LUT build, query routing, and the second per-cell read pass
-    (round 12 read the routed cells again AFTER the append; the
-    post-append content is prior ∪ the just-checkpointed new codes,
-    so no re-listing is needed) are gone. ``None`` keeps the
-    self-contained per-call shape."""
+    per-trigger work drops to: assign+encode+touched-collect (ONE job
+    — round 14 folds the touched-cells collect into the encode's
+    lazy-checkpoint materialization), ONE read pass over the
+    touched∪routed cell directories, the anti-joined append, and the
+    scoring job — the codebook collect, LUT build, query routing, and
+    the second per-cell read pass (round 12 read the routed cells
+    again AFTER the append; the post-append content is prior ∪ the
+    just-checkpointed new codes, so no re-listing is needed) are
+    gone. ``None`` keeps the self-contained per-call shape."""
     import numpy as np
     import pandas as pd
 
@@ -385,13 +386,20 @@ def accept_batch_routed(
     # -- encode cell-keyed; idempotent append touching only the
     #    batch's own cells --
     assigned = assign_cells(batch_vecs, cents, id_col, vec_col)
+    # LAZY checkpoint (round 14, VERDICT r13 "Next round" #8): the
+    # touched-cells collect below is the checkpoint's FIRST action,
+    # so the encode materializes and the labels reach the driver in
+    # the SAME job — the round-13 shape paid one eager-checkpoint job
+    # plus a second job for the distinct-collect. No accumulator /
+    # Arrow-to-driver coupling needed. The anti-join, append write
+    # and scoring pass all reuse the checkpointed codes.
     codes_new = pq_encode(
         assigned, cb, nsub, dsub, id_col, vec_col, label_col="cell",
         cb_arr=frozen["cb_arr"],
-    ).localCheckpoint(eager=True)  # touched-collect + anti-join + write + score
+    ).localCheckpoint(eager=False)
     touched = sorted(
         r.label for r in codes_new.select("label").distinct().collect()
-    )  # bounded: <= ncells
+    )  # bounded: <= ncells; materializes the encode checkpoint
     # ONE pinned read over every cell this trigger touches or routes
     # to: per-cell file lists via the state pin (call-time snapshot —
     # later appends/compactions can't leak into this trigger's plan),
@@ -400,13 +408,31 @@ def accept_batch_routed(
     # the anti-join (touched cells) and the scoring read (routed).
     files: "list[str]" = []
     for c in sorted(set(touched) | set(cells_needed)):
-        fl = list_state_files(
-            spark, os.path.join(codes_dir, f"label={c}")
-        )
+        cell_dir = os.path.join(codes_dir, f"label={c}")
+        fl = list_state_files(spark, cell_dir)
         if fl:
             files.extend(fl)
+        elif fl is not None:
+            # EXISTING cell dir with zero data files (e.g. only
+            # _SUCCESS from a crashed write) — read_state's loud
+            # failure mode, not "cell empty" (ADVICE r13): treating
+            # it as empty would skip the anti-join against that
+            # cell's prior ids and append duplicates on replay.
+            spark.read.parquet(cell_dir)  # raises: cannot infer schema
+            raise ValueError(
+                f"state cell dir {cell_dir} exists but lists no data "
+                f"files — refusing to treat prior state as empty"
+            )
     prior_all = None
     if files:
+        # Explicit schema = no footer probe per dir — but that DEFERS
+        # corruption detection: a damaged state file now raises when
+        # the verdict/scoring plan evaluates (after this trigger's
+        # append has run) instead of inside this call, a documented
+        # weakening of the statestore fail-loudly-at-read contract.
+        # The error still propagates and fails the trigger; the
+        # append it leaves behind is the idempotent kind (anti-joined
+        # on replay), so a retried batch converges to the same state.
         prior_all = (
             spark.read.schema("id long, codes array<int>")
             .parquet(*files)

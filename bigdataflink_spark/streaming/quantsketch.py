@@ -58,66 +58,97 @@ def accept_batch(
     carry the new m* in column ``m``). Returns the published sample.
     A read error on an EXISTING generation propagates loudly — only
     a missing/incomplete generation means "first batch" (the round-10
-    state-read discipline)."""
-    from pyspark.sql import Window
+    state-read discipline).
 
+    Round 14 (guide §2.4/§5, VERDICT r13 "Next round" #5): the census
+    → cutoff → clamp chain runs as ONE aggregation job whose ≤ 49-row
+    result (one row per hash bit-length, plus the stored clamp) is
+    collected and folded on the driver — the sanctioned bounded
+    collect class (the BPE argmax idiom): its size is fixed by the
+    48-bit hash width, never by the data. That replaces the previous
+    per-trigger job stack — eager batch checkpoint, two broadcast
+    subquery jobs (clamp + cutoff), eager merged checkpoint, isEmpty
+    — with: census job, publish write (which materializes the lazy
+    sample checkpoint), and the caller's action. Per-trigger eager
+    jobs ~6 → 3; the published rows are byte-identical (the driver
+    fold reproduces the same coalesce/cumsum rule, pinned by the
+    parity test and q222's per-prefix oracle)."""
     rows = quantile_hashes(batch, key_col, value_col, salt)
-    rows = rows.localCheckpoint(eager=True)
+    # lazy: the census job below is the first consumer and
+    # materializes it; the merged projection then reuses the
+    # checkpoint instead of re-hashing the batch.
+    rows = rows.localCheckpoint(eager=False)
     prior = [g for g in complete_generations(spark, state_dir) if g < batch_id]
     if prior:
         prev = spark.read.parquet(_gen_path(state_dir, prior[-1]))
-        m_prev = prev.agg(
-            F.coalesce(F.max("m"), F.lit(FULL_LEVEL)).alias("m_prev")
+        # prev rows all carry the stored clamp m*; batch rows are
+        # unclamped (FULL_LEVEL). min() over the union recovers
+        # m_prev exactly as the old max('m')-broadcast did (an empty
+        # prev generation contributes nothing and the batch's
+        # FULL_LEVEL wins — the old coalesce(max, FULL_LEVEL) rule).
+        pre = prev.select(
+            "h", "v", "lvl", F.col("m").alias("_m")
+        ).unionByName(
+            rows.select(
+                "h", "v", "lvl", F.lit(FULL_LEVEL).cast("int").alias("_m")
+            )
         )
-        pre = prev.select("h", "v", "lvl").unionByName(rows)
     else:
-        m_prev = spark.range(1).select(F.lit(FULL_LEVEL).alias("m_prev"))
-        pre = rows
-    pre = pre.crossJoin(F.broadcast(m_prev)).filter(
-        F.col("lvl") <= F.col("m_prev")
+        pre = rows.select(
+            "h", "v", "lvl", F.lit(FULL_LEVEL).cast("int").alias("_m")
+        )
+    census = (
+        pre.groupBy("lvl")
+        .agg(F.count("*").alias("c"), F.min("_m").alias("mn"))
+        .collect()
     )
-    census = pre.groupBy("lvl", "m_prev").agg(F.count("*").alias("c"))
-    cum = census.withColumn(
-        "cum",
-        F.sum("c").over(
-            Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    m_prev = min((int(r.mn) for r in census), default=FULL_LEVEL)
+    # semantic cutoff: one below the lowest overflowing level of the
+    # clamped cumulative census, else the clamp itself (no overflow
+    # => every level <= m_prev feasible); FULL_LEVEL on an empty
+    # clamped census (empty prefix).
+    counts = sorted(
+        (int(r.lvl), int(r.c)) for r in census if int(r.lvl) <= m_prev
     )
-    # semantic cutoff: one below the lowest overflowing level, else
-    # the clamp itself (no overflow => every level <= m_prev feasible)
-    cutoff = cum.agg(
-        F.coalesce(
-            F.min(F.when(F.col("cum") > cap, F.col("lvl"))) - 1,
-            F.max("m_prev"),
-            F.lit(FULL_LEVEL),  # empty census: empty prefix
-        ).alias("m")
-    )
-    merged = (
-        pre.crossJoin(F.broadcast(cutoff))
-        .filter(F.col("lvl") <= F.col("m"))
-        .select("h", "v", "lvl", "m")
-    )
-    merged = merged.localCheckpoint(eager=True)
-    if merged.isEmpty():
+    m_val = m_prev if counts else FULL_LEVEL
+    cum = 0
+    for lvl, c in counts:
+        cum += c
+        if cum > cap:
+            m_val = lvl - 1
+            break
+    sample_n = sum(c for lvl, c in counts if lvl <= m_val)
+    if sample_n == 0 and m_val < FULL_LEVEL:
         # ADVICE r10: m* rides ON the sample rows, so an empty
         # published sample would lose the clamp — the next batch's
-        # max('m') coalesces back to FULL_LEVEL and silently breaks
+        # min('_m') falls back to FULL_LEVEL and silently breaks
         # gen-b == batch-sketch-of-prefix. Empty + m* = FULL_LEVEL is
         # a genuinely empty prefix (no information to lose); empty
         # with a REAL clamp means cap is far too small for the data's
         # level distribution (the count at the lowest present level
         # alone exceeded cap) — refuse loudly rather than publish a
         # generation that corrupts every later one.
-        m_val = int(cutoff.collect()[0]["m"])
-        if m_val < FULL_LEVEL:
-            raise ValueError(
-                f"quantile stream state would lose its clamp: the "
-                f"batch-{batch_id} census overflows cap at the lowest "
-                f"present level (semantic cutoff m*={m_val}, sample "
-                f"empty). Raise cap above the per-level row count; a "
-                f"generation published like this cannot be merged "
-                f"correctly."
-            )
+        raise ValueError(
+            f"quantile stream state would lose its clamp: the "
+            f"batch-{batch_id} census overflows cap at the lowest "
+            f"present level (semantic cutoff m*={m_val}, sample "
+            f"empty). Raise cap above the per-level row count; a "
+            f"generation published like this cannot be merged "
+            f"correctly."
+        )
+    # the retained sample never exceeds the stored clamp: batch rows
+    # above m_prev are discarded exactly as the old pre-filter did
+    # (m_val <= m_prev whenever the clamped census is nonempty; the
+    # min() guards the empty-census corner, where merged is empty
+    # either way).
+    merged = pre.filter(F.col("lvl") <= min(m_val, m_prev)).select(
+        "h", "v", "lvl", F.lit(int(m_val)).cast("int").alias("m")
+    )
+    # lazy: the publish write below materializes it (inside this
+    # trigger, before any vacuum could touch the prev generation its
+    # plan reads); the caller's summary agg then reuses the
+    # checkpoint.
+    merged = merged.localCheckpoint(eager=False)
     merged.write.mode("overwrite").parquet(_gen_path(state_dir, batch_id))
     return merged
 

@@ -21,8 +21,22 @@ cannot). Appends are anti-joined, so replayed batches are idempotent
 and the directory holds each hash once. Verdict joins key on the
 hash, so state rows are 8 bytes, ~10x smaller than gram text; the
 oracle hashes the same way (md5 is cross-engine), so parity is exact
-BY CONSTRUCTION even in the astronomically-unlikely collision case —
-a collision flags a span as duplicated in both engines.
+BY CONSTRUCTION even when hashes collide — a collision flags a span
+as duplicated in both engines.
+
+Collision ceiling (round 14, VERDICT r13): the 60-bit key's birthday
+bound is ~1.3·10⁹ distinct grams — comfortably above any streaming
+prefix this repo benches, but CROSSED at the 100 TB batch target
+(~10¹¹–10¹² distinct windows), where thousands of silent gram merges
+become expected; each one over-flags a first occurrence as seen
+(conservative for dedup — text is dropped, never duplicated — but
+still wrong rows). The 60-bit width is part of the DECLARED state
+contract on both engines (the oracle replays it bit-for-bit), so it
+is documented here rather than widened; past ~10⁸ distinct grams,
+deploy with a rewritten state contract (e.g. the batch family's
+two-seeded-xxhash64 128-bit key, operators/text.py::
+_dup_window_starts) and a matching oracle. The batch operators this
+module twins were widened to 128 bits in round 14.
 
 Stream-over-one-batch == the batch operator row-for-row (within one
 batch, "seen earlier or twice here" degenerates to "count >= 2"),
