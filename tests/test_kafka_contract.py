@@ -88,6 +88,7 @@ def test_offset_becomes_arrival_seq(spark, wire_dir):
     assert one["value"].startswith("{")  # decoded to string
 
 
+@pytest.mark.slow
 def test_stream_via_kafka_wire_equals_batch_star(spark, workdir, wire_dir):
     """Recorded-offsets replay through the full Kafka path ≡ one-shot
     batch star; a redelivered chunk (at-least-once) changes nothing."""
@@ -247,6 +248,7 @@ def test_kafkadump_streaming_offsets_resume(spark, workdir):
     assert offs == list(range(150))
 
 
+@pytest.mark.slow
 def test_full_reference_topology_stream(spark, workdir):
     """The reference's exact end-to-end shape in ONE composed run
     (VERDICT r2 #8): CSV corpus → `kafkadump` topic capture (the

@@ -23,6 +23,7 @@ def workdir():
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_stream_batch_parity(spark, workdir):
     """Replaying all 10 CSVs through the file stream (1 file per
     micro-batch, like the producer's per-file sends) must yield
@@ -875,6 +876,7 @@ def test_apply_in_pandas_with_state_dedup(spark, tmp_path):
     assert got.count() == got.select("user_id").distinct().count()
 
 
+@pytest.mark.slow
 def test_first_seen_dedup_ttl_expiry_and_rearm(spark, tmp_path):
     """TTL contract (ADVICE r2): a repeat INSIDE the TTL drops even
     though Spark cleared the pending timeout on that invocation (the
@@ -1028,6 +1030,7 @@ def test_streaming_scd2_observed_frontier_gate(spark, tmp_path):
     assert hist2 == [("A", 1), ("B", 2)]
 
 
+@pytest.mark.slow
 def test_property_merge_and_scd2_any_slicing_converges(spark, tmp_path):
     """Property (hypothesis): for RANDOM batch slicings, orderings,
     and duplicated (redelivered) slices, the bucketed LWW MERGE state

@@ -5,6 +5,7 @@ never changes the accepted set)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from bigdataflink_spark.operators import dedup
 from bigdataflink_spark.sources.tables import load_table
@@ -36,6 +37,7 @@ def _batch_greedy(spark, docs):
     }
 
 
+@pytest.mark.slow
 def test_accept_batch_sequence_matches_batch_greedy(spark, tmp_path):
     docs = load_table(spark, "documents", SF).select("doc_id", "text")
     expected = _batch_greedy(spark, docs)
@@ -52,6 +54,7 @@ def test_accept_batch_sequence_matches_batch_greedy(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_run_neardup_stream_matches_batch_greedy(spark, tmp_path):
     docs = load_table(spark, "documents", SF).select("doc_id", "text")
     expected = _batch_greedy(spark, docs)
